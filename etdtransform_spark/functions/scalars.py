@@ -1,0 +1,80 @@
+"""Scalar column expressions (reference knmi.py, load_data.py,
+calculated_columns.py §2.7 of SURVEY.md). All pure Catalyst expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import SWITCH_MULTIPLIER
+
+# KNMI perceived-temperature constants (reference knmi.py:80-98).
+HUMIDITY_COEFFICIENT = 0.33
+WIND_SPEED_ADJUSTMENT = 4.00
+VAPOR_PRESSURE_CONSTANT = 17.27
+WIND_SPEED_COEFFICIENT = 0.7
+
+
+def dampdruk(temperatuur: Column, vochtigheid: Column) -> Column:
+    """Vapor pressure from temperature (C) and relative humidity (%).
+    Reference knmi.py:84-93."""
+    return (
+        vochtigheid
+        * F.lit(6.105)
+        * F.exp(F.lit(VAPOR_PRESSURE_CONSTANT) * temperatuur / (temperatuur + F.lit(237.7)))
+        / F.lit(100.0)
+    )
+
+
+def gevoelstemperatuur(
+    temperatuur: Column, windsnelheid: Column, vochtigheid: Column
+) -> Column:
+    """Perceived temperature (apparent temperature). Reference knmi.py:94-98."""
+    return (
+        temperatuur
+        + F.lit(HUMIDITY_COEFFICIENT) * dampdruk(temperatuur, vochtigheid)
+        - F.lit(WIND_SPEED_COEFFICIENT) * windsnelheid
+        - F.lit(WIND_SPEED_ADJUSTMENT)
+    )
+
+
+def yyyymmdd_key(ts: Column) -> Column:
+    """Integer yyyymmdd join key (reference load_data.py:301-302)."""
+    return F.date_format(ts, "yyyyMMdd").cast("int")
+
+
+def hh_key(ts: Column) -> Column:
+    """KNMI hour key: 1-24, i.e. hour(ts)+1 (reference load_data.py:303-305)."""
+    return (F.hour(ts) + F.lit(1)).cast("int")
+
+
+def pandas_dayofweek(ts: Column) -> Column:
+    """Monday=0..Sunday=6 day index, matching pandas ``dt.dayofweek``
+    (reference calculated_columns.py:585). Spark's ``dayofweek`` is
+    Sunday=1..Saturday=7, hence the shift."""
+    return (F.dayofweek(ts) + F.lit(5)) % F.lit(7)
+
+
+def normalized_datetime(ts: Column, reference_monday: str = "2023-01-02") -> Column:
+    """Project a timestamp onto a reference week, preserving day-of-week and
+    time-of-day (reference calculated_columns.py:561-615)."""
+    day_offset = pandas_dayofweek(ts)
+    base = F.to_timestamp(F.lit(reference_monday))
+    seconds_into_day = (
+        F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+    ).cast("long")
+    return F.timestamp_seconds(
+        F.unix_timestamp(base) + day_offset.cast("long") * 86400 + seconds_into_day
+    )
+
+
+def switch_multiplier(interval: str) -> float:
+    """kW <-> kWh conversion factor per interval (reference
+    calculated_columns.py:530-556)."""
+    return SWITCH_MULTIPLIER[interval]
+
+
+def coalesce0(col: Column | str) -> Column:
+    """``fillna(0)`` equivalent used throughout calculated columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(0.0))

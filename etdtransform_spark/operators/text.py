@@ -1,0 +1,111 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All Catalyst expressions (regexp / split / array
+ops) — designed to run as a single narrow map stage over 100 TB of documents
+with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, tokens
+
+# Tiny per-language stopword profiles for the n-gram/stopword-hit heuristic.
+# Deliberately small and alphabetical so the same lists embed in oracle SQL.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["a", "and", "is", "of", "the", "to"],
+    "es": ["de", "el", "es", "la", "los", "y"],
+    "fr": ["de", "est", "et", "la", "le", "les"],
+    "de": ["das", "der", "die", "ist", "und", "von"],
+    "nl": ["de", "een", "en", "het", "is", "van"],
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-flavored token estimate: word-piece segments plus punctuation
+    marks, via a regex that splits words from non-word runs."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.filter(
+        F.split(c, r"(?<=\W)|(?=\W)"), lambda x: F.trim(x) != F.lit("")
+    )
+    return F.size(pieces)
+
+
+def stopword_hits(text: Column | str, stopwords: list[str]) -> Column:
+    """Count of tokens that are in ``stopwords`` (case-insensitive)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.transform(tokens(c), lambda t: F.lower(t))
+    return F.size(F.filter(lowered, lambda t: t.isin(*stopwords)))
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio."""
+    n = token_count(text)
+    return {
+        lang: (stopword_hits(text, words) / F.greatest(n, F.lit(1))).alias(f"score_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``detected_lang`` + per-language scores. Argmax over the profile
+    scores; ties broken alphabetically (first CASE branch wins) —
+    deterministic and trivially expressible in oracle SQL."""
+    scores = language_scores(text_col)
+    df = df.withColumns(dict(scores))
+    langs = sorted(LANG_PROFILES)
+    best_score = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best_score
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return df.withColumn("detected_lang", expr)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length features plus a composite
+    quality score in [0, 1]. Mirrors common LLM-corpus quality filters
+    (C4/Gopher-style rules) with engine-portable arithmetic."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    stop_en = stopword_hits(c, LANG_PROFILES["en"])
+    mean_word_len = F.when(
+        n_tokens > 0,
+        (F.length(F.regexp_replace(c, r"\s+", "")) / n_tokens.cast("double")),
+    )
+    punct_ratio = F.when(n_chars > 0, punct / n_chars.cast("double")).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_en / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("bigint"),
+            "n_tokens": n_tokens.cast("bigint"),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "mean_word_len": F.round(mean_word_len, 6),
+            "quality_score": score,
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", fast: bool = False) -> DataFrame:
+    """64-bit content fingerprint of whitespace-normalized lowercased text —
+    the exact-dedup key for massive corpora (hash join instead of string
+    compare)."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn(
+        "fingerprint", portable_hash64(normalized, seed="fp", fast=fast)
+    )

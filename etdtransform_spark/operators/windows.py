@@ -1,0 +1,103 @@
+"""Ordered / window operators: lag-diff, grouped cumsum, forward-fill,
+count-gated rolling means, rank / top-k flags.
+
+These are the reference engine's core primitives (SURVEY §2.5). Every ordered
+op partitions by the household (or station) key — gap/cumsum semantics must
+never straddle a shuffle boundary (reference guards manually at
+vectorized_impute.py:390-391,489-495; Spark's Window.partitionBy makes the
+guard structural, which is what lets the same code run on 1000 executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def ordered_window(partition_cols: list[str], order_cols: list[str]) -> WindowSpec:
+    return Window.partitionBy(*partition_cols).orderBy(*order_cols)
+
+
+def lag_diff(col: Column | str, w: WindowSpec) -> Column:
+    """Consecutive difference of a cumulative column; NULL on the first row of
+    each partition (reference aggregate.py:203-207 re-derivation, and etdmap's
+    upstream Diff computation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c - F.lag(c).over(w)
+
+
+def running_sum(col: Column | str, w: WindowSpec) -> Column:
+    """Grouped cumulative sum (reference aggregate.py:201-211, 602-656).
+    Null inputs contribute nothing but do not reset the running total."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+
+def forward_fill(col: Column | str, w: WindowSpec) -> Column:
+    """Last non-null value at or before the current row (pandas ``ffill``
+    within group; reference vectorized_impute.py:409,501-505)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.last(c, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def backward_fill(col: Column | str, w: WindowSpec) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.first(c, ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+
+def rolling_avg_min_periods(
+    col: Column | str,
+    w: WindowSpec,
+    window_rows: int,
+    min_periods: int | None = None,
+) -> Column:
+    """Row-count-based trailing rolling mean with a pandas ``min_periods``
+    gate: NULL unless >= min_periods non-null values in the window.
+
+    Matches reference rolling(window=n, min_periods=n//2) usage
+    (load_data.py:122-128, calculated_columns.py:148-205). Row-based — NOT
+    ``rangeBetween`` — because the reference counts rows, not time.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if min_periods is None:
+        min_periods = window_rows // 2
+    frame = w.rowsBetween(-(window_rows - 1), Window.currentRow)
+    cnt = F.count(c).over(frame)
+    return F.when(cnt >= min_periods, F.avg(c).over(frame))
+
+
+def rolling_avg_centered(
+    col: Column | str,
+    w: WindowSpec,
+    window_rows: int,
+    min_periods: int = 1,
+) -> Column:
+    """Centered rolling mean (pandas ``rolling(center=True)``), used by the
+    reference's peak marking (calculated_columns.py:485-527). For even window
+    sizes pandas places the extra row *before* the center."""
+    c = F.col(col) if isinstance(col, str) else col
+    before = window_rows // 2
+    after = window_rows - before - 1
+    frame = w.rowsBetween(-before, after)
+    cnt = F.count(c).over(frame)
+    return F.when(cnt >= min_periods, F.avg(c).over(frame))
+
+
+def rank_in_group(order_col: Column, partition_cols: list[str]) -> Column:
+    """Reference ISO-week rank (load_data.py:204-215)."""
+    return F.rank().over(Window.partitionBy(*partition_cols).orderBy(order_col))
+
+
+def top_k_flag(order_col: Column, partition_cols: list[str], k: int) -> Column:
+    """row_number()-based top-k membership flag (reference load_data.py:217-229
+    marks the 2 coldest ISO weeks with ``row_number < 2`` over a 0-based
+    numbering — i.e. the first two rows; Spark row_number is 1-based so the
+    equivalent is ``<= k``)."""
+    return (
+        F.row_number().over(Window.partitionBy(*partition_cols).orderBy(order_col))
+        <= k
+    )

@@ -1,0 +1,94 @@
+"""Parquet sources/sinks for the ETD dataset families.
+
+Reference read/write surface: aggregate.py:25-50,84-121,302-353;
+load_data.py:23-67,320-351; impute.py:540-561. Stage outputs keep the
+reference's family file names so golden comparisons are 1:1, but each family
+is a *partitioned directory dataset* (partitioned by ProjectIdBSV) rather
+than one giant file — the structural fix for the reference's 25-100 GB
+single-process RAM ceiling (README.md:161-167).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sanitize_name(name: str) -> str:
+    """Reference aggregate.py:322: re.sub(r"\\W+", "_", name.lower())."""
+    return re.sub(r"\W+", "_", name.lower())
+
+
+def family_path(base_folder: str, name: str, interval: str | None = None) -> str:
+    fname = sanitize_name(name if interval is None else f"{name}_{interval}")
+    return os.path.join(base_folder, f"{fname}.parquet")
+
+
+def read_family(
+    spark: SparkSession, base_folder: str, name: str, interval: str | None = None
+) -> DataFrame:
+    return spark.read.parquet(family_path(base_folder, name, interval))
+
+
+def write_family(
+    df: DataFrame,
+    base_folder: str,
+    name: str,
+    interval: str | None = None,
+    partition_by: list[str] | None = None,
+) -> str:
+    path = family_path(base_folder, name, interval)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def combine_household_files(
+    spark: SparkSession,
+    mapped_folder: str,
+    index_df: DataFrame,
+    pattern: str = "household_*_table.parquet",
+) -> DataFrame:
+    """Combine per-household parquet files into one dataset with stamped keys
+    (reference aggregate_hh_data_5min, aggregate.py:84-121).
+
+    The reference loops files and stamps ProjectIdBSV/HuisIdBSV literals per
+    file; here the id is recovered from the file path with
+    ``input_file_name`` (one glob scan, no driver-side loop) and the project
+    id joined from the (broadcast) index. Households with Meenemen=false are
+    excluded (aggregate.py:95-99).
+    """
+    glob = os.path.join(mapped_folder, pattern)
+    raw = spark.read.parquet(glob).withColumn(
+        "HuisIdBSV",
+        F.regexp_extract(F.input_file_name(), r"household_(\d+)_table\.parquet", 1).cast(
+            "long"
+        ),
+    )
+    keys = index_df.filter(F.col("Meenemen")).select("HuisIdBSV", "ProjectIdBSV")
+    return raw.join(F.broadcast(keys), "HuisIdBSV", "inner")
+
+
+def read_index(spark: SparkSession, mapped_folder: str) -> DataFrame:
+    """Household metadata index; legacy ``HuisCode`` renamed to ``HuisIdBSV``
+    (reference load_data.py:53-54,92-99)."""
+    df = spark.read.parquet(os.path.join(mapped_folder, "index.parquet"))
+    if "HuisCode" in df.columns and "HuisIdBSV" not in df.columns:
+        df = df.withColumnRenamed("HuisCode", "HuisIdBSV")
+    return df
+
+
+def join_index(
+    df: DataFrame, index_df: DataFrame, metadata_columns: list[str] | None = None
+) -> DataFrame:
+    """Left join of a fact table with the household index on
+    (HuisIdBSV, ProjectIdBSV) — index is tiny, always broadcast
+    (reference load_data.py:70-101)."""
+    if metadata_columns is not None:
+        index_df = index_df.select("HuisIdBSV", "ProjectIdBSV", *metadata_columns)
+    return df.join(F.broadcast(index_df), ["HuisIdBSV", "ProjectIdBSV"], "left")
