@@ -1,38 +1,1135 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (plus the LLM-corpus operators), each runnable on the driver's
+TPC-H-ish synthetic tables; ``oracle_sql()`` holds the DuckDB-equivalent SQL.
+Column names and value rounding are aligned between both sides so the
+driver's order-insensitive value hash matches.
+
+Determinism rules used throughout:
+- every computed column is aliased identically (lowercase) on both sides;
+- floating aggregates are rounded (sums: 2-4 dp, ratios/avgs: 6 dp) on BOTH
+  sides so engine-level accumulation-order jitter cannot flip the hash;
+- hash-dependent operators (minhash/simhash/fingerprints) use the portable
+  md5-based 60-bit hash (etdtransform_spark.functions.hashing) computed
+  identically in Spark and DuckDB;
+- ordered windows always carry a total order (ts, event_id).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from etdtransform_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from etdtransform_spark.functions.scalars import (
+    dampdruk,
+    gevoelstemperatuur,
+    hh_key,
+    qround,
+    yyyymmdd_key,
+)
+from etdtransform_spark.sources.parquet import read_table
+from etdtransform_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etdtransform_spark.operators.similarity import cosine_expr, cosine_topk
+from etdtransform_spark.operators.text import (
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint,
+    quality_features,
+    token_count,
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table reader; repairs nanosecond parquet timestamps (events.ts) to
+    TimestampType with DuckDB-identical microsecond truncation."""
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# Synthesized-null expression used by the gap/min-count queries: the events
+# table has no nulls, so "error" rows play the role of missing meter readings.
+def _v_nulled(col: str = "value") -> F.Column:
+    return F.when(F.col("event_type") != "error", F.col(col))
+
+
+_V_NULLED_SQL = "CASE WHEN event_type <> 'error' THEN value END"
+
+
+# ---------------------------------------------------------------------------
+# §2.2 scans / filters / projections
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushed to the parquet scan; row-level computed
+    column (SURVEY §2.2). Catalyst pushes both the filter and the 5-column
+    ReadSchema into the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") >= 10))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            qround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+_SQL_SCAN = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS net_price
+FROM lineitem
+WHERE l_discount > 0.05 AND l_quantity >= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way left-join chain (fact preserved, dims broadcast) + group-agg —
+    the ETD household⟕index⟕weather join shape on TPC-H tables."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_MULTI_JOIN = """
+SELECT r_name, n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+LEFT JOIN orders   ON l_orderkey = o_orderkey
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+LEFT JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi membership filter (reference households_to_include,
+    impute.py:100-105)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey")
+    )
+    kept = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        qround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_SQL_SEMI_JOIN = """
+SELECT o_orderpriority, count(*) AS n_orders, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: parts never ordered."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    unordered = part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+    return unordered.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+_SQL_ANTI_JOIN = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand
+"""
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of tagged slices (reference concat of households/KNMI
+    files, aggregate.py:116,211; knmi.py:99)."""
+    li = _t(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_discount") >= 0.05).withColumn("slice", F.lit("high"))
+    lo = li.filter(F.col("l_discount") < 0.05).withColumn("slice", F.lit("low"))
+    return (
+        hi.unionByName(lo)
+        .groupBy("slice", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            qround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_SQL_UNION_ALL = """
+SELECT slice, l_returnflag, count(*) AS n_rows, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM (
+  SELECT 'high' AS slice, l_returnflag, l_quantity FROM lineitem WHERE l_discount >= 0.05
+  UNION ALL
+  SELECT 'low'  AS slice, l_returnflag, l_quantity FROM lineitem WHERE l_discount < 0.05
+)
+GROUP BY slice, l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate in one groupBy (map-side partial
+    aggregation; the reference's per-variable merge loop collapsed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        qround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        qround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        qround(F.avg("l_quantity"), 6).alias("avg_qty"),
+        qround(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+       floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_mincount_gated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature 60%-presence-gated sum/avg/max
+    (aggregate.py:659-761): NULL unless >= 60% of the group's rows have a
+    non-null value. Nulls synthesized from event_type."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", _v_nulled())
+    cnt = F.count("v")
+    gate = F.count(F.lit(1)) * 0.6
+    return ev.groupBy("user_id").agg(
+        qround(F.when(cnt >= gate, F.sum("v")), 4).alias("gated_sum"),
+        qround(F.when(cnt >= gate, F.sum("v") / cnt), 6).alias("gated_avg"),
+        qround(F.when(cnt >= gate, F.max("v")), 4).alias("gated_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_MINCOUNT = f"""
+SELECT user_id,
+       floor((CASE WHEN count(v) >= count(*) * 0.6 THEN sum(v) END) * 10000.0 + 0.5) / 10000.0 AS gated_sum,
+       floor((CASE WHEN count(v) >= count(*) * 0.6 THEN sum(v) / count(v) END) * 1000000.0 + 0.5) / 1000000.0 AS gated_avg,
+       floor((CASE WHEN count(v) >= count(*) * 0.6 THEN max(v) END) * 10000.0 + 0.5) / 10000.0 AS gated_max,
+       count(*) AS n
+FROM (SELECT user_id, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+GROUP BY user_id
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (reference load_data.py:192-199)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+_SQL_DISTINCT = "SELECT DISTINCT user_id, event_type FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)"
+
+
+def q_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered exact p95 doubled into an outlier bound, NULL when no values
+    pass the filter (reference impute.py:55-90). Exact percentile, not
+    percentile_approx — required for oracle parity."""
+    orders = _t(spark, sf_dir, "orders")
+    gated = F.when(F.col("o_totalprice") > 150000.0, F.col("o_totalprice"))
+    q = F.percentile(gated, F.lit(0.95))
+    return orders.groupBy("o_orderpriority").agg(
+        qround(q, 6).alias("p95"),
+        qround(q * 2, 6).alias("upper_bound"),
+        F.count(gated).alias("n_in"),
+    )
+
+
+_SQL_PERCENTILE = """
+SELECT o_orderpriority,
+       floor((quantile_cont(CASE WHEN o_totalprice > 150000.0 THEN o_totalprice END, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+       floor((quantile_cont(CASE WHEN o_totalprice > 150000.0 THEN o_totalprice END, 0.95) * 2) * 1000000.0 + 0.5) / 1000000.0 AS upper_bound,
+       count(CASE WHEN o_totalprice > 150000.0 THEN o_totalprice END) AS n_in
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window / ordered operators
+# ---------------------------------------------------------------------------
+
+def _w_user():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def q_window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity consecutive difference (the <Var>Diff derivation,
+    aggregate.py:203-207)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        qround(F.col("value") - F.lag("value").over(_w_user()), 6).alias("diff"),
+    )
+
+
+_SQL_LAG_DIFF = """
+SELECT event_id, user_id,
+       floor((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 1000000.0 + 0.5) / 1000000.0 AS diff
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+"""
+
+
+def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped running sum (cumulative rebuild, aggregate.py:199-211)."""
+    ev = _t(spark, sf_dir, "events")
+    running = F.sum("value").over(
+        _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", qround(running, 4).alias("cum_value")
+    )
+
+
+_SQL_CUMSUM = """
+SELECT event_id, user_id,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)) * 10000.0 + 0.5) / 10000.0 AS cum_value
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+"""
+
+
+def q_window_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill of synthesized gaps (reference group ffill,
+    vectorized_impute.py:409,501-505)."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", _v_nulled())
+    filled = F.last("v", ignorenulls=True).over(
+        _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", qround(filled, 6).alias("v_filled")
+    )
+
+
+_SQL_FFILL = f"""
+SELECT event_id, user_id,
+       floor((last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)) * 1000000.0 + 0.5) / 1000000.0 AS v_filled
+FROM (SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+"""
+
+
+def q_rolling_avg_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row rolling mean with min_periods=3 gate (reference
+    load_data.py:122-128, calculated_columns.py:148-205)."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", _v_nulled())
+    frame = _w_user().rowsBetween(-4, Window.currentRow)
+    gated = F.when(F.count("v").over(frame) >= 3, F.avg("v").over(frame))
+    return ev.select(
+        "event_id", "user_id", qround(gated, 6).alias("rolling_avg")
+    )
+
+
+_SQL_ROLLING = f"""
+SELECT event_id, user_id,
+       floor((CASE WHEN count(v) OVER w >= 3 THEN avg(v) OVER w END) * 1000000.0 + 0.5) / 1000000.0 AS rolling_avg
+FROM (SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_iso_week_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-week aggregates (reference load_data.py:176-199): weekly mean +
+    days-observed estimate; exercises weekofyear/isoyear parity."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumns(
+            {
+                "iso_year": F.expr("extract(yearofweek FROM ts)").cast("bigint"),
+                "week_of_year": F.weekofyear("ts").cast("bigint"),
+            }
+        )
+        .groupBy("event_type", "iso_year", "week_of_year")
+        .agg(
+            qround(F.avg("value"), 6).alias("weekly_avg"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_SQL_ISO_WEEK = """
+SELECT event_type, isoyear(ts)::BIGINT AS iso_year, weekofyear(ts)::BIGINT AS week_of_year,
+       floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS weekly_avg, count(*) AS n_events
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_rank_topk_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank ISO weeks by weekly average within a group; flag the 2 lowest
+    (the coldest-2-ISO-weeks pattern, load_data.py:204-229)."""
+    weekly = q_iso_week_stats(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        "weekly_avg", "iso_year", "week_of_year"
+    )
+    return weekly.select(
+        "event_type",
+        "iso_year",
+        "week_of_year",
+        "weekly_avg",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        (F.row_number().over(w) <= 2).alias("is_lowest2"),
+    )
+
+
+_SQL_RANK_TOPK = f"""
+WITH weekly AS ({_SQL_ISO_WEEK})
+SELECT event_type, iso_year, week_of_year, weekly_avg,
+       rank() OVER w ::BIGINT AS rnk,
+       (row_number() OVER w) <= 2 AS is_lowest2
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY weekly_avg, iso_year, week_of_year)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 resampling
+# ---------------------------------------------------------------------------
+
+def q_resample_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute buckets with the reference's min-count gate
+    (aggregate.py:800-866: 15min -> min_count 3). F.window start == pandas
+    left-closed/left-labeled resample label == DuckDB time_bucket."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", _v_nulled())
+    bucket = F.window("ts", "15 minutes")
+    cnt = F.count("v")
+    return (
+        ev.groupBy("event_type", bucket.alias("w"))
+        .agg(
+            qround(F.when(cnt >= 3, F.sum("v")), 4).alias("bucket_sum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("bucket_start"), "bucket_sum", "n_rows"
+        )
+    )
+
+
+_SQL_RESAMPLE_15 = f"""
+SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+       floor((CASE WHEN count(v) >= 3 THEN sum(v) END) * 10000.0 + 0.5) / 10000.0 AS bucket_sum,
+       count(*) AS n_rows
+FROM (SELECT event_type, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+GROUP BY 1, 2
+"""
+
+
+def q_resample_hourly_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly buckets per user with gated sum/max/avg — the per-variable
+    registry dispatch (aggregate.py:869-1041) over one groupBy."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", _v_nulled())
+    bucket = F.window("ts", "60 minutes")
+    cnt = F.count("v")
+    mc = F.lit(2)
+    return (
+        ev.groupBy("user_id", bucket.alias("w"))
+        .agg(
+            qround(F.when(cnt >= mc, F.sum("v")), 4).alias("sum_v"),
+            qround(F.when(cnt >= mc, F.max("v")), 4).alias("max_v"),
+            qround(F.when(cnt >= mc, F.sum("v") / cnt), 6).alias("avg_v"),
+        )
+        .select("user_id", F.col("w.start").alias("bucket_start"), "sum_v", "max_v", "avg_v")
+    )
+
+
+_SQL_RESAMPLE_HOURLY = f"""
+SELECT user_id, time_bucket(INTERVAL '60 minutes', ts) AS bucket_start,
+       floor((CASE WHEN count(v) >= 2 THEN sum(v) END) * 10000.0 + 0.5) / 10000.0 AS sum_v,
+       floor((CASE WHEN count(v) >= 2 THEN max(v) END) * 10000.0 + 0.5) / 10000.0 AS max_v,
+       floor((CASE WHEN count(v) >= 2 THEN sum(v) / count(v) END) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
+FROM (SELECT user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 imputation spine (gap grouping + gap stats + linear fill)
+# ---------------------------------------------------------------------------
+
+def q_gap_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-run identification: the exact gap_start/gap_group/gap_length
+    machinery of vectorized_impute.py:343-426 on a synthesized-null series."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", _v_nulled())
+    is_na = F.col("v").isNull()
+    prev_na = F.coalesce(F.lag(is_na).over(_w_user()), F.lit(False))
+    gap_start = (is_na & ~prev_na).cast("long")
+    ev = ev.withColumn(
+        "gap_group",
+        F.when(
+            is_na,
+            F.sum(gap_start).over(
+                _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ),
+    )
+    gap_len = F.when(
+        F.col("gap_group").isNotNull(),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id", "gap_group")),
+    )
+    return ev.select("event_id", "user_id", "gap_group", gap_len.alias("gap_length"))
+
+
+_SQL_GAP_GROUPS = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+), marked AS (
+  SELECT *, (v IS NULL) AS is_na,
+         coalesce(lag(v IS NULL) OVER (PARTITION BY user_id ORDER BY ts, event_id), false) AS prev_na
+  FROM base
+), grouped AS (
+  SELECT *, CASE WHEN is_na THEN
+      sum(CASE WHEN is_na AND NOT prev_na THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    END AS gap_group
+  FROM marked
+)
+SELECT event_id, user_id, gap_group,
+       CASE WHEN gap_group IS NOT NULL
+            THEN count(*) OVER (PARTITION BY user_id, gap_group) END AS gap_length
+FROM grouped
+"""
+
+
+def q_impute_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The imputation engine's gap-statistics spine end-to-end: prev/end
+    cumulative values, gap_jump, and the LINEAR_FILL value
+    floor((gap_jump/gap_length) * 10000000000.0 + 0.5) / 10000000000.0 (vectorized_impute.py:429-678).
+
+    Synthesized series: diff missing on error+signup rows; the cumulative
+    is additionally visible on signup rows, which splits gap groups at
+    mid-gap observed cumulative values (cum_value_encountered semantics).
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = qround(F.abs(F.col("value")), 2)
+    diff = F.when(~F.col("event_type").isin("error", "signup"), v)
+    ev = ev.withColumn("d", diff)
+    cum_raw = F.sum(F.coalesce(F.col("d"), F.lit(0.0))).over(
+        _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = ev.withColumn("cum", F.when(F.col("event_type") != "error", cum_raw))
+
+    is_na = F.col("d").isNull()
+    prev_na = F.coalesce(F.lag(is_na).over(_w_user()), F.lit(False))
+    gap_start = is_na & ~prev_na
+    cve = F.col("cum").isNotNull() & is_na
+    ev = (
+        ev.withColumn("_gs", gap_start)
+        .withColumn("_cve_prev", F.coalesce(F.lag(cve).over(_w_user()), F.lit(False)))
+    )
+    seed = (F.col("_cve_prev") | F.col("_gs")).cast("long")
+    running = F.sum(seed).over(
+        _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = ev.withColumn("cvg", F.when(is_na, running))
+
+    g_w = Window.partitionBy("user_id", "cvg")
+    g_full = g_w.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gap_len = F.when(F.col("cvg").isNotNull(), F.count(F.lit(1)).over(g_w))
+    first_in_group = F.col("cvg").isNotNull() & (
+        F.coalesce(F.lag("cvg").over(_w_user()), F.lit(-1)) != F.col("cvg")
+    )
+    prev_raw = F.lag("cum").over(_w_user())
+    prev_seed = F.when(first_in_group & (prev_raw >= 0), prev_raw)
+    ev = ev.withColumn("_ps", prev_seed)
+    prev_cum = F.when(
+        F.col("cvg").isNotNull(), F.first("_ps", ignorenulls=True).over(g_full)
+    )
+    end_raw = F.when(
+        F.col("cvg").isNotNull(), F.last("cum", ignorenulls=True).over(g_full)
+    )
+    end_cum = F.when(end_raw >= 0, end_raw)
+    ev = (
+        ev.withColumn("gap_length", gap_len)
+        .withColumn("prev_cum", prev_cum)
+        .withColumn("end_cum", end_cum)
+        .withColumn("gap_jump", F.col("end_cum") - F.col("prev_cum"))
+    )
+    linear = qround(F.col("gap_jump") / F.col("gap_length"), 10)
+    return ev.filter(F.col("cvg").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "cvg",
+        "gap_length",
+        qround("prev_cum", 4).alias("prev_cum_r"),
+        qround("end_cum", 4).alias("end_cum_r"),
+        qround("gap_jump", 4).alias("gap_jump_r"),
+        qround(linear, 6).alias("linear_fill"),
+    )
+
+
+_SQL_IMPUTE_LINEAR = """
+WITH base AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type NOT IN ('error', 'signup') THEN floor((abs(value)) * 100.0 + 0.5) / 100.0 END AS d
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+), cumd AS (
+  SELECT *, CASE WHEN event_type <> 'error' THEN
+      sum(coalesce(d, 0.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    END AS cum
+  FROM base
+), marked AS (
+  SELECT *, (d IS NULL) AS is_na,
+         coalesce(lag(d IS NULL) OVER wu, false) AS prev_na,
+         coalesce(lag(cum IS NOT NULL AND d IS NULL) OVER wu, false) AS cve_prev,
+         lag(cum) OVER wu AS prev_raw
+  FROM cumd
+  WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grouped AS (
+  SELECT *, CASE WHEN is_na THEN
+      sum(CASE WHEN cve_prev OR (is_na AND NOT prev_na) THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    END AS cvg
+  FROM marked
+), seeded AS (
+  SELECT *,
+         CASE WHEN cvg IS NOT NULL
+                   AND coalesce(lag(cvg) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) <> cvg
+                   AND prev_raw >= 0
+              THEN prev_raw END AS ps
+  FROM grouped
+), stats AS (
+  SELECT *,
+         CASE WHEN cvg IS NOT NULL THEN count(*) OVER wg END AS gap_length,
+         CASE WHEN cvg IS NOT NULL THEN first_value(ps IGNORE NULLS) OVER wgo END AS prev_cum,
+         CASE WHEN cvg IS NOT NULL THEN last_value(cum IGNORE NULLS) OVER wgo END AS end_raw
+  FROM seeded
+  WINDOW wg  AS (PARTITION BY user_id, cvg),
+         wgo AS (PARTITION BY user_id, cvg ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, cvg, gap_length,
+       floor((prev_cum) * 10000.0 + 0.5) / 10000.0 AS prev_cum_r,
+       floor((CASE WHEN end_raw >= 0 THEN end_raw END) * 10000.0 + 0.5) / 10000.0 AS end_cum_r,
+       floor((CASE WHEN end_raw >= 0 THEN end_raw END - prev_cum) * 10000.0 + 0.5) / 10000.0 AS gap_jump_r,
+       floor((floor(((CASE WHEN end_raw >= 0 THEN end_raw END - prev_cum) / gap_length) * 10000000000.0 + 0.5) / 10000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS linear_fill
+FROM stats
+WHERE cvg IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions (weather math, date keys, json, calculated columns)
+# ---------------------------------------------------------------------------
+
+def q_calculated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coalesce-arithmetic energy-balance pattern
+    (calculated_columns.py:41-89) transplanted onto lineitem columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    c0 = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
+    teruglevering = c0("l_tax") + c0("l_discount")
+    netto = c0("l_extendedprice") * (1 - c0("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qround(teruglevering, 6).alias("teruglevering"),
+        qround(netto, 6).alias("netto"),
+        qround(netto - teruglevering, 6).alias("netuitwisseling"),
+        qround(netto + c0("l_quantity") - teruglevering, 6).alias("bruto"),
+    )
+
+
+_SQL_CALCULATED = """
+SELECT l_orderkey, l_linenumber,
+       floor((coalesce(l_tax, 0.0) + coalesce(l_discount, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS teruglevering,
+       floor((coalesce(l_extendedprice, 0.0) * (1 - coalesce(l_discount, 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS netto,
+       floor((coalesce(l_extendedprice, 0.0) * (1 - coalesce(l_discount, 0.0))
+             - (coalesce(l_tax, 0.0) + coalesce(l_discount, 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS netuitwisseling,
+       floor((coalesce(l_extendedprice, 0.0) * (1 - coalesce(l_discount, 0.0))
+             + coalesce(l_quantity, 0.0) - (coalesce(l_tax, 0.0) + coalesce(l_discount, 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS bruto
+FROM lineitem
+"""
+
+
+def q_weather_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNMI join-key derivation: integer yyyymmdd and HH = hour+1 (1-24)
+    (load_data.py:300-305), aggregated per key."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.withColumns(
+        {
+            "yyyymmdd": yyyymmdd_key(F.col("ts")).cast("bigint"),
+            "hh": hh_key(F.col("ts")).cast("bigint"),
+        }
+    )
+    return keyed.groupBy("yyyymmdd", "hh").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        qround(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+_SQL_WEATHER_KEYS = """
+SELECT strftime(ts, '%Y%m%d')::BIGINT AS yyyymmdd,
+       (hour(ts) + 1)::BIGINT AS hh,
+       count(*) AS n_events,
+       floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+GROUP BY 1, 2
+"""
+
+
+def q_gevoelstemperatuur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KNMI perceived-temperature formula (knmi.py:77-98): unit scaling,
+    vapor-pressure exponential, linear combination."""
+    ev = _t(spark, sf_dir, "events")
+    t = qround(F.col("value"), 1) / 10.0
+    wind = (F.col("user_id") % 10).cast("double") / 2.0
+    hum = ((F.col("event_id") % 50) + 30).cast("double")
+    return ev.select(
+        "event_id",
+        qround(dampdruk(t, hum), 6).alias("dampdruk"),
+        qround(gevoelstemperatuur(t, wind, hum), 6).alias("gevoelstemperatuur"),
+    )
+
+
+_SQL_GEVOEL = """
+SELECT event_id,
+       floor((h * 6.105 * exp(17.27 * t / (t + 237.7)) / 100) * 1000000.0 + 0.5) / 1000000.0 AS dampdruk,
+       floor((t + 0.33 * (h * 6.105 * exp(17.27 * t / (t + 237.7)) / 100) - 0.7 * w - 4.0) * 1000000.0 + 0.5) / 1000000.0
+         AS gevoelstemperatuur
+FROM (
+  SELECT event_id,
+         floor((value) * 10.0 + 0.5) / 10.0 / 10.0 AS t,
+         (user_id % 10) / 2.0 AS w,
+         ((event_id % 50) + 30)::DOUBLE AS h
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+)
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_JSON = """
+SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS n
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus operators: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+_SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS k FROM documents)
+GROUP BY k
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_FP_EXPR = portable_hash64_sql(
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))", seed="fp"
+)
+_SQL_FINGERPRINT = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8, generated via a
+    shingle equijoin (no cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+_SH3 = word_shingles_sql("text", 3)
+_SQL_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id, {_SH3} AS shingles FROM documents),
+e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS c
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, floor((c / (na + nb - c)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter
+WHERE floor((c / (na + nb - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.8
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signatures (portable md5 hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        *[F.col("minhash")[i].alias(f"mh{i}") for i in range(8)],
+    )
+
+
+def _sql_minhash_sigs() -> str:
+    hashes = ",\n       ".join(
+        f"min({portable_hash64_sql('s', seed=i)}) AS mh{i}" for i in range(8)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, unnest({_SH3}) AS s FROM documents)
+SELECT doc_id, {hashes}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 8 hashes, 4 bands x 2 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+
+
+def _sql_minhash_lsh() -> str:
+    sigs = _sql_minhash_sigs()
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat(mh{2 * b}, ',', mh{2 * b + 1}) AS bucket FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH sigs AS ({sigs}), banded AS ({bands})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints over word tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=16).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def _sql_simhash() -> str:
+    h = portable_hash64_sql("tok", seed="simhash")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), hashed AS (SELECT doc_id, {h} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM votes
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic argmax)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = detect_language(docs)
+    return out.select(
+        "doc_id",
+        *[qround(F.col(f"score_{lang}"), 6).alias(f"score_{lang}")
+          for lang in ("de", "en", "es", "fr", "nl")],
+        "detected_lang",
+    )
+
+
+def _sql_lang_id() -> str:
+    from etdtransform_spark.operators.text import LANG_PROFILES
+
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    score_exprs = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_exprs.append(
+            f"len(list_filter({toks}, t -> list_contains([{words}], lower(t))))"
+            f" / greatest(len({toks}), 1) AS s_{lang}"
+        )
+    cases = "\n         ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(LANG_PROFILES)
+    )
+    rounded = ", ".join(f"floor((s_{lang}) * 1000000.0 + 0.5) / 1000000.0 AS score_{lang}" for lang in sorted(LANG_PROFILES))
+    return f"""
+WITH scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents),
+best AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_nl) AS best FROM scored)
+SELECT doc_id, {rounded},
+       CASE {cases} END AS detected_lang
+FROM best
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score (C4/Gopher-style filters)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_SQL_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars_calc,
+         len({_TOKS})::BIGINT AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len(list_filter({_TOKS}, t -> list_contains(['a','and','is','of','the','to'], lower(t)))) AS stop_en,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_calc, n_tokens,
+         CASE WHEN n_chars_calc > 0 THEN punct / n_chars_calc ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN stop_en / n_tokens ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tokens > 0 THEN n_nonspace / n_tokens END AS mean_word_len
+  FROM f
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       floor((punct_ratio) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+       floor((stop_ratio) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+       floor((mean_word_len) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+       (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END) AS quality_score
+FROM r
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len({_TOKS})::BIGINT AS ws_tokens,
+       (len(regexp_extract_all(text, '\\w+'))
+        + length(regexp_replace(text, '[\\w\\s]', '', 'g')))::BIGINT AS bpe_ish_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etdtransform_spark.operators.similarity import norm_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.size("embedding").cast("bigint").alias("dim"),
+        qround(norm_expr(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+_SQL_EMB_NORMS = """
+SELECT vec_id, label::BIGINT AS label,
+       len(embedding)::BIGINT AS dim,
+       floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
+FROM embeddings
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 10 vectors against the full
+    corpus (broadcast queries x streamed corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, k=3).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+_SQL_COSINE_TOPK = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.4 over all pairs."""
+    from etdtransform_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.4)
+
+
+_SQL_EMB_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_multi_join_revenue(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_filter_project": q_scan_filter_project,
+        "multi_join_revenue": q_multi_join_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_all": q_union_all,
+        "pricing_summary": q_pricing_summary,
+        "mincount_gated_agg": q_mincount_gated_agg,
+        "distinct": q_distinct,
+        "percentile_bounds": q_percentile_bounds,
+        "window_lag_diff": q_window_lag_diff,
+        "window_cumsum": q_window_cumsum,
+        "window_ffill": q_window_ffill,
+        "rolling_avg_gated": q_rolling_avg_gated,
+        "iso_week_stats": q_iso_week_stats,
+        "rank_topk_weeks": q_rank_topk_weeks,
+        "resample_15min": q_resample_15min,
+        "resample_hourly_multi": q_resample_hourly_multi,
+        "gap_groups": q_gap_groups,
+        "impute_linear_fill": q_impute_linear_fill,
+        "calculated_columns": q_calculated_columns,
+        "weather_keys": q_weather_keys,
+        "gevoelstemperatuur": q_gevoelstemperatuur,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "embedding_norms": q_embedding_norms,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_filter_project": _SQL_SCAN,
+        "multi_join_revenue": _SQL_MULTI_JOIN,
+        "semi_join": _SQL_SEMI_JOIN,
+        "anti_join": _SQL_ANTI_JOIN,
+        "union_all": _SQL_UNION_ALL,
+        "pricing_summary": _SQL_PRICING,
+        "mincount_gated_agg": _SQL_MINCOUNT,
+        "distinct": _SQL_DISTINCT,
+        "percentile_bounds": _SQL_PERCENTILE,
+        "window_lag_diff": _SQL_LAG_DIFF,
+        "window_cumsum": _SQL_CUMSUM,
+        "window_ffill": _SQL_FFILL,
+        "rolling_avg_gated": _SQL_ROLLING,
+        "iso_week_stats": _SQL_ISO_WEEK,
+        "rank_topk_weeks": _SQL_RANK_TOPK,
+        "resample_15min": _SQL_RESAMPLE_15,
+        "resample_hourly_multi": _SQL_RESAMPLE_HOURLY,
+        "gap_groups": _SQL_GAP_GROUPS,
+        "impute_linear_fill": _SQL_IMPUTE_LINEAR,
+        "calculated_columns": _SQL_CALCULATED,
+        "weather_keys": _SQL_WEATHER_KEYS,
+        "gevoelstemperatuur": _SQL_GEVOEL,
+        "json_extract": _SQL_JSON,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "fingerprint": _SQL_FINGERPRINT,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "minhash_signatures": _sql_minhash_sigs(),
+        "minhash_lsh": _sql_minhash_lsh(),
+        "simhash": _sql_simhash(),
+        "lang_id": _sql_lang_id(),
+        "text_quality": _SQL_QUALITY,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "embedding_norms": _SQL_EMB_NORMS,
+        "cosine_topk": _SQL_COSINE_TOPK,
+        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+    }

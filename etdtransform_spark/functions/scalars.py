@@ -74,6 +74,27 @@ def switch_multiplier(interval: str) -> float:
     return SWITCH_MULTIPLIER[interval]
 
 
+def qround(col: Column, n: int) -> Column:
+    """Cross-engine deterministic rounding: ``floor(x * 10^n + 0.5) / 10^n``.
+
+    ``round()`` semantics on doubles differ between engines (Spark uses exact
+    BigDecimal HALF_UP on the binary expansion; DuckDB scales in floating
+    point), which flips the last digit on boundary values and breaks value-hash
+    parity. This helper performs the *same IEEE-754 operation sequence* both
+    sides, so results are bit-identical whenever the oracle SQL uses
+    :func:`qround_sql` with the same ``n``."""
+    if isinstance(col, str):
+        col = F.col(col)
+    m = float(10**n)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
+def qround_sql(expr: str, n: int) -> str:
+    """DuckDB-side twin of :func:`qround` — identical op sequence."""
+    m = float(10**n)
+    return f"floor(({expr}) * {m!r} + 0.5) / {m!r}"
+
+
 def coalesce0(col: Column | str) -> Column:
     """``fillna(0)`` equivalent used throughout calculated columns."""
     c = F.col(col) if isinstance(col, str) else col

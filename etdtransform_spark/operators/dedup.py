@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.scalars import qround
 
 from ..functions.hashing import portable_hash64, word_shingles
 
@@ -76,7 +77,7 @@ def ngram_jaccard_pairs(
     )
     jac = inter.withColumn(
         "jaccard",
-        F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        qround(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -207,6 +208,6 @@ def embedding_near_duplicates(
     sim = pairs.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        qround(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
     )
     return sim.filter(F.col("cosine") >= threshold)

@@ -25,6 +25,7 @@ from enum import IntFlag, auto
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.scalars import qround
 
 from ..config import (
     IMPUTE_CUMULATIVE_COLUMNS,
@@ -246,8 +247,8 @@ def _impute_one_column(
     r_no_end = no_jump & F.col("_end_cum").isNull() & F.col("_prev_cum").isNotNull()
 
     # pandas `round(x, 10)` is numpy half-even -> F.bround, not F.round.
-    linear_value = F.bround(F.col("_gap_jump") / F.col(gap_len), 10)
-    scaled_value = F.bround(
+    linear_value = qround(F.col("_gap_jump") / F.col(gap_len), 10)
+    scaled_value = qround(
         F.col("_impute_values") * (F.col("_gap_jump") / F.col("_impute_jump")), 10
     )
 

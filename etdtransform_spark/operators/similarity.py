@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.scalars import qround
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -56,7 +57,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        qround(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -105,7 +106,7 @@ def lsh_cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        qround(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.scalars import qround
 
 from ..functions.hashing import portable_hash64, tokens
 
@@ -28,13 +29,13 @@ def token_count(text: Column | str) -> Column:
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
-    """BPE-flavored token estimate: word-piece segments plus punctuation
-    marks, via a regex that splits words from non-word runs."""
+    """BPE-flavored token estimate: word runs plus individual punctuation
+    characters (no lookarounds — RE2-portable, so the DuckDB oracle can
+    compute the identical number)."""
     c = F.col(text) if isinstance(text, str) else text
-    pieces = F.filter(
-        F.split(c, r"(?<=\W)|(?=\W)"), lambda x: F.trim(x) != F.lit("")
-    )
-    return F.size(pieces)
+    word_runs = F.size(F.regexp_extract_all(c, F.lit(r"\w+"), 0))
+    punct_chars = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return word_runs + punct_chars
 
 
 def stopword_hits(text: Column | str, stopwords: list[str]) -> Column:
@@ -48,7 +49,7 @@ def language_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit ratio."""
     n = token_count(text)
     return {
-        lang: (stopword_hits(text, words) / F.greatest(n, F.lit(1))).alias(f"score_{lang}")
+        f"score_{lang}": stopword_hits(text, words) / F.greatest(n, F.lit(1))
         for lang, words in LANG_PROFILES.items()
     }
 
@@ -93,9 +94,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_chars_calc": n_chars.cast("bigint"),
             "n_tokens": n_tokens.cast("bigint"),
-            "punct_ratio": F.round(punct_ratio, 6),
-            "stopword_ratio": F.round(stop_ratio, 6),
-            "mean_word_len": F.round(mean_word_len, 6),
+            "punct_ratio": qround(punct_ratio, 6),
+            "stopword_ratio": qround(stop_ratio, 6),
+            "mean_word_len": qround(mean_word_len, 6),
             "quality_score": score,
         }
     )

@@ -17,6 +17,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_NS_COLUMNS_CACHE: dict[str, list[str]] = {}
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection only).
+
+    Spark 4 cannot read nanosecond parquet timestamps natively; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as LongType
+    nanoseconds. We detect them from the file footer so ``read_table`` can
+    restore proper TimestampType (truncated to microseconds, matching what
+    DuckDB/pandas return to Python)."""
+    if path in _NS_COLUMNS_CACHE:
+        return _NS_COLUMNS_CACHE[path]
+    cols: list[str] = []
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        for field in schema:
+            if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
+                cols.append(field.name)
+    except Exception:
+        cols = []
+    _NS_COLUMNS_CACHE[path] = cols
+    return cols
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that transparently repairs nanosecond-precision
+    timestamp columns to TimestampType (microsecond truncation, identical to
+    DuckDB's ns->us cast). ``ts div 1000`` is exact integer division — a
+    double division would lose precision at ~1.7e18 ns epoch values."""
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        # Runtime-settable; required or the scan raises PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def sanitize_name(name: str) -> str:
     """Reference aggregate.py:322: re.sub(r"\\W+", "_", name.lower())."""
     return re.sub(r"\W+", "_", name.lower())

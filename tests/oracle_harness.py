@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() in DuckDB over the same parquet tables, then
+compare row count, column names, and an order-insensitive canonicalized
+value multiset."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.9g}"
+    except ImportError:
+        pass
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(_canon_value(r[i]) for i in order) for r in rows
+    )
+
+
+def compare_query(spark, con, name, fn, sql, sf_dir):
+    sdf = fn(spark, sf_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = con.sql(sql)
+    d_cols = [c.lower() for c in rel.columns]
+    d_rows = rel.fetchall()
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    if not problems:
+        cs = _canon_rows(s_cols, s_rows)
+        cd = _canon_rows(d_cols, d_rows)
+        if cs != cd:
+            diffs = [
+                (a, b) for a, b in zip(cs, cd) if a != b
+            ][:3]
+            only_s = [r for r in cs if r not in set(cd)][:3]
+            only_d = [r for r in cd if r not in set(cs)][:3]
+            problems.append(
+                f"values differ; first pair diffs={diffs} only_spark={only_s} only_duck={only_d}"
+            )
+    return problems
+
+
+def run_all(sf_dir: str, only: list[str] | None = None):
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from etdtransform_spark.session import get_spark
+
+    spark = get_spark("oracle-harness", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    failures = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = sqls.get(name)
+        if sql is None:
+            print(f"SKIP (no oracle): {name}")
+            continue
+        try:
+            problems = compare_query(spark, con, name, fn, sql, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:500]}"]
+        status = "OK" if not problems else "FAIL"
+        print(f"{status}: {name}")
+        for p in problems:
+            print(f"    {p}")
+        if problems:
+            failures[name] = problems
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    failures = run_all(sf, only)
+    sys.exit(1 if failures else 0)
