@@ -1,0 +1,72 @@
+"""Benchmark harness: runs every driver-contract query at the bench scale
+factor and prints ONE JSON line with per-query wall-clock seconds.
+
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Each query is forced end-to-end with the noop sink (full computation, no
+write cost, nothing materialized on the driver), which is how a 100 TB run
+would be measured — `collect()` would bottleneck on the driver and `count()`
+lets Catalyst prune the very columns we mean to benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from etdtransform_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        "etdtransform-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen once on a trivial plan so q1 doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"BENCH FAIL {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

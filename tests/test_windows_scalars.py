@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etdtransform_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+    word_shingles,
+)
+from etdtransform_spark.functions.scalars import (
+    hh_key,
+    pandas_dayofweek,
+    qround,
+    qround_sql,
+    yyyymmdd_key,
+)
+from etdtransform_spark.operators.windows import (
+    forward_fill,
+    lag_diff,
+    ordered_window,
+    rolling_avg_min_periods,
+    top_k_flag,
+)
+
+T0 = dt.datetime(2023, 1, 1, 0, 0, 0)
+
+
+def _series(spark, vals):
+    rows = [
+        (1, T0 + dt.timedelta(minutes=5 * i), v) for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "hid long, ts timestamp, v double")
+
+
+def test_lag_diff_and_ffill(spark):
+    df = _series(spark, [1.0, 3.0, None, 7.0])
+    w = ordered_window(["hid"], ["ts"])
+    out = df.select(
+        lag_diff("v", w).alias("d"), forward_fill("v", w).alias("f")
+    ).collect()
+    assert [r["d"] for r in out] == [None, 2.0, None, None]
+    assert [r["f"] for r in out] == [1.0, 3.0, 3.0, 7.0]
+
+
+def test_rolling_avg_min_periods_gate(spark):
+    df = _series(spark, [1.0, None, 3.0, 5.0])
+    w = ordered_window(["hid"], ["ts"])
+    out = df.select(
+        rolling_avg_min_periods("v", w, window_rows=3, min_periods=2).alias("r")
+    ).collect()
+    # windows: [1]=1 non-null -> NULL; [1,NA]=1 -> NULL; [1,NA,3]=2 -> 2.0;
+    # [NA,3,5]=2 -> 4.0
+    assert [r["r"] for r in out] == [None, None, 2.0, 4.0]
+
+
+def test_top_k_flag(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = df.select("g", "v", top_k_flag(F.col("v"), ["g"], 2).alias("t")).collect()
+    got = {(r["g"], r["v"]): r["t"] for r in out}
+    assert got[("a", 1.0)] and got[("a", 2.0)] and not got[("a", 3.0)]
+    assert got[("b", 9.0)]
+
+
+def test_qround_matches_duckdb_on_boundary_values(spark):
+    vals = [37704.575, 64332.285, 48319.605, 0.005, -1.005, 2.675, 1e9 + 0.125]
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r[0] for r in sdf.select(qround(F.col("v"), 2)).collect()]
+    duck = [
+        # ::DOUBLE matters: a bare literal parses as DECIMAL and rounds exactly,
+        # which is NOT what parquet-sourced doubles do in the real pipeline.
+        duckdb.sql(
+            f"SELECT {qround_sql('v', 2)} FROM (SELECT {v!r}::DOUBLE AS v)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == duck  # exact float equality — identical IEEE op sequence
+
+
+def test_portable_hash64_matches_python_md5(spark):
+    s = "hello world"
+    sdf = spark.createDataFrame([(s,)], "s string")
+    got = sdf.select(portable_hash64("s", seed="fp")).collect()[0][0]
+    expected = int(hashlib.md5(f"fp|{s}".encode()).hexdigest()[:15], 16)
+    assert got == expected
+    duck = duckdb.sql(
+        f"SELECT {portable_hash64_sql('s', seed='fp')} FROM (SELECT 'hello world' AS s)"
+    ).fetchone()[0]
+    assert got == duck
+
+
+def test_word_shingles_short_doc_keeps_one_shingle(spark):
+    sdf = spark.createDataFrame([("one two",), ("a b c d",)], "s string")
+    out = [r[0] for r in sdf.select(word_shingles("s", 3)).collect()]
+    assert out[0] == ["one two"]
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_date_keys(spark):
+    ts = dt.datetime(2023, 7, 15, 23, 10, 0)
+    sdf = spark.createDataFrame([(ts,)], "ts timestamp")
+    row = sdf.select(
+        yyyymmdd_key(F.col("ts")).alias("d"),
+        hh_key(F.col("ts")).alias("h"),
+        pandas_dayofweek(F.col("ts")).alias("dow"),
+    ).collect()[0]
+    assert row["d"] == 20230715
+    assert row["h"] == 24  # hour 23 -> KNMI key 24
+    assert row["dow"] == 5  # Saturday, pandas Monday=0 numbering
