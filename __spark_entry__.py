@@ -827,8 +827,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_sigs() -> str:
+    from etdtransform_spark.functions.hashing import derived_hashes_sql
+
     hashes = ",\n       ".join(
-        f"min({portable_hash64_sql('s', seed=i)}) AS mh{i}" for i in range(8)
+        f"min({h}) AS mh{i}" for i, h in enumerate(derived_hashes_sql("s", 8))
     )
     return f"""
 WITH sh AS (SELECT doc_id, unnest({_SH3}) AS s FROM documents)
@@ -1047,6 +1049,263 @@ WHERE floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
 
 
 # ---------------------------------------------------------------------------
+# §2.5 period analytics (reference calculated_columns.py:148-556)
+# ---------------------------------------------------------------------------
+
+_EV = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)"
+
+
+def q_extreme_avg_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest trailing 5-row rolling-average period per user (reference
+    get_highest_avg_period, calculated_columns.py:209-294): (StartTime,
+    EndTime, extreme value); ties resolve to the earliest EndTime."""
+    from etdtransform_spark.operators.periods import get_extreme_avg_period
+
+    ev = _t(spark, sf_dir, "events")
+    out = get_extreme_avg_period(
+        ev, "value", window_rows=5, partition_cols=["user_id"],
+        order_col="ts", step_seconds=300, highest=True,
+    )
+    return out.select(
+        "user_id",
+        F.col("StartTime").alias("start_time"),
+        F.col("EndTime").alias("end_time"),
+        qround(F.col("value_extreme_avg"), 6).alias("extreme_avg"),
+    )
+
+
+_SQL_EXTREME_PERIOD = f"""
+WITH r AS (
+  SELECT user_id, ts,
+         CASE WHEN count(value) OVER w >= 2 THEN avg(value) OVER w END AS ravg
+  FROM {_EV}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ravg DESC, ts ASC) AS rn
+  FROM r WHERE ravg IS NOT NULL
+)
+SELECT user_id,
+       ts - INTERVAL 1200 SECONDS AS start_time,
+       ts AS end_time,
+       floor((ravg) * 1000000.0 + 0.5) / 1000000.0 AS extreme_avg
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_mark_coldest_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-looking extreme-period marking (reference
+    mark_coldest_two_weeks, calculated_columns.py:429-482): flag the 5 rows
+    ending at each user's rolling-average argmin; ties all marked."""
+    from etdtransform_spark.operators.periods import mark_extreme_period
+
+    ev = _t(spark, sf_dir, "events").withColumn("v", _v_nulled())
+    out = mark_extreme_period(
+        ev, "v", window_rows=5, partition_cols=["user_id"], order_col="ts",
+        flag_col="in_coldest", lowest=True,
+    )
+    return out.select("event_id", "user_id", "in_coldest")
+
+
+_SQL_MARK_COLDEST = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM {_EV}
+), r AS (
+  SELECT *, CASE WHEN count(v) OVER w >= 2 THEN avg(v) OVER w END AS ravg
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT *, min(ravg) OVER (PARTITION BY user_id) AS gmin FROM r
+)
+SELECT event_id, user_id,
+       coalesce(max(CASE WHEN ravg = gmin THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1,
+                false) AS in_coldest
+FROM m
+"""
+
+
+def q_gelijktijdigheid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simultaneity ratio (reference calculated_columns.py:297-337): max
+    rolling coarse average over max fine-grained value, per event_type."""
+    from etdtransform_spark.operators.periods import gelijktijdigheid
+
+    ev = _t(spark, sf_dir, "events")
+    out = gelijktijdigheid(
+        ev, "value", partition_cols=["event_type"], order_col="ts", coarse_rows=12
+    )
+    return out.select(
+        "event_type",
+        qround(F.col("max_daily_avg"), 6).alias("max_coarse_avg"),
+        qround(F.col("max_fine"), 4).alias("max_fine"),
+        qround(F.col("gelijktijdigheid"), 6).alias("gelijktijdigheid"),
+    )
+
+
+_SQL_GELIJKTIJDIGHEID = f"""
+WITH r AS (
+  SELECT event_type, value,
+         CASE WHEN count(value) OVER w >= 6 THEN avg(value) OVER w END AS davg
+  FROM {_EV}
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       floor((max(davg)) * 1000000.0 + 0.5) / 1000000.0 AS max_coarse_avg,
+       floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS max_fine,
+       floor((max(davg) / max(value)) * 1000000.0 + 0.5) / 1000000.0 AS gelijktijdigheid
+FROM r GROUP BY event_type
+"""
+
+
+def q_normalized_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-week time normalization (reference
+    calculated_columns.py:561-615): project every timestamp onto the week of
+    Monday 2023-01-02 preserving day-of-week + time-of-day; pandas Monday=0
+    day numbering."""
+    from etdtransform_spark.functions.scalars import (
+        normalized_datetime,
+        pandas_dayofweek,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        normalized_datetime(F.col("ts")).alias("normalized_ts"),
+        pandas_dayofweek(F.col("ts")).cast("bigint").alias("dow"),
+    )
+
+
+_SQL_NORMALIZED_DT = f"""
+SELECT event_id,
+       TIMESTAMP '2023-01-02'
+         + ((isodow(ts) - 1) * 86400
+            + hour(ts) * 3600 + minute(ts) * 60 + floor(second(ts))::INT)
+           * INTERVAL '1 second' AS normalized_ts,
+       (isodow(ts) - 1)::BIGINT AS dow
+FROM {_EV}
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary columns + Arrow-batched feature extraction)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media pipeline: documents become (media_id, modality,
+    content binary) rows; features extracted via the Arrow-batched
+    ``mapInPandas`` stage (decode stubbed deterministically — sha256-derived
+    features, cross-engine computable)."""
+    from etdtransform_spark.operators.multimodal import extract_media_features
+    from etdtransform_spark.sources.parquet import widen as _widen
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit("text/plain").alias("mime_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(_widen(media), feature_dim=4)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        "content_sha256",
+        *[qround(F.col("features")[i], 6).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def _sql_multimodal() -> str:
+    fs = ",\n       ".join(
+        f"floor((('0x' || substr(sha, {2 * i + 1}, 2))::INT / 256.0) * 1000000.0 + 0.5)"
+        f" / 1000000.0 AS f{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[(doc_id % 3 + 1)] AS modality,
+         text
+  FROM documents
+), h AS (
+  SELECT media_id, modality, octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS sha
+  FROM m
+)
+SELECT media_id, modality, n_bytes, sha AS content_sha256,
+       {fs}
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Structured Streaming: tumbling-window min-count resample over a file
+# stream, complete-mode memory sink — same semantics as the batch resample,
+# so the SAME oracle SQL verifies the streaming path.
+# ---------------------------------------------------------------------------
+
+def q_streaming_resample_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from etdtransform_spark.streaming.resample_stream import streaming_resample
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file-stream source needs a *directory*; expose the single events
+    # file through a symlinked staging dir (driver-side, tiny).
+    import hashlib as _hl
+    import os as _os
+
+    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("v", _v_nulled())
+    )
+    agg = streaming_resample(
+        stream,
+        "15min",
+        group_cols=["event_type"],
+        variables={"v": "sum"},
+        reading_date="ts",
+        watermark="1 hour",
+    )
+    name = f"stream_resample_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_type",
+        F.col("ts").alias("bucket_start"),
+        qround(F.col("v"), 4).alias("bucket_sum"),
+    )
+
+
+_SQL_STREAM_RESAMPLE = f"""
+SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+       floor((CASE WHEN count(v) >= 3 THEN sum(v) END) * 10000.0 + 0.5) / 10000.0 AS bucket_sum
+FROM (SELECT event_type, ts, {_V_NULLED_SQL} AS v FROM {_EV})
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1092,6 +1351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "extreme_avg_period": q_extreme_avg_period,
+        "mark_coldest_period": q_mark_coldest_period,
+        "gelijktijdigheid": q_gelijktijdigheid,
+        "normalized_datetime": q_normalized_datetime,
+        "multimodal_features": q_multimodal_features,
+        "streaming_resample_15min": q_streaming_resample_15min,
     }
 
 
@@ -1132,4 +1397,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "extreme_avg_period": _SQL_EXTREME_PERIOD,
+        "mark_coldest_period": _SQL_MARK_COLDEST,
+        "gelijktijdigheid": _SQL_GELIJKTIJDIGHEID,
+        "normalized_datetime": _SQL_NORMALIZED_DT,
+        "multimodal_features": _sql_multimodal(),
+        "streaming_resample_15min": _SQL_STREAM_RESAMPLE,
     }

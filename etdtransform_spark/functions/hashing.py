@@ -39,6 +39,42 @@ def portable_hash64_sql(expr: str, seed: int | str = 0) -> str:
     return f"('0x' || substr(md5(concat('{seed}|', {expr})), 1, 15))::BIGINT"
 
 
+# Universal-hash family derived from ONE md5 base hash: h_i(x) = (a_i * (base
+# % 2^31) + b_i) % (2^61 - 1). One md5 per value instead of one per (value,
+# seed) — md5 is the expensive part (~10x a multiply) — and the integer math
+# is identical in Spark and DuckDB (operands stay < 2^62, no overflow).
+_MERSENNE_61 = (1 << 61) - 1
+_BASE_MOD = 1 << 31
+
+
+def _hash_family(n: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0xE7D)
+    return [
+        (rng.randrange(1, _BASE_MOD) | 1, rng.randrange(0, _MERSENNE_61))
+        for _ in range(n)
+    ]
+
+
+def derived_hashes(col: Column | str, n: int, fast: bool = False) -> list[Column]:
+    """``n`` independent-ish 61-bit hash columns of a string column, from a
+    single base hash (MinHash permutations)."""
+    base = portable_hash64(col, seed=0, fast=fast) % F.lit(_BASE_MOD)
+    return [
+        (F.lit(a) * base + F.lit(b)) % F.lit(_MERSENNE_61)
+        for a, b in _hash_family(n)
+    ]
+
+
+def derived_hashes_sql(expr: str, n: int) -> list[str]:
+    """DuckDB twins of :func:`derived_hashes`."""
+    base = f"({portable_hash64_sql(expr, seed=0)} % {_BASE_MOD})"
+    return [
+        f"(({a} * {base} + {b}) % {_MERSENNE_61})" for a, b in _hash_family(n)
+    ]
+
+
 def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
     """Whitespace tokenization; empty strings removed (portable to DuckDB via
     ``list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '')``)."""

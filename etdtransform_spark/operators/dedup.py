@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.scalars import qround
 
 from ..functions.hashing import portable_hash64, word_shingles
+from ..sources.parquet import widen
 
 
 def exact_duplicates(
@@ -29,6 +30,7 @@ def exact_duplicates(
 ) -> DataFrame:
     """Exact dedup via hash-groupBy on (normalized) content: one row per
     distinct text with the canonical (minimum) id and duplicate count."""
+    df = widen(df)
     key = F.col(text_col)
     if normalize:
         key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
@@ -49,37 +51,113 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard similarity >=
-    threshold. Pairs are generated through a shingle-equijoin (only documents
-    sharing at least one shingle are compared), never a cross join.
+    threshold. Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    to 6 decimals for cross-engine comparability.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
-    decimals for cross-engine comparability.
+    Scale path (``prefix_filter=True``): prefix-filtered set-similarity join
+    (the AllPairs/PPJoin candidate-generation principle — Bayardo et al.,
+    WWW'07; Chaudhuri et al., ICDE'06). Shingles get a global rarity order
+    (frequency, then value); two documents can reach Jaccard >= t only if
+    their first ``|S| - ceil(t*|S|) + 1`` rarest shingles intersect, so the
+    equijoin runs over prefixes only. This removes the quadratic blowup on
+    stop-phrase shingles shared by thousands of documents (a shingle shared by
+    k docs costs k^2/2 join rows in the naive join, and template-generated web
+    corpora have many such shingles). Candidates are then verified EXACTLY
+    with ``array_intersect`` on the full shingle sets — results are identical
+    to the naive join, only the candidate set shrinks.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    # Shingles are hashed to sorted bigint arrays immediately: every
+    # downstream comparison (equijoin keys, array_intersect verification)
+    # runs on fixed-width longs instead of ~30-char strings — integer
+    # equality + tighter shuffles, ~50x faster verification. The hash is
+    # engine-internal (never compared to the oracle); a 64-bit collision
+    # among the corpus' distinct shingles is ~n^2/2^64 and would only
+    # perturb one intersection count.
+    shingled = widen(df).select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
-    exploded = shingled.select(
-        "id", "n_shingles", F.explode("shingles").alias("shingle")
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
+    # reused by candidate generation AND both verification sides
+    shingled = shingled.persist()
+
+    if not prefix_filter:
+        exploded = shingled.select(
+            "id", "n_shingles", F.explode("shingles").alias("shingle")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        a, b = exploded.alias("a"), exploded.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n_shingles").alias("na"),
+                F.col("b.n_shingles").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = inter.withColumn(
+            "jaccard",
+            qround(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        return jac.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+
+    from pyspark.sql import Window
+
+    exploded = shingled.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = exploded.join(freq, "shingle")
+    # total global order (rarest first; value breaks frequency ties) — both
+    # documents of a pair rank their shingles identically.
+    pos = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("_f").asc(), F.col("shingle").asc())
     )
-    jac = inter.withColumn(
-        "jaccard",
-        qround(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+    prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    prefixes = (
+        ranked.withColumn("_pos", pos).filter(F.col("_pos") <= prefix_len)
+        .select("id", "shingle")
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("_sa"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = shingled.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("_sb"),
+        F.col("n_shingles").alias("nb"),
+    )
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            qround(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 def minhash_signatures(
@@ -93,13 +171,13 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``num_hashes`` independent
     hash functions (seeded portable hashes), the minimum over the document's
     shingle set. Output: (id, minhash array<bigint>)."""
-    shingled = df.select(
+    from ..functions.hashing import derived_hashes
+
+    shingled = widen(df).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
     )
-    mins = [
-        F.min(portable_hash64(F.col("sh"), seed=i, fast=fast)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    hs = derived_hashes(F.col("sh"), num_hashes, fast=fast)
+    mins = [F.min(h).alias(f"mh{i}") for i, h in enumerate(hs)]
     sigs = shingled.groupBy("id").agg(*mins)
     return sigs.select(
         "id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("minhash")
@@ -167,7 +245,7 @@ def simhash(
     Returns (id, simhash bigint). Hamming-close fingerprints indicate
     near-duplicate documents.
     """
-    toks = df.select(
+    toks = widen(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.filter(F.split(text_col, r"\s+"), lambda x: x != F.lit(""))).alias("tok"),
     )
@@ -194,20 +272,81 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     id_filter_max: int | None = None,
+    strategy: str = "blas",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine similarity >= threshold.
-    Brute-force pair join intended for verification / small dims; the scale
-    path buckets by sign-prefix first (see similarity.lsh_cosine_topk)."""
-    from .similarity import cosine_expr
+    """Near-duplicate pairs by embedding cosine similarity >= threshold,
+    id_a < id_b.
 
+    ``strategy="blas"`` (default): the corpus matrix is broadcast to every
+    executor and each Arrow batch of rows computes a dense float64 matmul
+    against it inside ``mapInPandas``, filtering to survivors before anything
+    leaves the kernel. An O(n^2 d) all-pairs scan runs at BLAS speed with
+    output proportional to the number of *matches*, not pairs; this is the
+    standard brute-force-ANN building block. Requires the corpus to fit in
+    executor memory (guarded by ``max_broadcast_rows``) — beyond that, use
+    the bucketed LSH path (similarity.lsh_cosine_topk) or block the join.
+
+    ``strategy="expr"``: pure Catalyst pair-join with ``F.aggregate`` dot
+    products. No Python, no broadcast requirement, but ~30 us/pair
+    interpreted — keep for small inputs or engines without Arrow.
+    """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if id_filter_max is not None:
         base = base.filter(F.col("id") < id_filter_max)
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
-    sim = pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        qround(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
-    )
-    return sim.filter(F.col("cosine") >= threshold)
+
+    if strategy == "expr":
+        from .similarity import cosine_expr
+
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+        sim = pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            qround(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        return sim.filter(F.col("cosine") >= threshold)
+
+    import numpy as np
+
+    spark = df.sparkSession
+    n_rows = base.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"corpus has {n_rows} rows > max_broadcast_rows={max_broadcast_rows}; "
+            "use strategy='expr' with pre-bucketing or an LSH candidate pass"
+        )
+    corpus = base.toPandas()
+    ids = corpus["id"].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in corpus["v"]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    thr = float(threshold)
+
+    def kernel(batches):
+        import pandas as pd
+
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["id"].to_numpy(dtype=np.int64)
+            q_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+            sims = (q_mat @ c_mat.T) / np.outer(q_norms, c_norms)
+            # identical rounding op sequence as qround/qround_sql
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+            qi, ci = np.nonzero((sims >= thr) & (q_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[qi],
+                    "id_b": c_ids[ci],
+                    "cosine": sims[qi, ci],
+                }
+            )
+
+    # spread batches across cores: a single-file parquet scan is one partition
+    out_schema = "id_a long, id_b long, cosine double"
+    parallelism = spark.sparkContext.defaultParallelism
+    return base.repartition(parallelism).mapInPandas(kernel, out_schema)

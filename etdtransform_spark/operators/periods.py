@@ -57,9 +57,13 @@ def get_extreme_avg_period(
     value = F.max_by if highest else F.min_by
     extreme = F.max if highest else F.min
     out = rolled.groupBy(*partition_cols).agg(
-        value(F.col(order_col), F.struct(F.col(avg_c), (-F.unix_timestamp(order_col)))).alias(
-            "EndTime"
-        ),
+        # ties on the rolling average resolve to the earliest EndTime
+        # (pandas idxmax/idxmin first-occurrence); unix_micros, not
+        # unix_timestamp — second-truncation would leave sub-second ties
+        # nondeterministic.
+        value(
+            F.col(order_col), F.struct(F.col(avg_c), (-F.unix_micros(F.col(order_col))))
+        ).alias("EndTime"),
         extreme(F.col(avg_c)).alias(f"{column}_extreme_avg"),
     )
     return out.withColumn(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..functions.scalars import qround
 
 from ..functions.hashing import portable_hash64, tokens
+from ..sources.parquet import widen
 
 # Tiny per-language stopword profiles for the n-gram/stopword-hit heuristic.
 # Deliberately small and alphabetical so the same lists embed in oracle SQL.
@@ -59,7 +60,7 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     scores; ties broken alphabetically (first CASE branch wins) —
     deterministic and trivially expressible in oracle SQL."""
     scores = language_scores(text_col)
-    df = df.withColumns(dict(scores))
+    df = widen(df).withColumns(dict(scores))
     langs = sorted(LANG_PROFILES)
     best_score = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     expr = None
@@ -73,6 +74,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / word-length features plus a composite
     quality score in [0, 1]. Mirrors common LLM-corpus quality filters
     (C4/Gopher-style rules) with engine-portable arithmetic."""
+    df = widen(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
@@ -107,6 +109,6 @@ def fingerprint(df: DataFrame, text_col: str = "text", fast: bool = False) -> Da
     the exact-dedup key for massive corpora (hash join instead of string
     compare)."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return df.withColumn(
+    return widen(df).withColumn(
         "fingerprint", portable_hash64(normalized, seed="fp", fast=fast)
     )

@@ -39,7 +39,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts scheduler + all executor threads in ONE JVM: an
+        # undersized heap turns into random multi-10s full-GC stalls under
+        # 32-thread load. Size generously on the 128 GiB test box.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Long sessions running many expression-heavy plans accumulate
+        # whole-stage-codegen classes; once the JIT code cache fills, the JVM
+        # silently stops compiling and queries run interpreted (10-50x).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -60,6 +60,23 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Raise the partition count to ``defaultParallelism * factor`` when the
+    input is under-partitioned.
+
+    A small single-file parquet scan yields ONE partition, which serializes
+    every downstream narrow transform — fatal for CPU-heavy per-row work
+    (regex normalization, shingling, md5 hashing). At production scale the
+    scan already has >= cluster parallelism partitions and this is a no-op,
+    so the shuffle cost is only ever paid on inputs small enough for it to be
+    trivial."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def sanitize_name(name: str) -> str:
     """Reference aggregate.py:322: re.sub(r"\\W+", "_", name.lower())."""
     return re.sub(r"\W+", "_", name.lower())
