@@ -11,16 +11,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalars import coalesce0
-
 
 def add_calculated_columns(df: DataFrame) -> DataFrame:
     """Add the 8 derived columns and rename Zon-opwekTotaalDiff ->
     ZonopwekBruto. Single ``withColumns`` pass; later columns reference
-    earlier ones exactly as the reference chains them."""
+    earlier ones exactly as the reference chains them.
+
+    Input diff columns absent from ``df`` are treated as all-zero (the
+    reference operates on the full wide frame where every diff column
+    exists and is ``fillna(0)``-ed; on narrower frames missing sensors
+    contribute 0 to the balance)."""
     zon = "Zon-opwekTotaalDiff"
     if zon in df.columns:
         df = df.withColumnRenamed(zon, "ZonopwekBruto")
+
+    present = set(df.columns) | set(CALCULATED_COLUMNS)
+
+    def coalesce0(name):
+        if name not in present:
+            return F.lit(0.0)
+        return F.coalesce(F.col(f"`{name}`"), F.lit(0.0))
 
     teruglevering = coalesce0("ElektriciteitTerugleveringLaagDiff") + coalesce0(
         "ElektriciteitTerugleveringHoogDiff"

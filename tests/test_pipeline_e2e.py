@@ -1,0 +1,147 @@
+"""End-to-end ETL pipeline test on synthetic ETD-shaped household data —
+the workflow of reference tests/test_total_imputation_workflow.py, on a
+deterministic in-repo fixture instead of the reference's private data."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.calculated import CALCULATED_COLUMNS
+from etdtransform_spark.plans.pipeline import run_pipeline
+from etdtransform_spark.sources.parquet import read_family
+
+T0 = dt.datetime(2023, 1, 1, 0, 0, 0)
+N_STEPS = 288 * 2  # two days of 5-minute readings
+HOUSES = {1: 1, 2: 1, 3: 2}  # house -> project
+CUM_COLS = ["ElektriciteitNetgebruikLaag", "Zon-opwekTotaal"]
+
+
+def _series(house):
+    """Deterministic cumulative series with a gap in the middle for house 1."""
+    rows = []
+    cum = {c: 0.0 for c in CUM_COLS}
+    prev = dict(cum)
+    for i in range(N_STEPS):
+        ts = T0 + dt.timedelta(minutes=5 * i)
+        row = {"HuisIdBSV": house, "ProjectIdBSV": HOUSES[house], "ReadingDate": ts}
+        for k, c in enumerate(CUM_COLS):
+            inc = 0.01 * ((i + house + k) % 5)
+            cum[c] = round(cum[c] + inc, 10)
+            gap = house == 1 and 100 <= i < 110
+            row[c] = None if gap else cum[c]
+            row[f"{c}Diff"] = None if (gap or i == 0) else round(cum[c] - prev[c], 10)
+            prev[c] = cum[c]
+        rows.append(row)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("etd_out"))
+    rows = []
+    for h in HOUSES:
+        rows += _series(h)
+    schema = (
+        "HuisIdBSV long, ProjectIdBSV long, ReadingDate timestamp, "
+        + ", ".join(f"`{c}` double, `{c}Diff` double" for c in CUM_COLS)
+    )
+    df = spark.createDataFrame(
+        [
+            tuple(
+                r[k]
+                for k in ["HuisIdBSV", "ProjectIdBSV", "ReadingDate"]
+                + [x for c in CUM_COLS for x in (c, f"{c}Diff")]
+            )
+            for r in rows
+        ],
+        schema,
+    )
+    written = run_pipeline(
+        spark, df, out_dir, cumulative_columns=CUM_COLS,
+        intervals=["15min", "60min", "24h"],
+    )
+    return out_dir, written
+
+
+def test_all_families_written(pipeline_out):
+    _, written = pipeline_out
+    expected = {
+        "household_default", "household_diff_max_bounds", "avg_diffs",
+        "household_imputed", "impute_gap_stats", "impute_summary_household",
+        "impute_summary_project", "household_aggregated_diff",
+        "household_calculated", "household_15min", "household_60min",
+        "household_24h", "project_15min", "project_60min", "project_24h",
+    }
+    assert expected <= set(written)
+
+
+def test_imputed_preserves_rows_and_fills_gaps(spark, pipeline_out):
+    out_dir, _ = pipeline_out
+    imputed = read_family(spark, out_dir, "household_imputed")
+    assert imputed.count() == N_STEPS * len(HOUSES)
+    # house 1: the 10-row gap plus the first row (every house's first Diff is
+    # NULL and the reference treats any NA-diff run as a gap,
+    # vectorized_impute.py:387-398) are imputed
+    gap = imputed.filter(
+        (F.col("HuisIdBSV") == 1)
+        & F.col("ElektriciteitNetgebruikLaagDiff_is_imputed")
+    )
+    assert gap.count() == 11
+    assert gap.filter(F.col("ElektriciteitNetgebruikLaagDiff").isNull()).count() == 0
+    # house 2 has no mid-series gap: only its first row is imputed
+    h2 = imputed.filter(
+        (F.col("HuisIdBSV") == 2)
+        & F.col("ElektriciteitNetgebruikLaagDiff_is_imputed")
+    )
+    assert [r["ReadingDate"] for r in h2.collect()] == [T0]
+
+
+def test_check_column_consistency(spark, pipeline_out):
+    """<Var>Check = diff(new - original) must be 0 wherever both series are
+    fully observed (reference aggregate.py:199-211 invariant)."""
+    out_dir, _ = pipeline_out
+    imputed = read_family(spark, out_dir, "household_imputed")
+    bad = imputed.filter(
+        (F.col("HuisIdBSV") == 2)
+        & F.col("ElektriciteitNetgebruikLaagCheck").isNotNull()
+        & (F.abs(F.col("ElektriciteitNetgebruikLaagCheck")) > 1e-9)
+    )
+    assert bad.count() == 0
+
+
+def test_calculated_columns_present(spark, pipeline_out):
+    out_dir, _ = pipeline_out
+    calc = read_family(spark, out_dir, "household_calculated")
+    present = [c for c in CALCULATED_COLUMNS if c in calc.columns]
+    assert present == CALCULATED_COLUMNS
+    assert "ZonopwekBruto" in calc.columns
+
+
+def test_resample_and_project_shapes(spark, pipeline_out):
+    out_dir, _ = pipeline_out
+    hh60 = read_family(spark, out_dir, "household", "60min")
+    assert hh60.count() == len(HOUSES) * (N_STEPS // 12)
+    proj60 = read_family(spark, out_dir, "project", "60min")
+    rows = {(r["ProjectIdBSV"], r["ReadingDate"]): r for r in proj60.collect()}
+    assert len(rows) == 2 * (N_STEPS // 12)
+    # project 1 has 2 households, project 2 has 1
+    some = next(r for (p, _), r in rows.items() if p == 1)
+    assert some["n"] == 2
+
+
+def test_summaries(spark, pipeline_out):
+    out_dir, _ = pipeline_out
+    sh = read_family(spark, out_dir, "impute_summary_household")
+    r = sh.filter(
+        (F.col("HuisIdBSV") == 1) & (F.col("column") == "ElektriciteitNetgebruikLaagDiff")
+    ).collect()[0]
+    assert r["imputed"] == 11
+    assert math.isclose(
+        r["percentage_imputed"], 11 / (N_STEPS) * 100, rel_tol=1e-9
+    )
+    sp = read_family(spark, out_dir, "impute_summary_project")
+    assert sp.filter(F.col("percentage_imputed") > 100).count() == 0
