@@ -1306,6 +1306,264 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# IVF approximate nearest neighbor (the ANN scale path beyond brute force)
+# ---------------------------------------------------------------------------
+
+def _cos_sql_of(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+    )
+
+
+def _r6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: 8 deterministic centroids, 2 probes per
+    query, top-3 within the probed lists (similarity.ivf_topk)."""
+    from etdtransform_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=3, nlist=8, nprobe=2).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+_SQL_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assign_raw AS (
+  SELECT c.vec_id AS neighbor_id, c.embedding AS cv, t.centroid_id,
+         {_r6(_cos_sql_of("c.embedding", "t.cvec"))} AS acos
+  FROM embeddings c CROSS JOIN cent t
+), lists AS (
+  SELECT neighbor_id, cv, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                 ORDER BY acos DESC, centroid_id) AS rn
+    FROM assign_raw) WHERE rn = 1
+), probe_raw AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv, t.centroid_id,
+         {_r6(_cos_sql_of("q.embedding", "t.cvec"))} AS pcos
+  FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 10
+), probes AS (
+  SELECT query_id, qv, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pcos DESC, centroid_id) AS rn
+    FROM probe_raw) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, l.neighbor_id,
+         {_r6(_cos_sql_of("p.qv", "l.cv"))} AS cosine
+  FROM probes p JOIN lists l
+    ON p.list_id = l.list_id AND p.query_id <> l.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# impute summary rollup (reference impute.py:671-759: bit_or of method
+# bitmasks, distinct-method set union, percentage imputed)
+# ---------------------------------------------------------------------------
+
+def q_impute_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key impute summary: 'error' events play imputed rows, the method
+    id is derived per row, combined with bit_or + set-union exactly like the
+    reference's project summary (impute.py:701-714)."""
+    ev = _t(spark, sf_dir, "events")
+    imputed = F.col("event_type") == "error"
+    method = (F.col("event_id") % 3 + 1).cast("bigint")
+    mask = F.expr(
+        "CASE WHEN event_type = 'error' THEN "
+        "shiftleft(CAST(1 AS BIGINT), CAST(event_id % 3 + 1 AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    base = ev.select(
+        "user_id",
+        imputed.alias("imp"),
+        F.when(imputed, method).alias("m"),
+        mask.alias("mask"),
+    )
+    return base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("imp"), F.lit(1))).alias("imputed"),
+        F.expr("bit_or(mask)").alias("impute_type_mask"),
+        F.array_sort(F.array_distinct(F.collect_list("m"))).alias("methods"),
+        qround(
+            F.count(F.when(F.col("imp"), F.lit(1))) * 100.0 / F.count(F.lit(1)), 6
+        ).alias("percentage_imputed"),
+    )
+
+
+_SQL_IMPUTE_SUMMARY = f"""
+WITH base AS (
+  SELECT user_id, (event_type = 'error') AS imp,
+         CASE WHEN event_type = 'error' THEN (event_id % 3 + 1)::BIGINT END AS m,
+         CASE WHEN event_type = 'error'
+              THEN (1::BIGINT << ((event_id % 3 + 1)::INT))
+              ELSE 0::BIGINT END AS mask
+  FROM {_EV}
+)
+SELECT user_id, count(*) AS n,
+       count(CASE WHEN imp THEN 1 END) AS imputed,
+       bit_or(mask) AS impute_type_mask,
+       coalesce(list_sort(list_distinct(list(m) FILTER (m IS NOT NULL))), []) AS methods,
+       {_r6("count(CASE WHEN imp THEN 1 END) * 100.0 / count(*)")} AS percentage_imputed
+FROM base GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# centered peak marking (reference mark_highest_peak,
+# calculated_columns.py:485-527)
+# ---------------------------------------------------------------------------
+
+def q_mark_peak_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered-window extreme marking: flag the 5 rows centered on each
+    user's centered-rolling-average argmax; ties all marked."""
+    from etdtransform_spark.operators.periods import mark_extreme_period
+
+    ev = _t(spark, sf_dir, "events").withColumn("v", _v_nulled())
+    out = mark_extreme_period(
+        ev, "v", window_rows=5, partition_cols=["user_id"], order_col="ts",
+        flag_col="in_peak", lowest=False, centered=True,
+    )
+    return out.select("event_id", "user_id", "in_peak")
+
+
+_SQL_MARK_PEAK = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM {_EV}
+), r AS (
+  SELECT *, CASE WHEN count(v) OVER w >= 1 THEN avg(v) OVER w END AS ravg
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+), m AS (
+  SELECT *, max(ravg) OVER (PARTITION BY user_id) AS gmax FROM r
+)
+SELECT event_id, user_id,
+       coalesce(max(CASE WHEN ravg = gmax THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) = 1,
+                false) AS in_peak
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekly coldest-weeks join-back (reference load_data.py:217-243: flag the 2
+# coldest ISO weeks, then left-join the flags onto the hourly fact rows)
+# ---------------------------------------------------------------------------
+
+def q_coldest_weeks_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumns(
+        {
+            "iso_year": F.expr("extract(yearofweek FROM ts)").cast("bigint"),
+            "week_of_year": F.weekofyear("ts").cast("bigint"),
+        }
+    )
+    weekly = ev.groupBy("event_type", "iso_year", "week_of_year").agg(
+        qround(F.avg("value"), 6).alias("weekly_avg")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        "weekly_avg", "iso_year", "week_of_year"
+    )
+    flags = weekly.select(
+        "event_type",
+        "iso_year",
+        "week_of_year",
+        (F.row_number().over(w) <= 2).alias("is_coldest_week"),
+    )
+    return ev.join(
+        F.broadcast(flags), ["event_type", "iso_year", "week_of_year"], "left"
+    ).select("event_id", "event_type", "iso_year", "week_of_year", "is_coldest_week")
+
+
+_SQL_COLDEST_JOIN = f"""
+WITH ev AS (
+  SELECT event_id, event_type, isoyear(ts)::BIGINT AS iso_year,
+         weekofyear(ts)::BIGINT AS week_of_year, value
+  FROM {_EV}
+), weekly AS (
+  SELECT event_type, iso_year, week_of_year,
+         {_r6("avg(value)")} AS weekly_avg
+  FROM ev GROUP BY 1, 2, 3
+), flags AS (
+  SELECT event_type, iso_year, week_of_year,
+         (row_number() OVER (PARTITION BY event_type
+                             ORDER BY weekly_avg, iso_year, week_of_year) <= 2)
+           AS is_coldest_week
+  FROM weekly
+)
+SELECT e.event_id, e.event_type, e.iso_year, e.week_of_year, f.is_coldest_week
+FROM ev e LEFT JOIN flags f
+  ON e.event_type = f.event_type AND e.iso_year = f.iso_year
+ AND e.week_of_year = f.week_of_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 stateful streaming: per-key gap detection via applyInPandasWithState.
+# On one complete batch it reduces to the lag-window query, which is the
+# oracle.
+# ---------------------------------------------------------------------------
+
+def q_streaming_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import os as _os
+    import uuid
+
+    from etdtransform_spark.streaming.gap_detect import streaming_gap_detect
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    gaps = streaming_gap_detect(stream, gap_seconds=86400.0)
+    name = f"stream_gaps_{uuid.uuid4().hex[:8]}"
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "gap_start", "gap_end",
+        qround(F.col("gap_seconds"), 1).alias("gap_seconds"),
+    )
+
+
+_SQL_STREAM_GAPS = f"""
+WITH d AS (
+  SELECT user_id, lag(ts) OVER wu AS gap_start, ts AS gap_end,
+         epoch(ts - lag(ts) OVER wu) AS gap_seconds
+  FROM {_EV}
+  WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, gap_start, gap_end,
+       floor((gap_seconds) * 10.0 + 0.5) / 10.0 AS gap_seconds
+FROM d WHERE gap_seconds > 86400.0
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1357,6 +1615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_datetime": q_normalized_datetime,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
+        "ivf_topk": q_ivf_topk,
+        "impute_summary": q_impute_summary,
+        "mark_peak_period": q_mark_peak_period,
+        "coldest_weeks_join": q_coldest_weeks_join,
+        "streaming_gap_detect": q_streaming_gap_detect,
     }
 
 
@@ -1403,4 +1666,9 @@ def oracle_sql() -> dict[str, str]:
         "normalized_datetime": _SQL_NORMALIZED_DT,
         "multimodal_features": _sql_multimodal(),
         "streaming_resample_15min": _SQL_STREAM_RESAMPLE,
+        "ivf_topk": _SQL_IVF_TOPK,
+        "impute_summary": _SQL_IMPUTE_SUMMARY,
+        "mark_peak_period": _SQL_MARK_PEAK,
+        "coldest_weeks_join": _SQL_COLDEST_JOIN,
+        "streaming_gap_detect": _SQL_STREAM_GAPS,
     }

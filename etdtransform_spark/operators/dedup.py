@@ -346,7 +346,12 @@ def embedding_near_duplicates(
                 }
             )
 
-    # spread batches across cores: a single-file parquet scan is one partition
+    # spread batches across cores: a single-file parquet scan is one
+    # partition. Cap partitions by corpus size — each partition costs a
+    # Python worker (fork + numpy/pandas import) and a broadcast copy, so a
+    # small corpus on a wide machine should not fan out to every core.
     out_schema = "id_a long, id_b long, cosine double"
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = min(
+        spark.sparkContext.defaultParallelism, max(1, n_rows // 512)
+    )
     return base.repartition(parallelism).mapInPandas(kernel, out_schema)

@@ -80,26 +80,43 @@ def mark_extreme_period(
     order_col: str = "ReadingDate",
     flag_col: str = "in_extreme_period",
     lowest: bool = True,
+    centered: bool = False,
 ) -> DataFrame:
-    """Flag the ``window_rows`` rows ending at each group's rolling-average
+    """Flag the ``window_rows`` rows around each group's rolling-average
     argmin (coldest period) or argmax (peak). Ties: every tying period is
-    marked (reference mark_coldest_two_weeks calculated_columns.py:429-482,
-    mark_highest_peak calculated_columns.py:485-527).
+    marked. ``centered=False`` marks the rows *ending* at the extreme
+    (reference mark_coldest_two_weeks, calculated_columns.py:429-482);
+    ``centered=True`` marks the rows *centered* on the extreme of a centered
+    rolling average (reference mark_highest_peak,
+    calculated_columns.py:485-527).
 
-    Implemented with a second backward-looking window over the extreme flag —
-    no self-join: a row is in the period iff an extreme endpoint exists within
-    the next ``window_rows - 1`` rows (or at itself).
+    Implemented with a second window over the extreme flag — no self-join: a
+    row is in the period iff an extreme anchor exists within the window
+    reach of its position.
     """
+    from .windows import rolling_avg_centered
+
     avg_c, ext_c = "_rolling", "_is_extreme"
     w = Window.partitionBy(*partition_cols).orderBy(order_col)
-    rolled = df.withColumn(avg_c, rolling_avg_min_periods(column, w, window_rows))
+    if centered:
+        rolled = df.withColumn(
+            avg_c, rolling_avg_centered(column, w, window_rows)
+        )
+        # center c covers rows [c - before, c + after]; row r is covered iff
+        # a center exists in [r - after, r + before]
+        before = window_rows // 2
+        reach = w.rowsBetween(-(window_rows - before - 1), before)
+    else:
+        rolled = df.withColumn(
+            avg_c, rolling_avg_min_periods(column, w, window_rows)
+        )
+        reach = w.rowsBetween(Window.currentRow, window_rows - 1)
     group_ext = (F.min if lowest else F.max)(F.col(avg_c)).over(
         Window.partitionBy(*partition_cols)
     )
     rolled = rolled.withColumn(ext_c, (F.col(avg_c) == group_ext).cast("int"))
-    ahead = w.rowsBetween(Window.currentRow, window_rows - 1)
     flagged = rolled.withColumn(
-        flag_col, F.coalesce(F.max(ext_c).over(ahead) == 1, F.lit(False))
+        flag_col, F.coalesce(F.max(ext_c).over(reach) == 1, F.lit(False))
     )
     return flagged.drop(avg_c, ext_c)
 

@@ -1,0 +1,103 @@
+"""Unit tests for the IVF ANN operator and the stateful streaming gap
+detector (state must survive micro-batch boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+def _vectors(spark, n=40, dim=8):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_topk_subset_of_probed_lists(spark):
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(queries, emb, k=3).collect()
+    }
+    approx = ivf_topk(queries, emb, k=3, nlist=4, nprobe=4).collect()
+    # with nprobe == nlist every list is probed -> results equal brute force
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx}
+    assert got == exact
+
+
+def test_ivf_topk_fewer_probes_is_subset(spark):
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    full = ivf_topk(queries, emb, k=40, nlist=4, nprobe=4)
+    part = ivf_topk(queries, emb, k=40, nlist=4, nprobe=1)
+    full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    part_pairs = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    assert part_pairs < full_pairs  # strictly fewer candidates scored
+
+
+def test_streaming_gap_state_across_batches(spark, tmp_path):
+    """A gap that spans two micro-batches is only detectable through state:
+    batch 1 ends at 01:00, batch 2 begins at 13:00 the same day."""
+    from etdtransform_spark.streaming.gap_detect import streaming_gap_detect
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp"
+    batch1 = [(1, 1, t0), (2, 1, t0 + dt.timedelta(hours=1))]
+    batch2 = [
+        (3, 1, t0 + dt.timedelta(hours=13)),  # 12h gap vs batch1's last row
+        (4, 1, t0 + dt.timedelta(hours=14)),
+    ]
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["event_id", "user_id", "ts"]
+    for i, batch in enumerate([batch1, batch2]):
+        pdf = pd.DataFrame(batch, columns=cols)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+            # µs timestamps: ns would be read as long under the session's
+            # nanosAsLong shim
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        # file source processes files in modification-time order
+        os.utime(str(src / f"b{i}.parquet"), (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    gaps = streaming_gap_detect(stream, gap_seconds=6 * 3600.0)
+    name = f"gaps_{int(time.time() * 1000)}"
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert r["gap_start"] == t0 + dt.timedelta(hours=1)
+    assert r["gap_end"] == t0 + dt.timedelta(hours=13)
+    assert math.isclose(r["gap_seconds"], 12 * 3600.0)
