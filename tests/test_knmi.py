@@ -71,3 +71,40 @@ def test_weather_three_key_join(spark, tmp_path):
     assert got[(1, dt.datetime(2023, 1, 1, 1, 30))]["Temperatuur"] == 6.0
     assert got[(3, dt.datetime(2023, 1, 1, 0, 45))]["Temperatuur"] == -1.5
     assert got[(4, dt.datetime(2023, 1, 2, 0, 5))]["Temperatuur"] is None
+
+
+def test_weather_data_table_coldest_weeks(spark):
+    """get_weather_data_table: ts from (YYYYMMDD, HH), rolling mean, ISO-week
+    aggregates, coldest-2-weeks flags joined back (load_data.py:103-246)."""
+    import itertools
+
+    from etdtransform_spark.api import get_weather_data_table
+
+    # 4 full ISO weeks of hourly data for one station; week 2 (Jan 9-15) is
+    # made the coldest, week 3 second-coldest
+    days = [dt.date(2023, 1, 2) + dt.timedelta(days=i) for i in range(28)]
+    base_by_week = {1: 10.0, 2: -5.0, 3: 0.0, 4: 8.0}
+    rows = []
+    for d, hh in itertools.product(days, range(1, 25)):
+        week = (d - dt.date(2023, 1, 2)).days // 7 + 1
+        rows.append(
+            (260, int(d.strftime("%Y%m%d")), hh, base_by_week[week] + hh * 0.01)
+        )
+    weather = spark.createDataFrame(
+        rows, "STN int, YYYYMMDD int, HH int, Temperatuur double"
+    )
+    out = get_weather_data_table(weather, rolling_hours=24)
+    assert out.count() == len(rows)
+    flags = {
+        r["week_of_year"]: (r["Koudste2ISOWkn"], r["ColdestWeekRank"])
+        for r in out.select("week_of_year", "Koudste2ISOWkn", "ColdestWeekRank")
+        .distinct()
+        .collect()
+    }
+    assert flags[2] == (True, 1)
+    assert flags[3] == (True, 2)
+    assert flags[1][0] is False and flags[4][0] is False
+    # rolling mean exists and is non-null once the half-window fills
+    assert (
+        out.filter(F.col("RollingTemperatuur14d").isNotNull()).count() > 0
+    )

@@ -133,6 +133,27 @@ def test_resample_and_project_shapes(spark, pipeline_out):
     assert some["n"] == 2
 
 
+def test_analytical_load_api(spark, pipeline_out):
+    """get_household_tables / get_project_tables return lazy index-joined
+    frames per interval (reference load_data.py:23-67,320-351)."""
+    from etdtransform_spark.api import get_household_tables, get_project_tables
+
+    out_dir, _ = pipeline_out
+    index = spark.createDataFrame(
+        [(h, p, True, "LeverancierX") for h, p in HOUSES.items()],
+        "HuisIdBSV long, ProjectIdBSV long, Meenemen boolean, Dataleverancier string",
+    )
+    hh = get_household_tables(
+        spark, out_dir, intervals=["15min", "60min"], index_df=index
+    )
+    assert {"default", "calculated", "15min", "60min"} <= set(hh)
+    assert "Dataleverancier" in hh["60min"].columns
+    assert hh["60min"].filter(F.col("Dataleverancier").isNull()).count() == 0
+    proj = get_project_tables(spark, out_dir, intervals=["60min"])
+    assert set(proj) == {"60min"}
+    assert proj["60min"].count() == 2 * (N_STEPS // 12)
+
+
 def test_summaries(spark, pipeline_out):
     out_dir, _ = pipeline_out
     sh = read_family(spark, out_dir, "impute_summary_household")
