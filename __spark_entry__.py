@@ -1306,6 +1306,176 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# §2.8 the full imputation rule chain — runs the REAL operator
+# (operators.impute._impute_one_column: 7 rules + threshold clamp) on an
+# ETD-shaped frame synthesized from events, verified against a full SQL twin.
+# ---------------------------------------------------------------------------
+
+def q_impute_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ImputeType rules in one query. events → ETD shape: 'error'/'signup'
+    rows are the gaps; signup rows selectively expose a cumulative value
+    (visible/negative/zero by event_id % 4) so gap groups split and every
+    gap-jump branch fires; houses with user_id % 7 == 0 have no project
+    averages (linear fill), % 3 == 0 contribute nothing inside gaps
+    (near-zero jumps). Threshold Max=300 exercises the clamp."""
+    from etdtransform_spark.operators.impute import _impute_one_column
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.when(
+        ~F.col("event_type").isin("error", "signup"), qround(F.abs(F.col("value")), 2)
+    )
+    a = F.when(
+        ~((F.col("event_type") == "view") | (F.col("user_id") % 7 == 0)),
+        qround(F.abs(F.col("value")) / 7.0, 3),
+    )
+    base = ev.select(
+        "event_id",
+        F.col("user_id").alias("HuisIdBSV"),
+        F.lit(0).cast("long").alias("ProjectIdBSV"),
+        F.col("ts").alias("ReadingDate"),
+        "event_type",
+        d.alias("VDiff"),
+        a.alias("VDiff_avg"),
+    )
+    contrib = F.coalesce(
+        F.col("VDiff"),
+        F.when(
+            (F.col("event_type") == "signup") & (F.col("HuisIdBSV") % 3 != 0),
+            F.lit(5.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    raw_cum = F.sum(contrib).over(
+        Window.partitionBy("HuisIdBSV")
+        .orderBy("ReadingDate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        F.when(F.col("VDiff").isNotNull(), raw_cum)
+        .when(
+            (F.col("event_type") == "signup") & (F.col("event_id") % 4 == 0),
+            raw_cum - 100.0,
+        )
+        .when((F.col("event_type") == "signup") & (F.col("event_id") % 4 == 1), raw_cum)
+        .when(
+            (F.col("event_type") == "signup") & (F.col("event_id") % 4 == 2), F.lit(0.0)
+        )
+    )
+    # qround collapses engine-level accumulation-order jitter in the running
+    # sum — otherwise a gap_jump of ±1e-13 flips NEAR_ZERO vs NEGATIVE
+    base = base.withColumn("V", qround(cum, 6))
+    out = _impute_one_column(
+        base, "V", "ProjectIdBSV", {"VDiff": {"Min": 0.0, "Max": 300.0}}
+    )
+    return out.select(
+        "event_id",
+        F.col("HuisIdBSV").alias("user_id"),
+        F.col("VDiff_is_imputed").alias("is_imputed"),
+        F.col("VDiff_impute_type").cast("bigint").alias("impute_type"),
+        qround(F.col("VDiff"), 6).alias("new_diff"),
+        qround(F.col("VOldDiff"), 6).alias("old_diff"),
+    )
+
+
+_SQL_IMPUTE_RULES = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type NOT IN ('error','signup')
+              THEN floor(abs(value) * 100.0 + 0.5) / 100.0 END AS d,
+         CASE WHEN NOT (event_type = 'view' OR user_id % 7 = 0)
+              THEN floor((abs(value) / 7.0) * 1000.0 + 0.5) / 1000.0 END AS a
+  FROM {_EV}
+), cumd AS (
+  SELECT *,
+         sum(CASE WHEN d IS NOT NULL THEN d
+                  WHEN event_type = 'signup' AND user_id % 3 <> 0 THEN 5.0
+                  ELSE 0.0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS raw_cum
+  FROM base
+), withcum AS (
+  SELECT *, floor((CASE WHEN d IS NOT NULL THEN raw_cum
+                 WHEN event_type = 'signup' AND event_id % 4 = 0 THEN raw_cum - 100.0
+                 WHEN event_type = 'signup' AND event_id % 4 = 1 THEN raw_cum
+                 WHEN event_type = 'signup' AND event_id % 4 = 2 THEN 0.0 END)
+               * 1000000.0 + 0.5) / 1000000.0 AS cum
+  FROM cumd
+), marked AS (
+  SELECT *, (d IS NULL) AS is_na,
+         coalesce(lag(d IS NULL) OVER wu, false) AS prev_na,
+         coalesce(lag(cum IS NOT NULL AND d IS NULL) OVER wu, false) AS cve_prev,
+         lag(cum) OVER wu AS prev_raw
+  FROM withcum WINDOW wu AS (PARTITION BY user_id ORDER BY ts)
+), grouped AS (
+  SELECT *, CASE WHEN is_na THEN
+      sum(CASE WHEN cve_prev OR (is_na AND NOT prev_na) THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) END AS cvg
+  FROM marked
+), seeded AS (
+  SELECT *, CASE WHEN cvg IS NOT NULL
+                  AND coalesce(lag(cvg) OVER (PARTITION BY user_id ORDER BY ts), -1) <> cvg
+                  AND prev_raw >= 0 THEN prev_raw END AS ps
+  FROM grouped
+), stats AS (
+  SELECT *,
+         CASE WHEN cvg IS NOT NULL THEN count(*) OVER wg END AS gap_length,
+         CASE WHEN cvg IS NOT NULL THEN first_value(ps IGNORE NULLS) OVER wgo END AS prev_cum,
+         CASE WHEN cvg IS NOT NULL THEN last_value(cum IGNORE NULLS) OVER wgo END AS end_raw,
+         CASE WHEN cvg IS NOT NULL THEN sum(coalesce(a, 0.0)) OVER wg END AS impute_jump,
+         sum(CASE WHEN a IS NOT NULL AND d IS NOT NULL AND d >= 0 THEN a END) OVER wh AS sum_a,
+         sum(CASE WHEN a IS NOT NULL AND d IS NOT NULL AND d >= 0 THEN d END) OVER wh AS sum_d,
+         sum(CASE WHEN a IS NOT NULL AND d IS NOT NULL AND d >= 0 THEN 1 ELSE 0 END) OVER wh AS n_comp,
+         count(*) OVER wh AS n_tot
+  FROM seeded
+  WINDOW wg  AS (PARTITION BY user_id, cvg),
+         wgo AS (PARTITION BY user_id, cvg ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         wh  AS (PARTITION BY user_id)
+), derived AS (
+  SELECT *,
+         CASE WHEN end_raw >= 0 THEN end_raw END AS end_cum,
+         (CASE WHEN end_raw >= 0 THEN end_raw END) - prev_cum AS gap_jump,
+         CASE WHEN n_comp <= n_tot / 2.0 THEN 1.0
+              ELSE coalesce(CASE WHEN coalesce(sum_d, 0.0) <> 0.0
+                                 THEN coalesce(sum_a, 0.0) / sum_d END, 1.0) END AS factor
+  FROM stats
+), ruled AS (
+  SELECT *,
+    CASE
+      WHEN cvg IS NOT NULL AND gap_jump IS NOT NULL AND gap_jump < 0 THEN 0.0
+      WHEN cvg IS NOT NULL AND gap_jump IS NOT NULL AND gap_jump >= 0 AND gap_jump < 1e-8 THEN 0.0
+      WHEN cvg IS NOT NULL AND gap_jump IS NOT NULL AND gap_jump >= 1e-8 AND impute_jump < 1e-8
+        THEN floor((gap_jump / gap_length) * 10000000000.0 + 0.5) / 10000000000.0
+      WHEN cvg IS NOT NULL AND gap_jump IS NOT NULL AND gap_jump >= 1e-8 AND impute_jump >= 1e-8
+        THEN floor((coalesce(a, 0.0) * (gap_jump / impute_jump)) * 10000000000.0 + 0.5) / 10000000000.0
+      WHEN cvg IS NOT NULL AND gap_jump IS NULL AND end_cum IS NOT NULL AND prev_cum IS NULL AND end_cum < 1e-8 THEN 0.0
+      WHEN cvg IS NOT NULL AND gap_jump IS NULL AND end_cum IS NOT NULL AND prev_cum IS NULL AND end_cum > 1e-8 THEN coalesce(a, 0.0)
+      WHEN cvg IS NOT NULL AND gap_jump IS NULL AND end_cum IS NULL AND prev_cum IS NOT NULL THEN coalesce(a, 0.0) * factor
+    END AS imputed_value,
+    CASE
+      WHEN cvg IS NOT NULL AND gap_jump IS NOT NULL AND gap_jump < 0 THEN 1
+      WHEN cvg IS NOT NULL AND gap_jump IS NOT NULL AND gap_jump >= 0 AND gap_jump < 1e-8 THEN 2
+      WHEN cvg IS NOT NULL AND gap_jump IS NOT NULL AND gap_jump >= 1e-8 AND impute_jump < 1e-8 THEN 4
+      WHEN cvg IS NOT NULL AND gap_jump IS NOT NULL AND gap_jump >= 1e-8 AND impute_jump >= 1e-8 THEN 8
+      WHEN cvg IS NOT NULL AND gap_jump IS NULL AND end_cum IS NOT NULL AND prev_cum IS NULL AND end_cum < 1e-8 THEN 16
+      WHEN cvg IS NOT NULL AND gap_jump IS NULL AND end_cum IS NOT NULL AND prev_cum IS NULL AND end_cum > 1e-8 THEN 32
+      WHEN cvg IS NOT NULL AND gap_jump IS NULL AND end_cum IS NULL AND prev_cum IS NOT NULL THEN 64
+    END AS rule_type
+  FROM derived
+), clamped AS (
+  SELECT *, coalesce(imputed_value, d) AS nd0,
+         (coalesce(imputed_value, d) IS NOT NULL
+          AND (coalesce(imputed_value, d) < 0.0 OR coalesce(imputed_value, d) > 300.0)) AS oob
+  FROM ruled
+)
+SELECT event_id, user_id,
+       CASE WHEN oob THEN true ELSE imputed_value IS NOT NULL END AS is_imputed,
+       (CASE WHEN oob THEN coalesce(rule_type, 0) | 128 ELSE rule_type END)::BIGINT AS impute_type,
+       floor((CASE WHEN oob THEN a ELSE nd0 END) * 1000000.0 + 0.5) / 1000000.0 AS new_diff,
+       floor((d) * 1000000.0 + 0.5) / 1000000.0 AS old_diff
+FROM clamped
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF approximate nearest neighbor (the ANN scale path beyond brute force)
 # ---------------------------------------------------------------------------
 
@@ -1620,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mark_peak_period": q_mark_peak_period,
         "coldest_weeks_join": q_coldest_weeks_join,
         "streaming_gap_detect": q_streaming_gap_detect,
+        "impute_rule_chain": q_impute_rule_chain,
     }
 
 
@@ -1671,4 +1842,5 @@ def oracle_sql() -> dict[str, str]:
         "mark_peak_period": _SQL_MARK_PEAK,
         "coldest_weeks_join": _SQL_COLDEST_JOIN,
         "streaming_gap_detect": _SQL_STREAM_GAPS,
+        "impute_rule_chain": _SQL_IMPUTE_RULES,
     }
