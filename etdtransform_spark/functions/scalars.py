@@ -82,11 +82,20 @@ def qround(col: Column, n: int) -> Column:
     point), which flips the last digit on boundary values and breaks value-hash
     parity. This helper performs the *same IEEE-754 operation sequence* both
     sides, so results are bit-identical whenever the oracle SQL uses
-    :func:`qround_sql` with the same ``n``."""
+    :func:`qround_sql` with the same ``n``.
+
+    Floor is computed in pure double arithmetic (``y - ((y % 1) + 1) % 1``)
+    rather than ``F.floor``: Spark's floor(double) returns BIGINT, which
+    silently clamps at 2^63 (e.g. qround(x, 10) for |x| > ~9.2e8), while
+    DuckDB's floor stays double. The mod identity is exact for every finite
+    double: below 2^53 it is the exact floor, at/above 2^53 doubles are
+    already integral and y % 1 == 0."""
     if isinstance(col, str):
         col = F.col(col)
     m = float(10**n)
-    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+    y = col * F.lit(m) + F.lit(0.5)
+    fl = y - ((y % F.lit(1.0)) + F.lit(1.0)) % F.lit(1.0)
+    return fl / F.lit(m)
 
 
 def qround_sql(expr: str, n: int) -> str:

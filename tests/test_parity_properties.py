@@ -1,0 +1,101 @@
+"""Property-based cross-engine parity tests (hypothesis): every oracle match
+in the driver gate rests on two primitives behaving bit-identically in Spark
+and DuckDB — the qround rounding sequence and the portable md5-based hash
+family. The reference has no property tests at all (SURVEY §5); these guard
+the foundations."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etdtransform_spark.functions.hashing import (
+    derived_hashes,
+    derived_hashes_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
+from etdtransform_spark.functions.scalars import qround, qround_sql
+
+finite_doubles = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    xs=st.lists(finite_doubles, min_size=1, max_size=200),
+    digits=st.sampled_from([1, 2, 4, 6, 10]),
+)
+def test_qround_bit_identical(spark, duck, xs, digits):
+    sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in sdf.select("i", qround(F.col("x"), digits).alias("y")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE t (i BIGINT, x DOUBLE)")
+    duck.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(xs)))
+    want = dict(
+        duck.sql(f"SELECT i, {qround_sql('x', digits)} AS y FROM t").fetchall()
+    )
+    # exact equality: same IEEE op sequence must give the same double
+    assert got == want
+
+
+# printable strings incl. unicode, no surrogates
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=32),
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(xs=st.lists(texts, min_size=1, max_size=100, unique=True))
+def test_portable_hash_parity(spark, duck, xs):
+    sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, s string")
+    got = {
+        r["i"]: r["h"]
+        for r in sdf.select(
+            "i", portable_hash64(F.col("s"), seed="prop").alias("h")
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE ts (i BIGINT, s VARCHAR)")
+    duck.executemany("INSERT INTO ts VALUES (?, ?)", list(enumerate(xs)))
+    want = dict(
+        duck.sql(
+            f"SELECT i, {portable_hash64_sql('s', seed='prop')} AS h FROM ts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_derived_hash_family_parity(spark, duck):
+    xs = [f"shingle {i} πλ" for i in range(50)]
+    n = 8
+    sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, s string")
+    hs = derived_hashes(F.col("s"), n)
+    got = {
+        r["i"]: [r[f"h{j}"] for j in range(n)]
+        for r in sdf.select(
+            "i", *[h.alias(f"h{j}") for j, h in enumerate(hs)]
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE td (i BIGINT, s VARCHAR)")
+    duck.executemany("INSERT INTO td VALUES (?, ?)", list(enumerate(xs)))
+    exprs = ", ".join(
+        f"{e} AS h{j}" for j, e in enumerate(derived_hashes_sql("s", n))
+    )
+    want = {
+        row[0]: list(row[1:])
+        for row in duck.sql(f"SELECT i, {exprs} FROM td").fetchall()
+    }
+    assert got == want

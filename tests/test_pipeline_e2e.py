@@ -154,6 +154,24 @@ def test_analytical_load_api(spark, pipeline_out):
     assert proj["60min"].count() == 2 * (N_STEPS // 12)
 
 
+def test_partition_pruning(spark, pipeline_out):
+    """Stage sinks partition by ProjectIdBSV; a project filter must prune at
+    the scan (PLANS.md scale contract), not post-filter."""
+    out_dir, _ = pipeline_out
+    df = read_family(spark, out_dir, "household_default").filter(
+        F.col("ProjectIdBSV") == 2
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    assert "ProjectIdBSV" in plan.split("PartitionFilters")[1].split("\n")[0]
+    # only house 3 lives in project 2
+    assert df.count() == N_STEPS
+
+
 def test_summaries(spark, pipeline_out):
     out_dir, _ = pipeline_out
     sh = read_family(spark, out_dir, "impute_summary_household")
