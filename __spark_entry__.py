@@ -1305,6 +1305,50 @@ GROUP BY 1, 2
 """
 
 
+def q_brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-brand x supplier-nation revenue: lineitem ⟕ part ⟕ supplier ⟕
+    nation with broadcast dims, grouped agg — covers the part/supplier tables
+    (the ETD multi-dim join shape on the remaining TPC-H dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left")
+    )
+    # pre-round rows + post-round the sum to the SAME digits: the ±1e-9
+    # accumulation-order jitter between engines collapses to identical
+    # doubles, and the avg division then runs on identical inputs.
+    term = qround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    return joined.groupBy("p_brand", "n_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        qround(F.sum(term), 2).alias("revenue"),
+        qround(
+            qround(F.sum(qround(F.col("p_retailprice"), 2)), 2)
+            / F.count("p_retailprice"),
+            4,
+        ).alias("avg_retail"),
+    )
+
+
+def _r2(expr: str) -> str:
+    return f"floor(({expr}) * 100.0 + 0.5) / 100.0"
+
+
+_SQL_BRAND_SUPPLIER = f"""
+SELECT p_brand, n_name, count(*) AS n_lines,
+       {_r2(f"sum({_r2('l_extendedprice * (1 - l_discount)')})")} AS revenue,
+       floor(({_r2(f"sum({_r2('p_retailprice')})")} / count(p_retailprice)) * 10000.0 + 0.5) / 10000.0 AS avg_retail
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+LEFT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.8 the full imputation rule chain — runs the REAL operator
 # (operators.impute._impute_one_column: 7 rules + threshold clamp) on an
@@ -1791,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coldest_weeks_join": q_coldest_weeks_join,
         "streaming_gap_detect": q_streaming_gap_detect,
         "impute_rule_chain": q_impute_rule_chain,
+        "brand_supplier_revenue": q_brand_supplier_revenue,
     }
 
 
@@ -1843,4 +1888,5 @@ def oracle_sql() -> dict[str, str]:
         "coldest_weeks_join": _SQL_COLDEST_JOIN,
         "streaming_gap_detect": _SQL_STREAM_GAPS,
         "impute_rule_chain": _SQL_IMPUTE_RULES,
+        "brand_supplier_revenue": _SQL_BRAND_SUPPLIER,
     }

@@ -84,17 +84,18 @@ def qround(col: Column, n: int) -> Column:
     sides, so results are bit-identical whenever the oracle SQL uses
     :func:`qround_sql` with the same ``n``.
 
-    Floor is computed in pure double arithmetic (``y - ((y % 1) + 1) % 1``)
-    rather than ``F.floor``: Spark's floor(double) returns BIGINT, which
-    silently clamps at 2^63 (e.g. qround(x, 10) for |x| > ~9.2e8), while
-    DuckDB's floor stays double. The mod identity is exact for every finite
-    double: below 2^53 it is the exact floor, at/above 2^53 doubles are
-    already integral and y % 1 == 0."""
+    Floor is computed in pure double arithmetic rather than ``F.floor``:
+    Spark's floor(double) returns BIGINT, which silently clamps at 2^63
+    (e.g. qround(x, 10) for |x| > ~9.2e8), while DuckDB's floor stays
+    double. ``y - fmod(y, 1)`` is the exact truncation for every finite
+    double (fmod is exact and the integral part is representable); one
+    conditional -1 turns truncation into floor for negative fractions."""
     if isinstance(col, str):
         col = F.col(col)
     m = float(10**n)
     y = col * F.lit(m) + F.lit(0.5)
-    fl = y - ((y % F.lit(1.0)) + F.lit(1.0)) % F.lit(1.0)
+    trunc = y - (y % F.lit(1.0))
+    fl = F.when(y < trunc, trunc - F.lit(1.0)).otherwise(trunc)
     return fl / F.lit(m)
 
 

@@ -115,22 +115,22 @@ def ivf_topk(
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
     )
     # index build: nearest centroid per corpus vector (rounded cosine +
-    # centroid-id tiebreak => engine-portable determinism)
+    # centroid-id tiebreak => engine-portable determinism). max_by instead of
+    # a row_number window: hash aggregation with map-side partials — no sort,
+    # and at 100 TB the corpus never needs to be range-shuffled.
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("acos").desc(), F.col("centroid_id").asc()
+    acos = qround(cosine_expr(F.col("cv"), F.col("cvec")), 6)
+    assign_order = F.struct(
+        acos.alias("s"), (-F.col("centroid_id")).alias("tb")
     )
     lists = (
         c.crossJoin(cent)
-        .select(
-            "neighbor_id",
-            "cv",
-            "centroid_id",
-            qround(cosine_expr(F.col("cv"), F.col("cvec")), 6).alias("acos"),
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(F.col("centroid_id"), assign_order).alias("list_id"),
+            F.first("cv").alias("cv"),
         )
-        .withColumn("_rn", F.row_number().over(assign_w))
-        .filter(F.col("_rn") == 1)
-        .select("neighbor_id", "cv", F.col("centroid_id").alias("list_id"))
+        .select("neighbor_id", "cv", "list_id")
     )
     # search: probe nprobe nearest centroids per query
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
