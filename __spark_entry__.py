@@ -1778,6 +1778,114 @@ FROM d WHERE gap_seconds > 86400.0
 
 
 # ---------------------------------------------------------------------------
+# sessionization + deterministic sampling (event-pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-timeout sessionization (6h) per user: one row per session with
+    start/end/count/duration (operators.sessions.session_stats)."""
+    from etdtransform_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, timeout_seconds=6 * 3600.0, ts_col="ts",
+                        key_cols=["user_id"])
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end", "n_events",
+        qround(F.col("duration_seconds"), 1).alias("duration_seconds"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER wu IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER wu) > 21600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM {_EV}
+  WINDOW wu AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       floor(((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0) * 10.0 + 0.5) / 10.0
+         AS duration_seconds
+FROM g GROUP BY 1, 2
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of documents — reproducible across
+    engines and reruns, no RNG (operators.sessions.hash_sample)."""
+    from etdtransform_spark.operators.sessions import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 10).select("doc_id", "lang")
+
+
+_HS = portable_hash64_sql("doc_id::VARCHAR", seed="sample")
+_SQL_HASH_SAMPLE = f"""
+SELECT doc_id, lang FROM documents WHERE {_HS} % 100 < 10
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: 50 events per event_type by hash
+    rank (operators.sessions.stratified_hash_sample)."""
+    from etdtransform_spark.operators.sessions import stratified_hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_hash_sample(ev, "event_id", ["event_type"], k=50)
+    return out.select("event_id", "event_type", "user_id")
+
+
+_SS = portable_hash64_sql("event_id::VARCHAR", seed="sample")
+_SQL_STRATIFIED = f"""
+SELECT event_id, event_type, user_id FROM (
+  SELECT event_id, event_type, user_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY {_SS} ASC, event_id ASC) AS hr
+  FROM {_EV}
+) WHERE hr <= 50
+"""
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first-seen (user_id, event_type) pairs
+    across micro-batches (streaming.dedup_stream.streaming_distinct); the
+    oracle is batch DISTINCT."""
+    import hashlib as _hl
+    import os as _os
+    import uuid
+
+    from etdtransform_spark.streaming.dedup_stream import streaming_distinct
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(static_schema).parquet(stage)
+    deduped = streaming_distinct(stream, ["user_id", "event_type"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_SQL_STREAM_DEDUP = f"SELECT DISTINCT user_id, event_type FROM {_EV}"
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1836,6 +1944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_gap_detect": q_streaming_gap_detect,
         "impute_rule_chain": q_impute_rule_chain,
         "brand_supplier_revenue": q_brand_supplier_revenue,
+        "sessionize": q_sessionize,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1889,4 +2001,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_gap_detect": _SQL_STREAM_GAPS,
         "impute_rule_chain": _SQL_IMPUTE_RULES,
         "brand_supplier_revenue": _SQL_BRAND_SUPPLIER,
+        "sessionize": _SQL_SESSIONIZE,
+        "hash_sample": _SQL_HASH_SAMPLE,
+        "stratified_sample": _SQL_STRATIFIED,
+        "streaming_dedup": _SQL_STREAM_DEDUP,
     }

@@ -1,0 +1,106 @@
+"""Sessionization and deterministic sampling — event-pipeline operators.
+
+Sessionization is the batch twin of a streaming session window: a new
+session starts when the gap to the previous event of the same key exceeds
+the timeout. Pure lag/cumsum windows partitioned by the key — the same
+shape as the impute engine's gap grouping (operators/impute.py), so the
+sequential semantics can never straddle a shuffle boundary.
+
+Hash sampling replaces random sampling in reproducible data pipelines: the
+keep decision is a pure function of the row key, so any engine (and any
+rerun) selects the identical subset — no RNG state, no seed plumbing, and
+it pushes down to a cheap filter. Stratified k-per-group selection uses a
+hash rank window instead of a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+
+def sessionize(
+    df: DataFrame,
+    timeout_seconds: float,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign a per-key ``session_id`` (1-based, in time order): a new
+    session starts at the first event and whenever the gap to the previous
+    event exceeds ``timeout_seconds``."""
+    keys = key_cols or ["user_id"]
+    order = [ts_col, *(order_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.lag(
+        F.unix_micros(F.col(ts_col))
+    ).over(w)
+    new_session = (
+        gap_us.isNull() | (gap_us > F.lit(int(timeout_seconds * 1_000_000)))
+    ).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    timeout_seconds: float,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per session: start/end timestamps, event count, duration."""
+    keys = key_cols or ["user_id"]
+    sess = sessionize(df, timeout_seconds, ts_col, keys, order_cols)
+    return sess.groupBy(*keys, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / 1e6
+        ).alias("duration_seconds"),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    rate_percent: int,
+    seed: str = "sample",
+    fast: bool = False,
+) -> DataFrame:
+    """Deterministic ``rate_percent``% sample: keep rows whose key hash lands
+    in the first ``rate_percent`` of 100 buckets. Reproducible across
+    engines/reruns; Catalyst pushes the filter to the scan."""
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = portable_hash64(c.cast("string"), seed=seed, fast=fast) % 100
+    return df.filter(bucket < rate_percent)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: list[str],
+    k: int,
+    seed: str = "sample",
+    fast: bool = False,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by hash rank — a
+    deterministic stratified sample with no global sort and no RNG. The
+    window sorts each group by (hash, key); at scale each group sorts
+    independently inside its shuffle partition."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = portable_hash64(c.cast("string"), seed=seed, fast=fast)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), c.asc())
+    return (
+        df.withColumn("_hr", F.row_number().over(w))
+        .filter(F.col("_hr") <= k)
+        .drop("_hr")
+    )
