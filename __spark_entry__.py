@@ -1778,6 +1778,42 @@ FROM d WHERE gap_seconds > 86400.0
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering: connected components over LSH candidate pairs —
+# iterative label propagation on Spark, recursive CTE as the oracle
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs become edges; each doc
+    gets the min doc_id of its connected component
+    (dedup.connected_components, iterative Pregel-min)."""
+    from etdtransform_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    lsh = _sql_minhash_lsh()
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(v, u) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
+)
+SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+"""
+
+
+# ---------------------------------------------------------------------------
 # sessionization + deterministic sampling (event-pipeline operators)
 # ---------------------------------------------------------------------------
 
@@ -1948,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "streaming_dedup": q_streaming_dedup,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2005,4 +2042,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _SQL_HASH_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED,
         "streaming_dedup": _SQL_STREAM_DEDUP,
+        "dedup_clusters": _sql_dedup_clusters(),
     }

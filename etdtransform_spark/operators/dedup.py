@@ -266,6 +266,66 @@ def simhash(
     return votes.select("id", fingerprint.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair list: assign every node the
+    minimum id reachable in its connected component (label propagation /
+    Pregel-min, the algorithm behind GraphX connectedComponents).
+
+    Iterative: each round joins labels to the symmetric edge list, takes the
+    neighborhood minimum, and stops when no label changed (driver checks one
+    count per round — the loop is the canonical Spark iterative-algorithm
+    shape). Near-dup graphs are dense cliques, so convergence takes
+    O(cluster diameter) ≈ 2-3 rounds. At billions of edges the same loop
+    holds (persist + AQE); the large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce", SoCC'14) halves rounds if
+    diameter grows.
+
+    Returns (node, cluster_id) for every node that appears in ``edges``.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("v").alias("node"), F.col("label").alias("cluster_id"))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

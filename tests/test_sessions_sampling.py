@@ -70,3 +70,17 @@ def test_stratified_hash_sample_exact_k(spark):
     # small groups yield the whole group
     tiny = spark.createDataFrame([(i, 0) for i in range(5)], "k long, g long")
     assert stratified_hash_sample(tiny, "k", ["g"], k=25).count() == 5
+
+
+def test_connected_components_chains(spark):
+    from etdtransform_spark.operators.dedup import connected_components
+
+    # two components: a 4-chain (10-11-12-13) and a triangle (20,21,22);
+    # 30-40 isolated pair
+    edges = spark.createDataFrame(
+        [(11, 10), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (40, 30)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 40: 30}
