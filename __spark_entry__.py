@@ -34,6 +34,7 @@ from etdtransform_spark.functions.scalars import (
     gevoelstemperatuur,
     hh_key,
     qround,
+    qround_sql,
     yyyymmdd_key,
 )
 from etdtransform_spark.sources.parquet import read_table
@@ -1922,6 +1923,302 @@ _SQL_STREAM_DEDUP = f"SELECT DISTINCT user_id, event_type FROM {_EV}"
 
 
 # ---------------------------------------------------------------------------
+# as-of join + range join: the two time-series join shapes Spark lacks as
+# primitives, re-expressed shuffle-once (operators/asof.py, rangejoin.py)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest signup at-or-before its
+    timestamp (backward inclusive, left-join semantics). Spark side is the
+    union+carry window plan — one shuffle, no pair explosion; oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from etdtransform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on="ts",
+        by=["user_id"],
+        value_cols=["signup_event_id"],
+        prefix="asof_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("signup_ts"),
+        F.col("asof_signup_event_id").alias("signup_event_id"),
+    )
+
+
+_SQL_ASOF = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM {_EV} WHERE event_type = 'purchase'),
+s AS (
+  SELECT user_id, ts AS s_ts, max(event_id) AS signup_event_id
+  FROM {_EV} WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts, s.s_ts AS signup_ts, s.signup_event_id
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.s_ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval containment: the 20 longest sessions (deterministic
+    top-k) become intervals; count/sum ALL events (any user) inside each.
+    Spark side is the bucketed range join (1h buckets) — an equi-join on
+    bucket id, never BroadcastNestedLoop; oracle is a plain inequality join."""
+    from etdtransform_spark.operators.olap import top_k
+    from etdtransform_spark.operators.rangejoin import range_join
+    from etdtransform_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = session_stats(ev, timeout_seconds=6 * 3600.0, ts_col="ts",
+                             key_cols=["user_id"])
+    top = top_k(
+        sessions,
+        [
+            F.col("duration_seconds").desc(),
+            F.col("user_id").asc(),
+            F.col("session_id").asc(),
+        ],
+        20,
+    ).select(
+        F.col("user_id").alias("s_user_id"), "session_id",
+        "session_start", "session_end",
+    )
+    points = ev.select("event_id", "ts", "value")
+    rj = range_join(points, top, point_ts="ts", granularity_seconds=3600)
+    return rj.groupBy(
+        F.col("s_user_id").alias("user_id"), "session_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_in_range"),
+        qround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_RANGE_JOIN = f"""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER wu IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER wu) > 21600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM {_EV}
+  WINDOW wu AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur
+  FROM g GROUP BY 1, 2
+), top AS (
+  SELECT * FROM sess ORDER BY dur DESC, user_id ASC, session_id ASC LIMIT 20
+)
+SELECT t.user_id, t.session_id, count(*) AS n_in_range,
+       {qround_sql('sum(e.value)', 2)} AS sum_value
+FROM top t JOIN {_EV} e ON e.ts BETWEEN t.session_start AND t.session_end
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash hamming near-dup: banded candidates + exact bit_count verify
+# ---------------------------------------------------------------------------
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance 3 of the 16-bit portable
+    SimHash. Banded candidate generation (4 bands -> pigeonhole-exact for
+    hamming <= 3); oracle does the all-pairs comparison the bands avoid."""
+    from etdtransform_spark.operators.dedup import simhash_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup(docs, bits=16, bands=4, max_hamming=3)
+
+
+def _sql_simhash_near_dup() -> str:
+    return f"""
+WITH s AS ({_sql_simhash()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# OLAP surface the reference lacks: top-k, rollup, pivot, count-distinct,
+# sliding windows (operators/olap.py)
+# ---------------------------------------------------------------------------
+
+def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by lineitem revenue — TakeOrderedAndProject
+    (per-partition k-heaps merged on the driver, no global sort)."""
+    from etdtransform_spark.operators.olap import top_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return top_k(rev, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10)
+
+
+_SQL_TOPK = f"""
+SELECT l_orderkey,
+       {qround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem GROUP BY 1
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (status, priority) -> status -> grand total in
+    one Expand+hash-agg pass, with grouping indicators."""
+    from etdtransform_spark.operators.olap import rollup_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    return rollup_stats(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            qround(F.sum("o_totalprice"), 2).alias("sum_total"),
+        ],
+    )
+
+
+_SQL_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)::BIGINT AS grouping_o_orderstatus,
+       grouping(o_orderpriority)::BIGINT AS grouping_o_orderpriority,
+       count(*) AS n_orders,
+       {qround_sql('sum(o_totalprice)', 2)} AS sum_total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wide counts by event type (explicit pivot values -> static
+    schema, single conditional-aggregate pass)."""
+    from etdtransform_spark.operators.olap import pivot_table
+
+    ev = _t(spark, sf_dir, "events")
+    wide = pivot_table(ev, "user_id", "event_type", EVENT_TYPES, F.count(F.lit(1)))
+    # Spark pivot yields null for absent (user, type) combos; the SQL
+    # conditional count yields 0 — align on 0.
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+_SQL_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                   for t in EVENT_TYPES)}
+FROM {_EV} GROUP BY 1
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group cardinality (two-phase partial-distinct agg). The
+    approx_count_distinct HLL++ variant is the 100 TB path (same operator,
+    approx=True) — exact stays here because it is oracle-checkable."""
+    from etdtransform_spark.operators.olap import count_distinct_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    return count_distinct_agg(orders, ["o_orderpriority"], "o_custkey")
+
+
+_SQL_COUNT_DISTINCT = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_o_custkey,
+       count(*) AS n_rows
+FROM orders GROUP BY 1
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding by 15 minutes over events — each row lands
+    in exactly 2 windows (Expand + hash agg; the batch twin of a streaming
+    sliding aggregation)."""
+    from etdtransform_spark.operators.olap import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        "15 minutes",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            qround(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+_SQL_SLIDING = f"""
+WITH x AS (
+  SELECT unnest([time_bucket(INTERVAL '15 minutes', ts),
+                 time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
+           AS window_start,
+         value
+  FROM {_EV}
+)
+SELECT window_start, count(*) AS n_events, {qround_sql('sum(value)', 2)} AS sum_value
+FROM x GROUP BY 1
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf * ln(N/df), deterministic
+    tie-break) — corpus-level term weighting for training-data curation."""
+    from etdtransform_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def _sql_tfidf() -> str:
+    from etdtransform_spark.functions.scalars import qround_sql
+
+    w = qround_sql("tf.tf * ln(n.n_docs / dfreq.df)", 6)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+wt AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, {w} AS weight
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, weight,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term ASC) AS rank
+  FROM wt
+)
+SELECT doc_id, term, tf, df, weight, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1985,6 +2282,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "simhash_near_dup": q_simhash_near_dup,
+        "topk_revenue": q_topk_revenue,
+        "rollup_orders": q_rollup_orders,
+        "pivot_events": q_pivot_events,
+        "count_distinct": q_count_distinct,
+        "sliding_window": q_sliding_window,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -2043,4 +2349,13 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED,
         "streaming_dedup": _SQL_STREAM_DEDUP,
         "dedup_clusters": _sql_dedup_clusters(),
+        "asof_join": _SQL_ASOF,
+        "range_join": _SQL_RANGE_JOIN,
+        "simhash_near_dup": _sql_simhash_near_dup(),
+        "topk_revenue": _SQL_TOPK,
+        "rollup_orders": _SQL_ROLLUP,
+        "pivot_events": _SQL_PIVOT,
+        "count_distinct": _SQL_COUNT_DISTINCT,
+        "sliding_window": _SQL_SLIDING,
+        "tfidf_top_terms": _sql_tfidf(),
     }

@@ -266,6 +266,76 @@ def simhash(
     return votes.select("id", fingerprint.alias("simhash"))
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Scale path: the fingerprint is split into ``bands`` equal bit-bands; two
+    fingerprints within Hamming distance ``bands - 1`` MUST agree on at least
+    one band (pigeonhole), so candidate generation is an equi-join on
+    (band index, band value) — never an all-pairs comparison. With the
+    default ``max_hamming = bands - 1`` the result is therefore EXACT
+    (recall 1), at the cost of one explode(x bands) + hash join; candidates
+    are verified with ``bit_count(xor)``. This is the Manku/Jain/Sarma
+    (WWW'07) web-dedup decomposition expressed as DataFrame ops.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"band candidate generation is only exact for max_hamming <= "
+            f"bands-1 ({bands - 1}); raise bands or lower max_hamming"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, bits=bits, fast=fast)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "id", "simhash", F.explode(band_arr).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",

@@ -1,0 +1,99 @@
+"""General OLAP operators beyond the reference's fixed pipeline: top-k,
+rollup/grouping-sets, pivot, exact count-distinct, sliding time windows.
+
+The reference has no ORDER BY/LIMIT, no grouping sets, no pivot and no
+count-distinct (SURVEY.md §2.4/§2.5 "no grouping sets / cube / rollup /
+count-distinct ... no limit/top-k operator"); a complete engine a reference
+user could switch to needs them, and they are all native Catalyst operators
+— each function here is a thin, documented composition, kept as named ops so
+the coverage map and oracle queries have a stable surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k by a total order. ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject: each partition keeps a k-row heap and the driver
+    merges P heaps — O(n log k) work, no global sort, no full shuffle. The
+    ``order`` must be total (include a tie-break key) or the result set is
+    nondeterministic under partitioning."""
+    return df.orderBy(*order).limit(k)
+
+
+def rollup_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Hierarchical subtotals over ``keys`` (k+1 grouping sets: full detail →
+    grand total). Emits one ``grouping_<key>`` indicator per key (1 = this
+    key is rolled up in that row) so consumers — and the SQL oracle — can
+    tell a subtotal row from a detail row whose key is genuinely NULL.
+    Spark executes rollup as a single Expand + hash aggregate: one scan,
+    one shuffle, regardless of how many grouping sets."""
+    gcols = [F.grouping(c).cast("bigint").alias(f"grouping_{c}") for c in keys]
+    return df.rollup(*keys).agg(*gcols, *aggs)
+
+
+def pivot_table(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """Wide table: one row per ``group_col``, one column per pivot value.
+    ``pivot_values`` is explicit — never discovered from data — so the output
+    schema is static (a requirement for both plan caching and the oracle);
+    Spark then plans a single hash aggregate with len(values) conditional
+    aggregates instead of a distinct-scan + per-value pass."""
+    return df.groupBy(group_col).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def count_distinct_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group cardinality: exact ``count_distinct`` (expands to a two-phase
+    partial-distinct aggregate) or HyperLogLog++ ``approx_count_distinct``.
+    At 100 TB exact count-distinct on a high-cardinality column is a full
+    shuffle of the distinct pairs; the HLL sketch is a constant-size
+    accumulator per group and is the scale path — exact stays the default
+    because it is oracle-checkable."""
+    counter = (
+        F.approx_count_distinct(distinct_col, rsd)
+        if approx
+        else F.count_distinct(F.col(distinct_col))
+    )
+    return df.groupBy(*keys).agg(
+        counter.alias(f"n_{distinct_col}"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    slide_duration: str,
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Overlapping time-window aggregate (`F.window` with a slide): each row
+    contributes to window/slide windows; Spark expands the row once per
+    window then hash-aggregates — identical shape to the batch side of a
+    Structured Streaming sliding aggregation, so this op is the batch twin of
+    streaming/resample_stream with a slide. Returns window_start plus aggs."""
+    agged = df.groupBy(
+        F.window(F.col(ts_col), window_duration, slide_duration)
+    ).agg(*aggs)
+    rest = [c for c in agged.columns if c != "window"]
+    return agged.select(F.col("window.start").alias("window_start"), *rest)

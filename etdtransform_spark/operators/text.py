@@ -112,3 +112,52 @@ def fingerprint(df: DataFrame, text_col: str = "text", fast: bool = False) -> Da
     return widen(df).withColumn(
         "fingerprint", portable_hash64(normalized, seed="fp", fast=fast)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: tokenize (lowercase, split on
+    non-alphanumeric runs), term frequency per doc, document frequency over
+    the corpus, weight = tf * ln(N / df), rank per doc by (weight desc, term
+    asc) for a total deterministic order.
+
+    Plan shape at scale: tokenize is a narrow map; tf is a groupBy on
+    (doc, term) — the dominant shuffle, proportional to distinct pairs; df is
+    a second small aggregate reusing tf (no re-scan); N rides in as a
+    broadcast one-row cross join so the whole plan stays lazy (no driver
+    action). The per-doc top-k is a window over doc partitions.
+
+    Returns (id_col, term, tf, df, weight, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = widen(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    weighted = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("weight", qround(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "weight",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
