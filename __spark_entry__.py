@@ -2183,6 +2183,69 @@ FROM x GROUP BY 1
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming session windows (F.session_window, 6h gap) per
+    user. Complete-mode memory sink (session windows reject update mode;
+    append would hold back sessions newer than watermark+gap) — one
+    availableNow batch emits every final session; the oracle is the batch
+    gap-sessionization with the session_window boundary (new session when
+    diff >= gap)."""
+    import hashlib as _hl
+    import os as _os
+    import uuid
+
+    from etdtransform_spark.streaming.session_stream import (
+        streaming_session_stats,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sess = streaming_session_stats(
+        stream, gap="6 hours", ts_col="ts", key_cols=["user_id"]
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+_SQL_STREAM_SESSIONIZE = f"""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER wu IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER wu) >= 21600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM {_EV}
+  WINDOW wu AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, session_id
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (tf * ln(N/df), deterministic
     tie-break) — corpus-level term weighting for training-data curation."""
@@ -2291,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "sliding_window": q_sliding_window,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
@@ -2358,4 +2422,5 @@ def oracle_sql() -> dict[str, str]:
         "count_distinct": _SQL_COUNT_DISTINCT,
         "sliding_window": _SQL_SLIDING,
         "tfidf_top_terms": _sql_tfidf(),
+        "streaming_sessionize": _SQL_STREAM_SESSIONIZE,
     }

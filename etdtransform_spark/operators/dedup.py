@@ -313,26 +313,24 @@ def simhash_near_dup(
         "id", "simhash", F.explode(band_arr).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Verify (bit_count, a cheap ALU op) BEFORE dedup: a candidate pair can
+    # surface from up to ``bands`` buckets, and filtering first shrinks the
+    # distinct's shuffle from every candidate to just the matches.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(ham <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
+            ham.cast("bigint").alias("hamming"),
         )
         .distinct()
-    )
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return (
-        cand.withColumn("hamming", ham.cast("bigint"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

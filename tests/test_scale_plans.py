@@ -1,0 +1,247 @@
+"""Physical-plan and skew/bucketing tests: assert the *plan shape* that makes
+operators survive a 100x scale-up, not just their output values."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.asof import asof_join
+from etdtransform_spark.operators.rangejoin import range_join
+from etdtransform_spark.operators.skew import salted_agg, salted_join
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from etdtransform_spark.sources.parquet import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001/events.parquet")
+
+
+def test_asof_join_plans_single_shuffle(spark, events):
+    """The union+carry as-of join must cost exactly ONE exchange (the window
+    partitioning) — no join operator, no pair explosion."""
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], value_cols=["value"])
+    plan = _plan(spark, out)
+    # formatted explain names each node once in the tree and once in the
+    # detail section — count numbered plan nodes, not substrings
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan  # it is not a join at all
+    assert "Window" in plan
+
+
+def test_range_join_avoids_nested_loop(spark, events):
+    intervals = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("iv_user"),
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("session_end"),
+    )
+    points = events.select("event_id", "ts")
+    out = range_join(points, intervals, granularity_seconds=3600)
+    plan = _plan(spark, out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the containment predicate must ride on an equi-join on the bucket id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_top_k_plans_take_ordered(spark, events):
+    from etdtransform_spark.operators.olap import top_k
+
+    out = top_k(events, [F.col("value").desc(), F.col("event_id").asc()], 5)
+    plan = _plan(spark, out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+def test_tfidf_n_docs_is_not_a_driver_action(spark, events):
+    """The corpus size must ride into the plan as a broadcast subquery —
+    building the plan must not trigger a count() action."""
+    from etdtransform_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = tfidf_top_terms(docs, k=1)  # plan construction only
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)  # no job ran
+    assert {r.doc_id: r.term for r in out.collect()} == {1: "a", 2: "c"}
+
+
+def test_salted_agg_equals_direct(spark, events):
+    direct = {
+        (r.event_type,): (r.n, r.mx, r.avg_v)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.max("value").alias("mx"),
+            F.avg("value").alias("avg_v"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.event_type,): (r.n, r.mx, r.avg_v)
+        for r in salted_agg(
+            events,
+            ["event_type"],
+            [("value", "count", "n"), ("value", "max", "mx"), ("value", "avg", "avg_v")],
+            n_salt=16,
+        ).collect()
+    }
+    assert set(direct) == set(salted)
+    for k, (n, mx, avg) in direct.items():
+        sn, smx, savg = salted[k]
+        assert (n, mx) == (sn, smx)
+        assert abs(avg - savg) < 1e-9  # double accumulation order may differ
+
+
+def test_salted_join_equals_plain_join(spark, events):
+    dim = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    plain = sorted(
+        (r.event_id, r.n_ev)
+        for r in events.join(dim, "user_id").select("event_id", "n_ev").collect()
+    )
+    salted = sorted(
+        (r.event_id, r.n_ev)
+        for r in salted_join(events, dim, ["user_id"], n_salt=8)
+        .select("event_id", "n_ev")
+        .collect()
+    )
+    assert plain == salted
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Both sides bucketed by the join key with equal bucket counts -> the
+    sort-merge join plans with ZERO Exchange (the write-once/read-many trade
+    for stage sinks)."""
+    from etdtransform_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    try:
+        write_bucketed(li, "t_li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "t_ord_b",
+            ["l_orderkey"],
+            8,
+            sort_cols=["l_orderkey"],
+        )
+        a = read_bucketed(spark, "t_li_b")
+        b = read_bucketed(spark, "t_ord_b")
+        with_bucketing = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        }
+        old = {k: spark.conf.get(k) for k in with_bucketing}
+        try:
+            for k, v in with_bucketing.items():
+                spark.conf.set(k, v)
+            joined = a.join(b, "l_orderkey").groupBy("o_orderstatus").count()
+            plan = _plan(spark, joined)
+            assert "SortMergeJoin" in plan, plan
+            # bucketing removes BOTH join-input exchanges; the only Exchange
+            # left is the final groupBy's (an unbucketed plan has three)
+            assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+            # and the bucket-sorted layout removes the join-input sorts too:
+            # the only Sort nodes allowed are none (sortBy pre-sorted)
+            unbucketed = (
+                li.join(
+                    orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                    "l_orderkey",
+                )
+                .groupBy("o_orderstatus")
+                .count()
+            )
+            assert (
+                len(re.findall(r"\(\d+\) Exchange", _plan(spark, unbucketed)))
+                == 3
+            )
+            # result sanity vs unbucketed join
+            expect = (
+                li.join(
+                    orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                    "l_orderkey",
+                )
+                .groupBy("o_orderstatus")
+                .count()
+            )
+            assert sorted(map(tuple, joined.collect())) == sorted(
+                map(tuple, expect.collect())
+            )
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_streaming_session_merges_across_batches(spark, tmp_path):
+    """A session split across two micro-batches must merge in the state
+    store: feed two files sequentially with processAvailable semantics."""
+    from etdtransform_spark.streaming.session_stream import (
+        streaming_session_stats,
+    )
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    rows1 = [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 11:00:00"))]
+    rows2 = [(1, _ts("2024-01-01 12:00:00")), (2, _ts("2024-01-01 00:00:00"))]
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "b1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/*/")
+    )
+    sess = streaming_session_stats(
+        stream, gap="3 hours", ts_col="ts", key_cols=["user_id"]
+    )
+    import uuid
+
+    name = f"sess_merge_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.session_start, r.session_end, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    # user 1's three events (spanning the two files) merged into ONE session
+    assert got[1] == (_ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00"), 3)
+    assert got[2][2] == 1
