@@ -2282,6 +2282,149 @@ SELECT doc_id, term, tf, df, weight, rank FROM ranked WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# corpus preparation: chunking, packing, PII scrub, contamination
+# (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap) —
+    the pretraining split step; explode is proportional to output."""
+    from etdtransform_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+_SQL_CHUNK = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           floor((greatest(len(toks) - 16, 1) - 1) / 48.0)::BIGINT + 1)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       (chunk_id * 48)::BIGINT AS chunk_start,
+       least(64, len(toks) - chunk_id * 48)::BIGINT AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget bin packing (2048-token bins per source, id order): one
+    window cumsum, bin = where the document STARTS."""
+    from etdtransform_spark.operators.corpus import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, budget_tokens=2048)
+
+
+_SQL_PACK = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       floor(ce / 2048.0)::BIGINT AS bin_id,
+       (ce % 2048)::BIGINT AS bin_offset
+FROM c
+"""
+
+
+_PII_INJECT_SPARK = lambda c: F.concat(  # noqa: E731
+    c,
+    F.lit(" contact user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@example.com via https://ex.example/p/"),
+    F.col("doc_id").cast("string"),
+    F.lit(" or +31 6 5550 12"),
+    F.col("doc_id").cast("string"),
+    F.lit(" ip 10.0.0.7 "),
+)
+
+_PII_INJECT_SQL = (
+    "text || ' contact user' || doc_id || "
+    "'@example.com via https://ex.example/p/' || doc_id || "
+    "' or +31 6 5550 12' || doc_id || ' ip 10.0.0.7 '"
+)
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (URL -> email -> IPv4 -> phone, RE2-portable patterns)
+    over documents with deterministically injected PII so every counter
+    fires; counts are per-stage so overlap semantics are well-defined."""
+    from etdtransform_spark.operators.corpus import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", _PII_INJECT_SPARK(F.col("text"))
+    )
+    return scrub_pii(docs)
+
+
+def _sql_scrub() -> str:
+    from etdtransform_spark.operators.corpus import PII_PATTERNS
+
+    sql = (
+        "WITH s0 AS (SELECT doc_id, " + _PII_INJECT_SQL + " AS t FROM documents)"
+    )
+    prev = "s0"
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        lit = pat.replace("'", "''")
+        carried = ", ".join(f"n_{c}" for c in counts)
+        carried = carried + ", " if carried else ""
+        sql += (
+            f", s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t, '{lit}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, '{lit}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        prev = f"s{i}"
+        counts.append(name)
+    cols = ", ".join(f"n_{c}" for c in counts)
+    sql += f" SELECT doc_id, {cols}, t AS text_scrubbed FROM {prev}"
+    return sql
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage detection: corpus docs sharing any word 5-gram with
+    the (deterministic 10% hash-sampled) benchmark set."""
+    from etdtransform_spark.operators.corpus import contamination
+    from etdtransform_spark.operators.sessions import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = hash_sample(docs, "doc_id", 10)
+    corp = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return contamination(corp, bench, n=5)
+
+
+def _sql_contamination() -> str:
+    sh = word_shingles_sql("text", 5)
+    return f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE {_HS} % 100 < 10),
+corp AS (
+  SELECT d.doc_id, d.text FROM documents d
+  ANTI JOIN bench b ON d.doc_id = b.doc_id
+),
+bs AS (SELECT DISTINCT unnest({sh}) AS sh FROM bench),
+cs AS (SELECT doc_id, unnest({sh}) AS sh FROM corp)
+SELECT cs.doc_id, count(*) AS n_shared
+FROM cs JOIN bs USING (sh) GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -2355,6 +2498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "tfidf_top_terms": q_tfidf_top_terms,
         "streaming_sessionize": q_streaming_sessionize,
+        "chunk_documents": q_chunk_documents,
+        "pack_documents": q_pack_documents,
+        "scrub_pii": q_scrub_pii,
+        "contamination": q_contamination,
     }
 
 
@@ -2423,4 +2570,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": _SQL_SLIDING,
         "tfidf_top_terms": _sql_tfidf(),
         "streaming_sessionize": _SQL_STREAM_SESSIONIZE,
+        "chunk_documents": _SQL_CHUNK,
+        "pack_documents": _SQL_PACK,
+        "scrub_pii": _sql_scrub(),
+        "contamination": _sql_contamination(),
     }

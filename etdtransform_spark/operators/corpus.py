@@ -1,0 +1,173 @@
+"""Training-corpus preparation operators: document chunking, token-budget
+packing, PII scrubbing, benchmark-contamination detection.
+
+These are the operations a 100 TB pretraining-data pipeline runs after
+dedup/quality filtering (operators/dedup.py, operators/text.py): split long
+documents into model-window-sized chunks, pack short ones into budgeted
+bins, redact PII spans, and flag documents that leak evaluation-benchmark
+content. All pure Catalyst expressions (split/sequence/slice/regexp) — the
+chunk explode is the only row-multiplying step and it is proportional to
+output size; nothing touches Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import word_shingles
+from ..sources.parquet import widen
+
+
+def _toks(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    Chunk c covers tokens [c*step, c*step + chunk_tokens) with
+    ``step = chunk_tokens - overlap``; the last chunk is short rather than
+    padded, and a document shorter than one chunk yields exactly one chunk
+    (no silent drops). Chunk starts stay strictly below
+    ``max(n_tokens - overlap, 1)`` so no chunk consists of overlap alone.
+
+    Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text); row
+    count multiplies by ~n_tokens/step — the explode IS the output, there is
+    no intermediate blowup.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = _toks(text_col)
+    base = widen(df).select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    upper = F.greatest(n - F.lit(overlap), F.lit(1))
+    # number of chunks: floor((upper-1)/step) + 1  (exact in doubles here)
+    nc = F.floor((upper - F.lit(1)) / F.lit(step)).cast("long") + F.lit(1)
+    exploded = base.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), nc - F.lit(1))).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(step)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("chunk_start"),
+        F.least(F.lit(chunk_tokens), F.size("_toks") - start)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("_toks"), start + F.lit(1), F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Assign documents to token-budgeted bins: within each partition (e.g.
+    source), documents are laid out in ``id_col`` order as one concatenated
+    token stream cut every ``budget_tokens``; a document belongs to the bin
+    where it STARTS (so a document may straddle its bin's end — the common
+    sequence-packing semantics where the trainer crosses document
+    boundaries).
+
+    One window cumsum per partition — single shuffle, no iteration. Returns
+    (part_cols..., id, n_tokens, bin_id, bin_offset).
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = widen(df).select(
+        *part_cols, F.col(id_col), F.size(_toks(text_col)).alias("n_tokens")
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        *part_cols,
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(cum_excl / F.lit(budget_tokens)).cast("bigint").alias("bin_id"),
+        (cum_excl % F.lit(budget_tokens)).cast("bigint").alias("bin_offset"),
+    )
+
+
+# (pattern, replacement) in application order; RE2-portable (no lookaround,
+# no backrefs) so the DuckDB oracle runs the identical expressions.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact URLs, emails, IPv4s and phone-like digit runs, in that order
+    (URLs first so their path digits can't read as phones; each count is
+    taken on the text as it stood when that pattern ran, so counts are
+    well-defined under overlaps). Returns (id, n_url, n_email, n_ip,
+    n_phone, text_scrubbed). Narrow map stage — no shuffle."""
+    out = widen(df).select(F.col(id_col), F.col(text_col).alias("_t"))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        out = out.withColumn("_t", F.regexp_replace(F.col("_t"), pat, repl))
+        counts.append(f"n_{name}")
+    return out.select(id_col, *counts, F.col("_t").alias("text_scrubbed"))
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with a benchmark
+    set (eval-set leakage detection). Returns (id, n_shared) for
+    contaminated documents only.
+
+    Plan: distinct benchmark shingles (small side — a benchmark is thousands
+    of docs, broadcastable at any corpus scale) hash-joined against the
+    corpus shingle explode; group back to the document. Shingles join as
+    strings here for oracle parity — the production path hashes them to
+    int64 first (see dedup.ngram_jaccard_pairs) so the shuffle moves longs.
+    """
+    bench_sh = (
+        widen(benchmark)
+        .select(F.explode(word_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    corp_sh = widen(corpus).select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -1,0 +1,106 @@
+"""Unit tests for corpus-prep operators: chunk boundaries, packing
+semantics, PII overlap ordering, contamination exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.corpus import (
+    chunk_documents,
+    contamination,
+    pack_documents,
+    scrub_pii,
+)
+
+
+def _doc(spark, text, doc_id=1, source="web"):
+    return spark.createDataFrame(
+        [(doc_id, text, source)], "doc_id long, text string, source string"
+    )
+
+
+def test_chunk_exact_boundaries(spark):
+    words = [f"w{i}" for i in range(100)]
+    out = chunk_documents(
+        _doc(spark, " ".join(words)), chunk_tokens=64, overlap=16
+    ).collect()
+    by_id = {r.chunk_id: r for r in out}
+    # starts at 0, 48 (96 > upper-1 = 83)
+    assert sorted(by_id) == [0, 1]
+    assert by_id[0].chunk_start == 0 and by_id[0].n_chunk_tokens == 64
+    assert by_id[0].chunk_text.split(" ") == words[:64]
+    assert by_id[1].chunk_start == 48 and by_id[1].n_chunk_tokens == 52
+    assert by_id[1].chunk_text.split(" ") == words[48:100]
+    # overlap region is shared
+    assert by_id[0].chunk_text.split(" ")[48:] == by_id[1].chunk_text.split(" ")[:16]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    out = chunk_documents(_doc(spark, "a b c"), chunk_tokens=64, overlap=16).collect()
+    assert len(out) == 1
+    assert out[0].n_chunk_tokens == 3 and out[0].chunk_text == "a b c"
+
+
+def test_chunk_exact_multiple(spark):
+    # n = chunk_tokens: exactly one chunk, not one plus an overlap-only tail
+    words = " ".join(f"w{i}" for i in range(64))
+    out = chunk_documents(_doc(spark, words), chunk_tokens=64, overlap=16).collect()
+    assert len(out) == 1
+
+
+def test_pack_documents_bins_and_straddle(spark):
+    rows = [
+        (1, "a " * 1000, "web"),   # 1000 tokens -> bin 0, offset 0
+        (2, "b " * 1500, "web"),   # starts at 1000 -> bin 0, straddles into 1
+        (3, "c " * 10, "web"),     # starts at 2500 -> bin 1
+        (4, "d " * 5, "books"),    # separate partition -> bin 0
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: (r.bin_id, r.bin_offset, r.n_tokens)
+        for r in pack_documents(df, budget_tokens=2048).collect()
+    }
+    assert out[1] == (0, 0, 1000)
+    assert out[2] == (0, 1000, 1500)
+    assert out[3] == (1, 2500 % 2048, 10)
+    assert out[4] == (0, 0, 5)
+
+
+def test_scrub_pii_all_categories_and_order(spark):
+    text = (
+        "see https://x.org/a/1234567890 mail bob@x.org "
+        "server 192.168.0.1 call +31 6 1234 5678 end"
+    )
+    r = scrub_pii(_doc(spark, text)).collect()[0]
+    assert (r.n_url, r.n_email, r.n_ip, r.n_phone) == (1, 1, 1, 1)
+    s = r.text_scrubbed
+    for tok in ("<URL>", "<EMAIL>", "<IP>", "<PHONE>"):
+        assert tok in s, s
+    assert "bob@" not in s and "192.168" not in s and "1234 5678" not in s
+    # URL digits were consumed by <URL> BEFORE the phone pass: no phone
+    # match inside the url, and the url count is exactly 1
+    assert s.count("<PHONE>") == 1
+
+
+def test_scrub_pii_clean_text_identity(spark):
+    r = scrub_pii(_doc(spark, "just plain words here")).collect()[0]
+    assert (r.n_url, r.n_email, r.n_ip, r.n_phone) == (0, 0, 0, 0)
+    assert r.text_scrubbed == "just plain words here"
+
+
+def test_contamination_exact_shared_ngrams(spark):
+    bench = _doc(spark, "one two three four five six", doc_id=100)
+    corpus = spark.createDataFrame(
+        [
+            (1, "zero one two three four five seven"),  # shares 2 5-grams
+            (2, "totally unrelated words in this doc x"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in contamination(corpus, bench, n=5).collect()}
+    # corpus doc 1 shingles: (zero..four),(one..five),(two..seven); bench has
+    # (one..five),(two..six) -> exactly 1 shared
+    assert got == {1: 1}
