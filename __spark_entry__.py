@@ -2281,6 +2281,39 @@ SELECT doc_id, term, tf, df, weight, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: timestamps enumerated Catalyst-side (sequence +
+    posexplode), per-frame decode in the Arrow kernel (stubbed sha256 —
+    cross-engine computable). Synthetic geometry: every doc_id%3==2 doc is a
+    'video' whose duration is 40 ms per content byte."""
+    from etdtransform_spark.operators.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+        (F.octet_length("text") * 40).cast("long").alias("duration_ms"),
+    )
+    return sample_video_frames(media, every_ms=1000)
+
+
+_SQL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         (octet_length(encode(text)) * 40)::BIGINT AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT media_id, text,
+         unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS frame_ts_ms
+  FROM m
+)
+SELECT media_id, (frame_ts_ms // 1000)::BIGINT AS frame_idx, frame_ts_ms,
+       sha256(text || ':' || frame_ts_ms) AS frame_sha256
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus preparation: chunking, packing, PII scrub, contamination
 # (operators/corpus.py)
@@ -2502,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "scrub_pii": q_scrub_pii,
         "contamination": q_contamination,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -2574,4 +2608,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": _SQL_PACK,
         "scrub_pii": _sql_scrub(),
         "contamination": _sql_contamination(),
+        "frame_sample": _SQL_FRAME_SAMPLE,
     }

@@ -355,9 +355,12 @@ def connected_components(
 
     Returns (node, cluster_id) for every node that appears in ``edges``.
     """
+    # Materialize the (possibly expensive — LSH candidate generation)
+    # upstream ONCE: the symmetric union scans `edges` twice, and without
+    # this persist each scan recomputes the whole upstream pipeline.
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
     sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
@@ -391,6 +394,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    e.unpersist()
     return labels.select(F.col("v").alias("node"), F.col("label").alias("cluster_id"))
 
 

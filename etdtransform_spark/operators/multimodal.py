@@ -126,3 +126,184 @@ def synthesize_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
         (F.col("id") * 1000).alias("duration_ms"),
     )
     return base
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_sha256", StringType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    decode_stub: str = "deterministic",
+) -> DataFrame:
+    """Sample frames at a fixed cadence from video rows.
+
+    Frame TIMESTAMPS are enumerated Catalyst-side (``sequence`` + explode —
+    cheap, prunable, proportional to output) so the Arrow kernel receives one
+    row per target frame, which is exactly the shape a real ffmpeg-seek
+    decode produces; the per-frame decode itself is the stubbed step
+    (sha256(content:ts) stands in for decode+hash of the frame bitmap).
+    Requires ``duration_ms`` to be non-null on video rows.
+    """
+    if decode_stub not in ("deterministic", "raise"):
+        raise ValueError("decode_stub must be 'deterministic' or 'raise'")
+    frames = (
+        df.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            "content",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)).cast("long"),
+                    F.lit(int(every_ms)).cast("long"),
+                )
+            ).alias("frame_idx", "frame_ts_ms"),
+        )
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "frame decode requires ffmpeg; integrate the seek+decode here"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "frame_ts_ms": pdf["frame_ts_ms"].astype("int64"),
+                    "frame_sha256": [
+                        hashlib.sha256(
+                            bytes(c) + b":" + str(ts).encode()
+                        ).hexdigest()
+                        if c is not None
+                        else None
+                        for c, ts in zip(pdf["content"], pdf["frame_ts_ms"])
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(decode, schema=FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("chunk_idx", LongType(), False),
+        StructField("start_ms", LongType(), False),
+        StructField("end_ms", LongType(), False),
+        StructField("chunk_sha256", StringType(), True),
+    ]
+)
+
+
+def chunk_audio(
+    df: DataFrame,
+    window_ms: int = 30_000,
+    hop_ms: int = 15_000,
+    decode_stub: str = "deterministic",
+) -> DataFrame:
+    """Overlapping audio windows (the ASR/embedding pre-segmentation shape):
+    window starts every ``hop_ms`` while they begin inside the clip, end
+    clamped to the clip. Same Catalyst-enumerate / Arrow-decode split as
+    :func:`sample_video_frames`."""
+    chunks = (
+        df.filter(F.col("modality") == "audio")
+        .select(
+            "media_id",
+            "content",
+            F.col("duration_ms").cast("long").alias("_dur"),
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)).cast("long"),
+                    F.lit(int(hop_ms)).cast("long"),
+                )
+            ).alias("chunk_idx", "start_ms"),
+        )
+        .withColumn("end_ms", F.least(F.col("start_ms") + window_ms, F.col("_dur")))
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError("audio decode integration point")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "chunk_idx": pdf["chunk_idx"].astype("int64"),
+                    "start_ms": pdf["start_ms"].astype("int64"),
+                    "end_ms": pdf["end_ms"].astype("int64"),
+                    "chunk_sha256": [
+                        hashlib.sha256(
+                            bytes(c) + b":" + str(s).encode() + b"-" + str(e).encode()
+                        ).hexdigest()
+                        if c is not None
+                        else None
+                        for c, s, e in zip(
+                            pdf["content"], pdf["start_ms"], pdf["end_ms"]
+                        )
+                    ],
+                }
+            )
+
+    return chunks.mapInPandas(decode, schema=CHUNK_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resized", BinaryType(), True),
+        StructField("resized_sha256", StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    decode_stub: str = "deterministic",
+) -> DataFrame:
+    """Image resize stage (decode -> resample -> re-encode). Stub emits a
+    deterministic pseudo-bitmap (sha256 digest bytes) tagged with the target
+    geometry; a real implementation swaps only the kernel body (PIL resize),
+    keeping schema, batching, and partition behavior identical."""
+    imgs = df.filter(F.col("modality") == "image").select("media_id", "content")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError("image decode integration point")
+            payloads = [
+                hashlib.sha256(
+                    bytes(c) + f":{target_w}x{target_h}".encode()
+                ).digest()
+                if c is not None
+                else None
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": payloads,
+                    "resized_sha256": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return imgs.mapInPandas(decode, schema=RESIZE_SCHEMA)

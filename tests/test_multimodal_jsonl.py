@@ -1,0 +1,99 @@
+"""Tests for the widened multimodal plumbing (frame sampling, audio
+chunking, image resize) and the JSONL corpus source."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.multimodal import (
+    chunk_audio,
+    resize_images,
+    sample_video_frames,
+    synthesize_media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media_table(spark, n=30)
+
+
+def test_frame_sampling_cadence_and_stub(spark, media):
+    out = sample_video_frames(media, every_ms=1000).collect()
+    assert out, "no video rows sampled"
+    by_media: dict = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    row = media.filter(F.col("modality") == "video").first()
+    frames = sorted(by_media[row.media_id], key=lambda r: r.frame_idx)
+    # cadence: frame k at k*1000 ms, strictly inside the clip, none missing
+    expected_n = max(row.duration_ms - 1, 0) // 1000 + 1
+    assert len(frames) == expected_n
+    for k, fr in enumerate(frames):
+        assert fr.frame_idx == k and fr.frame_ts_ms == k * 1000
+    want = hashlib.sha256(bytes(row.content) + b":0").hexdigest()
+    assert frames[0].frame_sha256 == want
+
+
+def test_audio_chunks_overlap_and_clamp(spark):
+    df = spark.createDataFrame(
+        [(1, "audio", b"xyz", 70_000)],
+        "media_id long, modality string, content binary, duration_ms long",
+    )
+    out = sorted(chunk_audio(df, window_ms=30_000, hop_ms=15_000).collect(),
+                 key=lambda r: r.chunk_idx)
+    # starts: 0,15k,30k,45k,60k (all < 70k); ends clamp at 70k
+    assert [(r.start_ms, r.end_ms) for r in out] == [
+        (0, 30_000), (15_000, 45_000), (30_000, 60_000),
+        (45_000, 70_000), (60_000, 70_000),
+    ]
+    assert out[0].chunk_sha256 == hashlib.sha256(b"xyz:0-30000").hexdigest()
+
+
+def test_resize_stub_geometry_and_determinism(spark, media):
+    out = resize_images(media, target_w=224, target_h=224).collect()
+    n_images = media.filter(F.col("modality") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        assert (r.width, r.height) == (224, 224)
+        assert r.resized_sha256 == hashlib.sha256(bytes(r.resized)).hexdigest()
+    again = {r.media_id: r.resized_sha256
+             for r in resize_images(media, 224, 224).collect()}
+    assert again == {r.media_id: r.resized_sha256 for r in out}
+
+
+def test_decode_stub_raise_marks_integration_point(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_video_frames(media, decode_stub="raise").collect()
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from etdtransform_spark.sources.jsonl import (
+        DOCUMENTS_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    # Spark requires caching parsed rows before queries that reference only
+    # _corrupt_record (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    back = read_jsonl(spark, out, DOCUMENTS_SCHEMA).cache()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    a = sorted((r.doc_id, r.text) for r in docs.collect())
+    b = sorted((r.doc_id, r.text) for r in back.collect())
+    assert a == b
+    # corrupt line routed to quarantine, not a job failure
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+    )
+    mixed = read_jsonl(spark, str(bad), DOCUMENTS_SCHEMA).cache()
+    assert mixed.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert mixed.filter(F.col("doc_id") == 1).count() == 1
