@@ -2281,6 +2281,34 @@ SELECT doc_id, term, tf, df, weight, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization of the embedding corpus (global
+    per-dimension min/max -> 255-level codes): the memory side of
+    billion-scale ANN (4x smaller resident index). One stats aggregate +
+    a broadcast-stats narrow encode; the corpus itself never shuffles."""
+    from etdtransform_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+_SQL_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), s AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+c AS (
+  SELECT e.vec_id, e.d,
+         (CASE WHEN s.mx = s.mn THEN 0.0
+               ELSE least(255.0, floor((e.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5))
+          END)::BIGINT AS code
+  FROM e JOIN s USING (d)
+)
+SELECT vec_id, list(code ORDER BY d) AS codes FROM c GROUP BY vec_id
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: timestamps enumerated Catalyst-side (sequence +
     posexplode), per-frame decode in the Arrow kernel (stubbed sha256 —
@@ -2536,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "contamination": q_contamination,
         "frame_sample": q_frame_sample,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -2609,4 +2638,5 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _sql_scrub(),
         "contamination": _sql_contamination(),
         "frame_sample": _SQL_FRAME_SAMPLE,
+        "quantize_embeddings": _SQL_QUANTIZE,
     }

@@ -101,3 +101,47 @@ def test_streaming_gap_state_across_batches(spark, tmp_path):
     assert r["gap_start"] == t0 + dt.timedelta(hours=1)
     assert r["gap_end"] == t0 + dt.timedelta(hours=13)
     assert math.isclose(r["gap_seconds"], 12 * 3600.0)
+
+
+def test_quantize_adc_recall(spark):
+    """ADC over the quantized corpus must agree with exact cosine top-1 for
+    nearly all queries (256 levels on 64 dims is a fine grid), and the
+    reconstruction must be within one quantization step per dimension."""
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.operators.similarity import (
+        adc_topk,
+        cosine_topk,
+        quantize_embeddings,
+    )
+    from etdtransform_spark.sources.parquet import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    n_dims = 64
+    codes = quantize_embeddings(emb, n_dims=n_dims)
+    v = F.col("embedding")
+    stats = emb.agg(
+        *[F.min(v[i].cast("double")).alias(f"mn{i}") for i in range(n_dims)],
+        *[F.max(v[i].cast("double")).alias(f"mx{i}") for i in range(n_dims)],
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(queries, emb, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.corpus_id
+        for r in adc_topk(queries, codes, stats, k=1, n_dims=n_dims).collect()
+    }
+    hits = sum(1 for q in exact if approx.get(q) == exact[q])
+    assert hits >= int(0.9 * len(exact)), (hits, len(exact))
+
+    # reconstruction bound: |x - xhat| <= step/2 + eps per dimension
+    srow = stats.collect()[0]
+    crow = {r.vec_id: r.codes for r in codes.limit(50).collect()}
+    for r in emb.filter(F.col("vec_id").isin(list(crow))).collect():
+        for i, x in enumerate(r.embedding):
+            mn, mx = srow[f"mn{i}"], srow[f"mx{i}"]
+            step = (mx - mn) / 255.0 if mx > mn else 0.0
+            xhat = mn + crow[r.vec_id][i] * step
+            assert abs(float(x) - xhat) <= step / 2 + 1e-9
