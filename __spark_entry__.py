@@ -2281,6 +2281,138 @@ SELECT doc_id, term, tf, df, weight, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregate (30 min window / 15 min slide,
+    watermarked): the streaming twin of q_sliding_window, verified by the
+    SAME batch SQL oracle (complete-mode memory sink)."""
+    import hashlib as _hl
+    import os as _os
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("_sv"),
+        )
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("_w.start").alias("window_start"),
+        "n_events",
+        qround(F.col("_sv"), 2).alias("sum_value"),
+    )
+
+
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over per-user event values — the
+    ranked-window family the reference lacks (SURVEY §2.5 'no
+    ntile/percent_rank/cume_dist'). Total order (value, event_id) makes
+    every function deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        qround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        qround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_SQL_RANK_FAMILY = f"""
+SELECT user_id, event_id,
+       ntile(10) OVER w AS decile,
+       {qround_sql('percent_rank() OVER w', 6)} AS pct_rank,
+       {qround_sql('cume_dist() OVER w', 6)} AS cume
+FROM {_EV}
+WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-step signup->purchase funnel (purchase at-or-after the user's first
+    signup, within 7 days), counted per signup-day cohort
+    (operators/funnel.py — k conditional aggregates, no row-level
+    self-join)."""
+    from etdtransform_spark.operators.funnel import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, ["signup", "purchase"], within_seconds=7 * 86400.0
+    )
+
+
+_SQL_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS step1_ts FROM {_EV}
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS step2_ts
+  FROM {_EV} e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s1.step1_ts
+    AND epoch_us(e.ts) - epoch_us(s1.step1_ts) <= 604800000000
+  GROUP BY 1
+), u AS (
+  SELECT s1.user_id, s1.step1_ts, s2.step2_ts
+  FROM s1 LEFT JOIN s2 USING (user_id)
+)
+SELECT date_trunc('day', step1_ts)::TIMESTAMP AS cohort_day,
+       count(step1_ts) AS n_step1, count(step2_ts) AS n_step2
+FROM u GROUP BY 1
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: distinct active users per (first-activity
+    cohort week, week offset)."""
+    from etdtransform_spark.operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
+_SQL_RETENTION = f"""
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+  FROM {_EV} GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS w FROM {_EV}
+),
+j AS (
+  SELECT a.user_id, f.cohort_week,
+         ((epoch_us(a.w) - epoch_us(f.cohort_week)) / 604800000000.0)::BIGINT
+           AS week_offset
+  FROM a JOIN f USING (user_id)
+)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+FROM j GROUP BY 1, 2
+"""
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-style scalar quantization of the embedding corpus (global
     per-dimension min/max -> 255-level codes): the memory side of
@@ -2565,6 +2697,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "frame_sample": q_frame_sample,
         "quantize_embeddings": q_quantize_embeddings,
+        "streaming_sliding": q_streaming_sliding,
+        "window_rank_family": q_window_rank_family,
+        "funnel": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -2639,4 +2775,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _sql_contamination(),
         "frame_sample": _SQL_FRAME_SAMPLE,
         "quantize_embeddings": _SQL_QUANTIZE,
+        "streaming_sliding": _SQL_SLIDING,
+        "window_rank_family": _SQL_RANK_FAMILY,
+        "funnel": _SQL_FUNNEL,
+        "retention": _SQL_RETENTION,
     }

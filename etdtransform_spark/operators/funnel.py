@@ -1,0 +1,112 @@
+"""Event-funnel and cohort-retention analytics over event streams.
+
+Product-analytics staples that stress ordered multi-step semantics: a
+k-step funnel is a chain of "first occurrence of step i at-or-after the
+user's step i-1" constraints — each step is ONE conditional aggregate over
+the user's events joined back on the user key, so a k-step funnel costs k
+hash aggregates + k-1 broadcast-able joins on user-level (tiny) frames, with
+the raw events scanned once per step and never self-joined row-to-row.
+Retention is a double date-bucket distinct count. Both reduce to
+shuffle-once-per-aggregate shapes that scale linearly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Per-user funnel timestamps: ``step1_ts`` = first occurrence of
+    steps[0]; ``step{i}_ts`` = first occurrence of steps[i-1] at-or-after
+    ``step{i-1}_ts`` (and, with ``within_seconds``, within that window of
+    step1). Null from the first unreached step onward. One row per user who
+    reached step 1.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    base = df.select(user_col, ts_col, type_col)
+    cur = (
+        base.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"step{i - 1}_ts"
+        evts = base.filter(F.col(type_col) == step)
+        cond = F.col(ts_col) >= F.col(prev)
+        if within_seconds is not None:
+            cond = cond & (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("step1_ts"))
+                <= int(within_seconds * 1e6)
+            )
+        nxt = (
+            evts.join(cur.select(user_col, "step1_ts", prev), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"step{i}_ts"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Daily-cohort funnel counts: users grouped by the DAY of their step-1
+    timestamp; ``n_step{i}`` = how many of them reached step i. Conversion
+    consumers divide downstream (kept as counts so the output is
+    integer-exact)."""
+    per_user = funnel_steps(df, steps, user_col, ts_col, type_col, within_seconds)
+    aggs = [
+        F.count(F.col(f"step{i}_ts")).alias(f"n_step{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    return (
+        per_user.withColumn("cohort_day", F.date_trunc("day", F.col("step1_ts")))
+        .groupBy("cohort_day")
+        .agg(*aggs)
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-activity week
+    (cohort); for each (cohort_week, week_offset) the distinct users active
+    that many weeks later. Two aggregates: first-week per user, then a
+    distinct count per (cohort, offset) — both shuffle on user-sized keys,
+    never on raw events."""
+    firsts = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = (
+        df.select(user_col, F.date_trunc("week", F.col(ts_col)).alias("w"))
+        .distinct()
+        .join(firsts, user_col)
+    )
+    offset = (
+        (F.unix_micros(F.col("w")) - F.unix_micros(F.col("cohort_week")))
+        / F.lit(604_800_000_000)
+    ).cast("bigint")
+    return (
+        active.withColumn("week_offset", offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )

@@ -99,3 +99,74 @@ def test_derived_hash_family_parity(spark, duck):
         for row in duck.sql(f"SELECT i, {exprs} FROM td").fetchall()
     }
     assert got == want
+
+
+# --- as-of join vs pandas merge_asof -----------------------------------------
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # key
+        st.integers(min_value=0, max_value=1000),  # ts (seconds)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(left_rows=_asof_rows, right_rows=_asof_rows,
+       direction=st.sampled_from(["backward", "forward"]),
+       tolerance=st.sampled_from([None, 50.0, 200.0]))
+def test_asof_join_matches_pandas_merge_asof(
+    spark, left_rows, right_rows, direction, tolerance
+):
+    """asof_join must agree with pandas.merge_asof (the de-facto reference
+    semantics) for every direction/tolerance combination, including ties on
+    the join timestamp and keys absent from one side."""
+    import pandas as pd
+
+    from etdtransform_spark.operators.asof import asof_join
+
+    left_pd = pd.DataFrame(
+        {
+            "lid": range(len(left_rows)),
+            "key": [k for k, _ in left_rows],
+            "ts": pd.to_datetime([t for _, t in left_rows], unit="s"),
+        }
+    )
+    # unique (key, ts) on the right — both engines require/assume it
+    seen, rr = set(), []
+    for k, t in right_rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rr.append((k, t))
+    right_pd = pd.DataFrame(
+        {
+            "key": [k for k, _ in rr],
+            "ts": pd.to_datetime([t for _, t in rr], unit="s"),
+            "price": [float(k * 1000 + t) for k, t in rr],
+        }
+    )
+    want_df = pd.merge_asof(
+        left_pd.sort_values("ts", kind="stable"),
+        right_pd.sort_values("ts", kind="stable"),
+        on="ts",
+        by="key",
+        direction=direction,
+        tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.price) else float(r.price))
+        for r in want_df.itertuples()
+    }
+    out = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        on="ts",
+        by=["key"],
+        value_cols=["price"],
+        direction=direction,
+        tolerance_seconds=tolerance,
+    )
+    got = {int(r.lid): r.asof_price for r in out.collect()}
+    assert got == want

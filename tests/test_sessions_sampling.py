@@ -84,3 +84,65 @@ def test_connected_components_chains(spark):
     out = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert out == {10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 40: 30}
+
+
+def test_funnel_ordering_and_window(spark):
+    """A purchase BEFORE the first signup must not convert; one inside the
+    window does; one outside the window does not."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.operators.funnel import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def at(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    rows = [
+        # user 1: purchase before signup (ignored), then within window
+        (1, at(days=-1), "purchase"),
+        (1, at(), "signup"),
+        (1, at(days=2), "purchase"),
+        # user 2: purchase only outside the 7-day window
+        (2, at(), "signup"),
+        (2, at(days=8), "purchase"),
+        # user 3: purchase at the exact signup timestamp (inclusive >=)
+        (3, at(), "signup"),
+        (3, at(), "purchase"),
+        # user 4: never signs up -> absent from the funnel
+        (4, at(), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.user_id: (r.step1_ts, r.step2_ts)
+        for r in funnel_steps(
+            df, ["signup", "purchase"], within_seconds=7 * 86400.0
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (at(), at(days=2))
+    assert out[2] == (at(), None)
+    assert out[3] == (at(), at())
+
+
+def test_retention_offsets(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.funnel import retention_cohorts
+
+    mon = dt.datetime(2024, 1, 1, 9, 0)  # 2024-01-01 is a Monday
+    rows = [
+        (1, mon),
+        (1, mon + dt.timedelta(days=14, hours=3)),  # active in week 0 and 2
+        (2, mon + dt.timedelta(days=7)),            # cohort week 1 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): r.n_active
+        for r in retention_cohorts(df).collect()
+    }
+    w0 = dt.datetime(2024, 1, 1)
+    w1 = dt.datetime(2024, 1, 8)
+    assert got == {(w0, 0): 1, (w0, 2): 1, (w1, 0): 1}
