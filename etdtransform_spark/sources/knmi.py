@@ -69,11 +69,17 @@ def get_project_weather_station_data(
     spark: SparkSession, path: str
 ) -> DataFrame:
     """Station mapping (ProjectIdBSV -> Weerstation/STN). The reference reads
-    an Excel sheet (knmi.py:9-29); Excel engines are not available here, so
-    csv/parquet variants of the same table are accepted. Weerstation is
-    uppercased and STN copied from Nummer, matching the reference."""
+    the Excel sheet ``ProjectWeatherStation`` (knmi.py:9-29); here .xlsx is
+    handled by the stdlib-based reader in sources/xlsx.py (no Excel engine
+    in this environment), with csv/parquet variants also accepted.
+    Weerstation is uppercased and STN copied from Nummer, matching the
+    reference."""
     if path.endswith(".parquet"):
         df = spark.read.parquet(path)
+    elif path.endswith(".xlsx"):
+        from .xlsx import read_xlsx
+
+        df = read_xlsx(spark, path, "ProjectWeatherStation")
     else:
         df = spark.read.option("header", True).option("inferSchema", True).csv(path)
     df = df.withColumn("Weerstation", F.upper(F.col("Weerstation")))

@@ -108,3 +108,91 @@ def test_weather_data_table_coldest_weeks(spark):
     assert (
         out.filter(F.col("RollingTemperatuur14d").isNotNull()).count() > 0
     )
+
+
+def _write_minimal_xlsx(path, sheet_name, header, rows):
+    """Hand-built OOXML zip covering the subset sources/xlsx.py parses
+    (shared strings for text, inline numbers)."""
+    import zipfile
+
+    strings: list[str] = []
+
+    def sref(s: str) -> int:
+        if s not in strings:
+            strings.append(s)
+        return strings.index(s)
+
+    def cell(ref, v):
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def col_letter(i):
+        letters = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            letters = chr(65 + rem) + letters
+        return letters
+
+    all_rows = [header, *rows]
+    body = "".join(
+        "<row r=\"%d\">%s</row>"
+        % (ri + 1, "".join(cell(f"{col_letter(ci)}{ri + 1}", v)
+                            for ci, v in enumerate(row) if v is not None))
+        for ri, row in enumerate(all_rows)
+    )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+            f'<sheet name="{sheet_name}" sheetId="1" r:id="rId1"/>'
+            f"</sheets></workbook>",
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{pns}">'
+            f'<Relationship Id="rId1" Target="worksheets/sheet1.xml" '
+            f'Type="{rns}/worksheet"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{ns}">'
+            + "".join(f"<si><t>{s}</t></si>" for s in strings)
+            + "</sst>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>{body}</sheetData></worksheet>',
+        )
+
+
+def test_xlsx_station_mapping_roundtrip(spark, tmp_path):
+    from etdtransform_spark.sources.knmi import get_project_weather_station_data
+
+    p = str(tmp_path / "stations.xlsx")
+    _write_minimal_xlsx(
+        p,
+        "ProjectWeatherStation",
+        ["ProjectIdBSV", "Weerstation", "Nummer"],
+        [[1.0, "de bilt", 260.0], [2.0, "eelde", 280.0]],
+    )
+    df = get_project_weather_station_data(spark, p)
+    rows = {int(r.ProjectIdBSV): (r.Weerstation, int(r.STN)) for r in df.collect()}
+    assert rows == {1: ("DE BILT", 260), 2: ("EELDE", 280)}
+
+
+def test_xlsx_missing_sheet_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from etdtransform_spark.sources.xlsx import read_xlsx
+
+    p = str(tmp_path / "one.xlsx")
+    _write_minimal_xlsx(p, "Other", ["a"], [[1.0]])
+    with _pytest.raises(KeyError, match="ProjectWeatherStation"):
+        read_xlsx(spark, p, "ProjectWeatherStation")
