@@ -2353,6 +2353,54 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 """
 
 
+def q_validate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based twin of the reference's per-household loop
+    validate_household_column (impute.py:262-326, unused there): one
+    aggregate emits every quality flag per (key, column); second column has
+    no diff twin, exercising the null-dsum path."""
+    from etdtransform_spark.operators.validate import validate_household_columns
+
+    ev = _t(spark, sf_dir, "events").withColumn("v_nulled", _v_nulled())
+    return validate_household_columns(
+        ev,
+        [("value", "v_nulled"), ("v_nulled", None)],
+        key_col="user_id",
+    )
+
+
+_SQL_VALIDATE = f"""
+WITH base AS (
+  SELECT user_id, value, {_V_NULLED_SQL} AS v_nulled FROM {_EV}
+), a AS (
+  SELECT user_id,
+         (count(*) - count(value))::BIGINT AS n_missing,
+         count(*)::BIGINT AS n_rows,
+         {qround_sql('coalesce(sum(value), 0.0)', 10)} AS s,
+         {qround_sql('coalesce(max(value) - min(value), 0.0)', 10)} AS rng,
+         {qround_sql('coalesce(sum(v_nulled), 0.0)', 10)} AS dsum,
+         (count(*) - count(v_nulled))::BIGINT AS vn_missing,
+         {qround_sql('coalesce(sum(v_nulled), 0.0)', 10)} AS vs,
+         {qround_sql('coalesce(max(v_nulled) - min(v_nulled), 0.0)', 10)} AS vrng
+  FROM base GROUP BY 1
+)
+SELECT user_id, 'value' AS column, n_missing, n_rows,
+       n_missing = n_rows AS all_missing,
+       n_missing / n_rows > 0.4 AS high_na,
+       s = 0.0 AS zero_sum, rng = 0.0 AS no_change,
+       coalesce(dsum = 0.0, FALSE) AS zero_diff_sum,
+       NOT (n_missing = n_rows) AND NOT (s = 0.0) AND NOT (rng = 0.0) AS valid
+FROM a
+UNION ALL
+SELECT user_id, 'v_nulled' AS column, vn_missing AS n_missing, n_rows,
+       vn_missing = n_rows AS all_missing,
+       vn_missing / n_rows > 0.4 AS high_na,
+       vs = 0.0 AS zero_sum, vrng = 0.0 AS no_change,
+       FALSE AS zero_diff_sum,
+       NOT (vn_missing = n_rows) AND NOT (vs = 0.0) AND NOT (vrng = 0.0) AS valid
+FROM a
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-step signup->purchase funnel (purchase at-or-after the user's first
     signup, within 7 days), counted per signup-day cohort
@@ -2701,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_family": q_window_rank_family,
         "funnel": q_funnel,
         "retention": q_retention,
+        "validate_columns": q_validate_columns,
     }
 
 
@@ -2779,4 +2828,5 @@ def oracle_sql() -> dict[str, str]:
         "window_rank_family": _SQL_RANK_FAMILY,
         "funnel": _SQL_FUNNEL,
         "retention": _SQL_RETENTION,
+        "validate_columns": _SQL_VALIDATE,
     }

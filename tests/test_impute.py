@@ -186,3 +186,36 @@ def test_mid_gap_cumulative_value_splits_group(spark):
     assert got[TS[4]]["XDiff"] == pytest.approx(1.0)
     assert got[TS[5]]["XDiff"] == pytest.approx(1.0)
     assert got[TS[2]]["XDiff_impute_type"] == int(ImputeType.LINEAR_FILL)
+
+
+def test_validate_household_columns_flags(spark):
+    """Each reference check fires on a crafted household: all-missing,
+    zero-sum, no-change, high-NA warning, zero diff-sum warning
+    (reference impute.py:262-326 semantics, set-based)."""
+    from etdtransform_spark.operators.validate import validate_household_columns
+
+    rows = [
+        # house 1: healthy increasing cumulative
+        (1, 0.0, 1.0), (1, 1.0, 1.0), (1, 3.0, 2.0),
+        # house 2: all missing
+        (2, None, None), (2, None, None),
+        # house 3: constant nonzero (no_change fires, zero_sum does not)
+        (3, 5.0, 0.0), (3, 5.0, 0.0),
+        # house 4: values sum to zero (zero_sum fires via +1/-1)
+        (4, 1.0, 0.0), (4, -1.0, 0.0),
+        # house 5: 3 of 5 missing -> high_na warning, still valid (two
+        # distinct non-null values so no_change stays false)
+        (5, None, 1.0), (5, None, 1.0), (5, None, 1.0),
+        (5, 7.0, 1.0), (5, 9.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "HuisIdBSV long, cum double, diff double")
+    out = {
+        r.HuisIdBSV: r
+        for r in validate_household_columns(df, [("cum", "diff")]).collect()
+    }
+    assert out[1].valid and not out[1].high_na and not out[1].zero_diff_sum
+    assert out[2].all_missing and not out[2].valid
+    assert out[3].no_change and not out[3].valid and not out[3].zero_sum
+    assert out[4].zero_sum and not out[4].valid
+    assert out[5].high_na and out[5].valid and not out[5].no_change
+    assert out[3].zero_diff_sum  # diff sums to 0 -> warning flag, not invalid
