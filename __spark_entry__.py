@@ -2353,6 +2353,58 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 """
 
 
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (value vs hour-of-day per event_type) via
+    sufficient statistics — the ETD heating-analysis shape (energy vs
+    temperature per project) as one hash aggregate. Small-magnitude x
+    (0-23) keeps the closed form numerically tame cross-engine."""
+    from etdtransform_spark.operators.stats import groupwise_ols
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return groupwise_ols(ev, "x", "y", ["event_type"])
+
+
+_SQL_OLS = f"""
+WITH b AS (
+  SELECT event_type, hour(ts)::DOUBLE AS x, value AS y FROM {_EV}
+), a AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM b GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n,
+       {qround_sql('CASE WHEN n*sxx - sx*sx <> 0.0 THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END', 6)} AS slope,
+       {qround_sql('CASE WHEN n*sxx - sx*sx <> 0.0 THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END', 6)} AS intercept,
+       {qround_sql('CASE WHEN n*sxx - sx*sx <> 0.0 AND n*syy - sy*sy <> 0.0 THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END', 6)} AS r2
+FROM a
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type ([0, 200) x 20 bins,
+    clamped edges) — single-pass profiling aggregate."""
+    from etdtransform_spark.operators.stats import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", 0.0, 200.0, 20, keys=["event_type"])
+
+
+_SQL_HISTOGRAM = f"""
+SELECT event_type,
+       least(greatest(floor((value - 0.0) / 10.0)::BIGINT, 0), 19) AS bin,
+       count(*) AS n,
+       {qround_sql('0.0 + least(greatest(floor((value - 0.0) / 10.0)::BIGINT, 0), 19) * 10.0', 6)} AS bin_start
+FROM {_EV}
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_validate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based twin of the reference's per-household loop
     validate_household_column (impute.py:262-326, unused there): one
@@ -2750,6 +2802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "validate_columns": q_validate_columns,
+        "ols_regression": q_ols_regression,
+        "histogram": q_histogram,
     }
 
 
@@ -2829,4 +2883,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _SQL_FUNNEL,
         "retention": _SQL_RETENTION,
         "validate_columns": _SQL_VALIDATE,
+        "ols_regression": _SQL_OLS,
+        "histogram": _SQL_HISTOGRAM,
     }

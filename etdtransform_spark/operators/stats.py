@@ -1,0 +1,107 @@
+"""Statistical profiling operators: group-wise OLS regression, correlation,
+fixed-width histograms.
+
+The ETD use-case is heating analysis — energy use vs (perceived)
+temperature per project — which is a per-group simple linear regression.
+All three operators are single hash aggregates over closed-form sufficient
+statistics (Σx, Σy, Σxy, Σx², counts): one shuffle proportional to group
+count, no iteration, no ML library. At 100 TB the partial aggregation
+(map-side combine) reduces each partition to a handful of doubles per group
+before anything moves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
+
+
+def groupwise_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group simple OLS fit y = a + b*x via sufficient statistics:
+    b = (n*Σxy − Σx*Σy) / (n*Σx² − (Σx)²), a = (Σy − b*Σx)/n, plus r²
+    (NULL when x or y has zero variance). Rows where either side is NULL
+    are excluded pairwise (count n counts complete pairs)."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = F.when(x.isNotNull() & y.isNotNull(), F.lit(1))
+    xb = F.when(y.isNotNull(), x)
+    yb = F.when(x.isNotNull(), y)
+    agged = df.groupBy(*keys).agg(
+        F.count(both).cast("double").alias("_n"),
+        F.sum(xb).alias("_sx"),
+        F.sum(yb).alias("_sy"),
+        F.sum(xb * yb).alias("_sxy"),
+        F.sum(xb * xb).alias("_sxx"),
+        F.sum(yb * yb).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(den_x != 0.0, num / den_x)
+    intercept = F.when(den_x != 0.0, (sy - (num / den_x) * sx) / n)
+    r2 = F.when((den_x != 0.0) & (den_y != 0.0), (num * num) / (den_x * den_y))
+    return agged.select(
+        *keys,
+        n.cast("bigint").alias("n"),
+        qround(slope, digits).alias("slope"),
+        qround(intercept, digits).alias("intercept"),
+        qround(r2, digits).alias("r2"),
+    )
+
+
+def groupwise_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: Sequence[str],
+    digits: int = 6,
+) -> Column | DataFrame:
+    """Pearson correlation per group from the same sufficient statistics
+    (NOT F.corr — its internal accumulation differs across engines; this
+    formulation is the one the SQL oracle can reproduce op-for-op)."""
+    fitted = groupwise_ols(df, x_col, y_col, keys, digits=12)
+    # r = sign(slope) * sqrt(r2); recover without re-aggregating
+    r = F.when(
+        F.col("r2").isNotNull(),
+        F.when(F.col("slope") < 0, -F.sqrt(F.col("r2"))).otherwise(
+            F.sqrt(F.col("r2"))
+        ),
+    )
+    return fitted.select(*keys, "n", qround(r, digits).alias("pearson_r"))
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram with explicit [lo, hi) domain (explicit so the
+    result is one pass — a data-driven domain costs an extra min/max pass);
+    values outside clamp into the edge bins, NULLs dropped. Returns one row
+    per (keys..., bin) with bin_start and count — only non-empty bins, like
+    a groupBy should."""
+    x = F.col(col).cast("double")
+    w = (hi - lo) / n_bins
+    raw = F.floor((x - F.lit(lo)) / F.lit(w)).cast("bigint")
+    bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(*keys, bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_start", qround(F.lit(lo) + F.col("bin") * F.lit(w), 6))
+    )

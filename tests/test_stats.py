@@ -1,0 +1,65 @@
+"""Unit tests for statistical profiling operators against independent
+references (numpy lstsq, Spark's own corr)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.stats import (
+    groupwise_corr,
+    groupwise_ols,
+    histogram,
+)
+
+
+def test_ols_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(0, 10, 200)
+    ys = 3.5 * xs - 2.0 + rng.normal(0, 0.5, 200)
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in zip(xs, ys)],
+        "g string, x double, y double",
+    )
+    r = groupwise_ols(df, "x", "y", ["g"]).collect()[0]
+    b, a = np.polyfit(xs, ys, 1)
+    assert math.isclose(r.slope, b, rel_tol=1e-6)
+    assert math.isclose(r.intercept, a, rel_tol=1e-5, abs_tol=1e-5)
+    assert 0.97 < r.r2 <= 1.0
+    assert r.n == 200
+
+
+def test_ols_null_pairs_and_degenerate(spark):
+    rows = [
+        ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", None, 9.0), ("a", 3.0, None),
+        ("c", 5.0, 1.0), ("c", 5.0, 7.0),  # zero x-variance
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in groupwise_ols(df, "x", "y", ["g"]).collect()}
+    assert out["a"].n == 2 and math.isclose(out["a"].slope, 2.0)
+    assert out["c"].slope is None and out["c"].r2 is None  # no fit on vertical
+
+
+def test_corr_matches_spark_builtin(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    df = ev.select(
+        F.lit("g").alias("g"),
+        F.col("o_custkey").cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    ours = groupwise_corr(df, "x", "y", ["g"]).collect()[0].pearson_r
+    builtin = df.agg(F.corr("x", "y")).collect()[0][0]
+    # ours is rounded to 6 decimals by design (cross-engine determinism)
+    assert math.isclose(ours, builtin, abs_tol=5e-7)
+
+
+def test_histogram_clamp_and_nulls(spark):
+    rows = [(-5.0,), (0.0,), (9.9,), (10.0,), (199.9,), (250.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.bin: (r.n, r.bin_start) for r in histogram(df, "v", 0.0, 200.0, 20).collect()}
+    assert out[0] == (3, 0.0)     # -5 clamps down, 0.0 and 9.9 in bin 0
+    assert out[1] == (1, 10.0)
+    assert out[19] == (2, 190.0)  # 199.9 + clamped 250
+    assert sum(n for n, _ in out.values()) == 6  # null dropped
