@@ -2353,6 +2353,71 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
 """
 
 
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the per-user pivot back to long form (DataFrame.unpivot —
+    Expand-based, one pass): the round-trip twin of pivot_events, zeros
+    included."""
+    wide = q_pivot_events(spark, sf_dir)
+    return wide.unpivot(
+        ["user_id"], EVENT_TYPES, "event_type", "n"
+    )
+
+
+_SQL_UNPIVOT = f"""
+WITH w AS ({_SQL_PIVOT})
+{" UNION ALL ".join(f"SELECT user_id, '{t}' AS event_type, {t} AS n FROM w" for t in EVENT_TYPES)}
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 2 sample standard deviations, flag
+    on the ROUNDED score for deterministic membership) — the statistical
+    cousin of the reference's p95-based outlier bounds."""
+    from etdtransform_spark.operators.stats import zscore_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = zscore_outliers(ev, "value", ["event_type"], threshold=2.0)
+    return out.select("event_id", "event_type", "value", "z")
+
+
+_SQL_ZSCORE = f"""
+WITH a AS (
+  SELECT event_type, count(value)::DOUBLE AS n,
+         sum(value) AS sx, sum(value * value) AS sxx
+  FROM {_EV} GROUP BY 1
+), z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         {qround_sql('(e.value - a.sx / a.n) / sqrt((a.sxx - a.sx * a.sx / a.n) / (a.n - 1))', 6)} AS z
+  FROM {_EV} e JOIN a USING (event_type)
+)
+SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2.0
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis-Spirakis, hash-derived
+    uniforms — identical across engines/reruns/task retries): 200 events
+    weighted by |value|+1."""
+    from etdtransform_spark.operators.sessions import weighted_hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = weighted_hash_sample(
+        ev, "event_id", F.abs(F.col("value")) + 1.0, k=200
+    )
+    return out.select("event_id", "event_type", "value", "es_key")
+
+
+_WS_HASH = portable_hash64_sql("event_id::VARCHAR", seed="wsample")
+_SQL_WEIGHTED_SAMPLE = f"""
+SELECT event_id, event_type, value, es_key FROM (
+  SELECT event_id, event_type, value,
+         {qround_sql(f'ln((({_WS_HASH}) % 1048576 + 0.5) / 1048576.0) / (abs(value) + 1.0)', 9)}
+           AS es_key
+  FROM {_EV}
+) ORDER BY es_key DESC, event_id ASC LIMIT 200
+"""
+
+
 def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group simple OLS (value vs hour-of-day per event_type) via
     sufficient statistics — the ETD heating-analysis shape (energy vs
@@ -2804,6 +2869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_columns": q_validate_columns,
         "ols_regression": q_ols_regression,
         "histogram": q_histogram,
+        "unpivot_events": q_unpivot_events,
+        "zscore_outliers": q_zscore_outliers,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2885,4 +2953,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_columns": _SQL_VALIDATE,
         "ols_regression": _SQL_OLS,
         "histogram": _SQL_HISTOGRAM,
+        "unpivot_events": _SQL_UNPIVOT,
+        "zscore_outliers": _SQL_ZSCORE,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
     }

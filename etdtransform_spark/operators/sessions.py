@@ -104,3 +104,38 @@ def stratified_hash_sample(
         .filter(F.col("_hr") <= k)
         .drop("_hr")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    k: int,
+    seed: str = "wsample",
+    fast: bool = False,
+) -> DataFrame:
+    """Deterministic weighted sample of k rows without an RNG: the
+    Efraimidis-Spirakis A-ES scheme (each row ranked by u^(1/w), top-k kept
+    — inclusion probability proportional to weight) with the uniform u
+    derived from the portable key hash, so the sample is identical across
+    engines, reruns, AND task retries (rand() would violate all three).
+
+    Ranking uses the monotone-equivalent ln(u)/w (identical IEEE ops in the
+    SQL twin), rounded to 9 decimals with the key as tiebreak so the k-th
+    boundary is deterministic. Executes as TakeOrderedAndProject — no
+    global sort. Weights must be strictly positive."""
+    from ..functions.scalars import qround
+
+    c = F.col(key) if isinstance(key, str) else key
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    m = 1 << 20
+    u = (
+        portable_hash64(c.cast("string"), seed=seed, fast=fast) % m
+        + F.lit(0.5)
+    ) / F.lit(float(m))
+    es_key = qround(F.log(u) / w, 9)
+    return (
+        df.withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), c.asc())
+        .limit(k)
+    )

@@ -105,3 +105,35 @@ def histogram(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("bin_start", qround(F.lit(lo) + F.col("bin") * F.lit(w), 6))
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    col: str,
+    keys: Sequence[str],
+    threshold: float = 3.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Rows whose value deviates more than ``threshold`` sample standard
+    deviations from their group mean. Mean/std come from one sufficient-
+    statistics aggregate joined back (broadcast — one row per group), so the
+    fact table is scanned twice but shuffled zero times beyond the tiny
+    stats agg. The flag compares the ROUNDED z-score so membership is
+    deterministic cross-engine (an unrounded boundary comparison would let
+    one ulp decide inclusion)."""
+    x = F.col(col).cast("double")
+    stats = df.groupBy(*keys).agg(
+        F.count(x).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    joined = df.join(F.broadcast(stats), list(keys))
+    n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    z = qround(
+        (x - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1)), digits
+    )
+    return (
+        joined.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > threshold)
+        .drop("_n", "_sx", "_sxx")
+    )

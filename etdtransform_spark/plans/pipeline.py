@@ -32,7 +32,7 @@ from ..operators.impute import (
     imputation_summaries,
 )
 from ..operators.resample import resample
-from ..sources.parquet import read_family, write_family
+from ..sources.parquet import family_path, read_family, write_family
 
 
 def run_pipeline(
@@ -41,10 +41,31 @@ def run_pipeline(
     output_folder: str,
     cumulative_columns: list[str] | None = None,
     intervals: list[str] | None = None,
+    skip_existing: bool = False,
 ) -> dict[str, str]:
     """Run the full chain from a combined household DataFrame; returns the
-    map of family name -> written path."""
+    map of family name -> written path.
+
+    ``skip_existing`` is the distributed twin of the reference's
+    ``sorted=``/``diffs_calculated=`` skip flags (impute.py:587-637) made
+    structural: a family whose sink already holds a committed write (Spark's
+    ``_SUCCESS`` marker) is read back instead of recomputed, so an
+    interrupted run resumes from its last completed stage. A half-written
+    sink has no marker and is safely overwritten."""
     os.makedirs(output_folder, exist_ok=True)
+
+    def materialize(key, base_name, build, interval=None, partition_by=None):
+        """Write-or-skip one family; ``build`` is lazy so a skipped stage
+        never constructs its plan."""
+        path = family_path(output_folder, base_name, interval)
+        if skip_existing and os.path.exists(os.path.join(path, "_SUCCESS")):
+            written[key] = path
+        else:
+            written[key] = write_family(
+                build(), output_folder, base_name,
+                interval=interval, partition_by=partition_by,
+            )
+        return read_family(spark, output_folder, base_name, interval=interval)
     cum_cols = cumulative_columns or [
         c for c in IMPUTE_CUMULATIVE_COLUMNS if c in household_df.columns
     ]
@@ -52,67 +73,77 @@ def run_pipeline(
     ivs = intervals or INTERVALS
     written: dict[str, str] = {}
 
-    written["household_default"] = write_family(
-        household_df, output_folder, "household_default", partition_by=["ProjectIdBSV"]
+    household_df = materialize(
+        "household_default", "household_default", lambda: household_df,
+        partition_by=["ProjectIdBSV"],
     )
-    household_df = read_family(spark, output_folder, "household_default")
 
     # stage: avg-diff preparation (impute.py:469-537)
-    bounds = household_diff_max_bounds(household_df, diff_cols)
-    written["household_diff_max_bounds"] = write_family(
-        bounds, output_folder, "household_diff_max_bounds"
+    bounds = materialize(
+        "household_diff_max_bounds", "household_diff_max_bounds",
+        lambda: household_diff_max_bounds(household_df, diff_cols),
     )
-    bounds = read_family(spark, output_folder, "household_diff_max_bounds")
-    avg_diffs = calculate_average_diff(household_df, diff_cols, max_bounds=bounds)
-    written["avg_diffs"] = write_family(avg_diffs, output_folder, "avg_diffs")
-    avg_diffs = read_family(spark, output_folder, "avg_diffs")
+    avg_diffs = materialize(
+        "avg_diffs", "avg_diffs",
+        lambda: calculate_average_diff(household_df, diff_cols, max_bounds=bounds),
+    )
 
     # stage: imputation + normalization (impute.py:564-768)
-    imputed, gap_stats = impute_and_normalize(
-        household_df, cum_cols, avg_diffs=avg_diffs
-    )
-    written["household_imputed"] = write_family(
-        imputed, output_folder, "household_imputed", partition_by=["ProjectIdBSV"]
-    )
+    impute_path = family_path(output_folder, "household_imputed")
+    gap_path = family_path(output_folder, "impute_gap_stats")
+    if skip_existing and all(
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (impute_path, gap_path)
+    ):
+        written["household_imputed"] = impute_path
+        written["impute_gap_stats"] = gap_path
+    else:
+        imputed_new, gap_stats_new = impute_and_normalize(
+            household_df, cum_cols, avg_diffs=avg_diffs
+        )
+        written["household_imputed"] = write_family(
+            imputed_new, output_folder, "household_imputed",
+            partition_by=["ProjectIdBSV"],
+        )
+        written["impute_gap_stats"] = write_family(
+            gap_stats_new, output_folder, "impute_gap_stats"
+        )
     imputed = read_family(spark, output_folder, "household_imputed")
-    written["impute_gap_stats"] = write_family(
-        gap_stats, output_folder, "impute_gap_stats"
-    )
     gap_stats = read_family(spark, output_folder, "impute_gap_stats")
-    sum_house, sum_project = imputation_summaries(gap_stats, imputed)
-    written["impute_summary_household"] = write_family(
-        sum_house, output_folder, "impute_summary_household"
+    materialize(
+        "impute_summary_household", "impute_summary_household",
+        lambda: imputation_summaries(gap_stats, imputed)[0],
     )
-    written["impute_summary_project"] = write_family(
-        sum_project, output_folder, "impute_summary_project"
+    materialize(
+        "impute_summary_project", "impute_summary_project",
+        lambda: imputation_summaries(gap_stats, imputed)[1],
     )
 
     # stage: project-mean of diffs (aggregate.py:190-194)
     from pyspark.sql import functions as F
 
-    aggregated_diff = imputed.groupBy("ProjectIdBSV", "ReadingDate").agg(
-        *[F.avg(c).alias(c) for c in diff_cols]
-    )
-    written["household_aggregated_diff"] = write_family(
-        aggregated_diff, output_folder, "household_aggregated_diff"
+    materialize(
+        "household_aggregated_diff", "household_aggregated_diff",
+        lambda: imputed.groupBy("ProjectIdBSV", "ReadingDate").agg(
+            *[F.avg(c).alias(c) for c in diff_cols]
+        ),
     )
 
     # stage: calculated columns (calculated_columns.py:9-139)
-    calculated = add_calculated_columns(imputed)
-    written["household_calculated"] = write_family(
-        calculated, output_folder, "household_calculated", partition_by=["ProjectIdBSV"]
+    calculated = materialize(
+        "household_calculated", "household_calculated",
+        lambda: add_calculated_columns(imputed),
+        partition_by=["ProjectIdBSV"],
     )
-    calculated = read_family(spark, output_folder, "household_calculated")
 
     # stage: resample matrix + project aggregation (aggregate.py:356-539)
     for iv in ivs:
-        hh_iv = resample(calculated, iv)
-        written[f"household_{iv}"] = write_family(
-            hh_iv, output_folder, "household", interval=iv
+        hh_iv = materialize(
+            f"household_{iv}", "household",
+            lambda iv=iv: resample(calculated, iv), interval=iv,
         )
-        hh_iv = read_family(spark, output_folder, "household", interval=iv)
-        proj_iv = aggregate_project_data(hh_iv)
-        written[f"project_{iv}"] = write_family(
-            proj_iv, output_folder, "project", interval=iv
+        materialize(
+            f"project_{iv}", "project",
+            lambda hh_iv=hh_iv: aggregate_project_data(hh_iv), interval=iv,
         )
     return written

@@ -184,3 +184,44 @@ def test_summaries(spark, pipeline_out):
     )
     sp = read_family(spark, out_dir, "impute_summary_project")
     assert sp.filter(F.col("percentage_imputed") > 100).count() == 0
+
+
+def test_pipeline_skip_existing_resumes_without_rewrite(spark, pipeline_out):
+    """skip_existing=True on a completed output folder must not rewrite any
+    family (the reference's sorted=/diffs_calculated= skip flags, made
+    structural via _SUCCESS markers) — and removing one family's marker
+    recomputes exactly that family."""
+    import os
+    import time
+
+    out_dir, written = pipeline_out
+    marks = {
+        k: os.path.getmtime(os.path.join(p, "_SUCCESS"))
+        for k, p in written.items()
+    }
+    rows_before = {
+        k: spark.read.parquet(p).count() for k, p in written.items()
+    }
+    time.sleep(1.1)  # mtime resolution guard
+    dummy = spark.createDataFrame([], spark.read.parquet(
+        written["household_default"]).schema)
+    written2 = run_pipeline(
+        spark, dummy, out_dir, cumulative_columns=CUM_COLS,
+        intervals=["15min", "60min", "24h"], skip_existing=True,
+    )
+    assert written2 == written
+    for k, p in written2.items():
+        assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == marks[k], k
+    # invalidate ONE downstream family -> only it is rebuilt
+    target = written["project_24h"]
+    os.remove(os.path.join(target, "_SUCCESS"))
+    written3 = run_pipeline(
+        spark, dummy, out_dir, cumulative_columns=CUM_COLS,
+        intervals=["15min", "60min", "24h"], skip_existing=True,
+    )
+    assert os.path.getmtime(os.path.join(target, "_SUCCESS")) > marks["project_24h"]
+    for k, p in written3.items():
+        if k != "project_24h":
+            assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == marks[k], k
+    rows_after = {k: spark.read.parquet(p).count() for k, p in written3.items()}
+    assert rows_after == rows_before

@@ -146,3 +146,20 @@ def test_retention_offsets(spark):
     w0 = dt.datetime(2024, 1, 1)
     w1 = dt.datetime(2024, 1, 8)
     assert got == {(w0, 0): 1, (w0, 2): 1, (w1, 0): 1}
+
+
+def test_weighted_sample_determinism_and_weight_bias(spark):
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.operators.sessions import weighted_hash_sample
+
+    rows = [(i, 1.0 if i else 1e9) for i in range(500)]  # row 0 dominates
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = [r.id for r in weighted_hash_sample(df, "id", "w", k=50).collect()]
+    s2 = [r.id for r in weighted_hash_sample(df, "id", "w", k=50).collect()]
+    assert s1 == s2  # fully deterministic, ordered identically
+    assert len(s1) == 50
+    assert 0 in s1  # the overwhelming weight is always selected
+    # different seed -> different sample (the hash actually drives it)
+    s3 = [r.id for r in weighted_hash_sample(df, "id", "w", k=50, seed="x").collect()]
+    assert s1 != s3
