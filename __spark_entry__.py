@@ -2470,6 +2470,240 @@ GROUP BY 1, 2
 """
 
 
+def q_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly calendar scaffold per user (sequence+explode grid left-
+    joined with per-bucket aggregates — SURVEY §2.6's 'scaffold of empty
+    buckets', aggregate.py:843-861, made explicit): empty hours appear with
+    n = 0 and a null sum."""
+    from etdtransform_spark.operators.timeseries import scaffold_time_grid
+
+    ev = _t(spark, sf_dir, "events")
+    return scaffold_time_grid(
+        ev, ["user_id"], "ts", "1 hour",
+        aggs=[qround(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+_SQL_TIME_GRID = f"""
+WITH span AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM {_EV} GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span
+), agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, {qround_sql('sum(value)', 2)} AS sum_value
+  FROM {_EV} GROUP BY 1, 2
+)
+SELECT g.user_id, g.bucket, coalesce(a.n, 0) AS n, a.sum_value
+FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+"""
+
+
+def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of missing values between each
+    user's nearest non-null neighbors (pandas interpolate(method='time');
+    the continuous cousin of the reference's LINEAR_FILL impute rule,
+    vectorized_impute.py:630-678). 'error' rows play the nulls; leading/
+    trailing gaps stay null."""
+    from etdtransform_spark.operators.timeseries import interpolate_linear
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", _v_nulled().alias("v"))
+    )
+    out = interpolate_linear(
+        ev, ["user_id"], "ts", "v", order_cols=["event_id"]
+    )
+    return out.select("event_id", "user_id", "v", "v_interp")
+
+
+_SQL_INTERPOLATE = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM {_EV}
+), w AS (
+  SELECT event_id, user_id, v,
+         epoch_us(ts) AS t,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wb AS pt,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wf AS nt
+  FROM s
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, v,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE {qround_sql('pv + ((t - pt)::DOUBLE / (nt - pt)::DOUBLE) * (nv - pv)', 6)}
+       END AS v_interp
+FROM w
+"""
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (alpha=0.3, 20-row frame) per user — the recursive
+    fold Spark can't express as a window aggregate, done JVM-side via
+    collect_list over a bounded frame + higher-order F.aggregate; the
+    oracle folds the identical op sequence with list_reduce."""
+    from etdtransform_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.3, lookback=20,
+        order_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "value", "ewma")
+
+
+_SQL_EWMA = f"""
+SELECT event_id, user_id, value,
+       {qround_sql('list_reduce(l, (acc, x) -> 0.3 * x + 0.7 * acc)', 6)} AS ewma
+FROM (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+  FROM {_EV}
+)
+"""
+
+
+def q_quantile_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact quartiles + Tukey IQR fences (exact `percentile`, the
+    same R-7 linear interpolation as DuckDB quantile_cont — the distributed
+    generalization of the reference's exact-p95 outlier bound,
+    impute.py:55-60,81-90)."""
+    from etdtransform_spark.operators.stats import quantile_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_summary(ev, "value", ["event_type"])
+
+
+_SQL_QUANTILE = f"""
+WITH q AS (
+  SELECT event_type, count(value) AS n,
+         {qround_sql('quantile_cont(value, 0.25)', 6)} AS p25,
+         {qround_sql('quantile_cont(value, 0.50)', 6)} AS p50,
+         {qround_sql('quantile_cont(value, 0.75)', 6)} AS p75
+  FROM {_EV} GROUP BY 1
+)
+SELECT event_type, n, p25, p50, p75,
+       {qround_sql('p75 - p25', 6)} AS iqr,
+       {qround_sql('p25 - 1.5 * (p75 - p25)', 6)} AS lo_fence,
+       {qround_sql('p75 + 1.5 * (p75 - p25)', 6)} AS hi_fence
+FROM q
+"""
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2^k grouping sets over (event_type, hour-of-day) — the cross-tab
+    completion of rollup_orders, one Expand + one hash aggregate, grouping
+    indicators distinguishing subtotal rows from genuine nulls."""
+    from etdtransform_spark.operators.olap import cube_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return cube_stats(
+        ev, ["event_type", "hr"],
+        [F.count(F.lit(1)).alias("n"), qround(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+_SQL_CUBE = f"""
+SELECT event_type, hr,
+       grouping(event_type)::BIGINT AS grouping_event_type,
+       grouping(hr)::BIGINT AS grouping_hr,
+       count(*) AS n, {qround_sql('sum(value)', 2)} AS sum_value
+FROM (SELECT event_type, hour(ts) AS hr, value FROM {_EV})
+GROUP BY CUBE (event_type, hr)
+"""
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state snapshot: single latest row per user under the total
+    order (ts, event_id) — QUALIFY row_number() = 1, the CDC/SCD
+    'latest record wins' dedup."""
+    from etdtransform_spark.operators.olap import latest_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    out = latest_snapshot(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return out.select("user_id", "event_id", "event_type", "value", "ts")
+
+
+_SQL_LATEST = f"""
+SELECT user_id, event_id, event_type, value, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM {_EV}
+) WHERE rn = 1
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over (user, day) activity: purchase-days ∩ view-days
+    minus error-days (INTERSECT/EXCEPT — absent from the reference, SURVEY
+    §2.3 'no intersect/except'; Spark plans both as aggregated joins)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+
+    def days(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id", "day").distinct()
+
+    return days("purchase").intersect(days("view")).subtract(days("error"))
+
+
+_SQL_SET_OPS = f"""
+(SELECT DISTINCT user_id, ts::DATE AS day FROM {_EV} WHERE event_type = 'purchase'
+ INTERSECT
+ SELECT DISTINCT user_id, ts::DATE AS day FROM {_EV} WHERE event_type = 'view')
+EXCEPT
+SELECT DISTINCT user_id, ts::DATE AS day FROM {_EV} WHERE event_type = 'error'
+"""
+
+
+def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase revenue FULL OUTER JOIN per-user error counts with
+    coalesced keys — users appearing on either side survive (the only join
+    family the reference lacks entirely, SURVEY §2.3 'all equi left
+    joins')."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(qround(F.sum("value"), 2).alias("purchase_value"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        p.withColumnRenamed("user_id", "pu")
+        .join(e.withColumnRenamed("user_id", "eu"), F.col("pu") == F.col("eu"), "full_outer")
+        .select(
+            F.coalesce(F.col("pu"), F.col("eu")).alias("user_id"),
+            "purchase_value",
+            "n_errors",
+        )
+    )
+
+
+_SQL_FULL_OUTER = f"""
+WITH p AS (
+  SELECT user_id AS pu, {qround_sql('sum(value)', 2)} AS purchase_value
+  FROM {_EV} WHERE event_type = 'purchase' GROUP BY 1
+), e AS (
+  SELECT user_id AS eu, count(*) AS n_errors
+  FROM {_EV} WHERE event_type = 'error' GROUP BY 1
+)
+SELECT coalesce(pu, eu) AS user_id, purchase_value, n_errors
+FROM p FULL OUTER JOIN e ON pu = eu
+"""
+
+
 def q_validate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based twin of the reference's per-household loop
     validate_household_column (impute.py:262-326, unused there): one
@@ -2872,6 +3106,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_events": q_unpivot_events,
         "zscore_outliers": q_zscore_outliers,
         "weighted_sample": q_weighted_sample,
+        "time_grid": q_time_grid,
+        "interpolate_gaps": q_interpolate_gaps,
+        "ewma": q_ewma,
+        "quantile_iqr": q_quantile_iqr,
+        "cube_events": q_cube_events,
+        "latest_snapshot": q_latest_snapshot,
+        "set_ops": q_set_ops,
+        "full_outer_activity": q_full_outer_activity,
     }
 
 
@@ -2956,4 +3198,12 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_events": _SQL_UNPIVOT,
         "zscore_outliers": _SQL_ZSCORE,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "time_grid": _SQL_TIME_GRID,
+        "interpolate_gaps": _SQL_INTERPOLATE,
+        "ewma": _SQL_EWMA,
+        "quantile_iqr": _SQL_QUANTILE,
+        "cube_events": _SQL_CUBE,
+        "latest_snapshot": _SQL_LATEST,
+        "set_ops": _SQL_SET_OPS,
+        "full_outer_activity": _SQL_FULL_OUTER,
     }

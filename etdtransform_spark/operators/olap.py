@@ -97,3 +97,40 @@ def sliding_window_agg(
     ).agg(*aggs)
     rest = [c for c in agged.columns if c != "window"]
     return agged.select(F.col("window.start").alias("window_start"), *rest)
+
+
+def cube_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """All 2^k grouping sets over ``keys`` (cube), with one
+    ``grouping_<key>`` indicator per key exactly like :func:`rollup_stats`
+    — the cross-tab completion of the rollup hierarchy. Same physical
+    shape: a single Expand (2^k output rows per input row) + one hash
+    aggregate; partial aggregation still combines map-side, so the shuffle
+    carries group aggregates, not raw rows. Keep k small (<= 4): Expand
+    multiplies the scan by 2^k before combining."""
+    gcols = [F.grouping(c).cast("bigint").alias(f"grouping_{c}") for c in keys]
+    return df.cube(*keys).agg(*gcols, *aggs)
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+) -> DataFrame:
+    """Current-state snapshot of an event log: the single latest row per
+    key under a total ``order`` (QUALIFY row_number() = 1 — the standard
+    CDC/SCD "latest record wins" dedup). Planned as a window over
+    ``partitionBy(keys)`` — one hash shuffle on the key, per-partition
+    sort, no join back. ``order`` must be total (tie-break on a unique id)
+    or the survivor is nondeterministic under partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[o.desc() for o in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

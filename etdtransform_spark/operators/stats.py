@@ -137,3 +137,43 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) > threshold)
         .drop("_n", "_sx", "_sxx")
     )
+
+
+def quantile_summary(
+    df: DataFrame,
+    col: str,
+    keys: Sequence[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    iqr_k: float = 1.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group exact quantiles (linear interpolation between order
+    statistics — Spark ``percentile``, the same R-7 definition DuckDB's
+    ``quantile_cont`` uses) plus Tukey IQR fences. The distributed
+    generalization of the reference's filtered exact-p95 bound
+    (impute.py:55-60,81-90): exact, not approximate, because the bounds
+    feed imputation decisions and must hash-match an oracle.
+
+    Exact percentile buffers each group's values on one reducer — the
+    documented scale tradeoff (PLANS.md): fine for per-project groups
+    (thousands of rows each); for billions-per-group switch to
+    ``percentile_approx`` and give up oracle equality.
+    """
+    x = F.col(col).cast("double")
+    qs = F.percentile(x, F.array(*[F.lit(p) for p in probs]))
+    out = df.groupBy(*keys).agg(
+        F.count(x).alias("n"), qs.alias("_q")
+    )
+    named = [
+        qround(F.col("_q")[i], digits).alias(f"p{int(p * 100):02d}")
+        for i, p in enumerate(probs)
+    ]
+    out = out.select(*keys, "n", *named)
+    if 0.25 in probs and 0.75 in probs:
+        lo, hi = F.col("p25"), F.col("p75")
+        out = (
+            out.withColumn("iqr", qround(hi - lo, digits))
+            .withColumn("lo_fence", qround(lo - iqr_k * (hi - lo), digits))
+            .withColumn("hi_fence", qround(hi + iqr_k * (hi - lo), digits))
+        )
+    return out

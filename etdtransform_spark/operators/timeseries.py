@@ -1,0 +1,169 @@
+"""Dense-calendar and value-reconstruction time-series operators.
+
+The reference's resample only emits buckets where data exists (SURVEY §2.6
+"scaffold of empty buckets": pandas builds a base grid with
+``.resample(iv).size()`` then outer-merges, aggregate.py:843-861). These
+operators make the scaffold explicit and add the two reconstruction
+primitives a meter-reading pipeline needs around it: time-weighted linear
+interpolation across gaps (the continuous cousin of the reference's
+avg-diff imputation, impute.py:564-768) and exponentially weighted moving
+averages (the recursive cousin of its rolling means,
+calculated_columns.py:148-205).
+
+Scale notes: the grid is generated with ``sequence()`` + ``explode`` —
+a per-key generator, no driver loop, no cross-key shuffle beyond the one
+min/max aggregate; interpolation and EWMA are window passes over
+``partitionBy(key).orderBy(ts)``, so each key's series never straddles an
+executor boundary and consecutive window ops reuse one sort. The EWMA
+keeps a bounded frame (``lookback`` rows) and folds it with the
+higher-order ``F.aggregate`` — JVM-side, no Python, O(lookback) memory
+per row regardless of series length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
+
+
+def scaffold_time_grid(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    interval: str,
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Dense per-key time grid: one row per ``interval`` bucket between each
+    key's first and last observation, with per-bucket aggregates left-joined
+    on — empty buckets appear with ``n = 0`` (reference aggregate.py:843-861
+    builds this grid via pandas ``resample().size()`` + outer merge).
+
+    The grid derives from one groupBy (min/max per key) followed by
+    ``sequence()`` + ``explode`` — generation is distributed and linear in
+    output size. The grid⟕agg join keys on (key, bucket): both sides hash
+    to the same partitioning, one shuffle each.
+    """
+    keys = list(keys)
+    bucket = F.date_trunc(_trunc_unit(interval), F.col(ts_col))
+    span = df.groupBy(*keys).agg(
+        F.date_trunc(_trunc_unit(interval), F.min(ts_col)).alias("_lo"),
+        F.date_trunc(_trunc_unit(interval), F.max(ts_col)).alias("_hi"),
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {interval}"))
+        ).alias("bucket"),
+    )
+    per_bucket = (
+        df.withColumn("bucket", bucket)
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+    )
+    agg_names = [c for c in per_bucket.columns if c not in [*keys, "bucket"]]
+    joined = grid.join(per_bucket, [*keys, "bucket"], "left")
+    return joined.select(
+        *keys,
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        *[c for c in agg_names if c != "n"],
+    )
+
+
+def _trunc_unit(interval: str) -> str:
+    """'1 hour' -> 'hour'; only calendar-aligned single units make a
+    truncatable grid (multi-unit grids would need epoch arithmetic)."""
+    parts = interval.split()
+    if len(parts) != 2 or parts[0] != "1":
+        raise ValueError(
+            f"scaffold interval must be a single calendar unit, got {interval!r}"
+        )
+    return parts[1]
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Time-weighted linear interpolation of null values between each key's
+    nearest non-null neighbors (pandas ``interpolate(method="time")``
+    semantics, strict: leading/trailing nulls stay null). The continuous
+    alternative to the reference's LINEAR_FILL impute rule
+    (vectorized_impute.py:630-678), which splits a gap jump evenly; this
+    one weights by actual timestamp distance, so irregular cadences
+    interpolate correctly.
+
+    Two window passes (preceding ``last ignorenulls``, following ``first
+    ignorenulls``) over the same partition ordering — Spark plans one sort.
+    The fraction uses integer microseconds on both engines so the division
+    is the identical IEEE op.
+    """
+    v = F.col(value_col).cast("double")
+    order = [ts_col, *order_cols]
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(F.when(v.isNotNull(), us), ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(F.when(v.isNotNull(), us), ignorenulls=True).over(w_fwd)
+    frac = (us - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = F.when(v.isNotNull(), v).otherwise(
+        qround(prev_v + frac * (next_v - prev_v), digits)
+    )
+    return df.withColumn(f"{value_col}_interp", interp)
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    lookback: int = 20,
+    order_cols: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Truncated exponentially weighted moving average per key:
+    ``y_t = alpha * x_t + (1 - alpha) * y_{t-1}`` seeded from the oldest row
+    in a ``lookback``-row frame. The recursion is a left fold, which Spark
+    cannot express as a plain window aggregate — instead the frame is
+    collected (bounded: ``lookback`` doubles) and folded with the
+    higher-order ``F.aggregate``, keeping everything JVM-side. Truncation
+    bounds both memory and the weight of dropped history (``(1-alpha)^
+    lookback``); the closed-form alternative (sum of ``x_i * (1-a)^{-i}``
+    rescaled) overflows IEEE doubles for long series, so the fold is also
+    the numerically honest version.
+
+    Fold order is the window frame order (oldest -> newest); the SQL twin
+    (DuckDB ``list() OVER`` + ``list_reduce``) runs the identical op
+    sequence, so results agree to the last bit before the final rounding.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        F.slice(arr, 2, lookback),
+        F.element_at(arr, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.withColumn("ewma", qround(folded, digits))
