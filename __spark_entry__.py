@@ -2704,6 +2704,242 @@ FROM p FULL OUTER JOIN e ON pu = eu
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) per-type outliers — the resistant twin of
+    zscore_outliers: one wild value cannot drag the center or spread."""
+    from etdtransform_spark.operators.stats import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(ev, "value", ["event_type"], k=3.0).select(
+        "event_id", "event_type", "value", "robust_z"
+    )
+
+
+_SQL_MAD = f"""
+WITH med AS (
+  SELECT event_type, {qround_sql('quantile_cont(value, 0.5)', 6)} AS med
+  FROM {_EV} GROUP BY 1
+), mad AS (
+  SELECT e.event_type, {qround_sql('quantile_cont(abs(e.value - m.med), 0.5)', 6)} AS mad
+  FROM {_EV} e JOIN med m USING (event_type) GROUP BY 1
+), scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         {qround_sql('(e.value - m.med) / (1.4826 * d.mad)', 6)} AS robust_z
+  FROM {_EV} e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+)
+SELECT event_id, event_type, value, robust_z FROM scored WHERE abs(robust_z) > 3.0
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    LM — cheap fluency/quality scoring (LLM-corpus filter family)."""
+    from etdtransform_spark.operators.corpus import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+_SQL_UNIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+total AS (SELECT sum(tf) AS total FROM tf)
+SELECT t.doc_id, count(*) AS n_tokens,
+       {qround_sql('avg(ln(f.tf::DOUBLE / total.total))', 6)} AS avg_logprob
+FROM toks t JOIN tf f USING (term) CROSS JOIN total
+GROUP BY 1
+"""
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-3-gram fraction per doc (Gopher/MassiveText
+    repetition gate) — pure per-row array math, zero shuffles."""
+    from etdtransform_spark.operators.corpus import repetition_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_ratio(docs, n=3)
+
+
+_SQL_REPETITION = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) - 2, 1)),
+           i -> array_to_string(list_slice(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), i, i + 2), ' ')
+         ) AS grams
+  FROM documents
+)
+SELECT doc_id, len(grams) AS n_grams,
+       {qround_sql('(len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)', 6)} AS dup_gram_frac
+FROM g
+"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-title near-dup pairs: Levenshtein <= 2 on the normalized
+    64-char prefix, banded EXACTLY by the PassJoin segment filter (never a
+    cross join; the oracle verifies against the full quadratic join)."""
+    from etdtransform_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs, max_dist=2, prefix_len=64)
+
+
+_SQL_EDIT_PAIRS = """
+WITH p AS (
+  SELECT doc_id, rpad(lower(text[1:64]), 64, ' ') AS pre FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.pre, b.pre) AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 2
+"""
+
+
+def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise argmin lookup (TPC-H Q2's core shape): per brand, the
+    cheapest part — one hash aggregate on min(struct(price, key)), total
+    order via the key tiebreak, NO self-join back."""
+    part = _t(spark, sf_dir, "part")
+    best = part.groupBy("p_brand").agg(
+        F.min(F.struct("p_retailprice", "p_partkey")).alias("_m")
+    )
+    return best.select(
+        "p_brand",
+        F.col("_m.p_partkey").alias("p_partkey"),
+        qround(F.col("_m.p_retailprice"), 2).alias("min_price"),
+    )
+
+
+_SQL_ARGMIN = f"""
+SELECT p_brand, p_partkey, {qround_sql('p_retailprice', 2)} AS min_price
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice ASC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn = 1
+"""
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of global
+    order revenue. The global sum is a window over the 25-row aggregate —
+    never over the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("_rev"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        qround(F.col("_rev"), 2).alias("revenue"),
+        qround(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share"),
+    )
+
+
+_SQL_REVENUE_SHARE = f"""
+WITH per_nation AS (
+  SELECT n_name, sum(o_totalprice) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, {qround_sql('rev', 2)} AS revenue,
+       {qround_sql('rev / sum(rev) OVER ()', 6)} AS share
+FROM per_nation
+"""
+
+
+def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery (TPC-H Q22 shape): customers whose
+    order total exceeds 1.5x the mean customer total. The scalar enters as
+    a broadcast 1-row aggregate, not a driver collect."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("_tot")
+    )
+    avg_tot = per_cust.agg(F.avg("_tot").alias("_avg"))
+    return (
+        per_cust.crossJoin(F.broadcast(avg_tot))
+        .filter(F.col("_tot") > 1.5 * F.col("_avg"))
+        .select("o_custkey", qround(F.col("_tot"), 2).alias("total_spent"))
+    )
+
+
+_SQL_ABOVE_AVG = f"""
+WITH per_cust AS (
+  SELECT o_custkey, sum(o_totalprice) AS tot FROM orders GROUP BY 1
+)
+SELECT o_custkey, {qround_sql('tot', 2)} AS total_spent
+FROM per_cust
+WHERE tot > 1.5 * (SELECT avg(tot) FROM per_cust)
+"""
+
+
+def q_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join dimension grid (region x order-priority) left-joined with
+    observed counts — the categorical twin of the calendar scaffold: empty
+    cells survive with n = 0. Cross join of two tiny distinct sets only."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    prios = orders.select("o_orderpriority").distinct()
+    grid = region.select("r_name").crossJoin(prios)
+    counts = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid.join(counts, ["r_name", "o_orderpriority"], "left").select(
+        "r_name",
+        "o_orderpriority",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+
+
+_SQL_DIM_GRID = """
+WITH grid AS (
+  SELECT r_name, o_orderpriority
+  FROM (SELECT DISTINCT r_name FROM region)
+  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+), counts AS (
+  SELECT r_name, o_orderpriority, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT g.r_name, g.o_orderpriority, coalesce(c.n, 0) AS n
+FROM grid g LEFT JOIN counts c
+  ON g.r_name = c.r_name AND g.o_orderpriority = c.o_orderpriority
+"""
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table (5 iterations,
+    k=8, deterministic lowest-id init) — the iterative training step behind
+    ivf_topk's coarse quantizer. Iterative and accumulation-order-sensitive,
+    so no SQL oracle: the driver records the weaker rows-only check
+    (cluster count and schema are stable; per-cluster sizes are checked in
+    unit tests)."""
+    from etdtransform_spark.operators.similarity import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=8, iters=5).select("cluster_id", "n_members")
+
+
 def q_validate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based twin of the reference's per-household loop
     validate_household_column (impute.py:262-326, unused there): one
@@ -3114,6 +3350,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "set_ops": q_set_ops,
         "full_outer_activity": q_full_outer_activity,
+        "mad_outliers": q_mad_outliers,
+        "unigram_logprob": q_unigram_logprob,
+        "repetition_ratio": q_repetition_ratio,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "argmin_join": q_argmin_join,
+        "revenue_share": q_revenue_share,
+        "above_avg_customers": q_above_avg_customers,
+        "dim_grid": q_dim_grid,
+        "kmeans_centroids": q_kmeans_centroids,
     }
 
 
@@ -3206,4 +3451,14 @@ def oracle_sql() -> dict[str, str]:
         "latest_snapshot": _SQL_LATEST,
         "set_ops": _SQL_SET_OPS,
         "full_outer_activity": _SQL_FULL_OUTER,
+        "mad_outliers": _SQL_MAD,
+        "unigram_logprob": _SQL_UNIGRAM,
+        "repetition_ratio": _SQL_REPETITION,
+        "edit_distance_pairs": _SQL_EDIT_PAIRS,
+        "argmin_join": _SQL_ARGMIN,
+        "revenue_share": _SQL_REVENUE_SHARE,
+        "above_avg_customers": _SQL_ABOVE_AVG,
+        "dim_grid": _SQL_DIM_GRID,
+        # kmeans_centroids: iterative, accumulation-order-sensitive -> no
+        # SQL oracle (driver records the weaker rows-only check).
     }

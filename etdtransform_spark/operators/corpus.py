@@ -171,3 +171,71 @@ def contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical unigram LM — the classic cheap fluency/quality score (docs of
+    rare-token soup score low, natural prose scores high). Two aggregates:
+    corpus term frequencies (dictionary-sized), then a broadcast join back
+    onto the token explode and a per-doc mean of ``ln(tf/total)``.
+
+    The corpus total enters as a broadcast scalar subquery (cross join of a
+    1-row aggregate) — never a driver-side ``collect``. At 100 TB the
+    dictionary stays ~millions of rows (Zipf), comfortably broadcastable;
+    the token explode dominates and is map-side only.
+    """
+    toks = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    from ..functions.scalars import qround
+
+    scored = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            qround(
+                F.avg(F.log(F.col("tf").cast("double") / F.col("total"))),
+                digits,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
+def repetition_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Duplicate word-``n``-gram fraction per document
+    (``1 - distinct/total`` over positional n-grams) — the Gopher/MassiveText
+    repetition quality gate: boilerplate and looping generations repeat
+    n-grams, natural prose doesn't. Pure per-row array math (sequence/
+    transform/size) — a projection, no shuffle at all; the engine never
+    explodes the n-grams because only their counts matter.
+    """
+    from ..functions.scalars import qround
+
+    toks = _toks(text_col)
+    n_tok = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n_tok - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        qround(
+            (total - distinct).cast("double") / total.cast("double"), digits
+        ).alias("dup_gram_frac"),
+    )

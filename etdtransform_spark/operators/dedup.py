@@ -487,3 +487,89 @@ def embedding_near_duplicates(
         spark.sparkContext.defaultParallelism, max(1, n_rows // 512)
     )
     return base.repartition(parallelism).mapInPandas(kernel, out_schema)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    prefix_len: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance over a normalized
+    ``prefix_len`` key (lowercased first ``prefix_len`` chars, right-padded
+    — title-style fuzzy matching on a fixed-length key space).
+
+    EXACT banding via the PassJoin segment filter (Li, Deng, Feng,
+    "PASS-JOIN: a partition-based method for similarity joins", VLDB 2012):
+    the key is partitioned into ``max_dist + 1`` contiguous segments; by
+    pigeonhole, any string within edit distance d must contain at least one
+    segment verbatim, shifted by at most d positions. One side joins on its
+    (segment_idx, segment) pairs; the other emits every (segment_idx,
+    substring) in the ±d position window — (d+1)(2d+1) short keys per row,
+    high-cardinality (a naive length band would hash every row to ONE hot
+    key here since all keys share a length). The O(p·d) threshold-bounded
+    Levenshtein verify runs only on banded candidates; LEAST/GREATEST +
+    distinct collapses orientations and multi-segment matches.
+    """
+    pre = F.rpad(
+        F.lower(F.substring(F.col(text_col), 1, prefix_len)), prefix_len, " "
+    )
+    base = df.select(F.col(id_col).alias("_id"), pre.alias("_pre"))
+    n_seg = max_dist + 1
+    seg_len = prefix_len // n_seg
+    rem = prefix_len % n_seg
+    # segment i: start (1-based), length (first `rem` segments one longer)
+    bounds = []
+    start = 1
+    for i in range(n_seg):
+        ln = seg_len + (1 if i < rem else 0)
+        bounds.append((i, start, ln))
+        start += ln
+
+    left = base.select(
+        "_id",
+        "_pre",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.substring("_pre", s, ln).alias("sub"),
+                    )
+                    for i, s, ln in bounds
+                ]
+            )
+        ).alias("_k"),
+    ).select("_id", "_pre", "_k.seg", "_k.sub")
+    right = base.select(
+        F.col("_id").alias("_rid"), F.col("_pre").alias("_rpre")
+    ).select(
+        "_rid",
+        "_rpre",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.substring("_rpre", s + delta, ln).alias("sub"),
+                    )
+                    for i, s, ln in bounds
+                    for delta in range(-max_dist, max_dist + 1)
+                    if s + delta >= 1 and s + delta + ln - 1 <= prefix_len
+                ]
+            )
+        ).alias("_k"),
+    ).select("_rid", "_rpre", "_k.seg", "_k.sub")
+    cand = (
+        left.join(right, ["seg", "sub"])
+        .filter(F.col("_id") < F.col("_rid"))
+        .select("_id", "_pre", "_rid", "_rpre")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("_pre"), F.col("_rpre"), max_dist)
+    return cand.filter((dist >= 0) & (dist <= max_dist)).select(
+        F.col("_id").alias("id_a"),
+        F.col("_rid").alias("id_b"),
+        dist.alias("dist"),
+    )

@@ -290,3 +290,89 @@ def adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", qround(F.col("cos_adc"), 6).alias("cos_adc"), "rank")
     )
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the production training
+    step for :func:`ivf_topk`'s coarse quantizer (which ships with
+    deterministic lowest-id centroids for oracle parity; this replaces
+    them with fitted ones).
+
+    Distributed shape per iteration: centroids (k x d doubles — bounded by
+    the model, not the data) broadcast to executors; every vector finds its
+    nearest centroid via a broadcast nested-loop scan (``min(struct(dist,
+    cluster))`` — hash-aggregable, no sort); new centroids come from one
+    posexplode + (cluster, dim) average. Only the k x d centroid table
+    returns to the driver between iterations — the MLlib pattern: driver
+    syncs the model, never the data. Init is the k lowest-id vectors, so
+    reruns are reproducible.
+
+    Returns (cluster_id, centroid array<double>, n_members, inertia) for
+    the final assignment.
+    """
+    spark = corpus.sparkSession
+    v = F.col(vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(v, lambda x: x.cast("double")).alias("_v"),
+    )
+    cent = [
+        (int(i), [float(x) for x in r["_v"]])
+        for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
+    ]
+
+    def assign(cent_rows):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                cent_rows, "cluster_id int, _c array<double>"
+            )
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            base.join(cdf)
+            .groupBy("_vid")
+            .agg(
+                F.min(F.struct(d2.alias("d2"), F.col("cluster_id"))).alias("_m")
+            )
+            .select(
+                "_vid",
+                F.col("_m.cluster_id").alias("cluster_id"),
+                F.col("_m.d2").alias("d2"),
+            )
+            .join(base, "_vid")
+        )
+
+    for _ in range(iters):
+        new = (
+            assign(cent)
+            .select("cluster_id", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("_c")
+            )
+            .collect()
+        )
+        # empty clusters keep their previous centroid
+        updated = {int(r["cluster_id"]): [float(x) for x in r["_c"]] for r in new}
+        cent = [(cid, updated.get(cid, old)) for cid, old in cent]
+
+    final = assign(cent)
+    return final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        qround(F.sum("d2"), 4).alias("inertia"),
+    )

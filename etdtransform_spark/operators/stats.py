@@ -177,3 +177,40 @@ def quantile_summary(
             .withColumn("hi_fence", qround(hi + iqr_k * (hi - lo), digits))
         )
     return out
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    keys: Sequence[str],
+    k: float = 3.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: flag rows with
+    ``|x - median| > k * 1.4826 * MAD`` per group (1.4826 scales MAD to the
+    stddev of a normal, making ``k`` comparable to a z-score threshold —
+    but unlike :func:`zscore_outliers`, one wild value cannot drag the
+    center or the spread). Two exact-median aggregation passes with
+    broadcast joins back (group-stats tables are tiny); membership compares
+    the ROUNDED robust score for cross-engine determinism. Exact
+    ``percentile`` is the oracle-parity choice; at extreme group sizes swap
+    ``percentile_approx`` as with :func:`quantile_summary`."""
+    x = F.col(col).cast("double")
+    med = df.groupBy(*keys).agg(
+        qround(F.percentile(x, F.lit(0.5)), digits).alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), list(keys))
+    mad = with_med.groupBy(*keys).agg(
+        qround(
+            F.percentile(F.abs(x - F.col("_med")), F.lit(0.5)), digits
+        ).alias("_mad")
+    )
+    joined = with_med.join(F.broadcast(mad), list(keys))
+    score = qround(
+        (x - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")), digits
+    )
+    return (
+        joined.withColumn("robust_z", score)
+        .filter(F.abs(F.col("robust_z")) > k)
+        .drop("_med", "_mad")
+    )

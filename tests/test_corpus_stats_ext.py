@@ -1,0 +1,105 @@
+"""Unit tests for the corpus-quality additions (unigram LM scoring,
+repetition ratio), the PassJoin edit-distance band (recall ≡ brute force),
+robust MAD outliers, and distributed k-means."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.corpus import repetition_ratio, unigram_logprob
+from etdtransform_spark.operators.dedup import edit_distance_pairs
+from etdtransform_spark.operators.similarity import kmeans
+from etdtransform_spark.operators.stats import mad_outliers
+
+
+def test_unigram_logprob_known_corpus(spark):
+    # corpus tokens: a a a b  -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.avg_logprob)
+           for r in unigram_logprob(df).collect()}
+    assert got[1][0] == 2 and got[2][0] == 2
+    assert got[1][1] == pytest.approx(math.log(0.75), abs=1e-6)
+    assert got[2][1] == pytest.approx(
+        (math.log(0.75) + math.log(0.25)) / 2, abs=1e-6
+    )
+
+
+def test_repetition_ratio_extremes(spark):
+    looping = " ".join(["spam ham eggs"] * 5)  # heavy 3-gram repetition
+    natural = "one two three four five six seven eight nine"
+    short = "hi"
+    df = spark.createDataFrame(
+        [(1, looping), (2, natural), (3, short)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in repetition_ratio(df, n=3).collect()}
+    assert got[1].dup_gram_frac > 0.7
+    assert got[2].dup_gram_frac == 0.0
+    # shorter than n tokens -> single whole-doc gram, no dupes
+    assert got[3].n_grams == 1 and got[3].dup_gram_frac == 0.0
+
+
+def test_edit_distance_band_recall_equals_brute_force(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cog"),   # dist 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # dist 2
+        (4, "a completely different sentence altogether"),
+        (5, "the quick brown fox jumps over the lazy dog"),   # dist 0
+        (6, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, max_dist=2, prefix_len=64).collect()
+    }
+    # brute force over the same normalized keys
+    import itertools
+
+    def norm(t):
+        return t.lower()[:64].ljust(64)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        d = lev(norm(ta), norm(tb))
+        if d <= 2:
+            expect[(min(ia, ib), max(ia, ib))] = d
+    assert got == expect
+
+
+def test_mad_outliers_resistant_to_single_spike(spark):
+    # z-score would be dragged by the 1000 spike; MAD must still flag it
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 1000.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "id bigint, g string, v double",
+    )
+    out = mad_outliers(df, "v", ["g"], k=3.0).collect()
+    assert [r.id for r in out] == [6]
+    assert abs(out[0].robust_z) > 100
+
+
+def test_kmeans_separable_clusters(spark):
+    # two tight blobs in 2d -> k=2 must split them exactly
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(10)]
+    blob_b = [(i + 10, [5.0, 5.0 + 0.01 * i]) for i in range(10)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id bigint, embedding array<double>"
+    )
+    out = kmeans(df, k=2, iters=5).collect()
+    assert sorted(r.n_members for r in out) == [10, 10]
+    assert all(r.inertia < 1.0 for r in out)
