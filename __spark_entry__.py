@@ -2927,6 +2927,80 @@ FROM grid g LEFT JOIN counts c
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GROUPING SETS ((event_type), (hr)) — subtotals only, a shape
+    neither rollup nor cube can express (DataFrame.groupingSets, Spark 4);
+    same single Expand + hash-agg physical plan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return ev.groupingSets(
+        [["event_type"], ["hr"]], "event_type", "hr"
+    ).agg(
+        F.grouping("event_type").cast("bigint").alias("grouping_event_type"),
+        F.grouping("hr").cast("bigint").alias("grouping_hr"),
+        F.count(F.lit(1)).alias("n"),
+        qround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_GROUPING_SETS = f"""
+SELECT event_type, hr,
+       grouping(event_type)::BIGINT AS grouping_event_type,
+       grouping(hr)::BIGINT AS grouping_hr,
+       count(*) AS n, {qround_sql('sum(value)', 2)} AS sum_value
+FROM (SELECT event_type, hour(ts) AS hr, value FROM {_EV})
+GROUP BY GROUPING SETS ((event_type), (hr))
+"""
+
+
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joined per
+    micro-batch against the static customer dimension, then a running
+    (mktsegment, event_type) aggregate in the state store. Oracle = the
+    identical batch join+agg."""
+    import hashlib as _hl
+    import os as _os
+    import uuid
+
+    from etdtransform_spark.streaming.enrich_stream import stream_static_enrich
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(static_schema).parquet(stage)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(
+        stream,
+        dim,
+        F.col("user_id") == F.col("c_custkey"),
+        ["c_mktsegment", "event_type"],
+        [F.count(F.lit(1)).alias("n"), qround(F.sum("value"), 2).alias("sum_value")],
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_SQL_STREAM_ENRICH = f"""
+SELECT c_mktsegment, event_type, count(*) AS n,
+       {qround_sql('sum(value)', 2)} AS sum_value
+FROM {_EV} e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table (5 iterations,
     k=8, deterministic lowest-id init) — the iterative training step behind
@@ -3359,6 +3433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_customers": q_above_avg_customers,
         "dim_grid": q_dim_grid,
         "kmeans_centroids": q_kmeans_centroids,
+        "grouping_sets": q_grouping_sets,
+        "streaming_enrich": q_streaming_enrich,
     }
 
 
@@ -3459,6 +3535,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_share": _SQL_REVENUE_SHARE,
         "above_avg_customers": _SQL_ABOVE_AVG,
         "dim_grid": _SQL_DIM_GRID,
+        "grouping_sets": _SQL_GROUPING_SETS,
+        "streaming_enrich": _SQL_STREAM_ENRICH,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -226,16 +226,26 @@ def repetition_ratio(
     """
     from ..functions.scalars import qround
 
-    toks = _toks(text_col)
-    n_tok = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n_tok - F.lit(n - 1), F.lit(1)))
+    # Stage tokens and grams behind projection boundaries: expression trees
+    # are inlined per textual reference, so composing `toks`/`grams` inline
+    # would re-split and re-build them several times per row (measured ~2x
+    # on the bench corpus).
+    toks = F.col("_t")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return df.select(
-        F.col(id_col),
-        total.alias("n_grams"),
-        qround(
-            (total - distinct).cast("double") / total.cast("double"), digits
-        ).alias("dup_gram_frac"),
+    total = F.size(F.col("_g"))
+    distinct = F.size(F.array_distinct(F.col("_g")))
+    return (
+        df.select(F.col(id_col), _toks(text_col).alias("_t"))
+        .select(F.col(id_col), grams.alias("_g"))
+        .select(
+            F.col(id_col),
+            total.alias("n_grams"),
+            qround(
+                (total - distinct).cast("double") / total.cast("double"),
+                digits,
+            ).alias("dup_gram_frac"),
+        )
     )
