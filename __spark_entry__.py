@@ -3001,6 +3001,119 @@ GROUP BY 1, 2
 """
 
 
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each event projects a 30-minute validity span;
+    overlapping/touching spans per user coalesce into maximal islands
+    (one window pass + one aggregate)."""
+    from etdtransform_spark.operators.temporal import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("span_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("span_end"),
+    )
+    return merge_intervals(ev, ["user_id"], "span_start", "span_end")
+
+
+_SQL_MERGE_INTERVALS = f"""
+WITH spans AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM {_EV}
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM spans
+), islands AS (
+  SELECT user_id, s, e,
+         sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+       count(*) AS n_merged
+FROM islands GROUP BY user_id, island
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from the event log: one row per consecutive
+    event_type version per user with [valid_from, valid_to) ranges
+    (open version has null valid_to)."""
+    from etdtransform_spark.operators.temporal import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev, ["user_id"], "event_type", "ts", order_cols=["event_id"]
+    )
+
+
+_SQL_SCD2 = f"""
+WITH w AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER win AS rn,
+         lag(event_type) OVER win AS prev_type
+  FROM {_EV}
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+  SELECT user_id, event_type, ts, event_id FROM w
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM versions
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: two deterministic derivations of orders (old
+    drops keys %5==0; new drops %7==0 and bumps prices on %3==0) diffed on
+    the key — added/removed/changed rows only, change-proportional
+    output."""
+    from etdtransform_spark.operators.temporal import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", qround(F.col("o_totalprice"), 2).alias("price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        qround(
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["price"])
+
+
+_SQL_SNAPSHOT_DIFF = f"""
+WITH old AS (
+  SELECT o_orderkey, {qround_sql('o_totalprice', 2)} AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+), new AS (
+  SELECT o_orderkey,
+         {qround_sql('CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END', 2)} AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.price IS DISTINCT FROM n.price THEN 'changed'
+       END AS status,
+       o.price AS old_price, n.price AS new_price
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.price IS DISTINCT FROM n.price THEN 'changed'
+      END IS NOT NULL
+"""
+
+
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table (5 iterations,
     k=8, deterministic lowest-id init) — the iterative training step behind
@@ -3435,6 +3548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "grouping_sets": q_grouping_sets,
         "streaming_enrich": q_streaming_enrich,
+        "merge_intervals": q_merge_intervals,
+        "scd2_history": q_scd2_history,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -3537,6 +3653,9 @@ def oracle_sql() -> dict[str, str]:
         "dim_grid": _SQL_DIM_GRID,
         "grouping_sets": _SQL_GROUPING_SETS,
         "streaming_enrich": _SQL_STREAM_ENRICH,
+        "merge_intervals": _SQL_MERGE_INTERVALS,
+        "scd2_history": _SQL_SCD2,
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -1,0 +1,97 @@
+"""Unit tests for operators/temporal.py (interval coalescing, SCD2 history,
+snapshot diff) on handcrafted fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.temporal import (
+    merge_intervals,
+    scd2_history,
+    snapshot_diff,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_merge_intervals_islands(spark):
+    rows = [
+        # key 1: [0,1] + [0:30,2] overlap -> island [0,2]; [3,4] separate
+        (1, _ts(0), _ts(1)),
+        (1, _ts(0, 30), _ts(2)),
+        (1, _ts(3), _ts(4)),
+        # key 2: nested interval [1,4] contains [2,3] -> one island
+        (2, _ts(1), _ts(4)),
+        (2, _ts(2), _ts(3)),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s timestamp, e timestamp")
+    out = merge_intervals(df, ["k"], "s", "e").orderBy("k", "island_start")
+    got = [(r.k, r.island_start.hour, r.island_end.hour, r.n_merged)
+           for r in out.collect()]
+    assert got == [(1, 0, 2, 2), (1, 3, 4, 1), (2, 1, 4, 2)]
+
+
+def test_merge_intervals_touching_not_split(spark):
+    # start == running max end -> NOT a new island (touching coalesces)
+    df = spark.createDataFrame(
+        [(1, _ts(0), _ts(1)), (1, _ts(1), _ts(2))],
+        "k bigint, s timestamp, e timestamp",
+    )
+    out = merge_intervals(df, ["k"], "s", "e").collect()
+    assert len(out) == 1 and out[0].n_merged == 2
+
+
+def test_scd2_collapses_consecutive_and_closes_versions(spark):
+    rows = [
+        (1, 1, _ts(0), "a"),
+        (1, 2, _ts(1), "a"),   # unchanged -> collapsed
+        (1, 3, _ts(2), "b"),   # version change
+        (1, 4, _ts(3), "a"),   # back to a -> NEW version (type 2)
+        (2, 5, _ts(0), None),  # null attr is a legitimate version
+        (2, 6, _ts(1), "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, id bigint, ts timestamp, attr string"
+    )
+    out = scd2_history(df, ["k"], "attr", "ts", order_cols=["id"])
+    got = sorted(
+        (
+            (r.k, r.attr, r.valid_from.hour,
+             r.valid_to.hour if r.valid_to else None)
+            for r in out.collect()
+        ),
+        key=lambda t: (t[0], t[1] or "", t[2]),
+    )
+    assert got == [
+        (1, "a", 0, 2), (1, "a", 3, None), (1, "b", 2, 3),
+        (2, None, 0, 1), (2, "x", 1, None),
+    ]
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0), (3, 33.0), (4, 40.0)], "k bigint, v double"
+    )
+    out = snapshot_diff(old, new, ["k"], ["v"])
+    got = {r.k: (r.status, r.old_v, r.new_v) for r in out.collect()}
+    # k=2 unchanged -> absent
+    assert got == {
+        1: ("removed", 10.0, None),
+        3: ("changed", 30.0, 33.0),
+        4: ("added", None, 40.0),
+    }
+
+
+def test_snapshot_diff_null_values_nullsafe(spark):
+    old = spark.createDataFrame([(1, None), (2, None)], "k bigint, v double")
+    new = spark.createDataFrame([(1, None), (2, 5.0)], "k bigint, v double")
+    out = snapshot_diff(old, new, ["k"], ["v"])
+    got = {r.k: r.status for r in out.collect()}
+    assert got == {2: "changed"}  # null==null is unchanged, null->5 changed
