@@ -3001,6 +3001,84 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition
+    (purchases within 1h after a signup by the same user), both sides
+    watermarked — state evicts at the watermark + interval horizon. Oracle
+    is the identical batch join."""
+    import hashlib as _hl
+    import os as _os
+    import uuid
+
+    from etdtransform_spark.streaming.join_stream import stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+
+    def src():
+        return (
+            spark.readStream.schema(static_schema)
+            .parquet(stage)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    signups = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("s_event"),
+        )
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = stream_interval_join(
+        purchases,
+        signups,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "p_ts",
+        "s_ts",
+    ).select(
+        "p_user", "s_event", "p_event", qround(F.col("p_value"), 2).alias("p_value")
+    )
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_SQL_STREAM_IJ = f"""
+SELECT p.user_id AS p_user, s.event_id AS s_event, p.event_id AS p_event,
+       {qround_sql('p.value', 2)} AS p_value
+FROM (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM {_EV} WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: each event projects a 30-minute validity span;
     overlapping/touching spans per user coalesce into maximal islands
@@ -3548,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "grouping_sets": q_grouping_sets,
         "streaming_enrich": q_streaming_enrich,
+        "streaming_interval_join": q_streaming_interval_join,
         "merge_intervals": q_merge_intervals,
         "scd2_history": q_scd2_history,
         "snapshot_diff": q_snapshot_diff,
@@ -3653,6 +3732,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_grid": _SQL_DIM_GRID,
         "grouping_sets": _SQL_GROUPING_SETS,
         "streaming_enrich": _SQL_STREAM_ENRICH,
+        "streaming_interval_join": _SQL_STREAM_IJ,
         "merge_intervals": _SQL_MERGE_INTERVALS,
         "scd2_history": _SQL_SCD2,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
