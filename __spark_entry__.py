@@ -3058,14 +3058,23 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_user", "s_event", "p_event", qround(F.col("p_value"), 2).alias("p_value")
     )
     name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # A stream-stream join instantiates 4 state stores PER shuffle partition;
+    # at local-test scale the store setup dominates wall clock, so run the
+    # stateful stage narrow (the partition count is a per-query knob read at
+    # stream start — on a cluster it is sized to executor count).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 

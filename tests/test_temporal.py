@@ -95,3 +95,37 @@ def test_snapshot_diff_null_values_nullsafe(spark):
     out = snapshot_diff(old, new, ["k"], ["v"])
     got = {r.k: r.status for r in out.collect()}
     assert got == {2: "changed"}  # null==null is unchanged, null->5 changed
+
+
+def test_merge_intervals_property_vs_python(spark):
+    """Randomized parity: merge_intervals ≡ a pure-Python sweep over many
+    generated interval sets (overlaps, nesting, duplicates, touching)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for k in range(6):
+        for _ in range(rng.randint(1, 25)):
+            s = rng.randint(0, 500)
+            rows.append((k, s, s + rng.randint(0, 60)))
+    df = spark.createDataFrame(rows, "k bigint, s bigint, e bigint")
+    got = sorted(
+        (r.k, r.island_start, r.island_end, r.n_merged)
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+
+    expect = []
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                expect.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        expect.append((k, cur_s, cur_e, n))
+    assert got == sorted(expect)
