@@ -152,3 +152,46 @@ def join_index(
     if metadata_columns is not None:
         index_df = index_df.select("HuisIdBSV", "ProjectIdBSV", *metadata_columns)
     return df.join(F.broadcast(index_df), ["HuisIdBSV", "ProjectIdBSV"], "left")
+
+
+def compact_family(
+    spark: SparkSession,
+    base_folder: str,
+    name: str,
+    interval: str | None = None,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Small-file compaction for a stage sink: rewrite the family into
+    files sized near ``target_file_mb``. The operational fix for the
+    classic 100 TB failure mode — thousands of tiny task outputs per
+    partition directory turning every downstream scan into metadata churn.
+
+    File count derives from the CURRENT on-disk byte size (driver-side
+    listing of one directory — metadata only, no data read), then the
+    rewrite is one shuffle-free ``coalesce`` when shrinking. The rewrite
+    goes through a temp sibling + atomic rename so a crash mid-compaction
+    never leaves the family half-replaced (the same committed-sink contract
+    run_pipeline's skip_existing relies on).
+    """
+    import math
+    import shutil
+
+    path = family_path(base_folder, name, interval)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith("_"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path).coalesce(n_files)
+    tmp = path + "._compact_tmp"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    bak = path + "._compact_old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return path

@@ -225,3 +225,33 @@ def test_pipeline_skip_existing_resumes_without_rewrite(spark, pipeline_out):
             assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == marks[k], k
     rows_after = {k: spark.read.parquet(p).count() for k, p in written3.items()}
     assert rows_after == rows_before
+
+
+def test_compact_family_reduces_files_preserves_rows(spark, tmp_path):
+    """compact_family rewrites a fragmented sink into few files with
+    identical contents, atomically (no half-replaced family)."""
+    import glob
+    import os
+
+    from etdtransform_spark.sources.parquet import compact_family, write_family
+
+    out = str(tmp_path / "fam")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2.0)
+    df.repartition(64).write.parquet(out + "/frag.parquet")
+    n_before = len(glob.glob(out + "/frag.parquet/part-*"))
+    assert n_before >= 32
+    rows_before = spark.read.parquet(out + "/frag.parquet").count()
+    sum_before = spark.read.parquet(out + "/frag.parquet").agg(
+        F.sum("v")
+    ).collect()[0][0]
+
+    compact_family(spark, out, "frag", target_file_mb=128)
+    n_after = len(glob.glob(out + "/frag.parquet/part-*"))
+    assert n_after < n_before and n_after <= 2
+    assert spark.read.parquet(out + "/frag.parquet").count() == rows_before
+    assert (
+        spark.read.parquet(out + "/frag.parquet").agg(F.sum("v")).collect()[0][0]
+        == sum_before
+    )
+    assert not os.path.exists(out + "/frag.parquet._compact_tmp")
+    assert not os.path.exists(out + "/frag.parquet._compact_old")
