@@ -3201,6 +3201,35 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format numeric profile of lineitem measures — one aggregate
+    pass + struct unpivot for any column count (the df.summary() shape,
+    deterministic)."""
+    from etdtransform_spark.operators.stats import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _profile_sql_one(c: str) -> str:
+    return f"""
+SELECT '{c}' AS "column", count({c}) AS n,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       {qround_sql(f'avg({c}::DOUBLE)', 4)} AS mean,
+       {qround_sql(f'stddev_samp({c}::DOUBLE)', 4)} AS std,
+       {qround_sql(f'min({c}::DOUBLE)', 4)} AS "min",
+       {qround_sql(f'max({c}::DOUBLE)', 4)} AS "max"
+FROM lineitem"""
+
+
+_SQL_PROFILE = " UNION ALL ".join(
+    _profile_sql_one(c)
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+
+
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table (5 iterations,
     k=8, deterministic lowest-id init) — the iterative training step behind
@@ -3632,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": q_revenue_share,
         "above_avg_customers": q_above_avg_customers,
         "dim_grid": q_dim_grid,
+        "profile_table": q_profile_table,
         "kmeans_centroids": q_kmeans_centroids,
         "grouping_sets": q_grouping_sets,
         "streaming_enrich": q_streaming_enrich,
@@ -3745,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_intervals": _SQL_MERGE_INTERVALS,
         "scd2_history": _SQL_SCD2,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "profile_table": _SQL_PROFILE,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -109,3 +109,22 @@ def coalesce0(col: Column | str) -> Column:
     """``fillna(0)`` equivalent used throughout calculated columns."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(c, F.lit(0.0))
+
+
+def equal_sig_fig(a: Column, b: Column, sig_figs: int = 10) -> Column:
+    """True when two doubles agree to ``sig_figs`` significant figures
+    (reference impute.py:214-257 ``equal_sig_fig``, its golden-comparison
+    tolerance helper): both values are scaled by 10^(sig_figs - 1 -
+    floor(log10(|x|))) of the larger magnitude and compared after rounding.
+    Null-safe: two nulls agree, null vs value doesn't; exact zeros compare
+    equal only to exact zeros (log10 undefined)."""
+    mag = F.greatest(F.abs(a), F.abs(b))
+    scale = F.pow(
+        F.lit(10.0),
+        F.lit(sig_figs - 1) - F.floor(F.log10(mag)),
+    )
+    both_zero = (a == 0.0) & (b == 0.0)
+    scaled_eq = F.round(a * scale) == F.round(b * scale)
+    return F.when(a.isNull() & b.isNull(), F.lit(True)).otherwise(
+        F.coalesce(both_zero | scaled_eq, F.lit(False))
+    )

@@ -214,3 +214,41 @@ def mad_outliers(
         .filter(F.abs(F.col("robust_z")) > k)
         .drop("_med", "_mad")
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str],
+    digits: int = 4,
+) -> DataFrame:
+    """Long-format numeric profile of ``cols``: one output row per column
+    with count / null count / mean / sample std / min / max — the
+    ``df.summary()`` shape made deterministic (rounded moments) and
+    column-oriented so a 169-column ETD table profiles in ONE aggregate
+    pass + unpivot, not 169 jobs. The single wide agg keeps one scan and
+    one (tiny) shuffle regardless of column count."""
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            qround(F.avg(x), digits).alias(f"{c}__mean"),
+            qround(F.stddev_samp(x), digits).alias(f"{c}__std"),
+            qround(F.min(x), digits).alias(f"{c}__min"),
+            qround(F.max(x), digits).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__mean").alias("mean"),
+            F.col(f"{c}__std").alias("std"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

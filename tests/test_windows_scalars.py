@@ -112,3 +112,31 @@ def test_date_keys(spark):
     assert row["d"] == 20230715
     assert row["h"] == 24  # hour 23 -> KNMI key 24
     assert row["dow"] == 5  # Saturday, pandas Monday=0 numbering
+
+
+def test_equal_sig_fig(spark):
+    from etdtransform_spark.functions.scalars import equal_sig_fig
+
+    rows = [
+        (1, 1.23456789012, 1.23456789013),   # agree at 10 sf
+        (2, 1.2345, 1.2346),                 # differ at 5th sf
+        (3, 0.0, 0.0),                       # exact zeros
+        (4, 0.0, 1e-12),                     # zero vs tiny: not equal
+        (5, None, None),                     # both null agree
+        (6, None, 1.0),                      # null vs value: not equal
+        (7, -123456.0, -123456.0),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double")
+    out = {
+        r.id: r.eq
+        for r in df.select(
+            "id", equal_sig_fig(F.col("a"), F.col("b"), 10).alias("eq")
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 4: False,
+                   5: True, 6: False, 7: True}
+    # looser tolerance flips case 2
+    loose = df.filter("id = 2").select(
+        equal_sig_fig(F.col("a"), F.col("b"), 4).alias("eq")
+    ).collect()[0].eq
+    assert loose is True
