@@ -3201,6 +3201,37 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
 """
 
 
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per linestatus, conditional counts of high- vs
+    low-priority orders for a one-year shipdate window — CASE-aggregation
+    with the date filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_PRIORITY_SHIP = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY 1
+"""
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-format numeric profile of lineitem measures — one aggregate
     pass + struct unpivot for any column count (the df.summary() shape,
@@ -3661,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": q_revenue_share,
         "above_avg_customers": q_above_avg_customers,
         "dim_grid": q_dim_grid,
+        "priority_shipping": q_priority_shipping,
         "profile_table": q_profile_table,
         "kmeans_centroids": q_kmeans_centroids,
         "grouping_sets": q_grouping_sets,
@@ -3776,6 +3808,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SQL_SCD2,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "profile_table": _SQL_PROFILE,
+        "priority_shipping": _SQL_PRIORITY_SHIP,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }
