@@ -50,6 +50,11 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     timestamp columns to TimestampType (microsecond truncation, identical to
     DuckDB's ns->us cast). ``ts div 1000`` is exact integer division — a
     double division would lose precision at ~1.7e18 ns epoch values."""
+    # Pin the session timezone at the same runtime hook: every date/hour
+    # derivation in the contract queries assumes naive-UTC semantics (what
+    # DuckDB/pandas give back), and the harness session is not guaranteed
+    # to have been built by get_spark(). Runtime-settable, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
         # Runtime-settable; required or the scan raises PARQUET_TYPE_ILLEGAL.
