@@ -3201,6 +3201,35 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
 """
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are assigned by the
+    portable hash of their exact-dup GROUP representative (min doc_id over
+    identical lowercased text), so duplicate groups can never straddle the
+    train/test fence; hash-range bucketing keeps assignments stable under
+    corpus growth."""
+    from etdtransform_spark.operators.corpus import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.lower(F.col("text")))
+    grouped = docs.withColumn("grp", F.min("doc_id").over(w))
+    out = leakage_safe_split(grouped, group_col="grp")
+    return out.select("doc_id", "grp", "split")
+
+
+_LS_HASH = portable_hash64_sql("grp::VARCHAR", seed="split")
+_SQL_LEAKAGE_SPLIT = f"""
+WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY lower(text)) AS grp
+  FROM documents
+)
+SELECT doc_id, grp,
+       CASE WHEN (({_LS_HASH}) % 1048576) / 1048576.0 < 0.8 THEN 'train'
+            WHEN (({_LS_HASH}) % 1048576) / 1048576.0 < 0.9000000000000001 THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+
 def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: per linestatus, conditional counts of high- vs
     low-priority orders for a one-year shipdate window — CASE-aggregation
@@ -3692,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": q_revenue_share,
         "above_avg_customers": q_above_avg_customers,
         "dim_grid": q_dim_grid,
+        "leakage_split": q_leakage_split,
         "priority_shipping": q_priority_shipping,
         "profile_table": q_profile_table,
         "kmeans_centroids": q_kmeans_centroids,
@@ -3809,6 +3839,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "profile_table": _SQL_PROFILE,
         "priority_shipping": _SQL_PRIORITY_SHIP,
+        "leakage_split": _SQL_LEAKAGE_SPLIT,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

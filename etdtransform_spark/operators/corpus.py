@@ -249,3 +249,50 @@ def repetition_ratio(
             ).alias("dup_gram_frac"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    ratios: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: str = "split",
+    fast: bool = False,
+) -> DataFrame:
+    """Deterministic train/val/test assignment that cannot leak duplicates
+    across splits: every document is assigned by the portable hash of its
+    GROUP representative (``group_col`` — e.g. a dedup cluster id; its own
+    id when null/absent), so all members of a duplicate group land in the
+    same split by construction. The eval-set hygiene step every pretraining
+    pipeline needs after dedup: splitting by raw doc hash puts near-copies
+    of one document on both sides of the train/test fence.
+
+    Hash-range bucketing (not modulo-of-count): ranges come from cumulative
+    ``ratios`` over the hash domain, so the split is stable under corpus
+    growth — adding documents never reassigns existing ones. Pure
+    projection over the (doc, group) frame; one broadcast-joinable group
+    table when ``group_col`` is provided upstream.
+    """
+    from ..functions.hashing import portable_hash64
+
+    if abs(sum(ratios) - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {ratios}")
+    rep = (
+        F.coalesce(F.col(group_col), F.col(id_col))
+        if group_col
+        else F.col(id_col)
+    )
+    m = 1 << 20
+    u = (portable_hash64(rep.cast("string"), seed=seed, fast=fast) % m) / F.lit(
+        float(m)
+    )
+    edges = []
+    acc = 0.0
+    for r in ratios[:-1]:
+        acc += r
+        edges.append(acc)
+    expr = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        expr = F.when(u < edge, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

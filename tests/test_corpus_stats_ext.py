@@ -103,3 +103,40 @@ def test_kmeans_separable_clusters(spark):
     out = kmeans(df, k=2, iters=5).collect()
     assert sorted(r.n_members for r in out) == [10, 10]
     assert all(r.inertia < 1.0 for r in out)
+
+
+def test_leakage_safe_split_properties(spark):
+    from etdtransform_spark.operators.corpus import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id bigint, text string"
+    )
+    out = leakage_safe_split(df).collect()
+    counts = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    # roughly 80/10/10 (hash-uniform; wide tolerance)
+    assert 0.7 < counts["train"] / 500 < 0.9
+    assert counts["train"] + counts.get("val", 0) + counts.get("test", 0) == 500
+
+    # stability under corpus growth: first 500 keep their assignment
+    bigger = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1000)], "doc_id bigint, text string"
+    )
+    out2 = {r.doc_id: r.split for r in leakage_safe_split(bigger).collect()}
+    for r in out:
+        assert out2[r.doc_id] == r.split
+
+    # group members never straddle splits
+    grouped = spark.createDataFrame(
+        [(i, i % 50) for i in range(500)], "doc_id bigint, grp bigint"
+    )
+    out3 = leakage_safe_split(grouped, group_col="grp").collect()
+    by_grp = {}
+    for r in out3:
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_grp.values())
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        leakage_safe_split(df, ratios=(0.5, 0.1))
