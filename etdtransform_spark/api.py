@@ -117,3 +117,49 @@ def get_weather_data_table(
     return keyed.join(
         F.broadcast(flagged), ["STN", "iso_year", "week_of_year"], "left"
     )
+
+
+def register_sql_views(
+    spark: SparkSession,
+    folder: str,
+    intervals: list[str] | None = None,
+    index_df: DataFrame | None = None,
+) -> list[str]:
+    """SQL façade over the dataset catalog: every materialized family in
+    ``folder`` becomes a temp view (``household_60min``, ``project_24h``,
+    ``avg_diffs``, ...), so users can run plain ``spark.sql`` over the
+    pipeline outputs — the capability the reference delegates to Ibis'
+    DuckDB backend (SURVEY §3B), here served by Catalyst directly. Views
+    are lazy: registering costs one schema read per family; predicate
+    pushdown/pruning apply to queries against them as to any scan.
+
+    Returns the list of registered view names.
+    """
+    from .sources.parquet import family_path
+    import os
+
+    names: list[tuple[str, str | None]] = [
+        ("household_default", None),
+        ("household_calculated", None),
+        ("household_imputed", None),
+        ("household_aggregated_diff", None),
+        ("avg_diffs", None),
+        ("household_diff_max_bounds", None),
+        ("impute_gap_stats", None),
+        ("impute_summary_household", None),
+        ("impute_summary_project", None),
+    ]
+    for iv in intervals or INTERVALS:
+        names += [("household", iv), ("project", iv)]
+    registered: list[str] = []
+    for name, iv in names:
+        path = family_path(folder, name, iv)
+        if not os.path.exists(path):
+            continue
+        df = read_family(spark, folder, name, iv)
+        if index_df is not None and name.startswith("household"):
+            df = join_index(df, index_df)
+        view = name if iv is None else f"{name}_{iv}"
+        df.createOrReplaceTempView(view)
+        registered.append(view)
+    return registered

@@ -255,3 +255,33 @@ def test_compact_family_reduces_files_preserves_rows(spark, tmp_path):
     )
     assert not os.path.exists(out + "/frag.parquet._compact_tmp")
     assert not os.path.exists(out + "/frag.parquet._compact_old")
+
+
+def test_register_sql_views(spark, pipeline_out):
+    """The SQL façade exposes every materialized family as a temp view and
+    spark.sql answers over them (reference read path served by Catalyst)."""
+    from etdtransform_spark.api import register_sql_views
+
+    out_dir, written = pipeline_out
+    views = register_sql_views(
+        spark, out_dir, intervals=["15min", "60min", "24h"]
+    )
+    assert "household_60min" in views and "project_24h" in views
+    assert "household_imputed" in views
+    n_sql = spark.sql(
+        "SELECT count(DISTINCT HuisIdBSV) AS n FROM household_imputed"
+    ).collect()[0].n
+    n_df = (
+        spark.read.parquet(written["household_imputed"])
+        .select("HuisIdBSV").distinct().count()
+    )
+    assert n_sql == n_df
+    joined = spark.sql(
+        """
+        SELECT h.ReadingDate, count(*) AS n
+        FROM household_60min h JOIN project_60min p
+          ON h.ProjectIdBSV = p.ProjectIdBSV AND h.ReadingDate = p.ReadingDate
+        GROUP BY 1 LIMIT 5
+        """
+    ).collect()
+    assert len(joined) > 0
