@@ -318,10 +318,13 @@ def kmeans(
     """
     spark = corpus.sparkSession
     v = F.col(vec_col)
+    # persist: every iteration re-scans the vectors (assignment + the final
+    # pass); without this the parquet scan + float->double cast reruns
+    # iters+1 times.
     base = corpus.select(
         F.col(id_col).alias("_vid"),
         F.transform(v, lambda x: x.cast("double")).alias("_v"),
-    )
+    ).persist()
     cent = [
         (int(i), [float(x) for x in r["_v"]])
         for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
@@ -371,8 +374,16 @@ def kmeans(
         updated = {int(r["cluster_id"]): [float(x) for x in r["_c"]] for r in new}
         cent = [(cid, updated.get(cid, old)) for cid, old in cent]
 
-    final = assign(cent)
-    return final.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        qround(F.sum("d2"), 4).alias("inertia"),
+    out = (
+        assign(cent)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            qround(F.sum("d2"), 4).alias("inertia"),
+        )
+        # materialize before releasing the cached vectors: the returned
+        # plan must not depend on the unpersisted cache
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
