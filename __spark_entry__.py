@@ -3201,6 +3201,51 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
 """
 
 
+def q_impute_date_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-timestamp (hourly) imputation stats — the reference's disabled
+    get_reading_date_imputation_stats (impute.py:330-412) as one hash
+    aggregate: 'error' events play imputed rows, per-bucket counts + OR-ed
+    method masks localize systematic outages."""
+    ev = _t(spark, sf_dir, "events")
+    imputed = F.col("event_type") == "error"
+    mask = F.expr(
+        "CASE WHEN event_type = 'error' THEN "
+        "shiftleft(CAST(1 AS BIGINT), CAST(event_id % 3 + 1 AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            imputed.alias("imp"),
+            mask.alias("mask"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("imp"), F.lit(1))).alias("imputed"),
+            F.expr("bit_or(mask)").alias("impute_type_mask"),
+            qround(
+                F.count(F.when(F.col("imp"), F.lit(1))) * 100.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("percentage_imputed"),
+        )
+    )
+
+
+_SQL_IMPUTE_DATE_STATS = f"""
+SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket,
+       count(*) AS n,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS imputed,
+       bit_or(CASE WHEN event_type = 'error'
+                   THEN (1::BIGINT << ((event_id % 3 + 1)::INT))
+                   ELSE 0::BIGINT END) AS impute_type_mask,
+       {qround_sql("count(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / count(*)", 6)} AS percentage_imputed
+FROM {_EV}
+GROUP BY 1
+"""
+
+
 def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: documents are assigned by the
     portable hash of their exact-dup GROUP representative (min doc_id over
@@ -3721,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": q_revenue_share,
         "above_avg_customers": q_above_avg_customers,
         "dim_grid": q_dim_grid,
+        "impute_date_stats": q_impute_date_stats,
         "leakage_split": q_leakage_split,
         "priority_shipping": q_priority_shipping,
         "profile_table": q_profile_table,
@@ -3840,6 +3886,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": _SQL_PROFILE,
         "priority_shipping": _SQL_PRIORITY_SHIP,
         "leakage_split": _SQL_LEAKAGE_SPLIT,
+        "impute_date_stats": _SQL_IMPUTE_DATE_STATS,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

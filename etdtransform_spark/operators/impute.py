@@ -440,3 +440,35 @@ def imputation_summaries(
         .withColumn("percentage_imputed", F.col("imputed") / F.col("total_records") * 100)
     )
     return summary_house, summary_project
+
+
+def imputation_reading_date_stats(
+    df: DataFrame,
+    cumulative_columns: list[str] | None = None,
+) -> DataFrame:
+    """Per-ReadingDate imputation stats across all households: how many
+    diffs were imputed at each timestamp, with the OR-ed method mask —
+    the cross-sectional view that localizes systematic outages (a whole
+    project dark at 03:00) which the per-house summaries average away.
+
+    Implements the reference's UNUSED/disabled
+    ``get_reading_date_imputation_stats`` (impute.py:330-412;
+    ``imputation_reading_date_stats_df = None`` at
+    vectorized_impute.py:271) as a single hash aggregate over the imputed
+    frame — per-timestamp group counts, map-side combined.
+    """
+    if cumulative_columns is None:
+        cumulative_columns = [
+            c for c in IMPUTE_CUMULATIVE_COLUMNS
+            if f"{c}Diff_is_imputed" in df.columns
+        ]
+    aggs = [F.count(F.lit(1)).alias("n_households")]
+    for c in cumulative_columns:
+        flag = F.col(f"{c}Diff_is_imputed")
+        aggs += [
+            F.count(F.when(flag, F.lit(1))).alias(f"{c}Diff_imputed"),
+            F.expr(
+                f"bit_or(coalesce(`{c}Diff_impute_type`, CAST(0 AS BIGINT)))"
+            ).alias(f"{c}Diff_impute_type_mask"),
+        ]
+    return df.groupBy("ReadingDate").agg(*aggs)

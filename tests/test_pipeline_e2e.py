@@ -285,3 +285,26 @@ def test_register_sql_views(spark, pipeline_out):
         """
     ).collect()
     assert len(joined) > 0
+
+
+def test_imputation_reading_date_stats(spark, pipeline_out):
+    """Per-timestamp stats: imputed counts sum to the frame-wide imputed
+    total; a timestamp with no imputation carries a zero mask."""
+    from etdtransform_spark.operators.impute import (
+        imputation_reading_date_stats,
+    )
+    from etdtransform_spark.sources.parquet import read_family
+
+    out_dir, _written = pipeline_out
+    imputed = read_family(spark, out_dir, "household_imputed")
+    col = CUM_COLS[0]
+    stats = imputation_reading_date_stats(imputed, [col])
+    total_from_stats = stats.agg(
+        F.sum(f"{col}Diff_imputed")
+    ).collect()[0][0]
+    total_direct = imputed.filter(F.col(f"{col}Diff_is_imputed")).count()
+    assert total_from_stats == total_direct
+    clean = stats.filter(F.col(f"{col}Diff_imputed") == 0)
+    assert clean.filter(
+        F.col(f"{col}Diff_impute_type_mask") != 0
+    ).count() == 0
