@@ -245,3 +245,19 @@ def test_streaming_session_merges_across_batches(spark, tmp_path):
     # user 1's three events (spanning the two files) merged into ONE session
     assert got[1] == (_ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00"), 3)
     assert got[2][2] == 1
+
+
+def test_date_filter_reaches_parquet_scan(spark):
+    """priority_shipping's shipdate window must appear in PushedFilters on
+    the lineitem scan (and the scan's ReadSchema must be pruned to the
+    join/agg columns) — filters that evaluate post-scan re-read the year."""
+    import __spark_entry__ as e
+
+    df = e.queries()["priority_shipping"](spark, "/root/testdata/sf0.001")
+    plan = _plan(spark, df)
+    m = re.search(r"PushedFilters: \[([^\]]*l_shipdate[^\]]*)\]", plan)
+    assert m and "GreaterThanOrEqual(l_shipdate" in m.group(1), plan[:2000]
+    rs = re.search(r"ReadSchema: struct<([^>]*l_shipdate[^>]*)>", plan)
+    assert rs is not None
+    read_cols = {c.split(":")[0] for c in rs.group(1).split(",")}
+    assert read_cols == {"l_orderkey", "l_linestatus", "l_shipdate"}, read_cols
