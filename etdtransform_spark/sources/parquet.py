@@ -200,3 +200,23 @@ def compact_family(
     os.rename(tmp, path)
     shutil.rmtree(bak)
     return path
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    by: list[str],
+    n_files: int | None = None,
+) -> str:
+    """Range-partitioned sorted parquet write: rows are globally range-
+    partitioned on ``by`` then sorted within each file, so every file owns
+    a disjoint key range and its parquet min/max statistics become
+    file-level zone maps — a reader filtering on ``by`` prunes whole files
+    (row-group skipping for free, no table format needed). The layout step
+    that makes 100 TB time-range scans cheap; one range exchange
+    (sampled boundaries) + local sort, never a single-partition global
+    sort.
+    """
+    parts = df.repartitionByRange(*( [n_files] if n_files else [] ), *by)
+    parts.sortWithinPartitions(*by).write.mode("overwrite").parquet(path)
+    return path

@@ -308,3 +308,35 @@ def test_imputation_reading_date_stats(spark, pipeline_out):
     assert clean.filter(
         F.col(f"{col}Diff_impute_type_mask") != 0
     ).count() == 0
+
+
+def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    """write_sorted must produce files whose [min, max] key ranges are
+    pairwise disjoint (zone-map property), verified from parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etdtransform_spark.sources.parquet import write_sorted
+
+    df = spark.range(0, 100000).select(
+        (F.col("id") * 7919 % 100000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "sorted.parquet")
+    write_sorted(df, out, ["k"], n_files=8)
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, (ranges,)  # disjoint, strictly ordered
+    total = spark.read.parquet(out).count()
+    assert total == 100000
