@@ -93,9 +93,15 @@ def family_path(base_folder: str, name: str, interval: str | None = None) -> str
 
 
 def read_family(
-    spark: SparkSession, base_folder: str, name: str, interval: str | None = None
+    spark: SparkSession,
+    base_folder: str,
+    name: str,
+    interval: str | None = None,
+    format: str = "parquet",
 ) -> DataFrame:
-    return spark.read.parquet(family_path(base_folder, name, interval))
+    return spark.read.format(format).load(
+        family_path(base_folder, name, interval)
+    )
 
 
 def write_family(
@@ -104,12 +110,19 @@ def write_family(
     name: str,
     interval: str | None = None,
     partition_by: list[str] | None = None,
+    format: str = "parquet",
 ) -> str:
+    """Stage-sink writer. ``format`` accepts any Spark batch source
+    ("parquet" default; "orc" ships in-core and keeps the same columnar
+    pruning/pushdown contract — Avro requires the external spark-avro
+    module, absent here). The family path keeps its reference-parity
+    ``.parquet`` suffix regardless: the suffix is the reference's NAMING
+    convention (aggregate.py:118-121), not a format claim."""
     path = family_path(base_folder, name, interval)
-    writer = df.write.mode("overwrite")
+    writer = df.write.mode("overwrite").format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.save(path)
     return path
 
 

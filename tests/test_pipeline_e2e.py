@@ -340,3 +340,18 @@ def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi1 < lo2, (ranges,)  # disjoint, strictly ordered
     total = spark.read.parquet(out).count()
     assert total == 100000
+
+
+def test_family_orc_roundtrip(spark, tmp_path):
+    """ORC stage sinks: same family API, same pruning/pushdown contract."""
+    from etdtransform_spark.sources.parquet import read_family, write_family
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    write_family(df, str(tmp_path), "fam_orc", format="orc")
+    back = read_family(spark, str(tmp_path), "fam_orc", format="orc")
+    assert back.count() == 1000
+    assert back.filter(F.col("k") == 3).count() == df.filter(F.col("k") == 3).count()
+    plan = back.filter(F.col("k") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "Scan orc" in plan, plan[:500]
