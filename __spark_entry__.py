@@ -3201,6 +3201,36 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
 """
 
 
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per user, the mean and count of
+    values in the trailing 30 minutes of EVENT TIME (row count varies,
+    span fixed — the irregular-cadence-correct complement of the
+    row-based rolling windows)."""
+    from etdtransform_spark.operators.windows import rolling_time_window
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        qround(
+            rolling_time_window("value", ["user_id"], "ts", 1800, "avg"), 6
+        ).alias("avg_30m"),
+        rolling_time_window("value", ["user_id"], "ts", 1800, "count").alias(
+            "n_30m"
+        ),
+    )
+
+
+_SQL_ROLLING_TIME = f"""
+SELECT event_id, user_id,
+       {qround_sql('avg(value) OVER w', 6)} AS avg_30m,
+       count(value) OVER w AS n_30m
+FROM {_EV}
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_impute_date_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-timestamp (hourly) imputation stats — the reference's disabled
     get_reading_date_imputation_stats (impute.py:330-412) as one hash
@@ -3766,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": q_revenue_share,
         "above_avg_customers": q_above_avg_customers,
         "dim_grid": q_dim_grid,
+        "rolling_time_window": q_rolling_time_window,
         "impute_date_stats": q_impute_date_stats,
         "leakage_split": q_leakage_split,
         "priority_shipping": q_priority_shipping,
@@ -3887,6 +3918,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_shipping": _SQL_PRIORITY_SHIP,
         "leakage_split": _SQL_LEAKAGE_SPLIT,
         "impute_date_stats": _SQL_IMPUTE_DATE_STATS,
+        "rolling_time_window": _SQL_ROLLING_TIME,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

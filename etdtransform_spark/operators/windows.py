@@ -101,3 +101,32 @@ def top_k_flag(order_col: Column, partition_cols: list[str], k: int) -> Column:
         F.row_number().over(Window.partitionBy(*partition_cols).orderBy(order_col))
         <= k
     )
+
+
+def rolling_time_window(
+    col: Column | str,
+    partition_cols: list[str],
+    ts_col: str,
+    window_seconds: int,
+    agg: str = "avg",
+) -> Column:
+    """Trailing TIME-based rolling aggregate: all rows within the last
+    ``window_seconds`` of the current row's event time (inclusive), per
+    key. The RANGE-frame complement to the row-count windows above
+    (``rolling_avg_min_periods`` is row-based to match pandas; a row frame
+    silently narrows or widens its time span when the cadence is irregular
+    — this one keeps the span fixed and lets the row count vary, which is
+    the correct semantics for gap-riddled meter data).
+
+    Implemented as ``rangeBetween`` over integer epoch seconds (Spark's
+    RangeFrame needs a numeric ordering key; casting in the window spec
+    keeps it one sorted pass, same single exchange as every other per-key
+    window)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-window_seconds, 0)
+    )
+    fn = {"avg": F.avg, "sum": F.sum, "count": F.count, "max": F.max, "min": F.min}[agg]
+    return fn(c).over(w)

@@ -140,3 +140,32 @@ def test_equal_sig_fig(spark):
         equal_sig_fig(F.col("a"), F.col("b"), 4).alias("eq")
     ).collect()[0].eq
     assert loose is True
+
+
+def test_rolling_time_window_span_fixed(spark):
+    """RANGE frame keeps the time span fixed while row count varies —
+    irregular cadence must not widen the window (unlike a row frame)."""
+    import datetime as dt
+
+    from etdtransform_spark.operators.windows import rolling_time_window
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (2, t0 + dt.timedelta(seconds=100), 20.0),
+        (3, t0 + dt.timedelta(seconds=150), 30.0),
+        (4, t0 + dt.timedelta(seconds=2000), 40.0),  # far past the window
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, ts timestamp, v double"
+    ).withColumn("k", F.lit(1))
+    out = df.select(
+        "id",
+        rolling_time_window("v", ["k"], "ts", 120, "count").alias("n"),
+        rolling_time_window("v", ["k"], "ts", 120, "sum").alias("s"),
+    ).collect()
+    got = {r.id: (r.n, r.s) for r in out}
+    assert got[1] == (1, 10.0)
+    assert got[2] == (2, 30.0)     # rows 1+2 within 120s
+    assert got[3] == (2, 50.0)     # rows 2+3; row 1 aged out (150-0 > 120)
+    assert got[4] == (1, 40.0)     # alone
