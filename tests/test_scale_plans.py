@@ -261,3 +261,28 @@ def test_date_filter_reaches_parquet_scan(spark):
     assert rs is not None
     read_cols = {c.split(":")[0] for c in rs.group(1).split(",")}
     assert read_cols == {"l_orderkey", "l_linestatus", "l_shipdate"}, read_cols
+
+
+def test_latest_snapshot_uses_window_group_limit(spark, events):
+    """latest_snapshot must plan WindowGroupLimit (partial+final): only one
+    row per key survives to the exchange, so the shuffle carries #keys
+    rows, not the event log."""
+    from etdtransform_spark.operators.olap import latest_snapshot
+
+    out = latest_snapshot(events, ["user_id"], [F.col("ts"), F.col("event_id")])
+    plan = _plan(spark, out)
+    assert plan.count("WindowGroupLimit") >= 2, plan[:1500]
+
+
+def test_edit_distance_band_never_cross_joins(spark):
+    """The PassJoin band must plan an equijoin on (seg, substr) — never
+    BroadcastNestedLoopJoin/CartesianProduct (the quadratic failure a naive
+    similarity join degenerates into)."""
+    from etdtransform_spark.operators.dedup import edit_distance_pairs
+    from etdtransform_spark.sources.parquet import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    out = edit_distance_pairs(docs, max_dist=2, prefix_len=64)
+    plan = _plan(spark, out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
