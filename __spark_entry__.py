@@ -2536,6 +2536,7 @@ WITH s AS (
 )
 SELECT event_id, user_id, v,
        CASE WHEN v IS NOT NULL THEN v
+            WHEN nt = pt THEN {qround_sql('pv', 6)}
             ELSE {qround_sql('pv + ((t - pt)::DOUBLE / (nt - pt)::DOUBLE) * (nv - pv)', 6)}
        END AS v_interp
 FROM w

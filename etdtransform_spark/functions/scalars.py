@@ -119,9 +119,15 @@ def equal_sig_fig(a: Column, b: Column, sig_figs: int = 10) -> Column:
     Null-safe: two nulls agree, null vs value doesn't; exact zeros compare
     equal only to exact zeros (log10 undefined)."""
     mag = F.greatest(F.abs(a), F.abs(b))
+    # Cap the scaling exponent at 10^300: below ~1e-290 the raw scale
+    # overflows to inf and all tiny values would spuriously compare equal;
+    # with the cap, sub-1e-290 values compare at correspondingly reduced
+    # precision instead (documented degradation, not silent truth).
     scale = F.pow(
         F.lit(10.0),
-        F.lit(sig_figs - 1) - F.floor(F.log10(mag)),
+        F.least(
+            F.lit(sig_figs - 1) - F.floor(F.log10(mag)), F.lit(300.0)
+        ),
     )
     both_zero = (a == 0.0) & (b == 0.0)
     scaled_eq = F.round(a * scale) == F.round(b * scale)

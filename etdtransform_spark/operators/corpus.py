@@ -278,6 +278,12 @@ def leakage_safe_split(
 
     if abs(sum(ratios) - 1.0) > 1e-9:
         raise ValueError(f"ratios must sum to 1, got {ratios}")
+    if len(names) != len(ratios):
+        raise ValueError(
+            f"names/ratios length mismatch: {len(names)} names for "
+            f"{len(ratios)} ratios (zip truncation would silently mislabel "
+            f"splits)"
+        )
     rep = (
         F.coalesce(F.col(group_col), F.col(id_col))
         if group_col

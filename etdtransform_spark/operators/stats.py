@@ -165,7 +165,7 @@ def quantile_summary(
         F.count(x).alias("n"), qs.alias("_q")
     )
     named = [
-        qround(F.col("_q")[i], digits).alias(f"p{int(p * 100):02d}")
+        qround(F.col("_q")[i], digits).alias(f"p{round(p * 100):02d}")
         for i, p in enumerate(probs)
     ]
     out = out.select(*keys, "n", *named)

@@ -103,27 +103,35 @@ def snapshot_diff(
     this viable as a CDC source at 100 TB). ``changed`` compares the listed
     columns null-safely. Output carries both sides' values prefixed
     ``old_`` / ``new_``.
+
+    Null-robust: join keys match null-safely (a null-keyed row in both
+    snapshots is one row, not an add+remove pair) and presence is tracked
+    with explicit marker columns, so a null-keyed row only in ``old`` is
+    correctly ``removed`` — key nullability is not a presence signal. An
+    empty ``compare_cols`` degrades to a key-presence-only diff
+    (added/removed, never changed).
     """
     keys = list(keys)
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_old_present"),
     )
     nw = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_new_present"),
     )
     cond = None
     for k in keys:
-        e = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        e = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
         cond = e if cond is None else (cond & e)
     j = o.join(nw, cond, "full_outer")
-    old_present = F.col(f"_ok_{keys[0]}").isNotNull()
-    new_present = F.col(f"_nk_{keys[0]}").isNotNull()
-    same = None
+    old_present = F.coalesce(F.col("_old_present"), F.lit(False))
+    new_present = F.coalesce(F.col("_new_present"), F.lit(False))
+    same = F.lit(True)
     for c in compare_cols:
-        e = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        same = e if same is None else (same & e)
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     status = (
         F.when(~old_present, F.lit("added"))
         .when(~new_present, F.lit("removed"))

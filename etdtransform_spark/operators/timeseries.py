@@ -137,8 +137,13 @@ def interpolate_linear(
     frac = (us - F.col("_pt")).cast("double") / (
         F.col("_nt") - F.col("_pt")
     ).cast("double")
+    # Degenerate bracket (prev and next non-null share the null row's
+    # timestamp -> 0/0): define the result as the previous value, so both
+    # engines agree instead of diverging on NULL-vs-NaN division semantics.
     interp = F.when(v.isNotNull(), v).otherwise(
-        qround(F.col("_pv") + frac * (F.col("_nv") - F.col("_pv")), digits)
+        F.when(F.col("_nt") == F.col("_pt"), qround(F.col("_pv"), digits)).otherwise(
+            qround(F.col("_pv") + frac * (F.col("_nv") - F.col("_pv")), digits)
+        )
     )
     return staged.withColumn(f"{value_col}_interp", interp).drop(
         "_pv", "_pt", "_nv", "_nt"
@@ -169,6 +174,13 @@ def ewma(
     Fold order is the window frame order (oldest -> newest); the SQL twin
     (DuckDB ``list() OVER`` + ``list_reduce``) runs the identical op
     sequence, so results agree to the last bit before the final rounding.
+
+    Null observations are SKIPPED, not propagated: ``collect_list`` drops
+    nulls, so a null row carries the previous rows' EWMA forward and
+    contributes nothing (gap-carry semantics, consistent with the impute
+    engine's treatment of missing diffs). A DuckDB twin over null-bearing
+    data must add ``FILTER (WHERE x IS NOT NULL)`` to its ``list()`` to
+    match — plain ``list()`` keeps nulls and would fold them into NULL.
     """
     w = (
         Window.partitionBy(*keys)

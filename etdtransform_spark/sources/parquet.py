@@ -45,16 +45,22 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     return cols
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, pin_utc: bool = True
+) -> DataFrame:
     """``spark.read.parquet`` that transparently repairs nanosecond-precision
     timestamp columns to TimestampType (microsecond truncation, identical to
     DuckDB's ns->us cast). ``ts div 1000`` is exact integer division — a
-    double division would lose precision at ~1.7e18 ns epoch values."""
-    # Pin the session timezone at the same runtime hook: every date/hour
-    # derivation in the contract queries assumes naive-UTC semantics (what
-    # DuckDB/pandas give back), and the harness session is not guaranteed
-    # to have been built by get_spark(). Runtime-settable, idempotent.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    double division would lose precision at ~1.7e18 ns epoch values.
+
+    ``pin_utc`` (default True) sets the SESSION-WIDE timezone to UTC as a
+    side effect: every contract query assumes naive-UTC semantics (what
+    DuckDB/pandas give back), and the harness session is not guaranteed to
+    have been built by get_spark(). A caller who deliberately runs a
+    non-UTC session must pass ``pin_utc=False`` — the pin mutates shared
+    session state, not just this read."""
+    if pin_utc:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
         # Runtime-settable; required or the scan raises PARQUET_TYPE_ILLEGAL.
@@ -179,6 +185,7 @@ def compact_family(
     interval: str | None = None,
     target_file_mb: int = 128,
     partition_by: list[str] | None = None,
+    format: str = "parquet",
 ) -> str:
     """Small-file compaction for a stage sink: rewrite the family into
     files sized near ``target_file_mb``. The operational fix for the
@@ -187,27 +194,37 @@ def compact_family(
 
     File count derives from the CURRENT on-disk byte size (driver-side
     listing of one directory — metadata only, no data read), then the
-    rewrite is one shuffle-free ``coalesce`` when shrinking. The rewrite
-    goes through a temp sibling + atomic rename so a crash mid-compaction
-    never leaves the family half-replaced (the same committed-sink contract
-    run_pipeline's skip_existing relies on).
+    rewrite is one shuffle-free ``coalesce`` when shrinking. The swap is a
+    two-rename sequence (write tmp sibling → move old aside → move tmp in)
+    — never a half-written family visible, though a crash exactly between
+    the renames leaves the family briefly absent with both siblings intact;
+    stale ``_compact_tmp``/``_compact_old`` siblings from any earlier crash
+    are cleaned up on entry so retries always succeed.
     """
     import math
     import shutil
 
     path = family_path(base_folder, name, interval)
+    tmp_stale = path + "._compact_tmp"
+    bak_stale = path + "._compact_old"
+    if not os.path.exists(path) and os.path.exists(bak_stale):
+        # crashed between the two renames: the old data is intact in the
+        # sibling — restore it before recompacting
+        os.rename(bak_stale, path)
+    shutil.rmtree(tmp_stale, ignore_errors=True)
+    shutil.rmtree(bak_stale, ignore_errors=True)
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             if not f.startswith("_"):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path).coalesce(n_files)
+    df = spark.read.format(format).load(path).coalesce(n_files)
     tmp = path + "._compact_tmp"
-    writer = df.write.mode("overwrite")
+    writer = df.write.mode("overwrite").format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+    writer.save(tmp)
     bak = path + "._compact_old"
     os.rename(path, bak)
     os.rename(tmp, path)

@@ -140,3 +140,12 @@ def test_leakage_safe_split_properties(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         leakage_safe_split(df, ratios=(0.5, 0.1))
+
+
+def test_leakage_split_rejects_mismatched_names(spark):
+    from etdtransform_spark.operators.corpus import leakage_safe_split
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="length mismatch"):
+        leakage_safe_split(df, ratios=(0.8, 0.2))  # default 3 names

@@ -355,3 +355,29 @@ def test_family_orc_roundtrip(spark, tmp_path):
     assert back.filter(F.col("k") == 3).count() == df.filter(F.col("k") == 3).count()
     plan = back.filter(F.col("k") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "OrcScan" in plan or "Scan orc" in plan, plan[:500]
+
+
+def test_compact_family_orc_and_crash_recovery(spark, tmp_path):
+    """compact_family honors the format parameter and recovers from a
+    simulated crash between the two swap renames."""
+    import os
+
+    from etdtransform_spark.sources.parquet import (
+        compact_family,
+        family_path,
+        read_family,
+        write_family,
+    )
+
+    out = str(tmp_path)
+    df = spark.range(0, 5000).withColumn("v", F.col("id") * 1.0)
+    write_family(df.repartition(16), out, "fam_o", format="orc")
+    compact_family(spark, out, "fam_o", format="orc")
+    assert read_family(spark, out, "fam_o", format="orc").count() == 5000
+
+    # simulate crash: family renamed aside, tmp missing
+    path = family_path(out, "fam_o")
+    os.rename(path, path + "._compact_old")
+    compact_family(spark, out, "fam_o", format="orc")
+    assert read_family(spark, out, "fam_o", format="orc").count() == 5000
+    assert not os.path.exists(path + "._compact_old")

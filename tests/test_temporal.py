@@ -129,3 +129,25 @@ def test_merge_intervals_property_vs_python(spark):
                 cur_s, cur_e, n = s, e, 1
         expect.append((k, cur_s, cur_e, n))
     assert got == sorted(expect)
+
+
+def test_snapshot_diff_null_key_is_removed_not_added(spark):
+    """A null-keyed row present only in OLD must classify as 'removed';
+    null keys present in both snapshots match null-safely (one row)."""
+    old = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0)], "k bigint, v double"
+    )
+    new = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    out = {(r.k, r.status) for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out == {(None, "removed")}
+
+    both = spark.createDataFrame([(None, 9.0)], "k bigint, v double")
+    out2 = snapshot_diff(both, both, ["k"], ["v"]).collect()
+    assert out2 == []  # null keys matched -> unchanged -> filtered
+
+
+def test_snapshot_diff_empty_compare_cols(spark):
+    old = spark.createDataFrame([(1,), (2,)], "k bigint")
+    new = spark.createDataFrame([(2,), (3,)], "k bigint")
+    out = {(r.k, r.status) for r in snapshot_diff(old, new, ["k"], []).collect()}
+    assert out == {(1, "removed"), (3, "added")}

@@ -149,3 +149,16 @@ def test_latest_snapshot_total_order_tiebreak(spark):
     out = latest_snapshot(df, ["k"], [F.col("ts"), F.col("id")])
     got = {r.k: (r.id, r.payload) for r in out.collect()}
     assert got == {1: (11, "b"), 2: (3, "c")}
+
+
+def test_interpolate_duplicate_timestamp_bracket(spark):
+    """A null bracketed by same-timestamp neighbors takes the previous
+    value (0/0 guard) on both engines, not a null/NaN divergence."""
+    t = _ts(1)
+    df = spark.createDataFrame(
+        [(1, t, 1.0), (2, t, None), (3, t, 3.0)],
+        "id bigint, ts timestamp, v double",
+    ).withColumn("k", F.lit(1))
+    out = {r.id: r.v_interp for r in interpolate_linear(
+        df, ["k"], "ts", "v", order_cols=["id"]).collect()}
+    assert out[2] == 1.0
