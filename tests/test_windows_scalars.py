@@ -169,3 +169,21 @@ def test_rolling_time_window_span_fixed(spark):
     assert got[2] == (2, 30.0)     # rows 1+2 within 120s
     assert got[3] == (2, 50.0)     # rows 2+3; row 1 aged out (150-0 > 120)
     assert got[4] == (1, 40.0)     # alone
+
+
+def test_equal_sig_fig_tiny_values_no_overflow(spark):
+    """Sub-1e-290 magnitudes: the capped scale must still distinguish
+    values differing 9x (the uncapped form overflowed to inf -> all-equal)."""
+    from etdtransform_spark.functions.scalars import equal_sig_fig
+
+    df = spark.createDataFrame(
+        [(1, 1e-300, 9e-300), (2, 1e-300, 1e-300)],
+        "id bigint, a double, b double",
+    )
+    got = {
+        r.id: r.eq
+        for r in df.select(
+            "id", equal_sig_fig(F.col("a"), F.col("b"), 10).alias("eq")
+        ).collect()
+    }
+    assert got == {1: False, 2: True}
