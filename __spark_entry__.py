@@ -3202,6 +3202,35 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
 """
 
 
+def q_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections with different column sets
+    combined by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True) ≡ DuckDB UNION ALL BY NAME) —
+    how an append-only corpus absorbs a schema change without rewriting
+    history."""
+    ev = _t(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", qround(F.col("value"), 2).alias("value")
+    )
+    v2 = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        qround(F.col("value"), 2).alias("value"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+_SQL_UNION_EVOLVED = f"""
+SELECT event_id, user_id, {qround_sql('value', 2)} AS value, NULL::BIGINT AS k
+FROM {_EV} WHERE event_type = 'view'
+UNION ALL BY NAME
+SELECT event_id, user_id, {qround_sql('value', 2)} AS value,
+       json_extract_string(props, '$.k')::BIGINT AS k
+FROM {_EV} WHERE event_type = 'purchase'
+"""
+
+
 def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling aggregate: per user, the mean and count of
     values in the trailing 30 minutes of EVENT TIME (row count varies,
@@ -3797,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": q_revenue_share,
         "above_avg_customers": q_above_avg_customers,
         "dim_grid": q_dim_grid,
+        "union_evolved": q_union_evolved,
         "rolling_time_window": q_rolling_time_window,
         "impute_date_stats": q_impute_date_stats,
         "leakage_split": q_leakage_split,
@@ -3920,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split": _SQL_LEAKAGE_SPLIT,
         "impute_date_stats": _SQL_IMPUTE_DATE_STATS,
         "rolling_time_window": _SQL_ROLLING_TIME,
+        "union_evolved": _SQL_UNION_EVOLVED,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }
