@@ -104,10 +104,17 @@ def read_family(
     name: str,
     interval: str | None = None,
     format: str = "parquet",
+    merge_schema: bool = False,
 ) -> DataFrame:
-    return spark.read.format(format).load(
-        family_path(base_folder, name, interval)
-    )
+    """Family reader. ``merge_schema=True`` reconciles files written under
+    different schema versions (columns added over time) into the union
+    schema with missing columns null-filled — the read-side twin of the
+    by-name append (footer scan per file; leave off when the schema is
+    known stable, it costs a listing pass at large file counts)."""
+    reader = spark.read.format(format)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.load(family_path(base_folder, name, interval))
 
 
 def write_family(

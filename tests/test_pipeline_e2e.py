@@ -381,3 +381,20 @@ def test_compact_family_orc_and_crash_recovery(spark, tmp_path):
     compact_family(spark, out, "fam_o", format="orc")
     assert read_family(spark, out, "fam_o", format="orc").count() == 5000
     assert not os.path.exists(path + "._compact_old")
+
+
+def test_read_family_merge_schema(spark, tmp_path):
+    """Two schema versions appended to one family directory read back as
+    the union schema with nulls for the missing column."""
+    from etdtransform_spark.sources.parquet import family_path, read_family
+
+    path = family_path(str(tmp_path), "evolving")
+    spark.createDataFrame([(1, 10.0)], "id bigint, v double").write.parquet(
+        path + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, 20.0, "x")], "id bigint, v double, tag string"
+    ).write.parquet(path + "/batch=2")
+    df = read_family(spark, str(tmp_path), "evolving", merge_schema=True)
+    got = {r.id: (r.v, r.tag) for r in df.collect()}
+    assert got == {1: (10.0, None), 2: (20.0, "x")}
