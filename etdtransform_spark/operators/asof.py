@@ -71,7 +71,10 @@ def asof_join(
     # right row at exactly the left timestamp: backward scans need the right
     # row first (carry sees it), forward scans need it after the left row
     # reversed ordering puts it "first" again.
-    r = right.select(
+    # NULL-timestamp hygiene: a right row with a null timestamp would sort
+    # first (asc NULLS FIRST) and be carried onto every left row before the
+    # first real right row — drop such rows; they cannot be "as of" anything.
+    r = right.filter(F.col(right_on).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(right_on).alias("_asof_t"),
         payload.alias("_payload"),
@@ -101,7 +104,12 @@ def asof_join(
         )
         carried = F.last("_payload", ignorenulls=True).over(w)
 
-    out = unioned.withColumn("_match", carried).filter(F.col("_side") == 1)
+    # A left row with a null timestamp has no position on the time axis:
+    # it must stay unmatched (in forward mode desc NULLS LAST would
+    # otherwise hand it the earliest right payload).
+    out = unioned.withColumn(
+        "_match", F.when(F.col("_asof_t").isNotNull(), carried)
+    ).filter(F.col("_side") == 1)
 
     if tolerance_seconds is not None:
         gap = F.abs(

@@ -34,12 +34,10 @@ from ..config import (
     check_col,
     diff_col,
     get_diff_columns,
-    huis_max_col,
     impute_type_col,
     is_imputed_col,
     old_diff_col,
     original_col,
-    upper_bound_col,
 )
 
 EPS = 1e-8
@@ -74,6 +72,11 @@ def household_diff_max_bounds(
     Reference impute.py:55-90. Output: one row per household with
     ``<col>_huis_max`` and ``<col>_upper_bound`` columns.
     """
+    # NOTE: config.huis_max_col/upper_bound_col take the CUMULATIVE name and
+    # append "Diff"; inputs here are already diff columns, so the suffixes
+    # are spelled directly. Same gated-percentile shape as
+    # aggregate.filtered_percentile_bounds (both implement reference
+    # impute.py:55-90); kept inline for the <c>_huis_max naming contract.
     house_max = df.groupBy(project_id_column, "HuisIdBSV").agg(
         *[F.max(c).alias(f"{c}_huis_max") for c in diff_columns]
     )
@@ -84,6 +87,7 @@ def household_diff_max_bounds(
         bound_exprs.append(
             (F.percentile(gated, F.lit(0.95)) * 2.0).alias(f"{c}_upper_bound")
         )
+    # bounds is one row per PROJECT (dimension-sized at any SF) -> broadcast
     bounds = house_max.groupBy(project_id_column).agg(*bound_exprs)
     return house_max.join(F.broadcast(bounds), project_id_column, "left")
 
@@ -104,14 +108,17 @@ def calculate_average_diff(
     """
     if max_bounds is None:
         max_bounds = household_diff_max_bounds(df, diff_columns, project_id_column)
+    # NO broadcast hint: max_bounds is one row per HOUSEHOLD (wide, 2 cols
+    # per diff column) — per-house tables scale with the data, not the
+    # dims, and a forced broadcast bypasses autoBroadcastJoinThreshold at
+    # exactly the scale it matters. The join keys match the fact table's
+    # hash partitioning; AQE broadcasts on its own when the table is small.
     joined = df.join(
-        F.broadcast(
-            max_bounds.select(
-                project_id_column,
-                "HuisIdBSV",
-                *[f"{c}_huis_max" for c in diff_columns],
-                *[f"{c}_upper_bound" for c in diff_columns],
-            )
+        max_bounds.select(
+            project_id_column,
+            "HuisIdBSV",
+            *[f"{c}_huis_max" for c in diff_columns],
+            *[f"{c}_upper_bound" for c in diff_columns],
         ),
         [project_id_column, "HuisIdBSV"],
         "left",
@@ -241,8 +248,11 @@ def _impute_one_column(
     r_zero_end = no_jump & F.col("_end_cum").isNotNull() & F.col("_prev_cum").isNull() & (
         F.col("_end_cum") < EPS
     )
+    # >= EPS, not > EPS: the sibling zero-end rule is < EPS, and a strict >
+    # would leave an end value of exactly EPS matching neither rule (the
+    # gap would silently stay unimputed).
     r_pos_end = no_jump & F.col("_end_cum").isNotNull() & F.col("_prev_cum").isNull() & (
-        F.col("_end_cum") > EPS
+        F.col("_end_cum") >= EPS
     )
     r_no_end = no_jump & F.col("_end_cum").isNull() & F.col("_prev_cum").isNotNull()
 
@@ -395,8 +405,17 @@ def imputation_gap_stats(
                 (diff_total - minmax).alias("deviation"),
                 F.count(F.col(gl)).alias("missing"),
                 methods.alias("methods"),
-                F.count(F.col(it)).alias("imputed"),
-                (F.count(F.col(cvg)) - F.count(F.col(it))).alias("imputed_na"),
+                # gate on gap membership (cvg non-null): threshold-clamped
+                # rows OUTSIDE gaps also carry an impute_type, and counting
+                # them here would inflate `imputed` and push `imputed_na`
+                # (gap rows left NA) negative
+                F.count(F.when(F.col(cvg).isNotNull(), F.col(it))).alias(
+                    "imputed"
+                ),
+                (
+                    F.count(F.col(cvg))
+                    - F.count(F.when(F.col(cvg).isNotNull(), F.col(it)))
+                ).alias("imputed_na"),
                 F.coalesce(
                     F.bit_or(F.col(it)), F.lit(0)
                 ).alias("bitwise_methods"),
@@ -417,9 +436,11 @@ def imputation_summaries(
 ) -> tuple[DataFrame, DataFrame]:
     """House and project rollups with ``percentage_imputed``
     (reference impute.py:671-759)."""
+    # per-household total: scales with data -> no forced broadcast (AQE
+    # decides); per-project total below IS dimension-sized and stays hinted
     total_house = df.groupBy("HuisIdBSV").agg(F.count(F.lit(1)).alias("total_records"))
     summary_house = (
-        gap_stats.join(F.broadcast(total_house), "HuisIdBSV")
+        gap_stats.join(total_house, "HuisIdBSV")
         .withColumn("percentage_imputed", F.col("imputed") / F.col("total_records") * 100)
     )
     total_project = df.groupBy(project_id_column).agg(
@@ -462,7 +483,9 @@ def imputation_reading_date_stats(
             c for c in IMPUTE_CUMULATIVE_COLUMNS
             if f"{c}Diff_is_imputed" in df.columns
         ]
-    aggs = [F.count(F.lit(1)).alias("n_households")]
+    # countDistinct, not count(*): a re-delivered duplicate reading would
+    # otherwise inflate the household denominator at its timestamp
+    aggs = [F.countDistinct("HuisIdBSV").alias("n_households")]
     for c in cumulative_columns:
         flag = F.col(f"{c}Diff_is_imputed")
         aggs += [

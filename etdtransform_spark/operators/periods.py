@@ -53,16 +53,23 @@ def get_extreme_avg_period(
     w = Window.partitionBy(*partition_cols).orderBy(order_col)
     rolled = df.withColumn(
         avg_c, rolling_avg_min_periods(column, w, window_rows)
-    )
+    # min_periods-gated leading rows carry a NULL rolling average; a NULL
+    # struct field sorts BELOW real values in min_by's ordering, so without
+    # this filter the lowest=... path would always return a gated row's
+    # EndTime while reporting the true extreme value.
+    ).filter(F.col(avg_c).isNotNull())
     value = F.max_by if highest else F.min_by
     extreme = F.max if highest else F.min
+    # Ties on the rolling average resolve to the earliest EndTime (pandas
+    # idxmax/idxmin first-occurrence): max_by needs the NEGATED time so the
+    # larger struct is the earlier row; min_by needs the time as-is.
+    # unix_micros, not unix_timestamp — second truncation would leave
+    # sub-second ties nondeterministic.
+    us = F.unix_micros(F.col(order_col))
+    tiebreak = -us if highest else us
     out = rolled.groupBy(*partition_cols).agg(
-        # ties on the rolling average resolve to the earliest EndTime
-        # (pandas idxmax/idxmin first-occurrence); unix_micros, not
-        # unix_timestamp — second-truncation would leave sub-second ties
-        # nondeterministic.
         value(
-            F.col(order_col), F.struct(F.col(avg_c), (-F.unix_micros(F.col(order_col))))
+            F.col(order_col), F.struct(F.col(avg_c), tiebreak)
         ).alias("EndTime"),
         extreme(F.col(avg_c)).alias(f"{column}_extreme_avg"),
     )
@@ -174,7 +181,16 @@ def mark_coldest_weeks(
     """Rank ISO weeks by weekly average within each group and flag the k
     lowest (the reference's coldest-2-ISO-weeks logic,
     load_data.py:204-229). ``full_weeks_only`` restricts candidates to weeks
-    with 7 observed days, as the reference filters short edge weeks."""
+    with 7 observed days, as the reference filters short edge weeks.
+
+    NOTE on ties: the window carries the (iso_year, week_of_year) tiebreak —
+    the repo-wide total-order discipline that makes every ranked result
+    hash-reproducible across engines — so ``rank`` equals row_number and two
+    equal-average weeks get distinct ranks in chronological order. Rank over
+    the average ALONE (SQL-standard tied ranks) would be nondeterministic
+    about WHICH tied week the ``<= k`` flag keeps under partitioned
+    execution; the reference's pandas code has the same chronology-decides
+    behavior via its stable sort."""
     candidate = (
         (F.col("days_in_week") >= 7) if full_weeks_only else F.lit(True)
     )

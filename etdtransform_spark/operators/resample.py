@@ -47,12 +47,21 @@ def resample(
             for v, cfg in AGGREGATION_VARIABLES.items()
             if v in df.columns
         }
+    explicit_min_count = min_count is not None
     if min_count is None:
         min_count = INTERVAL_MIN_COUNT[interval]
 
     if interval == "5min":
-        # Source cadence == target cadence: pass-through (reference
-        # aggregate.py:383-414 takes this shortcut too).
+        # Source cadence == target cadence: pass-through, no aggregation —
+        # duplicate timestamps survive as-is (reference aggregate.py:383-414
+        # takes exactly this shortcut). A caller-supplied min_count > 1 is
+        # unsatisfiable here (every "bucket" is one source row), so reject
+        # it instead of silently ignoring it.
+        if explicit_min_count and min_count != 1:
+            raise ValueError(
+                "5min resample is a pass-through (reference shortcut); "
+                f"min_count={min_count} cannot be honored"
+            )
         return df.select(*group_cols, reading_date, *variables.keys())
 
     bucket = F.window(F.col(reading_date), INTERVAL_DURATION[interval])

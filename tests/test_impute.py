@@ -219,3 +219,34 @@ def test_validate_household_columns_flags(spark):
     assert out[4].zero_sum and not out[4].valid
     assert out[5].high_na and out[5].valid and not out[5].no_change
     assert out[3].zero_diff_sum  # diff sums to 0 -> warning flag, not invalid
+
+
+def test_gap_stats_threshold_outside_gap_not_counted_as_gap_imputed(spark):
+    """A non-gap row clamped by the threshold rule must not inflate the gap
+    stats: imputed counts gap rows only, imputed_na never goes negative."""
+    import datetime as dt
+
+    from etdtransform_spark.operators.impute import impute_and_normalize
+
+    t0 = dt.datetime(2023, 1, 1)
+    ts = [t0 + dt.timedelta(minutes=5 * i) for i in range(6)]
+    # 3-row gap (rows 2-4) + one non-gap diff of 6.0 (> threshold Max 2.0)
+    cum = [1.0, 2.0, None, None, 5.0, 11.0]
+    diff = [1.0, 1.0, None, None, None, 6.0]
+    rows = [
+        (1, 1, ts[i], cum[i], diff[i], 0.5) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "HuisIdBSV bigint, ProjectIdBSV bigint, ReadingDate timestamp, "
+        "`Zon-opwekTotaal` double, `Zon-opwekTotaalDiff` double, "
+        "`Zon-opwekTotaalDiff_avg` double",
+    )
+    _imputed, gap_stats = impute_and_normalize(
+        df.drop("Zon-opwekTotaalDiff_avg"),
+        cumulative_columns=["Zon-opwekTotaal"],
+    )
+    s = gap_stats.collect()[0]
+    assert s.missing == 3
+    assert s.imputed == 3          # the gap rows only, not the clamped row
+    assert s.imputed_na == 0       # never negative

@@ -246,3 +246,29 @@ def test_tfidf_weights_and_rank(spark):
     assert d1[1][1] == "banana" and d1[1][4] == 0.0
     d2 = sorted(by_doc[2])
     assert d2[0][1] == "cherry" and d2[1][1] == "banana"
+
+
+def test_asof_join_null_timestamps(spark):
+    """Null-timestamp right rows never match; null-timestamp left rows stay
+    unmatched (both directions)."""
+    import datetime as dt
+
+    from etdtransform_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 1, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1, 0)), (2, 1, None)],
+        "lid bigint, key bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t, 100.0), (1, None, -1.0)],
+        "key bigint, ts timestamp, price double",
+    )
+    back = asof_join(left, right, on="ts", by=["key"], value_cols=["price"],
+                     direction="backward")
+    got_b = {r.lid: r.asof_price for r in back.collect()}
+    assert got_b == {1: None, 2: None}
+    fwd = asof_join(left, right, on="ts", by=["key"], value_cols=["price"],
+                    direction="forward")
+    got_f = {r.lid: r.asof_price for r in fwd.collect()}
+    assert got_f == {1: 100.0, 2: None}

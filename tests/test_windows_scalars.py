@@ -187,3 +187,36 @@ def test_equal_sig_fig_tiny_values_no_overflow(spark):
         ).collect()
     }
     assert got == {1: False, 2: True}
+
+
+def test_extreme_avg_period_lowest_ignores_gated_nulls_and_ties_earliest(spark):
+    """lowest mode: min_periods-gated NULL rolling rows must not win the
+    argmin, and tied minima resolve to the EARLIEST EndTime."""
+    import datetime as dt
+
+    from etdtransform_spark.operators.periods import get_extreme_avg_period
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 1.0, 5.0, 1.0, 9.0, 9.0]
+    df = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5 * i), v) for i, v in enumerate(vals)],
+        "g bigint, ReadingDate timestamp, x double",
+    )
+    row = get_extreme_avg_period(
+        df, "x", window_rows=4, partition_cols=["g"], highest=False
+    ).collect()[0]
+    # rolling(4, min_periods=2) minimum is 4.0 ending at minute 20
+    assert row.x_extreme_avg == 4.0
+    assert row.EndTime == t0 + dt.timedelta(minutes=20)
+
+    # tie case: two equal minima -> earliest EndTime wins
+    vals2 = [4.0, 2.0, 2.0, 4.0, 2.0, 2.0]
+    df2 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5 * i), v) for i, v in enumerate(vals2)],
+        "g bigint, ReadingDate timestamp, x double",
+    )
+    row2 = get_extreme_avg_period(
+        df2, "x", window_rows=2, partition_cols=["g"], highest=False
+    ).collect()[0]
+    assert row2.x_extreme_avg == 2.0
+    assert row2.EndTime == t0 + dt.timedelta(minutes=10)  # first of the ties
