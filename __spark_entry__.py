@@ -1906,7 +1906,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(link):
         _os.symlink(f"{sf_dir}/events.parquet", link)
     stream = spark.readStream.schema(static_schema).parquet(stage)
-    deduped = streaming_distinct(stream, ["user_id", "event_type"])
+    deduped = streaming_distinct(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = (
         deduped.writeStream.format("memory")

@@ -122,7 +122,14 @@ def ngram_jaccard_pairs(
     pos = F.row_number().over(
         Window.partitionBy("id").orderBy(F.col("_f").asc(), F.col("shingle").asc())
     )
-    prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    # round to 9 decimals before ceil: IEEE products like 0.07*100 =
+    # 7.000000000000001 would otherwise ceil to 8, shortening the prefix by
+    # one and silently missing pairs at exactly the threshold
+    prefix_len = (
+        F.col("n_shingles")
+        - F.ceil(F.round(F.lit(threshold) * F.col("n_shingles"), 9))
+        + 1
+    )
     prefixes = (
         ranked.withColumn("_pos", pos).filter(F.col("_pos") <= prefix_len)
         .select("id", "shingle")
@@ -245,9 +252,11 @@ def simhash(
     Returns (id, simhash bigint). Hamming-close fingerprints indicate
     near-duplicate documents.
     """
+    from ..functions.hashing import tokens
+
     toks = widen(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.filter(F.split(text_col, r"\s+"), lambda x: x != F.lit(""))).alias("tok"),
+        F.explode(tokens(text_col)).alias("tok"),
     )
     hashed = toks.withColumn("h", portable_hash64(F.col("tok"), seed="simhash", fast=fast))
     # vote per bit: +1 when set, -1 when clear; bit set iff votes > 0
@@ -515,7 +524,9 @@ def edit_distance_pairs(
     pre = F.rpad(
         F.lower(F.substring(F.col(text_col), 1, prefix_len)), prefix_len, " "
     )
-    base = df.select(F.col(id_col).alias("_id"), pre.alias("_pre"))
+    # widen like every other CPU-heavy dedup operator: the banding explode
+    # and Levenshtein verify must not serialize on a single-file scan
+    base = widen(df).select(F.col(id_col).alias("_id"), pre.alias("_pre"))
     n_seg = max_dist + 1
     seg_len = prefix_len // n_seg
     rem = prefix_len % n_seg

@@ -253,11 +253,13 @@ def adc_topk(
     levels: int = 256,
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    codes_id: str = "vec_id",
 ) -> DataFrame:
     """Asymmetric-distance top-k: float queries against the QUANTIZED corpus
     (codes dequantized on the fly against broadcast per-dim stats). The
     recall/memory trade of production ANN: the corpus never exists in float
     form at query time. Same join/window shape as cosine_topk.
+    ``codes_id`` mirrors quantize_embeddings' ``id_col``.
 
     ``stats_df`` is the 1-row frame with mn{i}/mx{i} columns (reuse the agg
     from :func:`quantize_embeddings` to keep one stats pass for both)."""
@@ -271,7 +273,7 @@ def adc_topk(
         lambda t: t["1"] + t["codes"] * (t["2"] - t["1"]) / F.lit(m),
     )
     corpus = codes.crossJoin(F.broadcast(stats_df)).select(
-        F.col("vec_id").alias("corpus_id"), deq.alias("_vhat")
+        F.col(codes_id).alias("corpus_id"), deq.alias("_vhat")
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_q")

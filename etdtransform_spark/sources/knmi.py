@@ -43,7 +43,17 @@ def load_knmi_weather_data(spark: SparkSession, folder_path: str) -> DataFrame:
     paths = sorted(globmod.glob(os.path.join(folder_path, "*.txt")))
     if not paths:
         raise FileNotFoundError(f"no KNMI .txt files in {folder_path}")
+    # Sniff EVERY file's header (comment lines only — cheap driver-side):
+    # the schema binds positionally across all files, so a batch with an
+    # extra/reordered column would silently land values in wrong columns.
     header = _sniff_header(paths[0])
+    for p in paths[1:]:
+        other = _sniff_header(p)
+        if other != header:
+            raise ValueError(
+                f"KNMI header mismatch: {p} has {other}, "
+                f"{paths[0]} has {header} — refusing positional misbinding"
+            )
     schema = StructType([StructField(c, IntegerType(), True) for c in header])
     df = (
         spark.read.option("comment", "#")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-_NS_COLUMNS_CACHE: dict[str, list[str]] = {}
+_NS_COLUMNS_CACHE: dict[tuple[str, float | None], list[str]] = {}
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
@@ -28,8 +28,16 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     nanoseconds. We detect them from the file footer so ``read_table`` can
     restore proper TimestampType (truncated to microseconds, matching what
     DuckDB/pandas return to Python)."""
-    if path in _NS_COLUMNS_CACHE:
-        return _NS_COLUMNS_CACHE[path]
+    # cache key includes the path mtime: a rewrite at the same path with a
+    # different timestamp precision must invalidate the cached repair list
+    # (a stale entry would div-1000 a proper timestamp column, or leave a
+    # new ns column as raw longs)
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, None)
+    if key in _NS_COLUMNS_CACHE:
+        return _NS_COLUMNS_CACHE[key]
     cols: list[str] = []
     try:
         import pyarrow.dataset as ds
@@ -41,7 +49,7 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
                 cols.append(field.name)
     except Exception:
         cols = []
-    _NS_COLUMNS_CACHE[path] = cols
+    _NS_COLUMNS_CACHE[key] = cols
     return cols
 
 

@@ -90,6 +90,10 @@ def read_xlsx_rows(path: str, sheet_name: str) -> list[list]:
                     val = v is not None and v.text == "1"
                 elif ctype == "str":
                     val = v.text if v is not None else None
+                elif ctype == "e":
+                    # formula error cell (#N/A, #DIV/0!, ...) — yield None
+                    # rather than failing the whole sheet on float()
+                    val = None
                 else:  # numeric
                     val = float(v.text) if v is not None and v.text else None
                 if ref is not None:

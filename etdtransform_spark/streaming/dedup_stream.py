@@ -19,8 +19,10 @@ def streaming_distinct(
     watermark_col: str | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """First-seen rows per distinct ``cols`` combination over the stream."""
+    """First-seen rows per distinct ``cols`` combination over the stream.
+    Both modes return the FULL row schema (the first-seen row's payload);
+    project afterwards if only the keys are wanted."""
     if watermark_col is not None:
         stream = stream.withWatermark(watermark_col, watermark)
         return stream.dropDuplicatesWithinWatermark(cols)
-    return stream.select(*cols).dropDuplicates(cols)
+    return stream.dropDuplicates(cols)

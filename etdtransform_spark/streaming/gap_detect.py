@@ -18,9 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = (
-    "user_id long, gap_start timestamp, gap_end timestamp, gap_seconds double"
-)
 STATE_SCHEMA = "last_us long"
 
 
@@ -30,6 +27,7 @@ def streaming_gap_detect(
     ts_col: str = "ts",
     key_col: str = "user_id",
     id_col: str = "event_id",
+    key_type: str = "long",
 ) -> DataFrame:
     """Emit one row per detected gap: consecutive events of the same key more
     than ``gap_seconds`` apart. State carries the last event time per key, so
@@ -37,17 +35,30 @@ def streaming_gap_detect(
 
     On a single complete batch this reduces to the lag-window batch query
     (``ts - lag(ts) > gap_seconds``), which is how the oracle verifies it.
+
+    The output key column carries ``key_col``'s name and ``key_type`` (the
+    schema string must be static before the stream starts).
     """
+    out_schema = (
+        f"{key_col} {key_type}, gap_start timestamp, gap_end timestamp, "
+        "gap_seconds double"
+    )
 
     def detect(key, pdf_iter, state: GroupState):
         import pandas as pd
 
         last_us = state.get[0] if state.exists else None
+        # Concatenate BEFORE sorting: a key whose micro-batch rows exceed
+        # one Arrow chunk arrives as several frames in arbitrary order —
+        # sorting each chunk independently would walk time backwards across
+        # chunk boundaries (false gaps + missed real ones). Per-key batch
+        # volume bounds the concat, not stream length.
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
         out_rows = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values([ts_col, id_col])
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values(
+                [ts_col, id_col]
+            )
             # robust to pandas datetime64 unit (ns under legacy Arrow, us
             # under Spark 4 defaults)
             us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
@@ -65,14 +76,14 @@ def streaming_gap_detect(
         if last_us is not None:
             state.update((last_us,))
         out = pd.DataFrame(
-            out_rows, columns=["user_id", "gap_start", "gap_end", "gap_seconds"]
+            out_rows, columns=[key_col, "gap_start", "gap_end", "gap_seconds"]
         )
         if not out_rows:
             # typed empty frame — an untyped one trips pandas concat
             # dtype-inference warnings inside the Arrow serializer
             out = out.astype(
                 {
-                    "user_id": "int64",
+                    key_col: "object" if key_type == "string" else "int64",
                     "gap_start": "datetime64[ns]",
                     "gap_end": "datetime64[ns]",
                     "gap_seconds": "float64",
@@ -82,7 +93,7 @@ def streaming_gap_detect(
 
     return stream.groupBy(key_col).applyInPandasWithState(
         detect,
-        outputStructType=OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
