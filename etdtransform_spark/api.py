@@ -89,12 +89,18 @@ def get_weather_data_table(
         (F.col("HH") - 1) * F.expr("INTERVAL 1 HOUR")
     )
     df = weather.withColumn("ts", ts)
+    # label follows the actual window (14d only when rolling_hours=336)
+    days = max(1, round(rolling_hours / 24))
     for c in ["Temperatuur", "Gevoelstemperatuur"]:
         if c in df.columns:
             df = add_rolling_avg(
                 df, c, rolling_hours, ["STN"], order_col="ts",
-                out_col=f"Rolling{c}14d",
+                out_col=f"Rolling{c}{days}d",
             )
+    if "Temperatuur" not in df.columns:
+        # weekly/coldest flags need Temperatuur; a frame without it (the
+        # rolling loop above tolerates that) still gets the keyed rows back
+        return df
     weekly = weekly_stats(df, "Temperatuur", ["STN"], ts_col="ts")
     flagged = mark_coldest_weeks(
         weekly, "Temperatuur_weekly_avg", ["STN"], k=2
@@ -157,7 +163,14 @@ def register_sql_views(
         if not os.path.exists(path):
             continue
         df = read_family(spark, folder, name, iv)
-        if index_df is not None and name.startswith("household"):
+        if (
+            index_df is not None
+            and name.startswith("household")
+            # some household-prefixed families are project-level aggregates
+            # (household_aggregated_diff has no HuisIdBSV) — joining the
+            # index there would abort registration of every view
+            and {"HuisIdBSV", "ProjectIdBSV"}.issubset(set(df.columns))
+        ):
             df = join_index(df, index_df)
         view = name if iv is None else f"{name}_{iv}"
         df.createOrReplaceTempView(view)

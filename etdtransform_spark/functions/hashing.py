@@ -30,7 +30,11 @@ def portable_hash64(col: Column | str, seed: int | str = 0, fast: bool = False) 
     c = F.col(col) if isinstance(col, str) else col
     salted = F.concat(F.lit(f"{seed}|"), c)
     if fast:
-        return F.abs(F.xxhash64(salted))
+        # mask to the same 60-bit non-negative range as the md5 path:
+        # abs(xxhash64) alone spans 63 bits AND returns Long.MIN_VALUE
+        # (negative!) for the one input hashing to it, which would break
+        # any `hash % n` bucketing downstream
+        return F.xxhash64(salted).bitwiseAND(F.lit((1 << 60) - 1))
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
 
 

@@ -23,14 +23,23 @@ def add_calculated_columns(df: DataFrame) -> DataFrame:
     contribute 0 to the balance)."""
     zon = "Zon-opwekTotaalDiff"
     if zon in df.columns:
-        df = df.withColumnRenamed(zon, "ZonopwekBruto")
+        if "ZonopwekBruto" in df.columns:
+            # renaming would create a DUPLICATE ZonopwekBruto column (Spark
+            # allows it) and every later reference would be ambiguous
+            df = df.drop(zon)
+        else:
+            df = df.withColumnRenamed(zon, "ZonopwekBruto")
 
     present = set(df.columns) | set(CALCULATED_COLUMNS)
 
+    from ..functions.scalars import coalesce0 as _c0
+
     def coalesce0(name):
+        # missing sensors contribute 0; present columns use the shared
+        # fillna(0) helper (functions.scalars.coalesce0)
         if name not in present:
             return F.lit(0.0)
-        return F.coalesce(F.col(f"`{name}`"), F.lit(0.0))
+        return _c0(F.col(f"`{name}`"))
 
     teruglevering = coalesce0("ElektriciteitTerugleveringLaagDiff") + coalesce0(
         "ElektriciteitTerugleveringHoogDiff"

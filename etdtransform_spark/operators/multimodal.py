@@ -70,13 +70,14 @@ def extract_media_features(
     df: DataFrame,
     feature_dim: int = 8,
     decode_stub: str = "deterministic",
-    batch_size_hint: int = 64,
 ) -> DataFrame:
     """Decode media content and emit per-item features via ``mapInPandas``.
 
     The real pipeline would decode images (resize), sample video frames, or
     window audio here; this stub hashes the payload instead. The Arrow batch
     loop, output schema, and partition behavior are production-shaped.
+    Batch sizing is governed by ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` (session conf), not a per-call knob.
     """
     if decode_stub not in ("deterministic", "raise"):
         raise ValueError("decode_stub must be 'deterministic' or 'raise'")
@@ -155,7 +156,14 @@ def sample_video_frames(
     if decode_stub not in ("deterministic", "raise"):
         raise ValueError("decode_stub must be 'deterministic' or 'raise'")
     frames = (
-        df.filter(F.col("modality") == "video")
+        # duration must be known and positive: greatest/least SKIP null
+        # operands in Spark, so an unfiltered null duration would fabricate
+        # a phantom frame at ts=0 instead of dropping the row
+        df.filter(
+            (F.col("modality") == "video")
+            & F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") > 0)
+        )
         .select(
             "media_id",
             "content",
@@ -216,7 +224,13 @@ def chunk_audio(
     clamped to the clip. Same Catalyst-enumerate / Arrow-decode split as
     :func:`sample_video_frames`."""
     chunks = (
-        df.filter(F.col("modality") == "audio")
+        # same null/zero-duration guard as sample_video_frames: least()
+        # skipping a null _dur would un-clamp end_ms to a full window
+        df.filter(
+            (F.col("modality") == "audio")
+            & F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") > 0)
+        )
         .select(
             "media_id",
             "content",

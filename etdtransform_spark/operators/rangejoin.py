@@ -48,6 +48,10 @@ def range_join(
     inequality join).
     """
     g = int(granularity_seconds) * 1_000_000  # microseconds
+    # drop inverted intervals up front: sequence(hi, lo) would otherwise
+    # generate a DESCENDING bucket list, exploding one corrupt row into
+    # every bucket between its swapped endpoints
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     iv = intervals.withColumn(
         "_bucket",
         F.explode(

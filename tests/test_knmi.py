@@ -104,9 +104,10 @@ def test_weather_data_table_coldest_weeks(spark):
     assert flags[2] == (True, 1)
     assert flags[3] == (True, 2)
     assert flags[1][0] is False and flags[4][0] is False
-    # rolling mean exists and is non-null once the half-window fills
+    # rolling mean exists and is non-null once the half-window fills;
+    # the label reflects the ACTUAL window (24h -> 1d, not a fixed "14d")
     assert (
-        out.filter(F.col("RollingTemperatuur14d").isNotNull()).count() > 0
+        out.filter(F.col("RollingTemperatuur1d").isNotNull()).count() > 0
     )
 
 
