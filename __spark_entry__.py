@@ -72,6 +72,37 @@ def _v_nulled(col: str = "value") -> F.Column:
 _V_NULLED_SQL = "CASE WHEN event_type <> 'error' THEN value END"
 
 
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the sf events table with ``ts`` normalized to
+    TimestampType regardless of the parquet's physical encoding.
+
+    The driver may regenerate testdata with either TIMESTAMP(NANOS) (reads
+    as LongType nanoseconds under ``nanosAsLong``) or TIMESTAMP_NTZ micros,
+    so the repair is schema-dispatched: LongType gets the exact div-1000
+    truncation (DuckDB-identical), NTZ gets a cast (deterministic — session
+    timezone pinned UTC). The file-stream source needs a *directory*; the
+    single events file is exposed through a symlinked staging dir
+    (driver-side, tiny).
+    """
+    import hashlib as _hl
+    import os as _os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(static_schema).parquet(stage)
+    ts_type = static_schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 # ---------------------------------------------------------------------------
 # §2.2 scans / filters / projections
 # ---------------------------------------------------------------------------
@@ -1256,24 +1287,7 @@ def q_streaming_resample_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etdtransform_spark.streaming.resample_stream import streaming_resample
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file-stream source needs a *directory*; expose the single events
-    # file through a symlinked staging dir (driver-side, tiny).
-    import hashlib as _hl
-    import os as _os
-
-    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    _os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(static_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("v", _v_nulled())
-    )
+    stream = _stream_events(spark, sf_dir).withColumn("v", _v_nulled())
     agg = streaming_resample(
         stream,
         "15min",
@@ -1731,24 +1745,11 @@ FROM ev e LEFT JOIN flags f
 # ---------------------------------------------------------------------------
 
 def q_streaming_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-    import os as _os
     import uuid
 
     from etdtransform_spark.streaming.gap_detect import streaming_gap_detect
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    _os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(static_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream_events(spark, sf_dir)
     gaps = streaming_gap_detect(stream, gap_seconds=86400.0)
     name = f"stream_gaps_{uuid.uuid4().hex[:8]}"
     q = (
@@ -1892,20 +1893,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: first-seen (user_id, event_type) pairs
     across micro-batches (streaming.dedup_stream.streaming_distinct); the
     oracle is batch DISTINCT."""
-    import hashlib as _hl
-    import os as _os
     import uuid
 
     from etdtransform_spark.streaming.dedup_stream import streaming_distinct
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    _os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = spark.readStream.schema(static_schema).parquet(stage)
+    stream = _stream_events(spark, sf_dir)
     deduped = streaming_distinct(stream, ["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
@@ -2192,26 +2184,13 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow batch emits every final session; the oracle is the batch
     gap-sessionization with the session_window boundary (new session when
     diff >= gap)."""
-    import hashlib as _hl
-    import os as _os
     import uuid
 
     from etdtransform_spark.streaming.session_stream import (
         streaming_session_stats,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    _os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(static_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream_events(spark, sf_dir)
     sess = streaming_session_stats(
         stream, gap="6 hours", ts_col="ts", key_cols=["user_id"]
     )
@@ -2287,22 +2266,9 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-window aggregate (30 min window / 15 min slide,
     watermarked): the streaming twin of q_sliding_window, verified by the
     SAME batch SQL oracle (complete-mode memory sink)."""
-    import hashlib as _hl
-    import os as _os
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    _os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(static_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream_events(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("_w"))
@@ -2962,20 +2928,11 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch against the static customer dimension, then a running
     (mktsegment, event_type) aggregate in the state store. Oracle = the
     identical batch join+agg."""
-    import hashlib as _hl
-    import os as _os
     import uuid
 
     from etdtransform_spark.streaming.enrich_stream import stream_static_enrich
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    _os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = spark.readStream.schema(static_schema).parquet(stage)
+    stream = _stream_events(spark, sf_dir)
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     enriched = stream_static_enrich(
         stream,
@@ -3009,26 +2966,12 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (purchases within 1h after a signup by the same user), both sides
     watermarked — state evicts at the watermark + interval horizon. Oracle
     is the identical batch join."""
-    import hashlib as _hl
-    import os as _os
     import uuid
 
     from etdtransform_spark.streaming.join_stream import stream_interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = f"/tmp/etd_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    _os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-
     def src():
-        return (
-            spark.readStream.schema(static_schema)
-            .parquet(stage)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _stream_events(spark, sf_dir)
 
     signups = (
         src()

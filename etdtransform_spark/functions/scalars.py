@@ -105,6 +105,19 @@ def qround_sql(expr: str, n: int) -> str:
     return f"floor(({expr}) * {m!r} + 0.5) / {m!r}"
 
 
+def ts_micros(col: Column | str) -> Column:
+    """Microseconds since epoch for TIMESTAMP **or** TIMESTAMP_NTZ columns.
+
+    Parquet files written without ``isAdjustedToUTC`` load as TIMESTAMP_NTZ
+    in Spark 4, which ``unix_micros`` rejects. Casting NTZ→TIMESTAMP first
+    is deterministic (session timezone pinned to UTC in session.py) and a
+    no-op on already-TZ columns, so every time-arithmetic operator funnels
+    through this helper instead of calling ``unix_micros`` directly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def coalesce0(col: Column | str) -> Column:
     """``fillna(0)`` equivalent used throughout calculated columns."""
     c = F.col(col) if isinstance(col, str) else col

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import ts_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -113,7 +115,7 @@ def asof_join(
 
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.unix_micros(F.col("_asof_t")) - F.unix_micros(F.col("_match._ts"))
+            ts_micros(F.col("_asof_t")) - ts_micros(F.col("_match._ts"))
         ) / F.lit(1e6)
         out = out.withColumn(
             "_match", F.when(gap <= tolerance_seconds, F.col("_match"))

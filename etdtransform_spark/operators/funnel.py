@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import ts_micros
+
 
 def funnel_steps(
     df: DataFrame,
@@ -46,7 +48,7 @@ def funnel_steps(
         cond = F.col(ts_col) >= F.col(prev)
         if within_seconds is not None:
             cond = cond & (
-                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("step1_ts"))
+                ts_micros(F.col(ts_col)) - ts_micros(F.col("step1_ts"))
                 <= int(within_seconds * 1e6)
             )
         nxt = (
@@ -102,7 +104,7 @@ def retention_cohorts(
         .join(firsts, user_col)
     )
     offset = (
-        (F.unix_micros(F.col("w")) - F.unix_micros(F.col("cohort_week")))
+        (ts_micros(F.col("w")) - ts_micros(F.col("cohort_week")))
         / F.lit(604_800_000_000)
     ).cast("bigint")
     return (

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import ts_micros
+
 from .windows import rolling_avg_min_periods
 
 
@@ -65,7 +67,7 @@ def get_extreme_avg_period(
     # larger struct is the earlier row; min_by needs the time as-is.
     # unix_micros, not unix_timestamp — second truncation would leave
     # sub-second ties nondeterministic.
-    us = F.unix_micros(F.col(order_col))
+    us = ts_micros(F.col(order_col))
     tiebreak = -us if highest else us
     out = rolled.groupBy(*partition_cols).agg(
         value(

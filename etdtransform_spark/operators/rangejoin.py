@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import ts_micros
+
 
 def range_join(
     points: DataFrame,
@@ -56,13 +58,13 @@ def range_join(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / g),
-                F.floor(F.unix_micros(F.col(end_col)) / g),
+                F.floor(ts_micros(F.col(start_col)) / g),
+                F.floor(ts_micros(F.col(end_col)) / g),
             )
         ),
     )
     pt = points.withColumn(
-        "_bucket", F.floor(F.unix_micros(F.col(point_ts)) / g)
+        "_bucket", F.floor(ts_micros(F.col(point_ts)) / g)
     )
     keys = ["_bucket", *by]
     joined = iv.join(pt, on=keys, how="inner").filter(

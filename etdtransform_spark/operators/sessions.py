@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
+from ..functions.scalars import ts_micros
 
 
 def sessionize(
@@ -34,8 +35,8 @@ def sessionize(
     keys = key_cols or ["user_id"]
     order = [ts_col, *(order_cols or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.lag(
-        F.unix_micros(F.col(ts_col))
+    gap_us = ts_micros(F.col(ts_col)) - F.lag(
+        ts_micros(F.col(ts_col))
     ).over(w)
     new_session = (
         gap_us.isNull() | (gap_us > F.lit(int(timeout_seconds * 1_000_000)))
@@ -63,7 +64,7 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         (
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            (ts_micros(F.max(ts_col)) - ts_micros(F.min(ts_col)))
             / 1e6
         ).alias("duration_seconds"),
     )

@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import qround
+from ..functions.scalars import qround, ts_micros
 
 
 def scaffold_time_grid(
@@ -118,7 +118,7 @@ def interpolate_linear(
         .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_micros(F.col(ts_col))
     # Materialize each window result ONCE behind a projection boundary:
     # composing them inline would make Catalyst extract a window expression
     # per textual occurrence (the interp formula references prev/next many
