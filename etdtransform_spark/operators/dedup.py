@@ -368,41 +368,45 @@ def connected_components(
     # upstream ONCE: the symmetric union scans `edges` twice, and without
     # this persist each scan recomputes the whole upstream pipeline.
     e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
-    sym = (
+    # Self-loops fold the "keep own label" rule into the neighborhood min:
+    # one join+agg per round replaces the old join + left-join-back pair.
+    adj = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(
+            e.select("src").union(e.select("dst")).distinct()
+            .select(F.col("src"), F.col("src").alias("dst"))
+        )
         .distinct()
         .persist()
     )
-    labels = (
-        sym.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    labels = adj.select(F.col("src").alias("v")).distinct().withColumn(
+        "label", F.col("v")
     ).persist()
+    # Labels are monotone non-increasing under Pregel-min, so the exact
+    # decimal sum of all labels is a convergence certificate: unchanged sum
+    # ⟺ fixpoint. One scalar per round crosses to the driver — no
+    # old-vs-new comparison join. decimal(38,0) cannot overflow for any
+    # realistic node count (2^63 ids × 10^18 nodes < 10^38).
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.v)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
         new_labels = (
-            labels.join(nbr_min, labels.v == nbr_min.src, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            adj.join(labels, adj.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("v"), "label")
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
-    sym.unpersist()
+        prev_sum = new_sum
+    adj.unpersist()
     e.unpersist()
     return labels.select(F.col("v").alias("node"), F.col("label").alias("cluster_id"))
 

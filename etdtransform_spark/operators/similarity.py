@@ -333,28 +333,34 @@ def kmeans(
     ]
 
     def assign(cent_rows):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                cent_rows, "cluster_id int, _c array<double>"
-            )
+        # The model is k x d doubles — small enough to inline as a LITERAL
+        # array-of-arrays, so assignment is a pure projection in whole-stage
+        # codegen: per row, distance to each centroid (zip_with fold) and
+        # argmin via array_position of the min (first occurrence = lowest
+        # cluster id, the same tie-break as min(struct(d2, cluster_id))).
+        # No per-iteration groupBy-by-row-id, no join-back shuffle.
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent_rows]
         )
-        d2 = F.aggregate(
-            F.zip_with(F.col("_v"), F.col("_c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        d2s = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
-        return (
-            base.join(cdf)
-            .groupBy("_vid")
-            .agg(
-                F.min(F.struct(d2.alias("d2"), F.col("cluster_id"))).alias("_m")
-            )
-            .select(
-                "_vid",
-                F.col("_m.cluster_id").alias("cluster_id"),
-                F.col("_m.d2").alias("d2"),
-            )
-            .join(base, "_vid")
+        return base.select(
+            "_vid",
+            "_v",
+            d2s.alias("_d2s"),
+        ).select(
+            "_vid",
+            "_v",
+            (F.array_position(F.col("_d2s"), F.array_min(F.col("_d2s"))) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+            F.array_min(F.col("_d2s")).alias("d2"),
         )
 
     for _ in range(iters):
