@@ -3665,6 +3665,316 @@ FROM cs JOIN bs USING (sh) GROUP BY 1
 """
 
 
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join without BNLJ: each user's signup
+    validity spans (2h) against their purchase spans (1h), bucketed on
+    coarse time + user key with canonical-bucket pair dedup."""
+    from etdtransform_spark.operators.temporal import overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("s_event"),
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("s_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    out = overlap_join(
+        signups,
+        purchases,
+        "s_start",
+        "s_end",
+        "p_start",
+        "p_end",
+        by=["user_id"],
+        granularity_seconds=3600,
+    )
+    return out.select("user_id", "s_event", "p_event", "s_start", "p_start")
+
+
+_SQL_OVERLAP_JOIN = f"""
+WITH s AS (
+  SELECT user_id, event_id AS s_event, ts AS s_start,
+         ts + INTERVAL 2 HOUR AS s_end
+  FROM {_EV} WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, event_id AS p_event, ts AS p_start,
+         ts + INTERVAL 1 HOUR AS p_end
+  FROM {_EV} WHERE event_type = 'purchase'
+)
+SELECT s.user_id, s_event, p_event, s_start, p_start
+FROM s JOIN p ON s.user_id = p.user_id
+             AND s_start <= p_end AND p_start <= s_end
+"""
+
+
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event_type by day — the distinct
+    window aggregate SQL can't express, via first-bucket attribution +
+    running sum over the bucket grid."""
+    from etdtransform_spark.operators.olap import cumulative_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return cumulative_distinct(
+        ev,
+        ["event_type"],
+        "user_id",
+        F.date_trunc("day", F.col("ts")),
+        bucket_name="day",
+    )
+
+
+_SQL_CUMULATIVE_DISTINCT = f"""
+WITH b AS (
+  SELECT event_type, user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM {_EV}
+), firsts AS (
+  SELECT event_type, user_id, min(day) AS day FROM b GROUP BY 1, 2
+), news AS (
+  SELECT event_type, day, count(*) AS n_new FROM firsts GROUP BY 1, 2
+), grid AS (
+  SELECT DISTINCT event_type, day FROM b
+)
+SELECT g.event_type, g.day, coalesce(n.n_new, 0) AS n_new,
+       sum(coalesce(n.n_new, 0)) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS UNBOUNDED PRECEDING
+       ) AS cumulative_distinct
+FROM grid g LEFT JOIN news n USING (event_type, day)
+"""
+
+
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (highest count, then lowest value) via
+    min(struct(-count, value)) — no window sort, tie-stable under
+    partitioning (F.mode is not)."""
+    from etdtransform_spark.operators.olap import group_mode
+
+    ev = _t(spark, sf_dir, "events")
+    return group_mode(ev, ["user_id"], "event_type")
+
+
+_SQL_GROUP_MODE = f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM {_EV} GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_value, cnt AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lead over the user timeline, hash agg on state pairs, row-normalized
+    probabilities."""
+    from etdtransform_spark.operators.funnel import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, order_cols=["event_id"])
+
+
+_SQL_TRANSITIONS = f"""
+WITH seq AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM {_EV}
+), pairs AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n_transitions,
+       {qround_sql('n_transitions / sum(n_transitions) OVER (PARTITION BY from_state)', 6)}
+         AS probability
+FROM pairs
+"""
+
+
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate on lineitem: completeness,
+    compound-key uniqueness, value ranges, accepted sets, min row count,
+    and FK containment against orders — all but the FK check in ONE
+    full-scan aggregate."""
+    from etdtransform_spark.operators.quality import check_expectations
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        li,
+        not_null=["l_orderkey", "l_shipdate"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        ranges={"l_discount": (0.0, 0.1), "l_quantity": (1.0, 50.0)},
+        accepted_values={"l_returnflag": ["A", "N", "R"]},
+        min_rows=100,
+        foreign_keys=[("l_orderkey", orders, "o_orderkey")],
+    )
+
+
+_SQL_EXPECTATIONS = """
+SELECT 'not_null' AS check, 'l_orderkey' AS target,
+       CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS DOUBLE) AS metric,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) = 0 AS passed
+UNION ALL
+SELECT 'not_null', 'l_shipdate',
+       CAST((SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) AS DOUBLE),
+       (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) = 0
+UNION ALL
+SELECT 'unique', 'l_orderkey,l_linenumber',
+       CAST((SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             FROM lineitem
+             WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS DOUBLE),
+       (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) = 0
+UNION ALL
+SELECT 'range', 'l_discount',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_discount < 0.0 OR l_discount > 0.1) AS DOUBLE),
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0.0 OR l_discount > 0.1) = 0
+UNION ALL
+SELECT 'range', 'l_quantity',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_quantity < 1.0 OR l_quantity > 50.0) AS DOUBLE),
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity < 1.0 OR l_quantity > 50.0) = 0
+UNION ALL
+SELECT 'accepted_values', 'l_returnflag',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_returnflag IS NOT NULL
+               AND l_returnflag NOT IN ('A','N','R')) AS DOUBLE),
+       (SELECT count(*) FROM lineitem
+        WHERE l_returnflag IS NOT NULL
+          AND l_returnflag NOT IN ('A','N','R')) = 0
+UNION ALL
+SELECT 'min_rows', '*',
+       CAST((SELECT count(*) FROM lineitem) AS DOUBLE),
+       (SELECT count(*) FROM lineitem) >= 100
+UNION ALL
+SELECT 'foreign_key', 'l_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE),
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0
+"""
+
+
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user signup -> first-purchase latency (censored users kept with
+    null end), via conditional aggregates — no row-level self-join."""
+    from etdtransform_spark.operators.funnel import time_to_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return time_to_conversion(ev, "signup", "purchase")
+
+
+_SQL_TIME_TO_CONVERT = f"""
+WITH f AS (
+  SELECT user_id, event_type, ts FROM {_EV}
+  WHERE event_type IN ('signup', 'purchase')
+), s AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS start_ts
+  FROM f GROUP BY 1
+), e AS (
+  SELECT f.user_id, min(f.ts) AS end_ts
+  FROM f JOIN s ON f.user_id = s.user_id
+  WHERE f.event_type = 'purchase' AND f.ts >= s.start_ts
+  GROUP BY 1
+)
+SELECT s.user_id, s.start_ts, e.end_ts,
+       (epoch_us(e.end_ts) - epoch_us(s.start_ts)) / 1e6 AS seconds_to_convert
+FROM s LEFT JOIN e ON s.user_id = e.user_id
+WHERE s.start_ts IS NOT NULL
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve in doc_id order: per-doc token /
+    new-term counts with running vocabulary size and cumulative tokens
+    (first-doc term attribution, window over #docs rows)."""
+    from etdtransform_spark.operators.corpus import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_growth(docs)
+
+
+_SQL_VOCAB_GROWTH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1
+), news AS (
+  SELECT doc_id, count(*) AS n_new_terms
+  FROM (SELECT term, min(doc_id) AS doc_id FROM toks GROUP BY 1)
+  GROUP BY 1
+), curve AS (
+  SELECT p.doc_id, p.n_tokens, coalesce(n.n_new_terms, 0) AS n_new_terms,
+         sum(p.n_tokens) OVER w AS cum_tokens,
+         sum(coalesce(n.n_new_terms, 0)) OVER w AS vocab_size
+  FROM per_doc p LEFT JOIN news n ON p.doc_id = n.doc_id
+  WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+)
+SELECT doc_id, n_tokens, n_new_terms, cum_tokens, vocab_size,
+       {qround_sql('vocab_size / CAST(cum_tokens AS DOUBLE)', 6)} AS type_token_ratio
+FROM curve
+"""
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional exact-substring duplication profile (Lee et al. span
+    dedup): per doc, word-5-gram positions whose shingle first occurs
+    elsewhere — min(struct(doc,pos)) ownership, shuffles carry hashes+ids
+    not text."""
+    from etdtransform_spark.operators.corpus import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=5)
+
+
+_SQL_DUPLICATE_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), marked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+  FROM spans
+), agg AS (
+  SELECT doc_id, count(*) AS n_spans,
+         count(CASE WHEN rn > 1 THEN 1 END) AS n_dup_spans
+  FROM marked GROUP BY 1
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       {qround_sql('n_dup_spans / CAST(n_spans AS DOUBLE)', 6)} AS dup_ratio
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3784,6 +4094,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "scd2_history": q_scd2_history,
         "snapshot_diff": q_snapshot_diff,
+        "overlap_join": q_overlap_join,
+        "cumulative_distinct": q_cumulative_distinct,
+        "group_mode": q_group_mode,
+        "transition_matrix": q_transition_matrix,
+        "expectations_report": q_expectations_report,
+        "time_to_conversion": q_time_to_conversion,
+        "vocab_growth": q_vocab_growth,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -3896,6 +4214,14 @@ def oracle_sql() -> dict[str, str]:
         "impute_date_stats": _SQL_IMPUTE_DATE_STATS,
         "rolling_time_window": _SQL_ROLLING_TIME,
         "union_evolved": _SQL_UNION_EVOLVED,
+        "overlap_join": _SQL_OVERLAP_JOIN,
+        "cumulative_distinct": _SQL_CUMULATIVE_DISTINCT,
+        "group_mode": _SQL_GROUP_MODE,
+        "transition_matrix": _SQL_TRANSITIONS,
+        "expectations_report": _SQL_EXPECTATIONS,
+        "time_to_conversion": _SQL_TIME_TO_CONVERT,
+        "vocab_growth": _SQL_VOCAB_GROWTH,
+        "duplicate_spans": _SQL_DUPLICATE_SPANS,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -173,6 +173,109 @@ def contamination(
     )
 
 
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve over the corpus in ``id_col``
+    order: per document, its token and new-term counts plus the running
+    vocabulary size and cumulative token count after ingesting it — the
+    curve a tokenizer-training / corpus-sizing pass needs.
+
+    Each distinct term attributes to its FIRST document (min-id aggregate
+    over the exploded term stream — one shuffle on the term, dictionary-
+    sized after combine); per-doc new-term counts then join the per-doc
+    token totals and two running sums produce the curve. The running
+    window is over #docs rows, never the token stream. Ties cannot occur
+    (min is unique per term), so the curve is deterministic.
+
+    Returns (id, n_tokens, n_new_terms, cum_tokens, vocab_size,
+    type_token_ratio).
+    """
+    from ..functions.scalars import qround
+
+    toks = widen(df).select(F.col(id_col), F.explode(_toks(text_col)).alias("_term"))
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    news = (
+        toks.groupBy("_term")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        per_doc.join(news, id_col, "left")
+        .withColumn("n_new_terms", F.coalesce(F.col("n_new_terms"), F.lit(0)))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("vocab_size", F.sum("n_new_terms").over(w))
+    )
+    return out.withColumn(
+        "type_token_ratio",
+        qround(F.col("vocab_size") / F.col("cum_tokens"), round_digits),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Positional exact-substring duplication profile (the corpus-internal
+    counterpart of :func:`contamination`, after Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every word ``n``-gram
+    *position* in every document, marked duplicated unless it is the
+    canonical (first) occurrence of that n-gram in the corpus — canonical =
+    lowest (doc_id, position).
+
+    Per-span attribution needs positional (non-distinct) shingles, so this
+    explodes every position, takes one ``min(struct(doc, pos))`` per
+    shingle (hash agg, map-side combined), and joins ownership back on the
+    shingle — shuffles carry (shingle, doc, pos), never document text.
+
+    Returns (id, n_spans, n_dup_spans, dup_ratio) for every document with
+    at least one full n-gram.
+    """
+    from ..functions.scalars import qround
+
+    toks = _toks(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    spans = (
+        widen(df)
+        .filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("_pos", "_sh"))
+    )
+    owner = spans.groupBy("_sh").agg(
+        F.min(F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))).alias(
+            "_own"
+        )
+    )
+    marked = spans.join(owner, "_sh").withColumn(
+        "_dup",
+        (
+            (F.col("_own._d") != F.col(id_col))
+            | (F.col("_own._p") != F.col("_pos"))
+        ).cast("int"),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("_dup").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio",
+            qround(F.col("n_dup_spans") / F.col("n_spans"), round_digits),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import ts_micros
@@ -82,6 +82,93 @@ def funnel_conversion(
         per_user.withColumn("cohort_day", F.date_trunc("day", F.col("step1_ts")))
         .groupBy("cohort_day")
         .agg(*aggs)
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    state_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every observed (from_state, to_state) pair, the transition count
+    and the row-normalized probability count / sum(count over from_state).
+
+    One window pass (``lead`` over the user timeline — the same
+    partition-by-series-key exchange every ordered operator here shares)
+    then a hash aggregate on state pairs; the normalizing row total is a
+    window over the collapsed #states^2 rows, not the event log. Sequence
+    order must be total (pass a unique id in ``order_cols``) or the lead
+    is nondeterministic under ties.
+
+    Returns (from_state, to_state, n_transitions, probability).
+    """
+    from ..functions.scalars import qround
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = Window.partitionBy("from_state")
+    return pairs.withColumn(
+        "probability",
+        qround(
+            F.col("n_transitions") / F.sum("n_transitions").over(tot),
+            round_digits,
+        ),
+    )
+
+
+def time_to_conversion(
+    df: DataFrame,
+    start_event: str,
+    end_event: str,
+    event_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user latency from the first ``start_event`` to the first
+    ``end_event`` at-or-after it (null when the user never converts —
+    censored observations stay in the output for survival-style analysis).
+
+    One conditional aggregate per user: min ts of the start event, then
+    min ts of end events >= that start — both in a single groupBy pass
+    using ``min(when(...))`` over the filtered union of the two event
+    types (the scan prunes every other event type). No self-join.
+
+    Returns (user, start_ts, end_ts, seconds_to_convert).
+    """
+    f = df.filter(F.col(event_col).isin([start_event, end_event]))
+    agg = f.groupBy(user_col).agg(
+        F.min(
+            F.when(F.col(event_col) == start_event, F.col(ts_col))
+        ).alias("start_ts"),
+    )
+    ends = (
+        f.filter(F.col(event_col) == end_event)
+        .select(user_col, F.col(ts_col).alias("_ets"))
+        .join(agg, user_col)
+        .filter(F.col("_ets") >= F.col("start_ts"))
+        .groupBy(user_col)
+        .agg(F.min("_ets").alias("end_ts"))
+    )
+    out = agg.filter(F.col("start_ts").isNotNull()).join(ends, user_col, "left")
+    return out.select(
+        user_col,
+        "start_ts",
+        "end_ts",
+        (
+            (ts_micros(F.col("end_ts")) - ts_micros(F.col("start_ts"))) / 1e6
+        ).alias("seconds_to_convert"),
     )
 
 

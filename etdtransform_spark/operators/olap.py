@@ -115,6 +115,77 @@ def cube_stats(
     return df.cube(*keys).agg(*gcols, *aggs)
 
 
+def cumulative_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    bucket_col: Column,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Running distinct-count per key over ordered buckets (e.g. cumulative
+    unique users per event_type by day) — the distinct window aggregate
+    Spark (and ANSI SQL) cannot express directly as
+    ``count(DISTINCT x) OVER (...)``.
+
+    Shape: each (key, value) contributes at its FIRST bucket (min-bucket
+    aggregate — one shuffle on (key, value)); new-value counts per bucket
+    then join the observed bucket grid (so buckets with activity but no
+    new values still appear, with the carried total) and a running sum
+    over buckets yields the cumulative count. Never materializes per-row
+    distinct state; the running sum runs over #buckets rows per key, not
+    the event log.
+    """
+    keys = list(keys)
+    b = df.select(*keys, F.col(value_col).alias("_val"), bucket_col.alias(bucket_name))
+    firsts = b.groupBy(*keys, "_val").agg(F.min(bucket_name).alias(bucket_name))
+    news = firsts.groupBy(*keys, bucket_name).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    grid = b.select(*keys, bucket_name).distinct()
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_name)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(news, [*keys, bucket_name], "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .withColumn("cumulative_distinct", F.sum("n_new").over(w))
+    )
+
+
+def group_mode(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Most frequent value per group with a deterministic tie-break
+    (highest count, then lowest value). ``F.mode`` is tie-nondeterministic
+    under partitioning, so this is the portable shape: count per
+    (key, value), then one ``min(struct(-count, value))`` hash aggregate —
+    no window sort, no join-back. Two map-side-combining shuffles, the
+    second over the collapsed (key, value) cardinality.
+
+    Returns (keys..., mode_value, mode_count).
+    """
+    keys = list(keys)
+    counts = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    best = counts.groupBy(*keys).agg(
+        F.min(
+            F.struct(
+                (-F.col("_cnt")).alias("_nc"), F.col(value_col).alias("_v")
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        *keys,
+        F.col("_m._v").alias("mode_value"),
+        (-F.col("_m._nc")).alias("mode_count"),
+    )
+
+
 def latest_snapshot(
     df: DataFrame,
     keys: Sequence[str],

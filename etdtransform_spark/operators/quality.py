@@ -1,0 +1,129 @@
+"""Declarative data-quality expectation checks (Deequ/Great-Expectations
+style) as a single-pass Spark aggregate.
+
+A 100 TB ingest pipeline gates every batch on a constraint report:
+completeness (null counts), key uniqueness, value ranges, accepted value
+sets, minimum row counts, and referential integrity against dimension
+tables. Everything except the FK checks is ONE full-scan hash aggregate —
+the metrics are conditional counts computed side by side, so adding a check
+adds a column to the agg, not a pass over the data. FK checks are one
+anti-join aggregate each (broadcast when the dimension is small).
+
+The report is long-format (check, target, metric, passed) so it can be
+written to a monitoring sink or joined against previous batches without
+schema churn as checks are added.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_expectations(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[Sequence[str]] = (),
+    ranges: dict[str, tuple[float, float]] | None = None,
+    accepted_values: dict[str, Sequence[str]] | None = None,
+    min_rows: int | None = None,
+    foreign_keys: Sequence[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Evaluate the declared expectations and return the constraint report.
+
+    ``metric`` is the violation count for every check except ``min_rows``
+    (where it is the observed row count); ``passed`` is metric == 0 (resp.
+    metric >= min_rows). ``unique`` takes column *groups*; uniqueness is
+    measured as ``count(*) - count(distinct group)`` over rows where the
+    whole group is non-null (null keys are a completeness problem, not a
+    uniqueness one). Exact distinct counts — at extreme group cardinality
+    switch the caller to approx_count_distinct and a tolerance.
+
+    Returns (check, target, metric, passed), FK rows appended via union —
+    the report row count equals the number of declared checks.
+    """
+    ranges = ranges or {}
+    accepted_values = accepted_values or {}
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n_rows")]
+    rows: list[tuple[str, str, str]] = []  # (check, target, agg alias)
+
+    for c in not_null:
+        a = f"_nn_{c}"
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(a))
+        rows.append(("not_null", c, a))
+    for grp in unique:
+        grp = list(grp)
+        a = "_uq_" + "_".join(grp)
+        nn = None
+        for c in grp:
+            e = F.col(c).isNotNull()
+            nn = e if nn is None else (nn & e)
+        aggs.append(
+            (
+                F.count(F.when(nn, 1))
+                - F.count_distinct(*[F.when(nn, F.col(c)) for c in grp])
+            ).alias(a)
+        )
+        rows.append(("unique", ",".join(grp), a))
+    for c, (lo, hi) in ranges.items():
+        a = f"_rg_{c}"
+        aggs.append(
+            F.count(
+                F.when((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)), 1)
+            ).alias(a)
+        )
+        rows.append(("range", c, a))
+    for c, vals in accepted_values.items():
+        a = f"_av_{c}"
+        aggs.append(
+            F.count(
+                F.when(
+                    F.col(c).isNotNull() & ~F.col(c).isin(list(vals)), 1
+                )
+            ).alias(a)
+        )
+        rows.append(("accepted_values", c, a))
+
+    one = df.agg(*aggs)
+    reports = [
+        F.struct(
+            F.lit(check).alias("check"),
+            F.lit(target).alias("target"),
+            F.col(alias).cast("double").alias("metric"),
+            (F.col(alias) == 0).alias("passed"),
+        )
+        for check, target, alias in rows
+    ]
+    if min_rows is not None:
+        reports.append(
+            F.struct(
+                F.lit("min_rows").alias("check"),
+                F.lit("*").alias("target"),
+                F.col("_n_rows").cast("double").alias("metric"),
+                (F.col("_n_rows") >= min_rows).alias("passed"),
+            )
+        )
+    report = one.select(
+        F.explode(F.array(*reports)).alias("_r")
+    ).select("_r.check", "_r.target", "_r.metric", "_r.passed")
+
+    for col, dim, dim_col in foreign_keys:
+        orphans = (
+            df.filter(F.col(col).isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(dim_col).alias(col)).distinct()),
+                col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .select(
+                F.lit("foreign_key").alias("check"),
+                F.lit(col).alias("target"),
+                F.col("_m").cast("double").alias("metric"),
+                (F.col("_m") == 0).alias("passed"),
+            )
+        )
+        report = report.unionByName(orphans)
+    return report

@@ -60,6 +60,66 @@ def merge_intervals(
     )
 
 
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: Sequence[str] = (),
+    granularity_seconds: int = 3600,
+) -> DataFrame:
+    """Interval x interval overlap join (closed intervals: overlap iff
+    ``l_start <= r_end AND r_start <= l_end``) without a
+    BroadcastNestedLoopJoin.
+
+    Both sides explode their interval onto coarse time buckets and
+    equi-join on (bucket, *by); the exact overlap predicate then filters
+    candidates. A pair whose intervals overlap shares EVERY bucket in the
+    overlap region — emitting it once per shared bucket would need a
+    distinct pass — so the join additionally pins each pair to one
+    canonical bucket, the bucket of ``greatest(l_start, r_start)`` (always
+    inside the overlap region and covered by both explode ranges). Exactly
+    one output row per overlapping pair, no dedup shuffle.
+
+    ``granularity_seconds`` trades explode factor (interval_len/g + 1 rows
+    per input) against bucket selectivity — pick ~ the median interval
+    length, same contract as :func:`rangejoin.range_join`.
+    """
+    from ..functions.scalars import ts_micros
+
+    g = int(granularity_seconds * 1_000_000)
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(ts_micros(F.col(l_start)) / g),
+                F.floor(ts_micros(F.col(l_end)) / g),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(ts_micros(F.col(r_start)) / g),
+                F.floor(ts_micros(F.col(r_end)) / g),
+            )
+        ),
+    )
+    keys = ["_bucket", *by]
+    canonical = F.col("_bucket") == F.floor(
+        F.greatest(ts_micros(F.col(l_start)), ts_micros(F.col(r_start))) / g
+    )
+    out = lb.join(rb, on=keys, how="inner").filter(
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & canonical
+    )
+    return out.drop("_bucket")
+
+
 def scd2_history(
     df: DataFrame,
     keys: Sequence[str],

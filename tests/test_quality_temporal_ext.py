@@ -1,0 +1,241 @@
+"""Unit tests for the expectation-report, overlap-join, cumulative-distinct,
+mode, transition, conversion-latency, vocab-growth, and span-dedup operators
+— the edge cases the sf oracle data cannot exercise (ties, boundary touches,
+censoring, violation counting)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_overlap_join_boundaries_and_bucket_dedup(spark):
+    from etdtransform_spark.operators.temporal import overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 10:00:00")),
+            (1, "b", _ts("2024-01-02 00:00:00"), _ts("2024-01-02 01:00:00")),
+            (2, "c", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),
+        ],
+        "k long, lid string, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # long overlap spanning many 1h buckets with 'a' -> must emit ONCE
+            (1, "x", _ts("2024-01-01 02:00:00"), _ts("2024-01-01 08:00:00")),
+            # touching boundary: r_start == l_end (closed intervals -> match)
+            (1, "y", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00")),
+            # disjoint
+            (1, "z", _ts("2024-01-03 00:00:00"), _ts("2024-01-03 01:00:00")),
+            # same times but different key -> no match
+            (3, "w", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),
+        ],
+        "k long, rid string, rs timestamp, re timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            left, right, "ls", "le", "rs", "re", by=["k"],
+            granularity_seconds=3600,
+        ).collect()
+    )
+    assert got == [("a", "x"), ("a", "y")]
+
+    # granularity invariance: coarser buckets, same pairs
+    got2 = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            left, right, "ls", "le", "rs", "re", by=["k"],
+            granularity_seconds=86400,
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_cumulative_distinct_carries_and_dedups(spark):
+    from etdtransform_spark.operators.olap import cumulative_distinct
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, _ts("2024-01-01 05:00:00")),
+            ("a", 2, _ts("2024-01-01 06:00:00")),
+            ("a", 1, _ts("2024-01-02 05:00:00")),  # repeat user: no increment
+            ("a", 3, _ts("2024-01-03 05:00:00")),
+        ],
+        "g string, uid long, ts timestamp",
+    )
+    out = {
+        r["day"].date().isoformat(): (r["n_new"], r["cumulative_distinct"])
+        for r in cumulative_distinct(
+            df, ["g"], "uid", F.date_trunc("day", F.col("ts")), "day"
+        ).collect()
+    }
+    assert out == {
+        "2024-01-01": (2, 2),
+        "2024-01-02": (0, 2),  # active day, no new users: carried total
+        "2024-01-03": (1, 3),
+    }
+
+
+def test_group_mode_tiebreak(spark):
+    from etdtransform_spark.operators.olap import group_mode
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c"), (2, "z")],
+        "k long, v string",
+    )
+    got = {
+        r["k"]: (r["mode_value"], r["mode_count"])
+        for r in group_mode(df, ["k"], "v").collect()
+    }
+    # tie between a(2) and b(2): lowest value wins
+    assert got == {1: ("a", 2), 2: ("z", 1)}
+
+
+def test_transition_matrix_rows_normalize(spark):
+    from etdtransform_spark.operators.funnel import transition_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 00:00:00"), "s"),
+            (1, 2, _ts("2024-01-01 00:01:00"), "t"),
+            (1, 3, _ts("2024-01-01 00:02:00"), "s"),
+            (1, 4, _ts("2024-01-01 00:03:00"), "u"),
+            (2, 5, _ts("2024-01-01 00:00:00"), "s"),
+            (2, 6, _ts("2024-01-01 00:01:00"), "t"),
+            (3, 7, _ts("2024-01-01 00:00:00"), "lonely"),  # no transition
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    rows = transition_matrix(df, order_cols=["event_id"]).collect()
+    got = {(r["from_state"], r["to_state"]): (r["n_transitions"], r["probability"])
+           for r in rows}
+    assert got == {
+        ("s", "t"): (2, 0.666667),
+        ("s", "u"): (1, 0.333333),
+        ("t", "s"): (1, 1.0),
+    }
+    # per-from-state probabilities sum to 1 (up to the 6-digit rounding)
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f_, _t_), (_n, p) in got.items():
+        sums[f_] += p
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
+
+
+def test_time_to_conversion_censoring(spark):
+    from etdtransform_spark.operators.funnel import time_to_conversion
+
+    df = spark.createDataFrame(
+        [
+            # converts 90s after signup; earlier purchase ignored
+            (1, _ts("2024-01-01 00:00:00"), "purchase"),
+            (1, _ts("2024-01-01 00:10:00"), "signup"),
+            (1, _ts("2024-01-01 00:11:30"), "purchase"),
+            # never converts
+            (2, _ts("2024-01-01 00:00:00"), "signup"),
+            # never signs up -> excluded entirely
+            (3, _ts("2024-01-01 00:00:00"), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {r["user_id"]: r for r in
+            time_to_conversion(df, "signup", "purchase").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["seconds_to_convert"] == 90.0
+    assert rows[2]["end_ts"] is None and rows[2]["seconds_to_convert"] is None
+
+
+def test_vocab_growth_curve(spark):
+    from etdtransform_spark.operators.corpus import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in vocab_growth(df).collect()}
+    assert (rows[1]["n_tokens"], rows[1]["n_new_terms"],
+            rows[1]["vocab_size"], rows[1]["cum_tokens"]) == (3, 2, 2, 3)
+    assert (rows[2]["n_new_terms"], rows[2]["vocab_size"],
+            rows[2]["cum_tokens"]) == (1, 3, 5)
+    assert (rows[3]["n_new_terms"], rows[3]["vocab_size"],
+            rows[3]["cum_tokens"]) == (0, 3, 8)
+    assert rows[3]["type_token_ratio"] == 0.375
+
+
+def test_duplicate_spans_positional(spark):
+    from etdtransform_spark.operators.corpus import duplicate_spans
+
+    base = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, base + " six"),          # 2 spans, both canonical
+            (2, base),                   # 1 span, duplicate of doc 1 pos 0
+            (3, base + " " + base),      # within-doc repetition + cross-doc
+            (4, "short text only"),      # < n tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(df, n=5).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["n_spans"], rows[1]["n_dup_spans"]) == (2, 0)
+    assert (rows[2]["n_spans"], rows[2]["n_dup_spans"]) == (1, 1)
+    # doc 3: 6 spans; every span whose shingle appeared in doc1/doc2 or
+    # earlier in doc 3 is dup. "one two three four five" dup; the rolling
+    # spans crossing the seam are unique; second copy dup.
+    assert rows[3]["n_spans"] == 6
+    assert rows[3]["n_dup_spans"] == 2
+    assert rows[3]["dup_ratio"] == round(2 / 6, 6)
+
+
+def test_check_expectations_each_violation(spark):
+    from etdtransform_spark.operators.quality import check_expectations
+
+    fact = spark.createDataFrame(
+        [
+            (1, 1, 0.05, "A"),
+            (1, 1, 0.05, "A"),    # duplicate compound key
+            (2, 1, 0.5, "X"),     # range violation + bad accepted value
+            (None, 2, 0.01, "N"), # null key (not a uniqueness violation)
+            (99, 3, None, "R"),   # orphan FK; null range value ignored
+        ],
+        "k long, line long, disc double, flag string",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "dk long")
+    rep = {
+        (r["check"], r["target"]): (r["metric"], r["passed"])
+        for r in check_expectations(
+            fact,
+            not_null=["k"],
+            unique=[["k", "line"]],
+            ranges={"disc": (0.0, 0.1)},
+            accepted_values={"flag": ["A", "N", "R"]},
+            min_rows=3,
+            foreign_keys=[("k", dim, "dk")],
+        ).collect()
+    }
+    assert rep[("not_null", "k")] == (1.0, False)
+    assert rep[("unique", "k,line")] == (1.0, False)
+    assert rep[("range", "disc")] == (1.0, False)
+    assert rep[("accepted_values", "flag")] == (1.0, False)
+    assert rep[("min_rows", "*")] == (5.0, True)
+    assert rep[("foreign_key", "k")] == (1.0, False)
+    # all-clean table passes everything
+    clean = spark.createDataFrame([(1, 1, 0.05, "A")], fact.schema)
+    rep2 = check_expectations(
+        clean,
+        not_null=["k"],
+        unique=[["k", "line"]],
+        ranges={"disc": (0.0, 0.1)},
+        accepted_values={"flag": ["A"]},
+        min_rows=1,
+        foreign_keys=[("k", dim, "dk")],
+    )
+    assert all(r["passed"] for r in rep2.collect())
