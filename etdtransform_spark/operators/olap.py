@@ -164,9 +164,11 @@ def group_mode(
     """Most frequent value per group with a deterministic tie-break
     (highest count, then lowest value). ``F.mode`` is tie-nondeterministic
     under partitioning, so this is the portable shape: count per
-    (key, value), then one ``min(struct(-count, value))`` hash aggregate —
-    no window sort, no join-back. Two map-side-combining shuffles, the
-    second over the collapsed (key, value) cardinality.
+    (key, value), then one ``min(struct(-count, value))`` aggregate — no
+    window sort over the log, no join-back. Two map-side-combining
+    shuffles; the second stage plans as SortAggregate (struct aggregation
+    buffers are not hash-aggregable) but sorts only the collapsed
+    (key, value) cardinality, with partial combine before its exchange.
 
     Returns (keys..., mode_value, mode_count).
     """

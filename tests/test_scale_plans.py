@@ -286,3 +286,58 @@ def test_edit_distance_band_never_cross_joins(spark):
     plan = _plan(spark, out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_overlap_join_avoids_nested_loop(spark, events):
+    """Interval x interval overlap must ride an equi-join on the coarse
+    bucket — the naive inequality formulation plans BNLJ (O(n*m))."""
+    from etdtransform_spark.operators.temporal import overlap_join
+
+    a = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("a_end"),
+    )
+    b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("b_end"),
+    )
+    out = overlap_join(a, b, "a_start", "a_end", "b_start", "b_end",
+                       by=["user_id"], granularity_seconds=3600)
+    plan = _plan(spark, out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+
+def test_group_mode_is_aggregate_only(spark, events):
+    """group_mode must be two aggregate stages over the collapsed
+    (key, value) cardinality — never a Window (per-group row_number sort
+    over the log) and never a join-back. The struct-min final aggregate
+    plans as SortAggregate (struct buffers are not hash-aggregable) but
+    still combines partially before its exchange."""
+    from etdtransform_spark.operators.olap import group_mode
+
+    out = group_mode(events, ["user_id"], "event_type")
+    plan = _plan(spark, out)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_expectations_single_pass_without_fk(spark, events):
+    """Every non-FK expectation metric must come from ONE aggregate over
+    ONE scan — adding a check may not add a pass over the data."""
+    from etdtransform_spark.operators.quality import check_expectations
+
+    rep = check_expectations(
+        events,
+        not_null=["user_id", "event_type"],
+        ranges={"value": (0.0, 1e9)},
+        accepted_values={"event_type": ["click", "view", "purchase",
+                                        "signup", "error"]},
+        min_rows=1,
+    )
+    plan = _plan(spark, rep)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
