@@ -3665,6 +3665,45 @@ FROM cs JOIN bs USING (sh) GROUP BY 1
 """
 
 
+def q_streaming_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregate via Spark 4's transformWithStateInPandas
+    (named ValueState, update mode) — the successor API to
+    applyInPandasWithState. Oracle = the batch groupBy aggregate (the
+    final state after the availableNow run IS the batch total)."""
+    import uuid
+
+    from etdtransform_spark.streaming.stateful_agg import streaming_running_agg
+
+    stream = _stream_events(spark, sf_dir)
+    agg = streaming_running_agg(stream, "user_id", "value")
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # single-source availableNow = one micro-batch -> one row per key
+    return spark.table(name).select(
+        F.col("key").alias("user_id"),
+        "n",
+        qround(F.col("sum_value"), 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+_SQL_STREAM_STATEFUL = f"""
+SELECT user_id, count(value) AS n,
+       {qround_sql('sum(value)', 2)} AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM {_EV}
+GROUP BY 1
+"""
+
+
 def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval x interval overlap join without BNLJ: each user's signup
     validity spans (2h) against their purchase spans (1h), bucketed on
@@ -4102,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_conversion": q_time_to_conversion,
         "vocab_growth": q_vocab_growth,
         "duplicate_spans": q_duplicate_spans,
+        "streaming_stateful_agg": q_streaming_stateful_agg,
     }
 
 
@@ -4222,6 +4262,7 @@ def oracle_sql() -> dict[str, str]:
         "time_to_conversion": _SQL_TIME_TO_CONVERT,
         "vocab_growth": _SQL_VOCAB_GROWTH,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
+        "streaming_stateful_agg": _SQL_STREAM_STATEFUL,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

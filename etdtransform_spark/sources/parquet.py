@@ -247,6 +247,82 @@ def compact_family(
     return path
 
 
+def apply_changes_to_family(
+    spark: SparkSession,
+    changes: DataFrame,
+    base_folder: str,
+    name: str,
+    keys: list[str],
+    partition_col: str,
+    interval: str | None = None,
+    status_col: str = "status",
+) -> str:
+    """Apply a CDC change set (``snapshot_diff`` output shape: key columns +
+    ``status`` in {added, removed, changed} + ``new_<col>`` values) to a
+    partitioned parquet family by rewriting ONLY the partitions that
+    contain changes — the upsert path for a partitioned lake without a
+    table format.
+
+    Mechanics: dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``) so the write
+    replaces exactly the partition directories present in its output.
+    For each touched partition the new content is (current rows minus
+    removed/changed keys) union (added/changed rows from the change set) —
+    the read side prunes to touched partitions via an IN filter on the
+    partition values (broadcast-collected once; partition counts are
+    thousands at most, never data-sized). Untouched partitions are never
+    read or written.
+
+    ``changes`` must carry ``partition_col`` (for removed rows: the OLD
+    partition value) and ``new_<col>`` for every non-key, non-partition
+    data column of the family. Keys moving across partitions appear as
+    removed-in-old + added-in-new, which this handles naturally.
+    """
+    path = family_path(base_folder, name, interval)
+    touched = [
+        r[0]
+        for r in changes.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return path
+    current = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    data_cols = [c for c in current.columns if c not in (*keys, partition_col)]
+    dropped_keys = changes.filter(
+        F.col(status_col).isin(["removed", "changed"])
+    ).select(*keys)
+    upserts = changes.filter(
+        F.col(status_col).isin(["added", "changed"])
+    ).select(
+        *keys,
+        F.col(partition_col),
+        *[F.col(f"new_{c}").alias(c) for c in data_cols],
+    )
+    survivors = current.join(dropped_keys, keys, "left_anti")
+    out = survivors.select(*keys, partition_col, *data_cols).unionByName(
+        upserts.select(*keys, partition_col, *data_cols)
+    )
+    out = out.persist()
+    # Dynamic overwrite only replaces partitions PRESENT in the output: a
+    # touched partition whose rows were all removed would silently keep its
+    # old directory. Detect and delete those explicitly.
+    remaining = {r[0] for r in out.select(partition_col).distinct().collect()}
+    emptied = [v for v in touched if v not in remaining]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        out.unpersist()
+    import shutil
+
+    for v in emptied:
+        shutil.rmtree(os.path.join(path, f"{partition_col}={v}"), ignore_errors=True)
+    return path
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
