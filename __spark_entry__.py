@@ -4014,6 +4014,62 @@ FROM agg
 """
 
 
+def q_exclusive_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY returned-flag supplier
+    in a multi-supplier finished order. The correlated EXISTS + NOT EXISTS
+    pair decorrelates into ONE per-order aggregate (distinct suppliers,
+    distinct problem suppliers) joined back — two self-joins of the fact
+    replaced by one map-side-combined groupBy, the rewrite that matters
+    when lineitem is the 100 TB table. Oracle keeps the EXISTS form."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_bad"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+        )
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_bad") == 1))
+        .join(
+            F.broadcast(
+                supplier.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_name"
+                )
+            ),
+            "l_suppkey",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_SQL_EXCLUSIVE_SUPPLIER = """
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4142,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "duplicate_spans": q_duplicate_spans,
         "streaming_stateful_agg": q_streaming_stateful_agg,
+        "exclusive_problem_supplier": q_exclusive_problem_supplier,
     }
 
 
@@ -4263,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _SQL_VOCAB_GROWTH,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
         "streaming_stateful_agg": _SQL_STREAM_STATEFUL,
+        "exclusive_problem_supplier": _SQL_EXCLUSIVE_SUPPLIER,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }
