@@ -4070,6 +4070,68 @@ GROUP BY s.s_name
 """
 
 
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rules document gate: per-rule booleans + keep +
+    auditable fail_reasons, all in one zero-shuffle projection."""
+    from etdtransform_spark.operators.text import gopher_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_gate(docs, min_words=30).select(
+        "doc_id",
+        "ok_words",
+        "ok_mean_word_len",
+        "ok_alpha_ratio",
+        "ok_stopwords",
+        "ok_repetition",
+        "keep",
+        "fail_reasons",
+    )
+
+
+_SQL_GOPHER = """
+WITH f AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n, n_nonspace,
+         CASE WHEN len(toks) > 0
+              THEN n_nonspace / CAST(len(toks) AS DOUBLE) END AS mean_wl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                   / CAST(len(toks) AS DOUBLE) END AS alpha_ratio,
+         len(list_intersect(list_transform(toks, t -> lower(t)),
+                            ['a','and','is','of','the','to'])) AS n_stops,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ) AS grams
+  FROM f
+), c AS (
+  SELECT doc_id,
+         coalesce(n BETWEEN 30 AND 100000, FALSE) AS ok_words,
+         coalesce(mean_wl BETWEEN 3.0 AND 10.0, FALSE) AS ok_mean_word_len,
+         coalesce(alpha_ratio >= 0.8, FALSE) AS ok_alpha_ratio,
+         coalesce(n_stops >= 2, FALSE) AS ok_stopwords,
+         coalesce((len(grams) - len(list_distinct(grams)))
+                  / CAST(len(grams) AS DOUBLE) <= 0.3, FALSE) AS ok_repetition
+  FROM m
+)
+SELECT doc_id, ok_words, ok_mean_word_len, ok_alpha_ratio, ok_stopwords,
+       ok_repetition,
+       (ok_words AND ok_mean_word_len AND ok_alpha_ratio AND ok_stopwords
+        AND ok_repetition) AS keep,
+       concat_ws(',',
+         CASE WHEN NOT ok_words THEN 'words' END,
+         CASE WHEN NOT ok_mean_word_len THEN 'mean_word_len' END,
+         CASE WHEN NOT ok_alpha_ratio THEN 'alpha_ratio' END,
+         CASE WHEN NOT ok_stopwords THEN 'stopwords' END,
+         CASE WHEN NOT ok_repetition THEN 'repetition' END) AS fail_reasons
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4199,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "streaming_stateful_agg": q_streaming_stateful_agg,
         "exclusive_problem_supplier": q_exclusive_problem_supplier,
+        "gopher_gate": q_gopher_gate,
     }
 
 
@@ -4321,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
         "streaming_stateful_agg": _SQL_STREAM_STATEFUL,
         "exclusive_problem_supplier": _SQL_EXCLUSIVE_SUPPLIER,
+        "gopher_gate": _SQL_GOPHER,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

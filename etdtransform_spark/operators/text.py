@@ -104,6 +104,77 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_dup_trigram_frac: float = 0.3,
+) -> DataFrame:
+    """Composite Gopher-style document gate (Rae et al. 2021 quality rules,
+    the thresholds a pretraining pipeline tunes): word-count window, mean
+    word length window, alphabetic-word ratio, distinct-stopword presence,
+    and duplicate-3-gram fraction. Emits one boolean per rule, the overall
+    ``keep``, and ``fail_reasons`` (comma-joined, stable order) so a
+    filtered corpus stays auditable — the reasons column is what lets you
+    attribute corpus loss per rule without re-running the gate.
+
+    Pure projection (token arrays built once per row, in-row n-gram
+    distinct counting) — zero shuffles at any corpus size.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wl = F.when(
+        n > 0, F.length(F.regexp_replace(c, r"\s+", "")) / nd
+    )
+    alpha_ratio = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nd,
+    )
+    distinct_stops = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(s) for s in LANG_PROFILES["en"]]),
+        )
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    dup_frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(
+        grams
+    ).cast("double")
+
+    checks = {
+        "ok_words": (n >= min_words) & (n <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_alpha_ratio": alpha_ratio >= min_alpha_word_ratio,
+        "ok_stopwords": distinct_stops >= min_distinct_stopwords,
+        "ok_repetition": dup_frac <= max_dup_trigram_frac,
+    }
+    out = df
+    keep = F.lit(True)
+    for name, expr in checks.items():
+        flag = F.coalesce(expr, F.lit(False))
+        out = out.withColumn(name, flag)
+        keep = keep & flag
+    reasons = F.concat_ws(
+        ",",
+        *[
+            F.when(~F.col(name), F.lit(name.replace("ok_", "")))
+            for name in checks
+        ],
+    )
+    return out.withColumn("keep", keep).withColumn("fail_reasons", reasons)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", fast: bool = False) -> DataFrame:
     """64-bit content fingerprint of whitespace-normalized lowercased text —
     the exact-dedup key for massive corpora (hash join instead of string

@@ -239,3 +239,32 @@ def test_check_expectations_each_violation(spark):
         foreign_keys=[("k", dim, "dk")],
     )
     assert all(r["passed"] for r in rep2.collect())
+
+
+def test_gopher_gate_rules_and_reasons(spark):
+    from etdtransform_spark.operators.text import gopher_gate
+
+    good = " ".join(
+        ["the", "quick", "brown", "foxes", "jumped", "over", "many", "lazy",
+         "sleeping", "dogs", "while", "evening", "light", "faded", "slowly",
+         "and", "distant", "church", "bells", "rang", "through", "quiet",
+         "valley", "towns", "where", "weary", "farmers", "gathered", "ripe",
+         "golden", "wheat", "before", "autumn", "rains", "arrived", "again"]
+    )
+    repetitive = "the cat sat here now " * 20             # dup trigrams
+    df = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, repetitive.strip()),
+            (3, ""),                       # empty: every rule fails closed
+            (4, "zz " * 40),               # no stopwords, repetitive
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_gate(df, min_words=10).collect()}
+    assert rows[1]["keep"] and rows[1]["fail_reasons"] == ""
+    assert not rows[2]["ok_repetition"] and not rows[2]["keep"]
+    assert "repetition" in rows[2]["fail_reasons"]
+    assert not rows[3]["keep"]
+    assert rows[3]["fail_reasons"].startswith("words")
+    assert not rows[4]["ok_stopwords"] and not rows[4]["keep"]
