@@ -36,6 +36,11 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) is otherwise unreadable (PARQUET_TYPE_ILLEGAL);
         # read as long and convert via sources.parquet.read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Bare MIN/MAX/COUNT over a parquet scan answers from row-group
+        # footer statistics instead of reading data (off by default; Spark
+        # falls back automatically when a query shape is unsupported, e.g.
+        # filters present or nested columns).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

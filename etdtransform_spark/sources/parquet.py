@@ -323,6 +323,54 @@ def apply_changes_to_family(
     return path
 
 
+def footer_aggregate(
+    spark: SparkSession,
+    path: str,
+    aggs: list[tuple[str, str]],
+) -> DataFrame:
+    """MIN/MAX/COUNT over a parquet dataset answered from row-group footer
+    statistics — no data pages read at ANY table size.
+
+    ``aggs`` is [(fn, col)] with fn in {min, max, count} (use col "*" with
+    count for row counts). Spark's aggregate pushdown
+    (``spark.sql.parquet.aggregatePushdown``) only exists in the DSv2
+    parquet reader, and parquet defaults to V1 (``useV1SourceList``), so
+    this helper scopes the V2 switch to one eagerly-materialized query
+    instead of flipping the scan path engine-wide. The result is collected
+    (it is one row by construction) and returned as a local DataFrame.
+
+    Pushdown eligibility is per-column-type (numeric/string yes; timestamp
+    min/max currently not) and Spark falls back to the data path silently;
+    check ``result._footer_aggregate_plan`` for ``PushedAggregation: [...]``
+    when the metadata-only guarantee matters.
+    """
+    allowed = {"min", "max", "count"}
+    for fn, _c in aggs:
+        if fn not in allowed:
+            raise ValueError(f'footer_aggregate supports {allowed}, got "{fn}"')
+    exprs = [
+        (
+            F.count(F.lit(1)) if c == "*" else getattr(F, fn)(F.col(c))
+        ).alias(f"{fn}_{'rows' if c == '*' else c}")
+        for fn, c in aggs
+    ]
+    key = "spark.sql.sources.useV1SourceList"
+    prev = spark.conf.get(key)
+    v2_list = ",".join(s for s in prev.split(",") if s and s != "parquet")
+    spark.conf.set(key, v2_list)
+    try:
+        out = spark.read.parquet(path).agg(*exprs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        rows = out.collect()
+    finally:
+        spark.conf.set(key, prev)
+    res = spark.createDataFrame(rows, out.schema)
+    # stash the physical plan for callers/tests that want to verify the
+    # pushdown actually engaged (e.g. schema evolution disables it)
+    res._footer_aggregate_plan = plan  # type: ignore[attr-defined]
+    return res
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

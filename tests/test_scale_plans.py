@@ -341,3 +341,23 @@ def test_expectations_single_pass_without_fk(spark, events):
     )
     plan = _plan(spark, rep)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_bare_minmax_count_pushes_to_parquet_footers(spark):
+    """footer_aggregate must answer MIN/MAX/COUNT from row-group statistics
+    (PushedAggregation in the DSv2 scan) and match the data-path result."""
+    from etdtransform_spark.sources.parquet import footer_aggregate
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    out = footer_aggregate(
+        spark, path, [("min", "l_quantity"), ("max", "l_orderkey"),
+                      ("count", "*")]
+    )
+    plan = out._footer_aggregate_plan
+    assert "PushedAggregation: [MIN(l_quantity)" in plan, plan
+    row = out.collect()[0]
+    df = spark.read.parquet(path)
+    expect = df.agg(
+        F.min("l_quantity"), F.max("l_orderkey"), F.count(F.lit(1))
+    ).collect()[0]
+    assert tuple(row) == tuple(expect)
