@@ -4132,6 +4132,38 @@ FROM c
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the 'new batch' (doc_id % 5 == 0)
+    LSH-banded against the persisted index of the already-accepted corpus
+    — only new-vs-index candidate pairs, the corpus never re-banded."""
+    from etdtransform_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    accepted = docs.filter(F.col("doc_id") % 5 != 0)
+    index = minhash_band_index(accepted, num_hashes=8, bands=4)
+    return minhash_lsh_incremental(new, index, num_hashes=8, bands=4)
+
+
+def _sql_incremental_dedup() -> str:
+    sigs = _sql_minhash_sigs()
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat(mh{2 * b}, ',', mh{2 * b + 1}) AS bucket FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH sigs AS ({sigs}), banded AS ({bands})
+SELECT n.doc_id AS new_id, ix.doc_id AS index_id, count(*) AS n_bands_shared
+FROM banded n JOIN banded ix
+  ON n.band = ix.band AND n.bucket = ix.bucket
+WHERE n.doc_id % 5 = 0 AND ix.doc_id % 5 <> 0
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4262,6 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_agg": q_streaming_stateful_agg,
         "exclusive_problem_supplier": q_exclusive_problem_supplier,
         "gopher_gate": q_gopher_gate,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -4385,6 +4418,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_agg": _SQL_STREAM_STATEFUL,
         "exclusive_problem_supplier": _SQL_EXCLUSIVE_SUPPLIER,
         "gopher_gate": _SQL_GOPHER,
+        "incremental_dedup": _sql_incremental_dedup(),
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

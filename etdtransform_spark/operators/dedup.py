@@ -208,6 +208,35 @@ def minhash_lsh_pairs(
     bucket groupBy-join, with candidate verification (exact Jaccard) to be run
     only on this output.
     """
+    banded = minhash_band_index(
+        df, text_col, id_col, num_hashes, bands, shingle_n, fast
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """The persistable LSH index for a corpus: one (id, band, bucket) row
+    per band per document. Write this once per ingested batch (partitioned
+    or bucketed by (band, bucket)); incremental dedup then joins a NEW
+    batch's bands against it without touching old text or signatures."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -222,18 +251,48 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+    return sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW documents against an EXISTING
+    corpus index (:func:`minhash_band_index` output) — the production
+    ingestion pattern, where each arriving batch is deduped against
+    everything already accepted without re-banding the corpus.
+
+    Returns (new_id, index_id, n_bands_shared): only new-vs-index pairs.
+    New-vs-new dedup within the batch is :func:`minhash_lsh_pairs` on the
+    batch alone; the two results together cover all pairs involving the
+    batch. The join is an equi-join on (band, bucket) — at 100 TB the
+    index side is bucketed by (band, bucket) on disk so each batch joins
+    shuffle-free against it, and the batch side is tiny by comparison.
+    """
+    new_bands = minhash_band_index(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n, fast
+    )
+    n, ix = new_bands.alias("n"), index_df.alias("ix")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        n.join(
+            ix,
+            (F.col("n.band") == F.col("ix.band"))
+            & (F.col("n.bucket") == F.col("ix.bucket")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("n.id").alias("new_id"), F.col("ix.id").alias("index_id")
+        )
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
     )
 

@@ -268,3 +268,47 @@ def test_gopher_gate_rules_and_reasons(spark):
     assert not rows[3]["keep"]
     assert rows[3]["fail_reasons"].startswith("words")
     assert not rows[4]["ok_stopwords"] and not rows[4]["keep"]
+
+
+def test_incremental_dedup_covers_all_new_pairs(spark):
+    """Incremental (new-vs-index) + within-batch (new-vs-new) candidates
+    must equal exactly the full-corpus LSH pairs that involve a new doc —
+    the invariant that makes batchwise ingestion dedup sound."""
+    from etdtransform_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),   # dup of 1
+        (3, "one two three four five six seven eight nine"),
+        (4, "one two three four five six seven eight nine ten"),  # near 3
+        (5, "totally different words entirely unrelated content here"),
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota"),  # near 1
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") >= 5)
+    accepted = docs.filter(F.col("doc_id") < 5)
+
+    full = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    full_with_new = {p for p in full if any(i >= 5 for i in p)}
+
+    index = minhash_band_index(accepted, num_hashes=8, bands=4)
+    inc = {
+        frozenset((r["new_id"], r["index_id"]))
+        for r in minhash_lsh_incremental(
+            new, index, num_hashes=8, bands=4
+        ).collect()
+    }
+    within = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in minhash_lsh_pairs(new, num_hashes=8, bands=4).collect()
+    }
+    assert inc | within == full_with_new
+    # and the near-dup planted across the boundary was found
+    assert frozenset((1, 6)) in inc
