@@ -182,6 +182,47 @@ def read_index(spark: SparkSession, mapped_folder: str) -> DataFrame:
     return df
 
 
+def update_meenemen(
+    index_df: DataFrame,
+    corrections: DataFrame | None = None,
+    min_validators_true: int | None = None,
+) -> DataFrame:
+    """Refresh the per-household ``Meenemen`` include flag (reference
+    aggregate.py:95 calls etdmap's ``update_meenemen`` before combining;
+    etdmap is not vendored, so the semantics are reconstructed from usage:
+    the flag is recomputed from QC signals and explicit overrides, then the
+    combine step keeps only Meenemen=true households).
+
+    Two inputs, both optional:
+    - ``corrections``: (HuisIdBSV, Meenemen) overrides — wins outright
+      where present (broadcast left join; corrections are human-curated and
+      tiny at any scale).
+    - ``min_validators_true``: recompute the flag from the index's
+      ``validate_*`` boolean columns — a household stays in when at least
+      this many validators pass. Nulls count as not-passing.
+    Precedence: correction > validator recompute > existing flag; a
+    household with none of the three defaults to False (fail closed).
+    """
+    out = index_df
+    base = F.col("Meenemen") if "Meenemen" in out.columns else F.lit(None).cast(
+        "boolean"
+    )
+    if min_validators_true is not None:
+        vcols = [c for c in out.columns if c.startswith("validate_")]
+        n_pass = sum(
+            (F.when(F.col(c), 1).otherwise(0) for c in vcols), F.lit(0)
+        )
+        base = n_pass >= F.lit(min_validators_true)
+    if corrections is not None:
+        fix = corrections.select(
+            "HuisIdBSV", F.col("Meenemen").alias("_meenemen_fix")
+        )
+        out = out.join(F.broadcast(fix), "HuisIdBSV", "left")
+        flag = F.coalesce(F.col("_meenemen_fix"), base, F.lit(False))
+        return out.withColumn("Meenemen", flag).drop("_meenemen_fix")
+    return out.withColumn("Meenemen", F.coalesce(base, F.lit(False)))
+
+
 def join_index(
     df: DataFrame, index_df: DataFrame, metadata_columns: list[str] | None = None
 ) -> DataFrame:

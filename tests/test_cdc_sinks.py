@@ -152,3 +152,40 @@ def test_streaming_running_agg_across_batches(spark, tmp_path):
     # identical results, so when protobuf is absent we at least assert the
     # chosen path ran (tws otherwise covered by the same assertions)
     assert transform_with_state_available() in (True, False)
+
+
+def test_update_meenemen_precedence(spark):
+    """correction > validator recompute > existing flag; fail closed."""
+    from etdtransform_spark.sources.parquet import update_meenemen
+
+    idx = spark.createDataFrame(
+        [
+            # (huis, existing, v1, v2)
+            (1, True, True, True),     # passes validators
+            (2, True, False, False),   # fails validators -> recompute False
+            (3, False, True, True),    # passes -> recompute True
+            (4, True, None, True),     # null validator counts as fail at 2
+            (5, None, None, None),     # nothing known -> False
+        ],
+        "HuisIdBSV long, Meenemen boolean, validate_a boolean, validate_b boolean",
+    )
+    fixes = spark.createDataFrame(
+        [(2, True), (3, False)], "HuisIdBSV long, Meenemen boolean"
+    )
+
+    # existing flag only (no recompute, no corrections): nulls fail closed
+    plain = {r["HuisIdBSV"]: r["Meenemen"]
+             for r in update_meenemen(idx).collect()}
+    assert plain == {1: True, 2: True, 3: False, 4: True, 5: False}
+
+    # validator recompute at >= 2 passes
+    rec = {r["HuisIdBSV"]: r["Meenemen"]
+           for r in update_meenemen(idx, min_validators_true=2).collect()}
+    assert rec == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+    # corrections override the recompute where present
+    both = {r["HuisIdBSV"]: r["Meenemen"]
+            for r in update_meenemen(
+                idx, corrections=fixes, min_validators_true=2
+            ).collect()}
+    assert both == {1: True, 2: True, 3: False, 4: False, 5: False}
