@@ -4164,6 +4164,92 @@ GROUP BY 1, 2
 """
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median (7-row trailing frame) per user — the robust
+    sliding statistic; linear-interpolation percentile over a bounded row
+    frame, ≡ DuckDB quantile_cont."""
+    from etdtransform_spark.operators.windows import rolling_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        qround(
+            rolling_quantile(
+                "value", ["user_id"], ["ts", "event_id"], 0.5, 7
+            ),
+            6,
+        ).alias("rolling_median"),
+    )
+
+
+_SQL_ROLLING_MEDIAN = f"""
+SELECT event_id, user_id,
+       {qround_sql('quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)', 6)}
+         AS rolling_median
+FROM {_EV}
+"""
+
+
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline anomalies per event_type: values
+    scoring |z| > 2 against their (type, hour) cell mean/std — the
+    de-seasonalized outlier detector (a plain z-score would flag every
+    evening peak)."""
+    from etdtransform_spark.operators.stats import seasonal_residuals
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_residuals(
+        ev,
+        "value",
+        ["event_type"],
+        F.hour(F.col("ts")),
+        season_name="hour_of_day",
+        threshold=2.0,
+    )
+    return out.select("event_id", "event_type", "hour_of_day", "baseline", "z")
+
+
+_SQL_SEASONAL = f"""
+WITH s AS (
+  SELECT event_type, hour(ts) AS hour_of_day,
+         count(value)::DOUBLE AS n, sum(value) AS sx,
+         sum(value * value) AS sxx
+  FROM {_EV} GROUP BY 1, 2
+), z AS (
+  SELECT e.event_id, e.event_type, hour(e.ts) AS hour_of_day,
+         {qround_sql('s.sx / s.n', 6)} AS baseline,
+         {qround_sql('(e.value - s.sx / s.n) / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))', 6)} AS z
+  FROM {_EV} e JOIN s ON e.event_type = s.event_type
+                     AND hour(e.ts) = s.hour_of_day
+)
+SELECT event_id, event_type, hour_of_day, baseline, z
+FROM z WHERE abs(z) > 2.0
+"""
+
+
+def q_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve per event_type: demand ranked descending with
+    exceedance fraction — the sorted-demand curve capacity planning reads
+    peak/base load from."""
+    from etdtransform_spark.operators.stats import load_duration_curve
+
+    ev = _t(spark, sf_dir, "events")
+    return load_duration_curve(
+        ev, "value", ["event_type"], order_cols=["event_id"]
+    )
+
+
+_SQL_LOAD_DURATION = f"""
+SELECT event_type,
+       row_number() OVER w AS rank,
+       {qround_sql('row_number() OVER w / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)', 6)} AS exceedance,
+       value AS demand
+FROM {_EV}
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4295,6 +4381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclusive_problem_supplier": q_exclusive_problem_supplier,
         "gopher_gate": q_gopher_gate,
         "incremental_dedup": q_incremental_dedup,
+        "rolling_median": q_rolling_median,
+        "seasonal_residuals": q_seasonal_residuals,
+        "load_duration_curve": q_load_duration_curve,
     }
 
 
@@ -4419,6 +4508,9 @@ def oracle_sql() -> dict[str, str]:
         "exclusive_problem_supplier": _SQL_EXCLUSIVE_SUPPLIER,
         "gopher_gate": _SQL_GOPHER,
         "incremental_dedup": _sql_incremental_dedup(),
+        "rolling_median": _SQL_ROLLING_MEDIAN,
+        "seasonal_residuals": _SQL_SEASONAL,
+        "load_duration_curve": _SQL_LOAD_DURATION,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

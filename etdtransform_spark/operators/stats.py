@@ -107,6 +107,84 @@ def histogram(
     )
 
 
+def seasonal_residuals(
+    df: DataFrame,
+    col: str,
+    keys: Sequence[str],
+    season: Column,
+    season_name: str = "season",
+    threshold: float = 3.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each row's value is compared to
+    the mean of its (key, season) cell — e.g. (household, hour-of-day) —
+    and flagged when the residual exceeds ``threshold`` cell standard
+    deviations. The de-seasonalized twin of :func:`zscore_outliers`: a
+    plain z-score calls every 18:00 demand peak an outlier; scoring against
+    the same-season baseline flags genuinely anomalous readings (the meter
+    that spikes at 03:00).
+
+    Same physical shape as zscore_outliers: one sufficient-statistics
+    aggregate over (keys, season) — cell count is bounded by keys x
+    seasons, broadcast back — and the rounded z decides membership so an
+    ulp can't flip inclusion cross-engine.
+
+    Returns the input rows + (season, baseline, z) for flagged rows.
+    """
+    x = F.col(col).cast("double")
+    seasoned = df.withColumn(season_name, season)
+    stats = seasoned.groupBy(*keys, season_name).agg(
+        F.count(x).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    joined = seasoned.join(F.broadcast(stats), [*keys, season_name])
+    n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    baseline = sx / n
+    z = qround(
+        (x - baseline) / F.sqrt((sxx - sx * sx / n) / (n - 1)), digits
+    )
+    return (
+        joined.withColumn("baseline", qround(baseline, digits))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > threshold)
+        .drop("_n", "_sx", "_sxx")
+    )
+
+
+def load_duration_curve(
+    df: DataFrame,
+    col: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Load-duration curve per key: every demand value ranked descending
+    with its exceedance fraction rank/n — the sorted-demand curve energy
+    planning reads peak/base load off. One window pass per key (rank +
+    count over the same partition); ties broken by ``order_cols`` so the
+    curve is total-ordered and deterministic.
+
+    Returns (keys..., rank, exceedance, value-as-demand).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(col).cast("double")
+    w = Window.partitionBy(*keys).orderBy(
+        x.desc(), *[F.col(c) for c in order_cols]
+    )
+    wn = Window.partitionBy(*keys)
+    return df.select(
+        *keys,
+        F.row_number().over(w).alias("rank"),
+        qround(
+            F.row_number().over(w) / F.count(F.lit(1)).over(wn).cast("double"),
+            digits,
+        ).alias("exceedance"),
+        x.alias("demand"),
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     col: str,

@@ -103,6 +103,33 @@ def top_k_flag(order_col: Column, partition_cols: list[str], k: int) -> Column:
     )
 
 
+def rolling_quantile(
+    col: Column | str,
+    partition_cols: list[str],
+    order_cols: list[str],
+    q: float,
+    window_rows: int,
+) -> Column:
+    """Rolling exact quantile (linear interpolation) over the trailing
+    ``window_rows`` rows per key — the robust sliding statistic (rolling
+    median at q=0.5) a spiky meter series needs where a rolling mean
+    chases every outlier.
+
+    Spark's ``percentile`` is an aggregate, so it composes with a row
+    frame like any other windowed agg; the frame buffers ``window_rows``
+    values per row (O(frame) memory, bounded by construction). Linear-
+    interpolation semantics match DuckDB's ``quantile_cont`` exactly,
+    which is what makes the operator oracle-checkable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return F.percentile(c, F.lit(q)).over(w)
+
+
 def rolling_time_window(
     col: Column | str,
     partition_cols: list[str],

@@ -312,3 +312,58 @@ def test_incremental_dedup_covers_all_new_pairs(spark):
     assert inc | within == full_with_new
     # and the near-dup planted across the boundary was found
     assert frozenset((1, 6)) in inc
+
+
+def test_rolling_quantile_known_values(spark):
+    from etdtransform_spark.operators.windows import rolling_quantile
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([1, 100, 2, 3, 2])],
+        "k long, i long, v double",
+    )
+    out = df.select(
+        "i",
+        rolling_quantile("v", ["k"], ["i"], 0.5, 3).alias("m"),
+    ).collect()
+    got = {r["i"]: r["m"] for r in out}
+    # trailing 3-row frames: [1], [1,100], [1,100,2], [100,2,3], [2,3,2]
+    assert got == {0: 1.0, 1: 50.5, 2: 2.0, 3: 3.0, 4: 2.0}
+
+
+def test_seasonal_residuals_ignores_seasonal_peak(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.stats import seasonal_residuals
+    from pyspark.sql import functions as F
+
+    rows = []
+    # 30 days: hour 18 always high (seasonal peak), hour 3 always low,
+    # except day 29 hour 3 has a planted spike
+    for d in range(30):
+        base = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        rows.append((d * 2, base.replace(hour=18), 100.0 + (d % 3)))
+        v = 500.0 if d == 29 else 5.0 + (d % 3)
+        rows.append((d * 2 + 1, base.replace(hour=3), v))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+    out = seasonal_residuals(
+        df, "v", [], F.hour(F.col("ts")), threshold=3.0
+    ).collect()
+    flagged = {r["event_id"] for r in out}
+    # only the planted 03:00 spike is anomalous; the 18:00 peaks are the
+    # season's own baseline
+    assert flagged == {59}
+
+
+def test_load_duration_curve_shape(spark):
+    from etdtransform_spark.operators.stats import load_duration_curve
+
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate([5, 1, 9, 7, 3])],
+        "g string, i long, v double",
+    )
+    out = sorted(
+        (r["rank"], r["demand"], r["exceedance"])
+        for r in load_duration_curve(df, "v", ["g"], ["i"]).collect()
+    )
+    assert [d for _r, d, _e in out] == [9.0, 7.0, 5.0, 3.0, 1.0]
+    assert out[0][2] == 0.2 and out[-1][2] == 1.0
