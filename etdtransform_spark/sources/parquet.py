@@ -330,9 +330,11 @@ def apply_changes_to_family(
         F.col(partition_col).isin(touched)
     )
     data_cols = [c for c in current.columns if c not in (*keys, partition_col)]
-    dropped_keys = changes.filter(
-        F.col(status_col).isin(["removed", "changed"])
-    ).select(*keys)
+    # ALL changed keys leave `current` — including "added": on a replay
+    # (at-least-once CDC delivery) the added row is already present, and
+    # excluding it from survivors makes the whole apply idempotent
+    # (re-applying any change set is a no-op).
+    dropped_keys = changes.select(*keys)
     upserts = changes.filter(
         F.col(status_col).isin(["added", "changed"])
     ).select(

@@ -46,6 +46,15 @@ def test_apply_changes_rewrites_only_touched_partitions(spark, tmp_path):
         (r["id"], r["p"]): r["v"] for r in spark.read.parquet(path).collect()
     }
     assert got == {(1, 10): 1.5, (2, 10): 2.0, (3, 20): 3.0, (5, 10): 5.0}
+    # replay idempotence: re-applying the same change set is a no-op
+    # (at-least-once CDC delivery must not duplicate 'added' rows)
+    apply_changes_to_family(
+        spark, changes, base, "fam", keys=["id"], partition_col="p"
+    )
+    again = {
+        (r["id"], r["p"]): r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
     # untouched partition: same physical files (never read or rewritten)
     assert files(20) == untouched_before
     # fully-emptied partition directory is gone
