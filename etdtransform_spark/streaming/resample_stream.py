@@ -30,7 +30,12 @@ def streaming_resample(
     """Tumbling-window min-count resample over an unbounded stream.
 
     Late data within the watermark still lands in its bucket; buckets finalize
-    (and become emittable in append mode) once the watermark passes.
+    (and become emittable in append mode) once the watermark passes. Note the
+    engine's eviction lags one micro-batch: a late row arriving in the same
+    batch where its bucket's watermark deadline passes is still aggregated
+    (the bucket finalizes WITH it); only rows arriving after finalization are
+    dropped — append emits each bucket exactly once either way (tested in
+    test_cdc_sinks).
     """
     if interval not in INTERVAL_DURATION:
         raise ValueError(f'Unknown interval "{interval}"')

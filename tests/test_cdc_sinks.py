@@ -198,3 +198,76 @@ def test_update_meenemen_precedence(spark):
                 idx, corrections=fixes, min_validators_true=2
             ).collect()}
     assert both == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_streaming_resample_drops_data_later_than_watermark(spark, tmp_path):
+    """Append-mode finalization contract: a bucket emits EXACTLY ONCE when
+    the watermark passes its end, and a row arriving after that
+    finalization is dropped (no duplicate emission, no resurrected
+    state). Late rows arriving while the bucket is still open DO land in
+    it — eviction lags one batch, which is why the truly-late row needs
+    its own third batch here."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    import datetime as dt
+
+    from etdtransform_spark.streaming.resample_stream import streaming_resample
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        # fills the 10:15 bucket (15min min_count=3 -> sum 3.0) and sets
+        # max event time 11:00 -> watermark 10:50
+        [(1, ts(16), 1.0), (2, ts(20), 1.0), (6, ts(25), 1.0),
+         (3, dt.datetime(2024, 1, 1, 11, 0), 1.0)],
+        # watermark passes 10:30 -> the 10:15 bucket finalizes + evicts
+        [(5, dt.datetime(2024, 1, 1, 11, 5), 1.0)],
+        # a 10:20 row AFTER finalization: must be dropped
+        [(4, ts(20), 100.0), (7, dt.datetime(2024, 1, 1, 11, 10), 1.0)],
+    ]
+    n = 0
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "HuisIdBSV long, ReadingDate timestamp, v double"
+        ).coalesce(1).write.parquet(src + f"/b{bi}")
+        for f in sorted(os.listdir(f"{src}/b{bi}")):
+            if f.endswith(".parquet"):
+                dest = f"{src}/part{n}.parquet"
+                shutil.copy(f"{src}/b{bi}/{f}", dest)
+                # file source processes oldest-mtime first
+                t = time.time() - 90 + bi * 30
+                os.utime(dest, (t, t))
+                n += 1
+        shutil.rmtree(f"{src}/b{bi}")
+    assert n == 3
+
+    stream = (
+        spark.readStream.schema("HuisIdBSV long, ReadingDate timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = streaming_resample(
+        stream, "15min", group_cols=[], variables={"v": "sum"},
+        watermark="10 minutes",
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    # exactly one emission, with the pre-finalization sum: the late 100.0
+    # neither re-emitted the bucket nor changed its value
+    assert [(r["ReadingDate"].strftime("%H:%M"), r["v"]) for r in rows] == [
+        ("10:15", 3.0)
+    ]
