@@ -4250,6 +4250,82 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
 """
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 highest-value events per user (WindowGroupLimit rewrite: k
+    rows per key survive each partition BEFORE the shuffle)."""
+    from etdtransform_spark.operators.olap import top_k_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    out = top_k_per_group(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()], 3
+    )
+    return out.select("user_id", "rank_in_group", "event_id", "value")
+
+
+_SQL_TOPK_PER_GROUP = f"""
+SELECT user_id, rk AS rank_in_group, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM {_EV}
+)
+WHERE rk <= 3
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem numerics in ONE aggregate
+    pass (all sufficient statistics side by side, long-format output)."""
+    from etdtransform_spark.operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _sql_corr_matrix() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            corr = qround_sql(
+                f"(sum({a} * {b}) - sum({a}) * sum({b}) / count(*))"
+                f" / sqrt((sum({a} * {a}) - sum({a}) * sum({a}) / count(*))"
+                f" * (sum({b} * {b}) - sum({b}) * sum({b}) / count(*)))",
+                6,
+            )
+            parts.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" count(*) AS n, {corr} AS corr FROM lineitem"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: learn quartile boundaries of order totals
+    globally, assign each order its bin (rounded-boundary membership)."""
+    from etdtransform_spark.operators.stats import quantile_bins
+
+    orders = _t(spark, sf_dir, "orders")
+    out = quantile_bins(orders, "o_totalprice", 4)
+    return out.select("o_orderkey", "bin")
+
+
+_SQL_QUANTILE_BINS = f"""
+WITH b AS (
+  SELECT {", ".join(qround_sql(f'quantile_cont(o_totalprice, {i}/4.0)', 6) + f' AS q{i}' for i in (1, 2, 3))}
+  FROM orders
+)
+SELECT o.o_orderkey,
+       (CASE WHEN {qround_sql('o.o_totalprice', 6)} > b.q1 THEN 1 ELSE 0 END
+      + CASE WHEN {qround_sql('o.o_totalprice', 6)} > b.q2 THEN 1 ELSE 0 END
+      + CASE WHEN {qround_sql('o.o_totalprice', 6)} > b.q3 THEN 1 ELSE 0 END) AS bin
+FROM orders o CROSS JOIN b
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4384,6 +4460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "seasonal_residuals": q_seasonal_residuals,
         "load_duration_curve": q_load_duration_curve,
+        "topk_per_group": q_topk_per_group,
+        "corr_matrix": q_corr_matrix,
+        "quantile_bins": q_quantile_bins,
     }
 
 
@@ -4511,6 +4590,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median": _SQL_ROLLING_MEDIAN,
         "seasonal_residuals": _SQL_SEASONAL,
         "load_duration_curve": _SQL_LOAD_DURATION,
+        "topk_per_group": _SQL_TOPK_PER_GROUP,
+        "corr_matrix": _sql_corr_matrix(),
+        "quantile_bins": _SQL_QUANTILE_BINS,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -115,6 +115,29 @@ def cube_stats(
     return df.cube(*keys).agg(*gcols, *aggs)
 
 
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group under a total order — the generalization of
+    :func:`latest_snapshot` (k=1). Plans with Spark's WindowGroupLimit
+    rewrite: each partition keeps only k rows per key BEFORE the shuffle,
+    so the exchange carries ≤ k·|keys| rows instead of the full table —
+    the property that makes per-entity leaderboards viable on a 100 TB
+    log. ``order`` must be total (tie-break on a unique column) or
+    membership at the k boundary is nondeterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "rank_in_group")
+    )
+
+
 def cumulative_distinct(
     df: DataFrame,
     keys: Sequence[str],

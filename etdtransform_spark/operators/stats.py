@@ -107,6 +107,108 @@ def histogram(
     )
 
 
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation for ``cols`` in ONE aggregate pass:
+    the k sums, k sum-of-squares, and k(k-1)/2 cross-products are all
+    columns of a single hash aggregate (map-side combined), then the
+    correlations are arithmetic on that one row — never k² scans, never a
+    driver loop. Long-format output so downstream code joins on the pair.
+
+    Pairs are computed over rows where BOTH columns are non-null
+    (pairwise deletion — each pair gets its own n). Degenerate variance
+    yields null. Returns (col_a, col_b, n, corr) for a < b.
+    """
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            x = F.col(a).cast("double")
+            y = F.col(b).cast("double")
+            both = x.isNotNull() & y.isNotNull()
+            xs = F.when(both, x)
+            ys = F.when(both, y)
+            p = f"{a}__{b}"
+            aggs += [
+                F.count(xs).cast("double").alias(f"_n_{p}"),
+                F.sum(xs).alias(f"_sx_{p}"),
+                F.sum(ys).alias(f"_sy_{p}"),
+                F.sum(xs * xs).alias(f"_sxx_{p}"),
+                F.sum(ys * ys).alias(f"_syy_{p}"),
+                F.sum(xs * ys).alias(f"_sxy_{p}"),
+            ]
+    one = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            p = f"{a}__{b}"
+            n = F.col(f"_n_{p}")
+            sx, sy = F.col(f"_sx_{p}"), F.col(f"_sy_{p}")
+            sxx, syy = F.col(f"_sxx_{p}"), F.col(f"_syy_{p}")
+            sxy = F.col(f"_sxy_{p}")
+            cov = sxy - sx * sy / n
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            corr = F.when(
+                (n > 1) & (vx > 0) & (vy > 0),
+                qround(cov / F.sqrt(vx * vy), digits),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    n.cast("bigint").alias("n"),
+                    corr.alias("corr"),
+                )
+            )
+    return one.select(F.explode(F.array(*pairs)).alias("_p")).select(
+        "_p.col_a", "_p.col_b", "_p.n", "_p.corr"
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    keys: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Equal-frequency binning (quantile discretizer): learn the
+    ``n_bins - 1`` interior exact-percentile boundaries (per key when
+    ``keys`` given, global otherwise), then assign each row its bin —
+    boundary semantics: bin b holds values in (q_b, q_{b+1}], first bin
+    closed below. One boundary aggregate (dimension-sized) broadcast back
+    onto the scan; the assignment is a fold over the boundary array in
+    codegen, not a per-bin CASE cascade.
+
+    Boundaries are rounded before comparison so bin membership at a
+    boundary is cross-engine deterministic. Returns the input +
+    ``bin`` (0-based) + the learned ``boundaries`` array.
+    """
+    x = F.col(col).cast("double")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.groupBy(*keys).agg(
+        F.array(
+            *[qround(F.percentile(x, F.lit(q)), digits) for q in qs]
+        ).alias("boundaries")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(keys)) if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    xr = qround(x, digits)
+    bin_idx = F.aggregate(
+        F.col("boundaries"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(xr > b, 1).otherwise(0),
+    )
+    return joined.withColumn(
+        "bin", F.when(x.isNotNull(), bin_idx)
+    )
+
+
 def seasonal_residuals(
     df: DataFrame,
     col: str,

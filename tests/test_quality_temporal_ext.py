@@ -367,3 +367,39 @@ def test_load_duration_curve_shape(spark):
     )
     assert [d for _r, d, _e in out] == [9.0, 7.0, 5.0, 3.0, 1.0]
     assert out[0][2] == 0.2 and out[-1][2] == 1.0
+
+
+def test_corr_matrix_pairwise_deletion_and_degeneracy(spark):
+    from etdtransform_spark.operators.stats import corr_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, 5.0),
+            (2.0, 4.0, 5.0),
+            (3.0, 6.0, 5.0),
+            (4.0, None, 5.0),  # pairwise-deleted for (a,b) only
+        ],
+        "a double, b double, c double",
+    )
+    got = {(r["col_a"], r["col_b"]): (r["n"], r["corr"])
+           for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert got[("a", "b")] == (3, 1.0)          # perfect correlation, n=3
+    assert got[("a", "c")][1] is None           # constant c: degenerate
+    assert got[("a", "c")][0] == 4
+    assert got[("b", "c")][1] is None
+
+
+def test_quantile_bins_boundary_membership(spark):
+    from etdtransform_spark.operators.stats import quantile_bins
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "id long, v double"
+    )
+    out = {r["id"]: r["bin"] for r in quantile_bins(df, "v", 4).collect()}
+    # quartile boundaries of 1..8 (linear interp): 2.75, 4.5, 6.25 ->
+    # bins: (−inf,2.75]=0, (2.75,4.5]=1, (4.5,6.25]=2, rest=3
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+    # equal frequency by construction
+    from collections import Counter
+
+    assert set(Counter(out.values()).values()) == {2}

@@ -361,3 +361,16 @@ def test_bare_minmax_count_pushes_to_parquet_footers(spark):
         F.min("l_quantity"), F.max("l_orderkey"), F.count(F.lit(1))
     ).collect()[0]
     assert tuple(row) == tuple(expect)
+
+
+def test_topk_per_group_uses_window_group_limit(spark, events):
+    """row_number <= k must trigger Spark's WindowGroupLimit rewrite: the
+    per-partition limit runs BEFORE the exchange, so the shuffle carries
+    k rows per key, not the log."""
+    from etdtransform_spark.operators.olap import top_k_per_group
+
+    out = top_k_per_group(
+        events, ["user_id"], [F.col("value").desc(), F.col("event_id")], 3
+    )
+    plan = _plan(spark, out)
+    assert "WindowGroupLimit" in plan, plan
