@@ -126,8 +126,12 @@ def gopher_gate(
     Pure projection (token arrays built once per row, in-row n-gram
     distinct counting) — zero shuffles at any corpus size.
     """
+    # Materialize the token array ONCE behind a projection boundary: the
+    # five rules reference it ~10 times, and inlined it would re-split the
+    # text per reference (Catalyst CSE does not span the withColumn chain).
     c = F.col(text_col)
-    toks = tokens(c)
+    staged = df.withColumn("_toks", tokens(c))
+    toks = F.col("_toks")
     n = F.size(toks)
     nd = n.cast("double")
     mean_wl = F.when(
@@ -159,7 +163,7 @@ def gopher_gate(
         "ok_stopwords": distinct_stops >= min_distinct_stopwords,
         "ok_repetition": dup_frac <= max_dup_trigram_frac,
     }
-    out = df
+    out = staged
     keep = F.lit(True)
     for name, expr in checks.items():
         flag = F.coalesce(expr, F.lit(False))
@@ -172,7 +176,11 @@ def gopher_gate(
             for name in checks
         ],
     )
-    return out.withColumn("keep", keep).withColumn("fail_reasons", reasons)
+    return (
+        out.withColumn("keep", keep)
+        .withColumn("fail_reasons", reasons)
+        .drop("_toks")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", fast: bool = False) -> DataFrame:
