@@ -176,3 +176,63 @@ def register_sql_views(
         df.createOrReplaceTempView(view)
         registered.append(view)
     return registered
+
+
+def catalog(spark: SparkSession, folder: str) -> DataFrame:
+    """Discovery surface for the dataset catalog: one row per materialized
+    family with its on-disk size, file count, column count, and commit
+    state — what a user (or an ops dashboard) lists before querying.
+    Metadata-only: directory listings plus one schema read per family,
+    no data scanned.
+
+    Returns (family, interval, path, n_files, size_bytes, n_columns,
+    committed).
+    """
+    import os
+
+    from .sources.parquet import family_path, read_family
+
+    base_names: list[tuple[str, str | None]] = [
+        ("household_default", None),
+        ("household_calculated", None),
+        ("household_imputed", None),
+        ("household_aggregated_diff", None),
+        ("avg_diffs", None),
+        ("household_diff_max_bounds", None),
+        ("impute_gap_stats", None),
+        ("impute_summary_household", None),
+        ("impute_summary_project", None),
+    ]
+    for iv in INTERVALS:
+        base_names += [("household", iv), ("project", iv)]
+    rows = []
+    for name, iv in base_names:
+        path = family_path(folder, name, iv)
+        if not os.path.exists(path):
+            continue
+        n_files = size = 0
+        committed = False
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f == "_SUCCESS":
+                    committed = True
+                elif not f.startswith(("_", ".")):
+                    n_files += 1
+                    size += os.path.getsize(os.path.join(root, f))
+        n_cols = len(read_family(spark, folder, name, iv).columns)
+        rows.append(
+            (
+                name,
+                iv,
+                path,
+                n_files,
+                size,
+                n_cols,
+                committed,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "family string, interval string, path string, n_files long, "
+        "size_bytes long, n_columns long, committed boolean",
+    )

@@ -398,3 +398,22 @@ def test_read_family_merge_schema(spark, tmp_path):
     df = read_family(spark, str(tmp_path), "evolving", merge_schema=True)
     got = {r.id: (r.v, r.tag) for r in df.collect()}
     assert got == {1: (10.0, None), 2: (20.0, "x")}
+
+
+def test_catalog_lists_materialized_families(spark, pipeline_out):
+    """catalog() is metadata-only discovery: one row per family on disk
+    with commit state, sizes, and column counts."""
+    from etdtransform_spark.api import catalog
+
+    out_dir, written = pipeline_out
+    cat = {r["family"] if r["interval"] is None
+           else f"{r['family']}_{r['interval']}": r
+           for r in catalog(spark, out_dir).collect()}
+    assert "household_imputed" in cat and "project_60min" in cat
+    for r in cat.values():
+        assert r["committed"] is True
+        assert r["n_files"] >= 1 and r["size_bytes"] > 0
+        assert r["n_columns"] >= 2
+    # column counts agree with a real read
+    n_cols = len(spark.read.parquet(written["household_imputed"]).columns)
+    assert cat["household_imputed"]["n_columns"] == n_cols
