@@ -4326,6 +4326,36 @@ FROM orders o CROSS JOIN b
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean): posexplode +
+    one (label, dim) hash aggregate — the shuffle carries partial sums,
+    never vectors."""
+    from etdtransform_spark.operators.similarity import groupwise_embedding_mean
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = groupwise_embedding_mean(emb, ["label"])
+    # long format for the oracle compare (array hashing is engine-brittle)
+    return out.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("dim", "mean_x")
+    )
+
+
+_SQL_EMB_CENTROIDS = f"""
+WITH e AS (
+  SELECT label, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+), d AS (
+  SELECT label, dim, {qround_sql('avg(CAST(x AS DOUBLE))', 6)} AS mean_x,
+         count(*) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT label, max(n) OVER (PARTITION BY label) AS n_vectors, dim, mean_x
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4463,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "corr_matrix": q_corr_matrix,
         "quantile_bins": q_quantile_bins,
+        "embedding_centroids": q_embedding_centroids,
     }
 
 
@@ -4593,6 +4624,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "corr_matrix": _sql_corr_matrix(),
         "quantile_bins": _SQL_QUANTILE_BINS,
+        "embedding_centroids": _SQL_EMB_CENTROIDS,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -198,6 +198,42 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def groupwise_embedding_mean(
+    df: DataFrame,
+    keys: list[str],
+    vec_col: str = "embedding",
+    n_dims: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per group — class centroids / cluster
+    profiles / per-source embedding signatures, the aggregation step every
+    embedding-space analysis needs (and the re-estimation half of
+    :func:`kmeans`, exposed standalone).
+
+    Shape: posexplode to (key, dim, x) and ONE hash aggregate on
+    (keys, dim) — map-side combined, so the shuffle carries |keys| x
+    n_dims partial sums, never vectors; the centroid array is re-assembled
+    with an order-safe sort over the collected (dim, mean) structs. Null
+    vectors drop out; each dim averages over the vectors present.
+
+    Returns (keys..., n_vectors, centroid array<double>).
+    """
+    exploded = df.filter(F.col(vec_col).isNotNull()).select(
+        *keys, F.posexplode(F.col(vec_col)).alias("_dim", "_x")
+    )
+    per_dim = exploded.groupBy(*keys, "_dim").agg(
+        qround(F.avg(F.col("_x").cast("double")), digits).alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_dim.groupBy(*keys).agg(
+        F.max("_n").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_dim", "_m"))),
+            lambda s: s["_m"],
+        ).alias("centroid"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
