@@ -403,3 +403,46 @@ def test_quantile_bins_boundary_membership(spark):
     from collections import Counter
 
     assert set(Counter(out.values()).values()) == {2}
+
+
+def test_overlap_join_randomized_equals_brute_force(spark):
+    """Seeded random intervals: bucketed overlap join must equal the naive
+    all-pairs filter exactly (one row per overlapping pair, no bucket
+    duplicates, no boundary misses) across a granularity sweep."""
+    import random
+
+    from etdtransform_spark.operators.temporal import overlap_join
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, prefix):
+        rows = []
+        for i in range(n):
+            s = base + dt.timedelta(minutes=rng.randint(0, 5000))
+            e = s + dt.timedelta(minutes=rng.randint(0, 600))
+            rows.append((rng.randint(1, 3), f"{prefix}{i}", s, e))
+        return rows
+
+    lrows, rrows = mk(40, "L"), mk(40, "R")
+    left = spark.createDataFrame(
+        lrows, "k long, lid string, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "k long, rid string, rs timestamp, re timestamp"
+    )
+    expect = sorted(
+        (ll[1], rr[1])
+        for ll in lrows
+        for rr in rrows
+        if ll[0] == rr[0] and ll[2] <= rr[3] and rr[2] <= ll[3]
+    )
+    for gran in (60, 3600, 86400):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in overlap_join(
+                left, right, "ls", "le", "rs", "re", by=["k"],
+                granularity_seconds=gran,
+            ).collect()
+        )
+        assert got == expect, f"granularity={gran}"
