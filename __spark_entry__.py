@@ -4356,6 +4356,139 @@ FROM d
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue orders for one market
+    segment with orders placed before / lineitems shipped after a date —
+    broadcast dim filter, fact aggregate, TakeOrderedAndProject top-k."""
+    from etdtransform_spark.operators.olap import top_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    agg = (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1995-03-15")).select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_custkey",
+                "o_orderdate",
+                "o_orderpriority",
+            ),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(
+                cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+                    F.col("c_custkey").alias("o_custkey")
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            qround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return top_k(
+        agg,
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+    )
+
+
+_SQL_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {qround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where supplier and customer share
+    the nation — a 6-table chain (fact + 5 broadcast dims) with the
+    equality predicate tying two dimension paths together."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+            ),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    "n_name",
+                    "n_regionkey",
+                )
+            ),
+            "s_nationkey",
+        )
+        .join(
+            F.broadcast(
+                region.select(
+                    F.col("r_regionkey").alias("n_regionkey"), "r_name"
+                )
+            ),
+            "n_regionkey",
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            qround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_SQL_Q5 = f"""
+SELECT r_name, n_name,
+       {qround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4494,6 +4627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "quantile_bins": q_quantile_bins,
         "embedding_centroids": q_embedding_centroids,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -4625,6 +4760,8 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": _sql_corr_matrix(),
         "quantile_bins": _SQL_QUANTILE_BINS,
         "embedding_centroids": _SQL_EMB_CENTROIDS,
+        "shipping_priority": _SQL_Q3,
+        "local_supplier_volume": _SQL_Q5,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }
