@@ -4489,6 +4489,126 @@ GROUP BY 1, 2
 """
 
 
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    date window — fact filter + order window join + broadcast dims +
+    TakeOrderedAndProject."""
+    from etdtransform_spark.operators.olap import top_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1994-01-01"))
+                & (F.col("o_orderdate") < F.lit("1995-01-01"))
+            ).select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    "c_name",
+                    "c_acctbal",
+                    "c_nationkey",
+                )
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_name",
+            qround(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .agg(
+            qround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20)
+
+
+_SQL_Q10 = f"""
+SELECT c_custkey, c_name, {qround_sql('c_acctbal', 2)} AS c_acctbal, n_name,
+       {qround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer — the HAVING-over-fact-aggregate semi-join (the
+    qualifying-order set is aggregate-derived, then joined back)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_custkey",
+                "o_orderdate",
+                qround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            ),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("o_custkey"), "c_name")
+            ),
+            "o_custkey",
+        )
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_SQL_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       {qround_sql('o_totalprice', 2)} AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {qround_sql('sum(l_quantity)', 2)} AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING {qround_sql('sum(l_quantity)', 2)} > 150
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4629,6 +4749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "returned_item_customers": q_returned_item_customers,
+        "large_volume_customers": q_large_volume_customers,
     }
 
 
@@ -4762,6 +4884,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _SQL_EMB_CENTROIDS,
         "shipping_priority": _SQL_Q3,
         "local_supplier_volume": _SQL_Q5,
+        "returned_item_customers": _SQL_Q10,
+        "large_volume_customers": _SQL_Q18,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }
