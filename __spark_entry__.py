@@ -4609,6 +4609,636 @@ JOIN customer ON c_custkey = o_custkey
 """
 
 
+def q_forecasted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan predicate aggregate. The whole query is
+    one parquet scan whose date/discount/quantity predicates all push into
+    the reader (PushedFilters) — no join, no shuffle beyond the final
+    1-row partial/final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        qround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_Q6 = f"""
+SELECT {qround_sql('sum(l_extendedprice * l_discount)', 2)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi-join counted by priority.
+    The reference schema has no commit/receipt dates, so "late" is reshaped
+    as a lineitem shipped >30 days after the order date. The EXISTS becomes
+    a LEFT SEMI hash join on the order key with the date inequality as a
+    residual condition — at scale it shuffles once on o_orderkey and never
+    duplicates order rows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        window.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+"""
+
+
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Both nation dims are pre-filtered to the two nations of interest BEFORE
+    joining (the classic Q7 rewrite — the OR-of-pairs predicate cannot push
+    through the join by itself, but the IN-list on each side can), so the
+    fact rows surviving the two broadcast joins are already the ~2/25th
+    slice; the residual pair filter then only removes same-nation rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n_s = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n_c = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+            ),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+        .join(F.broadcast(n_s), "s_nationkey")
+        .join(F.broadcast(n_c), "c_nationkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            qround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       {qround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue within one
+    region's customers, by order year — the conditional-sum-over-sum ratio
+    computed in a single aggregate (no second pass over the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == "PROMO").select(
+                    F.col("p_partkey").alias("l_partkey")
+                )
+            ),
+            "l_partkey",
+        )
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_custkey",
+                "o_orderdate",
+            ),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+                )
+            ),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == "EUROPE").select(
+                    F.col("r_regionkey").alias("n_regionkey")
+                )
+            ),
+            "n_regionkey",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            qround(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_SQL_Q8 = f"""
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       {qround_sql(
+           "sum(CASE WHEN n2.n_name = 'NATION_3' "
+           "THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+           " / sum(l_extendedprice * (1 - l_discount))", 6)} AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+GROUP BY 1
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for one part
+    family. The schema has no partsupp/supplycost, so unit cost is reshaped
+    as 10% of p_retailprice — the query shape (LIKE-filtered part dim,
+    arithmetic over two joined columns, two-key agg) is what matters."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("%widget%")).select(
+                    F.col("p_partkey").alias("l_partkey"), "p_retailprice"
+                )
+            ),
+            "l_partkey",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .groupBy("nation", F.year("l_shipdate").cast("bigint").alias("o_year"))
+        .agg(
+            qround(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+_SQL_Q9 = f"""
+SELECT n_name AS nation, year(l_shipdate)::BIGINT AS o_year,
+       {qround_sql(
+           'sum(l_extendedprice * (1 - l_discount)'
+           ' - p_retailprice * l_quantity * 0.1)', 2)} AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total lineitem value exceeds a fraction
+    of the global total — HAVING against a scalar subquery. The global
+    total is a 1-row aggregate broadcast into the filter; the per-part agg
+    and the global agg share one scan shape (Catalyst reuses the exchange
+    under AQE when the subplans match)."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("raw_value"))
+    total = li.agg((F.sum(val) * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", qround(F.col("raw_value"), 2).alias("part_value"))
+    )
+
+
+_SQL_Q11 = f"""
+SELECT l_partkey,
+       {qround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS part_value
+FROM lineitem
+GROUP BY 1
+HAVING sum(l_extendedprice * (1 - l_discount)) > (
+  SELECT sum(l_extendedprice * (1 - l_discount)) * 0.001 FROM lineitem)
+"""
+
+
+def q_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer — LEFT
+    OUTER join so zero-order customers survive as c_count=0, then a second
+    aggregation over the first's output (two shuffles, the second tiny)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    counts = (
+        cust.select(F.col("c_custkey").alias("o_custkey"))
+        .join(orders.select("o_custkey", "o_orderkey"), "o_custkey", "left")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_SQL_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1)
+GROUP BY 1
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage for one month — a
+    conditional-sum / sum ratio in a single aggregate over the date-pruned
+    fact joined to the broadcast part dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(
+            F.broadcast(
+                part.select(F.col("p_partkey").alias("l_partkey"), "p_type")
+            ),
+            "l_partkey",
+        )
+        .agg(
+            qround(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_SQL_Q14 = f"""
+SELECT {qround_sql(
+    "100.0 * sum(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+    " / sum(l_extendedprice * (1 - l_discount))", 6)} AS promo_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    agg, scalar max over the agg, equality join-back keeping ties. Revenue
+    is qround-ed BEFORE the max comparison so the tie set is identical
+    across engines (raw double accumulation order differs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            qround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(
+                supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+            ),
+            "l_suppkey",
+        )
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_revenue"
+        )
+    )
+
+
+_SQL_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {qround_sql('sum(l_extendedprice * (1 - l_discount))', 2)}
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT l_suppkey AS s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    with brand/type exclusions. The schema has no partsupp, so the
+    part–supplier relation is derived from lineitem (distinct pairs fold
+    into the count-distinct agg — no separate dedup pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#13")
+                    & (F.col("p_type") != "PROMO")
+                ).select(
+                    F.col("p_partkey").alias("l_partkey"),
+                    "p_brand",
+                    "p_type",
+                    "p_size",
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SQL_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of the part's average
+    quantity, for one brand. The correlated per-part AVG decorrelates into
+    a broadcast join of a per-part aggregate back onto the same fact slice;
+    the average is qround-ed so the 0.2×avg threshold is bit-identical to
+    the oracle's."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand_parts = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#12").select(
+            F.col("p_partkey").alias("l_partkey")
+        )
+    )
+    li_brand = li.join(brand_parts, "l_partkey")
+    avg_qty = li_brand.groupBy("l_partkey").agg(
+        qround(F.avg("l_quantity"), 6).alias("avg_qty")
+    )
+    return (
+        li_brand.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            qround(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+_SQL_Q17 = f"""
+WITH li_brand AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#12'
+), avg_qty AS (
+  SELECT l_partkey, {qround_sql('avg(l_quantity)', 6)} AS avg_qty
+  FROM li_brand GROUP BY 1)
+SELECT {qround_sql('sum(l_extendedprice) / 7.0', 2)} AS avg_yearly
+FROM li_brand JOIN avg_qty USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions over fact+dim columns. The
+    shared l_quantity range (1..30) and the p_size/p_brand bounds are what
+    an optimizer can factor out and push below the join; the full
+    disjunction stays as the residual filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(
+            part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"
+            )
+        ),
+        "l_partkey",
+    )
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        qround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_Q19 = f"""
+SELECT {qround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a large volume of one part
+    family in one year — nested IN-subquery over a grouped HAVING,
+    reshaped without partsupp (shipped quantity from lineitem stands in
+    for availqty). Executes as agg → filter → distinct → LEFT SEMI join
+    into the supplier dim; the summed-quantity threshold is qround-ed for
+    cross-engine determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("small%")).select(
+                    F.col("p_partkey").alias("l_partkey")
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(qround(F.sum("l_quantity"), 4).alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return supp.join(heavy, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+_SQL_Q20 = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING {qround_sql('sum(l_quantity)', 4)} > 60)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4751,6 +5381,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "returned_item_customers": q_returned_item_customers,
         "large_volume_customers": q_large_volume_customers,
+        "forecasted_revenue": q_forecasted_revenue,
+        "order_priority_check": q_order_priority_check,
+        "nation_volume_shipping": q_nation_volume_shipping,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "important_part_value": q_important_part_value,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier": q_top_supplier,
+        "parts_supplier_count": q_parts_supplier_count,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "excess_supply_suppliers": q_excess_supply_suppliers,
     }
 
 
@@ -4886,6 +5529,19 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": _SQL_Q5,
         "returned_item_customers": _SQL_Q10,
         "large_volume_customers": _SQL_Q18,
+        "forecasted_revenue": _SQL_Q6,
+        "order_priority_check": _SQL_Q4,
+        "nation_volume_shipping": _SQL_Q7,
+        "market_share": _SQL_Q8,
+        "product_type_profit": _SQL_Q9,
+        "important_part_value": _SQL_Q11,
+        "customer_order_distribution": _SQL_Q13,
+        "promo_revenue_share": _SQL_Q14,
+        "top_supplier": _SQL_Q15,
+        "parts_supplier_count": _SQL_Q16,
+        "small_quantity_revenue": _SQL_Q17,
+        "disjunctive_revenue": _SQL_Q19,
+        "excess_supply_suppliers": _SQL_Q20,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -374,3 +374,65 @@ def test_topk_per_group_uses_window_group_limit(spark, events):
     )
     plan = _plan(spark, out)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_q6_is_pure_scan_pushdown(spark):
+    """forecasted_revenue (TPC-H Q6 shape) must be join-free with every
+    predicate pushed to the parquet reader and the scan pruned to the
+    four referenced columns — the plan a 100 TB fact scan depends on."""
+    import __spark_entry__ as e
+
+    df = e.queries()["forecasted_revenue"](spark, "/root/testdata/sf0.001")
+    plan = _plan(spark, df)
+    assert "Join" not in plan, plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan[:2000]
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in rs.group(1).split(",")}
+    assert read_cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, read_cols
+
+
+def test_q4_exists_is_semi_join(spark):
+    """order_priority_check (Q4 shape): the EXISTS must plan as a LeftSemi
+    hash join (order rows never duplicated by multi-lineitem matches), with
+    the date inequality as the join's residual condition, not a
+    BroadcastNestedLoopJoin."""
+    import __spark_entry__ as e
+
+    df = e.queries()["order_priority_check"](spark, "/root/testdata/sf0.001")
+    plan = _plan(spark, df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q7_nation_inlist_prefilters_dims(spark):
+    """nation_volume_shipping (Q7 shape): both nation dims must be
+    broadcast and carry the two-nation IN-list filter below the join, so
+    the fact slice shrinks before the OR-of-pairs residual."""
+    import __spark_entry__ as e
+
+    df = e.queries()["nation_volume_shipping"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(spark, df)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4, plan
+    assert plan.count("NATION_1") >= 2, plan  # filter present on both dims
+
+
+def test_q17_avg_join_back_is_broadcast(spark):
+    """small_quantity_revenue (Q17 shape): the decorrelated per-part AVG
+    must join back via broadcast — a shuffle join here would re-exchange
+    the whole brand slice at 100 TB."""
+    import __spark_entry__ as e
+
+    df = e.queries()["small_quantity_revenue"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(spark, df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
