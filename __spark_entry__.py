@@ -5239,6 +5239,42 @@ WHERE s_suppkey IN (
 """
 
 
+def q_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data mixing: thin the corpus to a target language
+    mixture (operators/corpus.py:rebalance_mixture). The binding language
+    is kept whole; acceptance is a deterministic hash-uniform so the kept
+    set is engine- and retry-stable."""
+    from etdtransform_spark.operators.corpus import rebalance_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = rebalance_mixture(
+        docs,
+        "lang",
+        "doc_id",
+        {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05},
+        seed="mix",
+    )
+    return kept.select("doc_id", "lang", "accept_rate")
+
+
+_SQL_REBALANCE = f"""
+WITH tgt(lang, w) AS (VALUES
+  ('de', 0.2), ('en', 0.5), ('es', 0.1), ('fr', 0.15), ('zh', 0.05)),
+counts AS (
+  SELECT d.lang, w, count(*)::DOUBLE AS n
+  FROM documents d JOIN tgt USING (lang)
+  GROUP BY 1, 2),
+feasible AS (SELECT min(n / w) AS t_max FROM counts),
+rates AS (
+  SELECT lang, {qround_sql('least(w * t_max / n, 1.0)', 9)} AS accept_rate
+  FROM counts, feasible)
+SELECT doc_id, d.lang, accept_rate
+FROM documents d JOIN rates USING (lang)
+WHERE (({portable_hash64_sql('doc_id::VARCHAR', seed='mix')} % 1048576) + 0.5)
+      / 1048576.0 < accept_rate
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5394,6 +5430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
         "excess_supply_suppliers": q_excess_supply_suppliers,
+        "rebalance_mixture": q_rebalance_mixture,
     }
 
 
@@ -5542,6 +5579,7 @@ def oracle_sql() -> dict[str, str]:
         "small_quantity_revenue": _SQL_Q17,
         "disjunctive_revenue": _SQL_Q19,
         "excess_supply_suppliers": _SQL_Q20,
+        "rebalance_mixture": _SQL_REBALANCE,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

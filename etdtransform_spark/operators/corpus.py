@@ -405,3 +405,70 @@ def leakage_safe_split(
     for name, edge in zip(reversed(names[:-1]), reversed(edges)):
         expr = F.when(u < edge, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    seed: str = "mix",
+    fast: bool = False,
+) -> DataFrame:
+    """Downsample a corpus to a target group mixture (the pretraining
+    "data mixing" step: given target proportions per source/language/
+    domain, keep the largest corpus whose composition matches them).
+
+    Feasibility is exact, not heuristic: with group sizes ``n_g`` and
+    target weights ``w_g``, the largest achievable total is
+    ``T = min_g n_g / w_g`` (the binding group is kept whole, rate 1.0);
+    every other group is thinned to ``rate_g = w_g * T / n_g``. Acceptance
+    is decided by a deterministic hash-uniform on the document id — no
+    RNG, so the kept set is identical across engines, reruns, and task
+    retries, and is STABLE under re-partitioning (a ``rand()`` filter
+    would sample a different corpus every run).
+
+    Plan shape: one count aggregate over the fact (group cardinality is
+    tiny), a 1-row min reduction, then a broadcast join of per-group rates
+    back onto the fact — the fact itself is scanned twice (count + filter)
+    but never shuffled. Groups absent from ``targets`` are dropped.
+    Returns the kept rows with ``accept_rate`` attached.
+    """
+    from ..functions.hashing import portable_hash64
+    from ..functions.scalars import qround
+
+    total_w = sum(targets.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"target weights must sum to 1, got {total_w}")
+    if any(w <= 0 for w in targets.values()):
+        raise ValueError("target weights must be strictly positive")
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, float(w)) for g, w in sorted(targets.items())],
+        f"{group_col} string, w double",
+    )
+    counts = (
+        df.join(F.broadcast(tgt), group_col)
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    feasible = counts.agg(F.min(F.col("n") / F.col("w")).alias("t_max"))
+    rates = counts.join(F.broadcast(feasible)).select(
+        group_col,
+        qround(
+            F.least(F.col("w") * F.col("t_max") / F.col("n"), F.lit(1.0)), 9
+        ).alias("accept_rate"),
+    )
+    m = 1 << 20
+    u = (
+        portable_hash64(
+            F.col(id_col).cast("string"), seed=seed, fast=fast
+        )
+        % m
+        + F.lit(0.5)
+    ) / F.lit(float(m))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("accept_rate"))
+    )

@@ -104,3 +104,71 @@ def test_contamination_exact_shared_ngrams(spark):
     # corpus doc 1 shingles: (zero..four),(one..five),(two..seven); bench has
     # (one..five),(two..six) -> exactly 1 shared
     assert got == {1: 1}
+
+
+def _mix_corpus(spark, sizes):
+    rows = []
+    i = 0
+    for grp, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", grp))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_rebalance_binding_group_kept_whole(spark):
+    from etdtransform_spark.operators.corpus import rebalance_mixture
+
+    # b binds: T = min(300/0.5, 60/0.5) = 120 -> b rate 1.0, a rate 0.2
+    df = _mix_corpus(spark, {"a": 300, "b": 60})
+    out = rebalance_mixture(df, "source", "doc_id", {"a": 0.5, "b": 0.5})
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 60  # binding group never thinned
+    # a is hash-thinned toward 60; binomial(300, 0.2) stays well inside
+    assert 35 <= counts.get("a", 0) <= 85, counts
+    rates = {r.source: r.accept_rate
+             for r in out.select("source", "accept_rate").distinct().collect()}
+    assert rates["b"] == 1.0
+    assert abs(rates["a"] - 0.2) < 1e-9
+
+
+def test_rebalance_drops_untargeted_and_is_deterministic(spark):
+    from etdtransform_spark.operators.corpus import rebalance_mixture
+
+    # a is thinned (rate 0.5: T = min(80/.5, 40/.5) = 80), so the seed
+    # actually selects a subset — equal group sizes would make every rate
+    # 1.0 and the seed-sensitivity check vacuous
+    df = _mix_corpus(spark, {"a": 80, "b": 40, "junk": 50})
+    out = rebalance_mixture(df, "source", "doc_id", {"a": 0.5, "b": 0.5})
+    assert out.filter(F.col("source") == "junk").count() == 0
+    ids1 = sorted(r.doc_id for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in rebalance_mixture(
+            df, "source", "doc_id", {"a": 0.5, "b": 0.5}
+        ).select("doc_id").collect()
+    )
+    assert ids1 == ids2  # hash acceptance, not rand(): rerun-identical
+    # a different seed samples a different corpus
+    ids3 = sorted(
+        r.doc_id
+        for r in rebalance_mixture(
+            df, "source", "doc_id", {"a": 0.5, "b": 0.5}, seed="other"
+        ).select("doc_id").collect()
+    )
+    assert ids1 != ids3
+
+
+def test_rebalance_validates_weights(spark):
+    import pytest
+
+    from etdtransform_spark.operators.corpus import rebalance_mixture
+
+    df = _mix_corpus(spark, {"a": 10})
+    with pytest.raises(ValueError, match="sum to 1"):
+        rebalance_mixture(df, "source", "doc_id", {"a": 0.5})
+    with pytest.raises(ValueError, match="strictly positive"):
+        rebalance_mixture(df, "source", "doc_id", {"a": 1.5, "b": -0.5})
