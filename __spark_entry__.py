@@ -5275,6 +5275,233 @@ WHERE (({portable_hash64_sql('doc_id::VARCHAR', seed='mix')} % 1048576) + 0.5)
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag quantity-weighted median price
+    (operators/stats.py:weighted_quantile): RANGE-frame cumulative weight so
+    value ties accumulate together — deterministic under partitioning. The
+    weighted rollup the reference's equal-weight project aggregation lacks
+    (reference README.md:92-96 exposes Oppervlakte for exactly this)."""
+    from etdtransform_spark.operators.stats import weighted_quantile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantile(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"], q=0.5,
+        out_col="wmedian_price",
+    )
+
+
+_SQL_WEIGHTED_MEDIAN = f"""
+WITH c AS (
+  SELECT l_returnflag,
+         l_extendedprice::DOUBLE AS v,
+         sum(l_quantity::DOUBLE) OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice::DOUBLE
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(l_quantity::DOUBLE) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+)
+SELECT l_returnflag,
+       {qround_sql('min(CASE WHEN cum >= 0.5 * tot THEN v END)', 6)}
+         AS wmedian_price
+FROM c GROUP BY l_returnflag
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items over event types
+    (operators/stats.py:heavy_hitters): two map-side-combined aggregates,
+    output bounded by ⌈1/threshold⌉ regardless of input size."""
+    from etdtransform_spark.operators.stats import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", threshold=0.199)
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH c AS (SELECT event_type AS item, count(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT count(*) AS tot FROM events)
+SELECT item, cnt, {qround_sql('cnt / tot::DOUBLE', 6)} AS share
+FROM c, t WHERE cnt >= 0.199 * tot
+"""
+
+
+def q_entropy_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the language mix + KL divergence
+    against the corpus-wide mix (operators/stats.py:categorical_divergence)
+    — the mixture-drift monitor for a training-data pipeline. One scan;
+    the global distribution is re-aggregated from the (group, value)
+    counts, never a second pass."""
+    from etdtransform_spark.operators.stats import categorical_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return categorical_divergence(docs, "source", "lang").withColumnRenamed(
+        "grp", "source"
+    )
+
+
+_SQL_ENTROPY = f"""
+WITH gv AS (
+  SELECT source AS grp, lang AS val, count(*)::DOUBLE AS n
+  FROM documents GROUP BY 1, 2),
+g AS (SELECT grp, sum(n) AS g_n FROM gv GROUP BY 1),
+v AS (SELECT val, sum(n) AS v_n FROM gv GROUP BY 1),
+a AS (SELECT sum(n) AS all_n FROM gv)
+SELECT grp AS source,
+       {qround_sql('-sum((n / g_n) * ln(n / g_n))', 6)} AS entropy,
+       {qround_sql(
+           'sum((n / g_n) * ln((n / g_n) / (v_n / all_n)))', 6)}
+         AS kl_vs_global
+FROM gv JOIN g USING (grp) JOIN v USING (val) CROSS JOIN a
+GROUP BY grp
+"""
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of parts maximizing (size, retail price)
+    (operators/olap.py:pareto_frontier): distributed scan-line in two
+    phases — per-bucket local skyline, then one pass over survivors. The
+    oracle is the quadratic NOT EXISTS the operator avoids."""
+    from etdtransform_spark.operators.olap import pareto_frontier
+
+    part = _t(spark, sf_dir, "part")
+    return pareto_frontier(part, "p_size", "p_retailprice")
+
+
+_SQL_PARETO = """
+WITH pts AS (SELECT DISTINCT p_size, p_retailprice FROM part)
+SELECT p_size, p_retailprice FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))
+"""
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week value totals per event type with change / %-change
+    against the previous observed week
+    (operators/timeseries.py:period_over_period). Periods surface as DATE
+    on both engines (DuckDB date_trunc returns DATE)."""
+    from etdtransform_spark.operators.timeseries import period_over_period
+
+    ev = _t(spark, sf_dir, "events")
+    out = period_over_period(
+        ev, "ts", "value", ["event_type"], unit="week", digits=4
+    )
+    return out.select(
+        "event_type",
+        F.col("period").cast("date").alias("period"),
+        "total",
+        F.col("prev_period").cast("date").alias("prev_period"),
+        "change",
+        "pct_change",
+    )
+
+
+_SQL_POP = f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('week', ts) AS period,
+         {qround_sql('sum(value)', 4)} AS total
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, period, total,
+         lag(total) OVER (PARTITION BY event_type ORDER BY period) AS prev,
+         lag(period) OVER (PARTITION BY event_type ORDER BY period)
+           AS prev_period
+  FROM agg)
+SELECT event_type, period, total, prev_period,
+       {qround_sql('total - prev', 4)} AS change,
+       {qround_sql(
+           'CASE WHEN prev <> 0 THEN (total - prev) / prev END', 4)}
+         AS pct_change
+FROM lagged
+"""
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift over (user, event_type)
+    baskets (operators/funnel.py:cooccurrence): presence-collapsed before
+    the pair join, marginals broadcast back."""
+    from etdtransform_spark.operators.funnel import cooccurrence
+
+    ev = _t(spark, sf_dir, "events")
+    return cooccurrence(ev, "user_id", "event_type", min_pair_count=2)
+
+
+_SQL_COOCCURRENCE = f"""
+WITH pres AS (SELECT DISTINCT user_id AS basket, event_type AS item
+              FROM events),
+ic AS (SELECT item, count(*) AS icnt FROM pres GROUP BY 1),
+nb AS (SELECT count(DISTINCT basket) AS nb FROM pres),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_count
+  FROM pres a JOIN pres b USING (basket)
+  WHERE a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, pair_count, ia.icnt AS cnt_a, ib.icnt AS cnt_b,
+       {qround_sql(
+           'pair_count * nb / (ia.icnt::DOUBLE * ib.icnt)', 6)} AS lift
+FROM pairs
+JOIN ic ia ON ia.item = item_a
+JOIN ic ib ON ib.item = item_b
+CROSS JOIN nb
+"""
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch attribution before each user's first purchase
+    (operators/funnel.py:touch_attribution): min-aggregate conversion
+    moment keyed back onto the events, one total-order window per user."""
+    from etdtransform_spark.operators.funnel import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id", conversion="purchase"
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id, min(ts) AS conv_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+touches AS (
+  SELECT e.user_id, c.conv_ts, e.event_type,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn_f,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn_l
+  FROM events e JOIN conv c USING (user_id)
+  WHERE e.event_type <> 'purchase' AND e.ts < c.conv_ts)
+SELECT user_id AS user, conv_ts,
+       min(CASE WHEN rn_f = 1 THEN event_type END) AS first_touch,
+       min(CASE WHEN rn_l = 1 THEN event_type END) AS last_touch
+FROM touches GROUP BY 1, 2
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → sorted postings-list index over the document corpus
+    (operators/text.py:inverted_index), min_df = 5. Postings surface as a
+    comma-joined string so the value hash is order-exact on both engines."""
+    from etdtransform_spark.operators.text import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=5)
+
+
+_SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents)
+SELECT term, count(*) AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY term HAVING count(*) >= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5431,6 +5658,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "excess_supply_suppliers": q_excess_supply_suppliers,
         "rebalance_mixture": q_rebalance_mixture,
+        "weighted_median": q_weighted_median,
+        "heavy_hitters": q_heavy_hitters,
+        "entropy_divergence": q_entropy_divergence,
+        "pareto_frontier": q_pareto_frontier,
+        "period_over_period": q_period_over_period,
+        "cooccurrence": q_cooccurrence,
+        "touch_attribution": q_touch_attribution,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -5580,6 +5815,14 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": _SQL_Q19,
         "excess_supply_suppliers": _SQL_Q20,
         "rebalance_mixture": _SQL_REBALANCE,
+        "weighted_median": _SQL_WEIGHTED_MEDIAN,
+        "heavy_hitters": _SQL_HEAVY_HITTERS,
+        "entropy_divergence": _SQL_ENTROPY,
+        "pareto_frontier": _SQL_PARETO,
+        "period_over_period": _SQL_POP,
+        "cooccurrence": _SQL_COOCCURRENCE,
+        "touch_attribution": _SQL_ATTRIBUTION,
+        "inverted_index": _SQL_INVERTED_INDEX,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

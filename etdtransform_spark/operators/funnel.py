@@ -199,3 +199,119 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
     )
+
+
+def cooccurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket co-occurrence with lift: for every unordered item pair
+    appearing together in a basket (user, session, order), the pair count
+    and lift = P(a,b) / (P(a)·P(b)) over basket-level presence.
+
+    Scale shape: collapse to DISTINCT (basket, item) pairs first — the
+    self-join and every aggregate run on presence rows, never raw events.
+    The join is an equijoin on the basket key with ``item_a < item_b``; its
+    output is Σ|basket|², so ``max_basket_size`` caps pathological baskets
+    (a window count per basket, dropped above the cap — the standard
+    guard: a 10k-item basket contributes 50M pairs and no signal). Item
+    marginals and the basket total ride back in as one broadcast join +
+    one broadcast scalar."""
+    pres = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_size is not None:
+        wb = Window.partitionBy("basket")
+        pres = (
+            pres.withColumn("_bs", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bs") <= max_basket_size)
+            .drop("_bs")
+        )
+    item_cnt = pres.groupBy("item").agg(F.count(F.lit(1)).alias("icnt"))
+    n_baskets = pres.agg(F.count_distinct("basket").alias("nb"))
+    a = pres.select("basket", F.col("item").alias("item_a"))
+    b = pres.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    ia = item_cnt.select(
+        F.col("item").alias("item_a"), F.col("icnt").alias("cnt_a")
+    )
+    ib = item_cnt.select(
+        F.col("item").alias("item_b"), F.col("icnt").alias("cnt_b")
+    )
+    from ..functions.scalars import qround
+
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "cnt_a",
+            "cnt_b",
+            qround(
+                F.col("pair_count") * F.col("nb")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    id_col: str,
+    conversion: str,
+) -> DataFrame:
+    """First-touch / last-touch attribution: per user, the earliest
+    conversion moment and the first and last non-conversion events strictly
+    before it. Users with no conversion or no prior touch are excluded
+    (inner semantics — the attribution report's domain is converted users
+    with a touchpoint).
+
+    Per-user first conversion is a map-side-combined min aggregate
+    (user-count-sized — joined back on the user key, NOT broadcast: at
+    100 TB the user dimension is itself huge, and the join shares its hash
+    partitioning with the window that follows, so the exchange is reused);
+    the touch pick is one window over ``partitionBy(user)`` ordered by
+    (ts, id) — total order, so ties cannot flip between runs. Events scan
+    once; no event-to-event self-join."""
+    conv = (
+        df.filter(F.col(event_col) == conversion)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(F.col(ts_col)).alias("conv_ts"))
+    )
+    touches = df.filter(F.col(event_col) != conversion).join(
+        conv, F.col(user_col) == F.col("_u")
+    ).filter(F.col(ts_col) < F.col("conv_ts"))
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    wd = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    return (
+        touches.withColumn("_rn_f", F.row_number().over(w))
+        .withColumn("_rn_l", F.row_number().over(wd))
+        .filter((F.col("_rn_f") == 1) | (F.col("_rn_l") == 1))
+        .groupBy(F.col(user_col).alias("user"), F.col("conv_ts"))
+        .agg(
+            F.min(
+                F.when(F.col("_rn_f") == 1, F.col(event_col))
+            ).alias("first_touch"),
+            F.min(
+                F.when(F.col("_rn_l") == 1, F.col(event_col))
+            ).alias("last_touch"),
+        )
+    )

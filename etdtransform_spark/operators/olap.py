@@ -230,3 +230,54 @@ def latest_snapshot(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """2-D Pareto skyline over distinct (x, y) points, both maximized: a
+    point survives iff no other point is ≥ in both dimensions and > in at
+    least one. The classic "best price/size tradeoff" query no SQL operator
+    expresses directly — the naive formulation is a quadratic NOT EXISTS
+    self-join.
+
+    Distributed scan-line, two phases. Dominance pruning is valid within ANY
+    subset of the points (a point dominated by a bucket-mate is dominated
+    globally), so phase 1 computes a local skyline per hash bucket with a
+    per-bucket sorted window: order (x desc, y desc), a point is dominated
+    iff max(y) over the preceding frame ≥ its own y (exact for distinct
+    points — the preceding frame holds exactly the points with greater x, or
+    equal x and greater y). Phase 2 repeats the same scan-line once over the
+    ~buckets·|skyline_local| survivors in a single partition. The quadratic
+    join never happens; the only full-data ops are distinct + one window
+    sort per bucket. Worst case (fully anti-correlated data) the skyline IS
+    the dataset and no algorithm avoids emitting it.
+    """
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    pts = df.select(x.alias("x"), y.alias("y")).distinct()
+
+    def scanline(pdf: DataFrame, part: Sequence[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(F.desc("x"), F.desc("y"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pm = F.max("y").over(w)
+        return (
+            pdf.withColumn("_pm", pm)
+            .filter(F.col("_pm").isNull() | (F.col("_pm") < F.col("y")))
+            .drop("_pm")
+        )
+
+    local = scanline(
+        pts.withColumn("_b", F.pmod(F.xxhash64("x", "y"), F.lit(buckets))),
+        ["_b"],
+    ).drop("_b")
+    return scanline(local, []).select(
+        F.col("x").alias(x_col), F.col("y").alias(y_col)
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import qround
@@ -432,3 +432,113 @@ def profile_table(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    keys: Sequence[str],
+    q: float = 0.5,
+    out_col: str = "wq",
+) -> DataFrame:
+    """Per-group lower weighted quantile: the smallest value whose cumulative
+    weight reaches ``q`` of the group's total weight (q=0.5 → weighted
+    median). The reference's project aggregation weights every household
+    equally; this is the operator a floor-area- or occupancy-weighted rollup
+    needs (reference README.md:92-96 exposes `Oppervlakte` for exactly such
+    weighting).
+
+    The cumulative weight uses a RANGE frame over the value ordering so all
+    ties of a value accumulate together — deterministic regardless of
+    partition-internal row order. One exchange (partition by group), one
+    sort, both window expressions share it; the final min() per group is a
+    map-side-combined hash agg. Rows with NULL value or weight are excluded.
+    """
+    v = F.col(value_col).cast("double")
+    wt = F.col(weight_col).cast("double")
+    base = df.filter(v.isNotNull() & wt.isNotNull())
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(v)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = F.sum(wt).over(w_cum)
+    tot = F.sum(wt).over(w_all)
+    return (
+        base.withColumn("_hit", F.when(cum >= F.lit(q) * tot, v))
+        .groupBy(*keys)
+        .agg(qround(F.min("_hit"), 6).alias(out_col))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold: float,
+    digits: int = 6,
+) -> DataFrame:
+    """Exact frequent-items: every value of ``item_col`` whose share of all
+    rows is ≥ ``threshold``, with count and rounded share.
+
+    Shape: one map-side-combined hash agg per item + the grand total as a
+    broadcast one-row cross join (no driver action, the TPC-H Q22 scalar
+    pattern). At 100 TB both aggregates partial-combine, the shuffle carries
+    one row per distinct item. By the pigeonhole bound at most ⌈1/threshold⌉
+    items can pass, so the output is O(1/threshold) rows no matter the input
+    size — the exact counterpart of the Misra-Gries/count-min sketch, which
+    is only needed when the distinct-item dictionary itself cannot be
+    shuffled (then: per-partition Misra-Gries candidates via mapInPandas +
+    this exact pass restricted to candidates).
+    """
+    counts = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(threshold) * F.col("_tot"))
+        .select(
+            "item",
+            "cnt",
+            qround(F.col("cnt") / F.col("_tot"), digits).alias("share"),
+        )
+    )
+
+
+def categorical_divergence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Shannon entropy (nats) of the categorical ``value_col``
+    distribution, plus KL(group ‖ corpus) against the global distribution —
+    the drift/diversity signal a training-data mixture monitor runs per
+    source or per day.
+
+    Single scan: counts per (group, value) are the only data-sized shuffle;
+    the global per-value distribution is re-aggregated FROM those counts
+    (dictionary-sized, no second scan) and broadcast back. KL is finite by
+    construction: every group value occurs in the global distribution, and
+    0·ln(0) terms never arise because only observed (group, value) pairs
+    produce rows."""
+    gv = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    g_tot = gv.groupBy("grp").agg(F.sum("n").alias("g_n"))
+    v_glob = gv.groupBy("val").agg(F.sum("n").alias("v_n"))
+    all_tot = gv.agg(F.sum("n").alias("all_n"))
+    p = F.col("n") / F.col("g_n")
+    qq = F.col("v_n") / F.col("all_n")
+    return (
+        gv.join(g_tot, "grp")
+        .join(F.broadcast(v_glob), "val")
+        .crossJoin(F.broadcast(all_tot))
+        .groupBy("grp")
+        .agg(
+            qround(-F.sum(p * F.log(p)), digits).alias("entropy"),
+            qround(F.sum(p * F.log(p / qq)), digits).alias("kl_vs_global"),
+        )
+    )

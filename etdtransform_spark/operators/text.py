@@ -240,3 +240,46 @@ def tfidf_top_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Term → postings-list inverted index: for every term with document
+    frequency ≥ ``min_df``, the df count and the comma-joined sorted list of
+    containing doc ids. The retrieval-side dual of ``tfidf_top_terms`` —
+    what a corpus search / contamination-lookup service precomputes.
+
+    Tokenize is a narrow map; DISTINCT (term, doc) is the one data-sized
+    shuffle (hash-combined before moving); the postings build is a
+    ``sort_array(collect_list(...))`` per term — per-group memory is the
+    posting list itself, which is the operator's output, so there is no
+    cheaper shape. Stop-term postings (df ~ corpus size) are the known
+    skew: ``max_df`` capping at the caller's level or AQE skew-split handle
+    them; the ``min_df`` gate bounds the long tail."""
+    toks = widen(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    ).distinct()
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

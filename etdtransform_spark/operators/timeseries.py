@@ -199,3 +199,42 @@ def ewma(
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return staged.withColumn("ewma", qround(folded, digits)).drop("_frame")
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    unit: str = "week",
+    digits: int = 6,
+) -> DataFrame:
+    """Period-over-period comparison: per key, sum ``value_col`` into
+    ``date_trunc(unit)`` buckets and compare each bucket with the PREVIOUS
+    OBSERVED bucket (lag over the per-key bucket sequence) — change and
+    percent change, NULL on the first bucket and on a zero/NULL base. The
+    WoW/MoM/YoY reporting primitive.
+
+    Emitting the previous bucket's timestamp keeps gap awareness explicit:
+    a consumer that needs strictly-adjacent periods filters on
+    ``prev_period = period - INTERVAL 1 unit`` (or composes with
+    ``scaffold_time_grid`` for a dense calendar). One data-sized shuffle
+    (the bucket aggregate); the lag window runs over the already-collapsed
+    per-key bucket rows."""
+    period = F.date_trunc(unit, F.col(ts_col)).alias("period")
+    agg = df.groupBy(*keys, period).agg(
+        qround(F.sum(F.col(value_col)), digits).alias("total")
+    )
+    w = Window.partitionBy(*keys).orderBy("period")
+    prev = F.lag("total").over(w)
+    prev_p = F.lag("period").over(w)
+    return agg.select(
+        *keys,
+        "period",
+        "total",
+        prev_p.alias("prev_period"),
+        qround(F.col("total") - prev, digits).alias("change"),
+        qround(
+            F.when(prev != 0, (F.col("total") - prev) / prev), digits
+        ).alias("pct_change"),
+    )

@@ -1,0 +1,208 @@
+"""Unit tests for the analytics extension batch: weighted quantile, heavy
+hitters, entropy/KL divergence, Pareto skyline, period-over-period,
+market-basket co-occurrence, touch attribution, inverted index."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_weighted_quantile_known(spark):
+    from etdtransform_spark.operators.stats import weighted_quantile
+
+    # cum weights: 10->3, 20->7, 30->8; total 8, half = 4 -> first v with
+    # cum >= 4 is 20.
+    df = spark.createDataFrame(
+        [("a", 10.0, 3.0), ("a", 20.0, 4.0), ("a", 30.0, 1.0)],
+        ["k", "v", "w"],
+    )
+    [r] = weighted_quantile(df, "v", "w", ["k"], q=0.5).collect()
+    assert r.wq == 20.0
+
+
+def test_weighted_quantile_ties_accumulate_together(spark):
+    from etdtransform_spark.operators.stats import weighted_quantile
+
+    # Two rows with v=10 (weights 1 and 3): the RANGE frame puts both into
+    # every cum at v=10, so cum(10) = 4 >= half(4.5)? no -> 4 < 4.5, the
+    # median is 20 regardless of the internal order of the tied rows.
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 10.0, 3.0), ("a", 20.0, 5.0)],
+        ["k", "v", "w"],
+    )
+    [r] = weighted_quantile(df, "v", "w", ["k"], q=0.5).collect()
+    assert r.wq == 20.0
+    # ... and when the tie DOES reach the threshold, the tied value wins.
+    df2 = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("a", 10.0, 3.0), ("a", 20.0, 5.0)],
+        ["k", "v", "w"],
+    )
+    [r2] = weighted_quantile(df2, "v", "w", ["k"], q=0.5).collect()
+    assert r2.wq == 10.0
+
+
+def test_heavy_hitters_threshold_boundary(spark):
+    from etdtransform_spark.operators.stats import heavy_hitters
+
+    # 10 rows: a x5, b x3, c x2. threshold .3 keeps a and b (b exactly at).
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, ["item"])
+    got = {
+        r.item: (r.cnt, r.share)
+        for r in heavy_hitters(df, "item", 0.3).collect()
+    }
+    assert got == {"a": (5, 0.5), "b": (3, 0.3)}
+
+
+def test_categorical_divergence_uniform_and_identical(spark):
+    from etdtransform_spark.operators.stats import categorical_divergence
+
+    # Both groups have the identical 50/50 value mix -> global mix is also
+    # 50/50 -> entropy = ln 2, KL = 0 for both.
+    rows = [(g, v) for g in ("g1", "g2") for v in ("x", "y") for _ in range(5)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.grp: r for r in categorical_divergence(df, "g", "v").collect()}
+    for g in ("g1", "g2"):
+        assert math.isclose(out[g].entropy, math.log(2), abs_tol=1e-6)
+        assert out[g].kl_vs_global == 0.0
+
+
+def test_categorical_divergence_skewed_group(spark):
+    from etdtransform_spark.operators.stats import categorical_divergence
+
+    # g1 all-x (entropy 0), g2 all-y; global 50/50 -> KL = ln 2 for both.
+    rows = [("g1", "x")] * 4 + [("g2", "y")] * 4
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.grp: r for r in categorical_divergence(df, "g", "v").collect()}
+    assert out["g1"].entropy == 0.0
+    assert math.isclose(out["g1"].kl_vs_global, math.log(2), abs_tol=1e-6)
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and q != p for q in pts
+        ):
+            out.append(p)
+    return sorted(set(out))
+
+
+def test_pareto_frontier_handcrafted(spark):
+    from etdtransform_spark.operators.olap import pareto_frontier
+
+    pts = [(1, 9.0), (2, 9.0), (2, 5.0), (3, 3.0), (3, 7.0), (5, 1.0),
+           (4, 7.0), (1, 9.0)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = sorted(
+        (r.x, r.y) for r in pareto_frontier(df, "x", "y", buckets=3).collect()
+    )
+    assert got == _brute_skyline([tuple(p) for p in set(pts)])
+    # (2,9) dominates (1,9); (4,7) dominates (3,7); (5,1) survives.
+    assert got == [(2, 9.0), (4, 7.0), (5, 1.0)]
+
+
+def test_pareto_frontier_randomized_vs_bruteforce(spark):
+    from etdtransform_spark.operators.olap import pareto_frontier
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 20), float(rng.randint(0, 20))) for _ in range(300)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = sorted(
+        (r.x, r.y) for r in pareto_frontier(df, "x", "y", buckets=8).collect()
+    )
+    assert got == _brute_skyline(sorted(set(pts)))
+
+
+def test_period_over_period_gap_and_zero_base(spark):
+    from etdtransform_spark.operators.timeseries import period_over_period
+
+    t = dt.datetime(2024, 1, 1)  # a Monday
+    wk = dt.timedelta(days=7)
+    rows = [
+        ("k", t, 10.0),
+        ("k", t + dt.timedelta(days=2), 5.0),  # same week
+        ("k", t + wk, 0.0),                     # week 2 total 0
+        ("k", t + 3 * wk, 30.0),                # gap: week 3 missing
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {
+        r.period.date(): r
+        for r in period_over_period(df, "ts", "v", ["k"]).collect()
+    }
+    w1, w2, w4 = sorted(out)
+    assert out[w1].prev_period is None and out[w1].change is None
+    assert out[w2].change == -15.0 and out[w2].pct_change == -1.0
+    # zero base -> pct_change NULL; prev_period exposes the gap (w2, not w3)
+    assert out[w4].pct_change is None
+    assert out[w4].prev_period.date() == w2
+    assert out[w4].change == 30.0
+
+
+def test_cooccurrence_lift_and_cap(spark):
+    from etdtransform_spark.operators.funnel import cooccurrence
+
+    # baskets: 1:{a,b} 2:{a,b} 3:{a} 4:{b,c} -> pair(a,b)=2, lift =
+    # 2*4/(3*3) = 8/9; duplicates within a basket collapse.
+    rows = [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+            (4, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r.item_a, r.item_b): r for r in
+           cooccurrence(df, "basket", "item").collect()}
+    ab = out[("a", "b")]
+    assert ab.pair_count == 2 and ab.cnt_a == 3 and ab.cnt_b == 3
+    assert math.isclose(ab.lift, 8 / 9, abs_tol=1e-6)
+    assert out[("b", "c")].pair_count == 1
+    # cap drops basket 1 and 4 (size 2) when max_basket_size=1 -> no pairs
+    assert cooccurrence(df, "basket", "item", max_basket_size=1).count() == 0
+
+
+def test_touch_attribution_semantics(spark):
+    from etdtransform_spark.operators.funnel import touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: view(1) click(2) purchase(3) click(4) -> first=view last=click
+        (1, at(1), "view", 101),
+        (1, at(2), "click", 102),
+        (1, at(3), "purchase", 103),
+        (1, at(4), "click", 104),
+        # u2: no conversion -> excluded
+        (2, at(1), "view", 201),
+        # u3: purchase only, no prior touch -> excluded
+        (3, at(1), "purchase", 301),
+        # u4: two touches at the SAME ts -> tie broken by event_id
+        (4, at(1), "view", 401),
+        (4, at(1), "click", 402),
+        (4, at(2), "purchase", 403),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = {r.user: r for r in touch_attribution(
+        df, "user_id", "ts", "event_type", "event_id", "purchase").collect()}
+    assert set(out) == {1, 4}
+    assert out[1].first_touch == "view" and out[1].last_touch == "click"
+    assert out[1].conv_ts == at(3)
+    assert out[4].first_touch == "view" and out[4].last_touch == "click"
+
+
+def test_inverted_index_postings(spark):
+    from etdtransform_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "apple banana"), (1, "Apple! cherry"), (2, "banana apple apple")],
+        ["doc_id", "text"],
+    )
+    out = {r.term: r for r in inverted_index(df, min_df=2).collect()}
+    # 'apple' in all three (case-folded, punctuation split, within-doc
+    # duplicates collapsed); postings sorted numerically.
+    assert out["apple"].df == 3 and out["apple"].postings == "1,2,3"
+    assert out["banana"].df == 2 and out["banana"].postings == "2,3"
+    assert "cherry" not in out  # min_df gate
