@@ -5502,6 +5502,99 @@ FROM toks GROUP BY term HAVING count(*) >= 5
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators/incremental.py): the events table arrives as two batches
+    (split on event_id parity), each folded to a per-key mergeable state;
+    states merge and finalize WITHOUT re-reading raw history. The oracle is
+    the direct aggregate over everything — the algebraic contract
+    finalize(merge(build(b1), build(b2))) ≡ direct_agg(b1 ∪ b2)."""
+    from etdtransform_spark.operators.incremental import (
+        agg_state_build,
+        agg_state_finalize,
+        agg_state_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = agg_state_merge(
+        [
+            agg_state_build(b1, ["event_type"], "value"),
+            agg_state_build(b2, ["event_type"], "value"),
+        ],
+        ["event_type"],
+    )
+    return agg_state_finalize(merged, ["event_type"], digits=4)
+
+
+_SQL_INCREMENTAL_AGG = f"""
+SELECT event_type,
+       count(value) AS n,
+       {qround_sql('sum(value)', 4)} AS sum,
+       {qround_sql('avg(value)', 4)} AS avg,
+       {qround_sql('stddev_samp(value)', 4)} AS std,
+       {qround_sql('min(value)', 4)} AS min,
+       {qround_sql('max(value)', 4)} AS max
+FROM events GROUP BY event_type
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph
+    (operators/graph.py:pagerank): 6 rounds, per-round ranks pinned to 12
+    digits so the identical recurrence in the chained-CTE oracle is
+    bit-stable. The graph is derived exactly like transition_matrix (lead
+    over each user's timeline, counted state pairs)."""
+    from etdtransform_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("_next").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return pagerank(edges, iterations=6).withColumnRenamed("node", "state")
+
+
+def _sql_pagerank(iters: int = 6, d: float = 0.85) -> str:
+    head = f"""
+WITH seq AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM {_EV}
+), edges AS (
+  SELECT from_state AS src, to_state AS dst, count(*)::DOUBLE AS w
+  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+), norm AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges
+), nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+"""
+    steps = []
+    for i in range(1, iters + 1):
+        step = qround_sql(f"(1.0 - {d}) / nn.n + {d} * coalesce(s.c, 0.0)", 12)
+        steps.append(
+            f"""pr{i} AS (
+  SELECT nd.node, {step} AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(p.rank * e.p) AS c
+             FROM pr{i - 1} p JOIN norm e ON e.src = p.node GROUP BY 1) s
+    ON s.node = nd.node)"""
+        )
+    tail = (
+        f"\nSELECT node AS state, {qround_sql('rank', 6)} AS rank"
+        f" FROM pr{iters}"
+    )
+    return head + ",\n".join(steps) + tail
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5666,6 +5759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "touch_attribution": q_touch_attribution,
         "inverted_index": q_inverted_index,
+        "incremental_agg": q_incremental_agg,
+        "pagerank": q_pagerank,
     }
 
 
@@ -5823,6 +5918,8 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence": _SQL_COOCCURRENCE,
         "touch_attribution": _SQL_ATTRIBUTION,
         "inverted_index": _SQL_INVERTED_INDEX,
+        "incremental_agg": _SQL_INCREMENTAL_AGG,
+        "pagerank": _sql_pagerank(),
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

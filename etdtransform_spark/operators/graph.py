@@ -1,0 +1,85 @@
+"""Iterative graph analytics over edge DataFrames.
+
+Complements `dedup.py:connected_components` (duplicate clustering): PageRank
+over a weighted directed edge table — the centrality/importance primitive
+for link graphs, citation webs, or state-transition graphs derived from
+event streams.
+
+Scale shape (the MLlib/GraphX pattern re-expressed in DataFrames): the edge
+table is normalized ONCE (out-weight totals via one agg + key join), then
+each iteration is edges⋈ranks on src (both hash-partitioned on the same
+key — exchange reused across iterations) + one map-side-combined sum per
+dst + a left join back onto the node table for dangling/(1-d)/N mass. Rank
+state is node-count-sized, never edge-sized; `localCheckpoint` truncates
+the lineage each round so the plan does not grow with iterations. Ranks are
+pinned to 12 digits per iteration (`qround`, identical IEEE sequence in the
+DuckDB oracle) so cross-engine accumulation jitter cannot compound across
+rounds.
+
+This is the simplified textbook PageRank (dangling-node mass leaks rather
+than redistributes); parity with the oracle is exact because both sides
+implement the identical recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping: float = 0.85,
+    iterations: int = 8,
+    digits: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted PageRank: rank'(v) = (1-d)/N + d·Σ_u rank(u)·w(u,v)/W(u),
+    run ``iterations`` rounds from the uniform start. Returns (node, rank)
+    with rank rounded to ``digits``."""
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_wtot"))
+    norm = e.join(outw, "_src").select(
+        "_src", "_dst", (F.col("_w") / F.col("_wtot")).alias("_p")
+    )
+    if checkpoint:
+        norm = norm.localCheckpoint(eager=False)
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            norm.join(ranks, norm["_src"] == ranks["node"])
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                qround(
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_c"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", qround(F.col("rank"), digits).alias("rank"))

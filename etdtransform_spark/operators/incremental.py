@@ -1,0 +1,106 @@
+"""Incremental aggregate maintenance: mergeable partial-aggregate states.
+
+The reference recomputes every aggregate family from scratch each run
+(checkpoint-by-parquet, SURVEY §3A); at 100 TB a daily batch cannot re-scan
+history. The standard fix is the partial-aggregate / materialized-view
+pattern: persist per-key MERGEABLE STATES (count, sum, sum of squares, min,
+max — and an HLL sketch for distincts), fold each new batch into a
+batch-sized state table, and merge states instead of re-aggregating raw
+rows. `finalize(merge(build(b1), build(b2))) ≡ direct_agg(b1 ∪ b2)` is the
+algebraic contract — exactly Spark's own partial/final hash-aggregate split,
+lifted to a persistable table so it survives across jobs.
+
+Scale shape: `build` is one map-side-combined hash agg over the new batch
+only; `merge` shuffles state rows (one per key, fixed width — never data);
+`finalize` is a projection. The history is never re-read.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
+
+STATE_COLS = ("state_n", "state_sum", "state_sumsq", "state_min", "state_max")
+
+
+def agg_state_build(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-key mergeable moment state of ``value_col`` over one batch."""
+    x = F.col(value_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.count(x).alias("state_n"),
+        F.sum(x).alias("state_sum"),
+        F.sum(x * x).alias("state_sumsq"),
+        F.min(x).alias("state_min"),
+        F.max(x).alias("state_max"),
+    )
+
+
+def agg_state_merge(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Merge state tables: counts/sums add, min/max combine. Associative and
+    commutative, so batches can merge in any order or tree shape."""
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.sum("state_n").alias("state_n"),
+        F.sum("state_sum").alias("state_sum"),
+        F.sum("state_sumsq").alias("state_sumsq"),
+        F.min("state_min").alias("state_min"),
+        F.max("state_max").alias("state_max"),
+    )
+
+
+def agg_state_finalize(
+    state: DataFrame, keys: Sequence[str], digits: int = 6
+) -> DataFrame:
+    """Resolve a state table to the user-facing aggregate row: n, sum, avg,
+    sample std (NULL below n=2), min, max."""
+    n = F.col("state_n").cast("double")
+    s = F.col("state_sum")
+    var = (F.col("state_sumsq") - s * s / n) / (n - F.lit(1.0))
+    return state.select(
+        *keys,
+        F.col("state_n").alias("n"),
+        qround(s, digits).alias("sum"),
+        qround(s / n, digits).alias("avg"),
+        qround(
+            F.when(F.col("state_n") >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+        , digits).alias("std"),
+        qround(F.col("state_min"), digits).alias("min"),
+        qround(F.col("state_max"), digits).alias("max"),
+    )
+
+
+def hll_state_build(
+    df: DataFrame, keys: Sequence[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HLL (DataSketches) distinct-count state over one batch — the
+    mergeable counterpart of COUNT(DISTINCT), exact while the sketch stays
+    in sparse mode (hundreds of values at lg_k=12), ~0.8% error beyond.
+    This is the 100 TB path for incremental cardinality: per-batch sketch
+    build + binary-state union, the history never re-scanned."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll_state")
+    )
+
+
+def hll_state_merge(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.hll_union_agg("hll_state").alias("hll_state")
+    )
+
+
+def hll_state_estimate(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    return state.select(
+        *keys, F.hll_sketch_estimate("hll_state").alias("n_distinct")
+    )
