@@ -59,3 +59,27 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def enable_runtime_bloom_pruning(
+    spark: SparkSession, application_side_threshold: str = "0"
+) -> None:
+    """Turn on Catalyst's runtime bloom-filter join pruning: when a selective
+    filter sits on the build side of a shuffle join, Spark injects a
+    `bloom_filter_agg` subquery on that side and a `might_contain` filter on
+    the probe side, so probe rows that cannot match are dropped AT THE SCAN,
+    before the shuffle. This is the semi-join reduction that matters most at
+    100 TB: a 1%-selective dimension predicate shrinks the fact shuffle ~100×
+    with no code change to the query.
+
+    ``application_side_threshold`` guards against injecting the filter where
+    the probe scan is too small to profit — Spark's default is 10GB; local
+    tests pass "0" so the rewrite is observable at test scale. Runtime
+    configs, so safe to flip per stage.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )

@@ -436,3 +436,44 @@ def test_q17_avg_join_back_is_broadcast(spark):
     plan = _plan(spark, df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """With runtime bloom pruning on, a selective dim filter injects
+    bloom_filter_agg (build side) + might_contain (probe-side scan filter)
+    into a shuffle join, and results are identical to the unpruned run."""
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.session import enable_runtime_bloom_pruning
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).filter(F.col("o_totalprice") > 400000)
+
+    def q():
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = {(r.l_returnflag, r.n) for r in q().collect()}
+    old_bloom = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        enable_runtime_bloom_pruning(spark)
+        # force a shuffle join: broadcast joins don't take bloom filters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pruned = q()
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        assert {(r.l_returnflag, r.n) for r in pruned.collect()} == baseline
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", old_bloom
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
