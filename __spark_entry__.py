@@ -5595,6 +5595,174 @@ pr0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
     return head + ",\n".join(steps) + tail
 
 
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic, click-vs-view event values
+    (operators/stats.py:welch_ttest): one conditional full-scan aggregate,
+    sufficient-statistics arithmetic identical on both engines."""
+    from etdtransform_spark.operators.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev, "event_type", "value", "click", "view")
+
+
+_SQL_WELCH = f"""
+WITH s AS (
+  SELECT count(CASE WHEN event_type = 'click' THEN value END)::DOUBLE AS n_a,
+         sum(CASE WHEN event_type = 'click' THEN value END) AS s_a,
+         sum(CASE WHEN event_type = 'click' THEN value * value END) AS q_a,
+         count(CASE WHEN event_type = 'view' THEN value END)::DOUBLE AS n_b,
+         sum(CASE WHEN event_type = 'view' THEN value END) AS s_b,
+         sum(CASE WHEN event_type = 'view' THEN value * value END) AS q_b
+  FROM events WHERE event_type IN ('click', 'view')
+), d AS (
+  SELECT n_a, n_b, s_a / n_a AS ma, s_b / n_b AS mb,
+         ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS sea,
+         ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS seb
+  FROM s)
+SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       {qround_sql('ma', 6)} AS mean_a, {qround_sql('mb', 6)} AS mean_b,
+       {qround_sql('(ma - mb) / sqrt(sea + seb)', 6)} AS t_stat,
+       {qround_sql(
+           '(sea + seb) * (sea + seb)'
+           ' / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1))', 6)} AS dof
+FROM d
+"""
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square for event_type × (value > 50) independence
+    (operators/stats.py:chi_square): contingency cells are the only
+    data-sized aggregate; margins re-aggregate the cells; absent cells
+    enter via the margin-grid scaffold."""
+    from etdtransform_spark.operators.stats import chi_square
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "outcome", F.when(F.col("value") > 50, "hi").otherwise("lo")
+    )
+    return chi_square(ev, "event_type", "outcome")
+
+
+_SQL_CHI2 = f"""
+WITH cells AS (
+  SELECT event_type AS g,
+         CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS o,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+gm AS (SELECT g, sum(n) AS g_n FROM cells GROUP BY 1),
+om AS (SELECT o, sum(n) AS o_n FROM cells GROUP BY 1),
+tot AS (SELECT sum(n) AS all_n FROM cells),
+grid AS (
+  SELECT gm.g, om.o, g_n, o_n, coalesce(cells.n, 0)::DOUBLE AS obs
+  FROM gm CROSS JOIN om LEFT JOIN cells ON cells.g = gm.g AND cells.o = om.o)
+SELECT {qround_sql(
+    'sum((obs - g_n * o_n / all_n) * (obs - g_n * o_n / all_n)'
+    ' / (g_n * o_n / all_n))', 6)} AS chi2,
+       (count(DISTINCT g) - 1) * (count(DISTINCT o) - 1) AS dof
+FROM grid CROSS JOIN tot
+"""
+
+
+def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median estimate per event type from MERGED two-batch histogram
+    states (operators/incremental.py:hist_state_*): integer bin counts are
+    exactly mergeable, the estimate interpolates inside the crossing bin —
+    the incremental quantile path where moment states aren't enough."""
+    from etdtransform_spark.operators.incremental import (
+        hist_state_build,
+        hist_state_merge,
+        hist_state_quantile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = hist_state_merge(
+        [
+            hist_state_build(b1, ["event_type"], "value", 0.0, 500.0, 100),
+            hist_state_build(b2, ["event_type"], "value", 0.0, 500.0, 100),
+        ],
+        ["event_type"],
+    )
+    return hist_state_quantile(
+        merged, ["event_type"], 0.5, 0.0, 500.0, 100
+    )
+
+
+_SQL_HIST_QUANTILE = f"""
+WITH b AS (
+  SELECT event_type,
+         least(greatest(floor(value / 5.0), 0), 99)::INT AS bin,
+         count(*) AS bin_n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, bin_n,
+         sum(bin_n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(bin_n) OVER (PARTITION BY event_type) AS tot
+  FROM b)
+SELECT event_type,
+       {qround_sql(
+           '(bin + (0.5 * tot - (cum - bin_n)) / bin_n) * 5.0', 6)} AS q50
+FROM c WHERE cum >= 0.5 * tot
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY bin) = 1
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the supplier co-supply graph (suppliers adjacent when
+    they supply the same part; operators/graph.py:triangle_count): two
+    equijoins over the canonicalized edge list + a semi-join closure, each
+    triangle counted once as a<b<c."""
+    from etdtransform_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a = ps.select("l_partkey", F.col("l_suppkey").alias("src"))
+    b = ps.select("l_partkey", F.col("l_suppkey").alias("dst"))
+    edges = a.join(b, "l_partkey").filter(F.col("src") < F.col("dst"))
+    return triangle_count(edges)
+
+
+_SQL_TRIANGLES = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+  FROM ps a JOIN ps b USING (l_partkey)
+  WHERE a.l_suppkey < b.l_suppkey)
+SELECT count(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.hi = e2.lo
+WHERE EXISTS (SELECT 1 FROM edges e3
+              WHERE e3.lo = e1.lo AND e3.hi = e2.hi)
+"""
+
+
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user
+    (operators/temporal.py:longest_streak): gaps-and-islands anchor on
+    day-granular distinct rows, earliest-start tie-break."""
+    from etdtransform_spark.operators.temporal import longest_streak
+
+    ev = _t(spark, sf_dir, "events")
+    return longest_streak(ev, "user_id", "ts")
+
+
+_SQL_LONGEST_STREAK = f"""
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM {_EV}),
+isl AS (
+  SELECT user_id, day,
+         day - (row_number() OVER (PARTITION BY user_id ORDER BY day))::INT
+           AS anchor
+  FROM days),
+agg AS (
+  SELECT user_id, anchor, count(*) AS streak_days,
+         min(day) AS streak_start, max(day) AS streak_end
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, streak_days, streak_start, streak_end FROM agg
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY streak_days DESC, streak_start ASC) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5761,6 +5929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "incremental_agg": q_incremental_agg,
         "pagerank": q_pagerank,
+        "welch_ttest": q_welch_ttest,
+        "chi_square": q_chi_square,
+        "hist_quantile": q_hist_quantile,
+        "triangle_count": q_triangle_count,
+        "longest_streak": q_longest_streak,
     }
 
 
@@ -5920,6 +6093,11 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _SQL_INVERTED_INDEX,
         "incremental_agg": _SQL_INCREMENTAL_AGG,
         "pagerank": _sql_pagerank(),
+        "welch_ttest": _SQL_WELCH,
+        "chi_square": _SQL_CHI2,
+        "hist_quantile": _SQL_HIST_QUANTILE,
+        "triangle_count": _SQL_TRIANGLES,
+        "longest_streak": _SQL_LONGEST_STREAK,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

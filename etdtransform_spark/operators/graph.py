@@ -83,3 +83,36 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", qround(F.col("rank"), digits).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Count triangles in an undirected graph given as an edge list
+    (direction and duplicates ignored). Canonicalize every edge to
+    (lo, hi), dedupe, then count paths lo→mid→hi whose closing edge
+    (lo, hi) exists — each triangle {a<b<c} is counted exactly once as
+    a→b→c with closure (a,c).
+
+    Two equijoins on vertex keys over the canonical edge table; no
+    enumeration of wedges beyond what the join produces. At scale the known
+    optimization is degree-ordering (orient each edge from the
+    lower-degree endpoint) so high-degree hubs never fan out — one extra
+    degree aggregate + join, same operator shape; worth it past ~10⁹ edges
+    with power-law hubs. Returns one row: n_triangles."""
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi")
+        )
+        .distinct()
+    )
+    e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return (
+        wedges.join(closing, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

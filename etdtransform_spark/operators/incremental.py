@@ -104,3 +104,78 @@ def hll_state_estimate(state: DataFrame, keys: Sequence[str]) -> DataFrame:
     return state.select(
         *keys, F.hll_sketch_estimate("hll_state").alias("n_distinct")
     )
+
+
+def hist_state_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Per-key fixed-bin histogram state over one batch: integer counts per
+    bin index (edge-clamped), exactly mergeable by addition — the
+    incremental path for quantiles/distribution monitoring where moment
+    states aren't enough. Counts are integers, so merge order can never
+    perturb the state (unlike float centroids of t-digest)."""
+    x = F.col(value_col).cast("double")
+    width = (hi - lo) / nbins
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1),
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(*keys, b.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_n"))
+    )
+
+
+def hist_state_merge(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys, "bin").agg(F.sum("bin_n").alias("bin_n"))
+
+
+def hist_state_quantile(
+    state: DataFrame,
+    keys: Sequence[str],
+    q: float,
+    lo: float,
+    hi: float,
+    nbins: int,
+    digits: int = 6,
+) -> DataFrame:
+    """Estimate the q-quantile per key from a histogram state: find the bin
+    where the cumulative count crosses q·total, linearly interpolate inside
+    it. Deterministic (integer counts, fixed formula), error bounded by one
+    bin width. One window over per-key bin rows (≤ nbins each)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / nbins
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = F.sum("bin_n").over(w_cum)
+    tot = F.sum("bin_n").over(w_all)
+    target = F.lit(q) * tot
+    prev_cum = cum - F.col("bin_n")
+    frac = (target - prev_cum) / F.col("bin_n")
+    est = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+    hit = F.when(
+        cum >= target, F.struct(F.col("bin").alias("b"), est.alias("e"))
+    )
+    return (
+        state.withColumn("_hit", hit)
+        .groupBy(*keys)
+        .agg(
+            qround(F.min("_hit").getField("e"), digits).alias(
+                f"q{int(q * 100)}"
+            )
+        )
+    )

@@ -542,3 +542,86 @@ def categorical_divergence(
             qround(F.sum(p * F.log(p / qq)), digits).alias("kl_vs_global"),
         )
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    digits: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic between two groups
+    (the A/B-experiment read-out): per-arm mean and sample variance from
+    sufficient statistics, t = (m_a − m_b)/√(v_a/n_a + v_b/n_b), and the
+    Welch–Satterthwaite degrees of freedom. One conditional full-scan
+    aggregate — adding an arm or metric adds columns, never passes. The
+    statistic is left for the caller to convert to a p-value (no t CDF in
+    either engine; at A/B sample sizes the normal approximation serves).
+    """
+    x = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agged = df.filter(in_a | in_b).agg(
+        F.count(F.when(in_a, x)).cast("double").alias("n_a"),
+        F.sum(F.when(in_a, x)).alias("s_a"),
+        F.sum(F.when(in_a, x * x)).alias("q_a"),
+        F.count(F.when(in_b, x)).cast("double").alias("n_b"),
+        F.sum(F.when(in_b, x)).alias("s_b"),
+        F.sum(F.when(in_b, x * x)).alias("q_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("s_a") / na
+    mb = F.col("s_b") / nb
+    va = (F.col("q_a") - F.col("s_a") * F.col("s_a") / na) / (na - 1)
+    vb = (F.col("q_b") - F.col("s_b") * F.col("s_b") / nb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    )
+    return agged.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        qround(ma, digits).alias("mean_a"),
+        qround(mb, digits).alias("mean_b"),
+        qround(t, digits).alias("t_stat"),
+        qround(dof, digits).alias("dof"),
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square statistic for the group × outcome contingency
+    table (independence test for conversion-rate style experiments):
+    χ² = Σ (O−E)²/E with E = row_total·col_total/N, dof = (r−1)(c−1).
+
+    One (group, outcome) count aggregate is the only data-sized shuffle;
+    margins come from re-aggregating the contingency cells (dictionary-
+    sized). Cells absent from the data contribute (0−E)²/E, materialized by
+    scaffolding the full margin grid with a cross join of the two margins —
+    cardinality r×c, never data-sized."""
+    cells = df.groupBy(
+        F.col(group_col).alias("g"), F.col(outcome_col).alias("o")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    gm = cells.groupBy("g").agg(F.sum("n").alias("g_n"))
+    om = cells.groupBy("o").agg(F.sum("n").alias("o_n"))
+    tot = cells.agg(F.sum("n").alias("all_n"))
+    grid = gm.crossJoin(F.broadcast(om)).join(cells, ["g", "o"], "left")
+    e = F.col("g_n") * F.col("o_n") / F.col("all_n")
+    o_ = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            qround(F.sum((o_ - e) * (o_ - e) / e), digits).alias("chi2"),
+            (
+                (F.count_distinct("g") - 1) * (F.count_distinct("o") - 1)
+            ).alias("dof"),
+        )
+    )

@@ -210,3 +210,52 @@ def snapshot_diff(
             *[F.col(f"new_{c}") for c in compare_cols],
         )
     )
+
+
+def longest_streak(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Longest run of consecutive active DAYS per key (login streaks,
+    sensor liveness): collapse to distinct (key, day), subtract the per-key
+    day row_number from the day (the gaps-and-islands anchor — consecutive
+    days share the anchor), aggregate islands, take the longest per key
+    (earliest start wins ties, deterministically).
+
+    Everything after the first distinct is collapsed to day granularity —
+    the window and both aggregates run on at most 365·keys rows/year, and
+    all three share the one hash exchange on the key."""
+    days = df.select(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("day")
+    islands = (
+        days.withColumn(
+            "_anchor",
+            F.date_sub(F.col("day"), F.row_number().over(w)),
+        )
+        .groupBy("key", "_anchor")
+        .agg(
+            F.count(F.lit(1)).alias("streak_days"),
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+        )
+    )
+    best = islands.groupBy("key").agg(
+        F.max(
+            F.struct(
+                F.col("streak_days").alias("d"),
+                # negated epoch-day so ties prefer the EARLIEST start
+                (-F.unix_date(F.col("streak_start"))).alias("neg_start"),
+                F.col("streak_start").alias("s"),
+                F.col("streak_end").alias("e"),
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        F.col("key").alias(key_col),
+        F.col("_m.d").alias("streak_days"),
+        F.col("_m.s").alias("streak_start"),
+        F.col("_m.e").alias("streak_end"),
+    )

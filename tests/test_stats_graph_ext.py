@@ -1,0 +1,131 @@
+"""Unit tests: Welch t-test, chi-square, histogram-state quantiles,
+triangle counting, longest streaks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_welch_ttest_matches_scipy_free_formula(spark):
+    from etdtransform_spark.operators.stats import welch_ttest
+
+    rng = random.Random(3)
+    a = [rng.gauss(10, 2) for _ in range(40)]
+    b = [rng.gauss(11, 3) for _ in range(30)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    [r] = welch_ttest(df, "g", "v", "a", "b").collect()
+
+    import statistics
+
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    sea = statistics.variance(a) / len(a)
+    seb = statistics.variance(b) / len(b)
+    t = (ma - mb) / math.sqrt(sea + seb)
+    dof = (sea + seb) ** 2 / (
+        sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
+    )
+    assert r.n_a == 40 and r.n_b == 30  # group c excluded
+    assert math.isclose(r.t_stat, t, abs_tol=1e-5)
+    assert math.isclose(r.dof, dof, abs_tol=1e-4)
+
+
+def test_chi_square_known_table_and_absent_cell(spark):
+    from etdtransform_spark.operators.stats import chi_square
+
+    # 2x2 with one absent cell: g1: 10 hi / 10 lo; g2: 20 hi / 0 lo.
+    rows = (
+        [("g1", "hi")] * 10 + [("g1", "lo")] * 10 + [("g2", "hi")] * 20
+    )
+    df = spark.createDataFrame(rows, ["g", "o"])
+    [r] = chi_square(df, "g", "o").collect()
+    # manual: totals g1=20 g2=20, hi=30 lo=10, N=40; E = 15,5,15,5
+    expected = (
+        (10 - 15) ** 2 / 15
+        + (10 - 5) ** 2 / 5
+        + (20 - 15) ** 2 / 15
+        + (0 - 5) ** 2 / 5
+    )
+    assert math.isclose(r.chi2, expected, abs_tol=1e-6)
+    assert r.dof == 1
+
+
+def test_chi_square_independent_is_zero(spark):
+    from etdtransform_spark.operators.stats import chi_square
+
+    rows = [(g, o) for g in ("a", "b") for o in ("x", "y") for _ in range(7)]
+    df = spark.createDataFrame(rows, ["g", "o"])
+    [r] = chi_square(df, "g", "o").collect()
+    assert r.chi2 == 0.0
+
+
+def test_hist_state_quantile_accuracy_and_merge(spark):
+    from etdtransform_spark.operators.incremental import (
+        hist_state_build,
+        hist_state_merge,
+        hist_state_quantile,
+    )
+
+    rng = random.Random(5)
+    vals = sorted(rng.uniform(0, 100) for _ in range(1001))
+    rows = [("k", v) for v in vals]
+    b1 = spark.createDataFrame(rows[0::2], ["k", "v"])
+    b2 = spark.createDataFrame(rows[1::2], ["k", "v"])
+    merged = hist_state_merge(
+        [
+            hist_state_build(b1, ["k"], "v", 0.0, 100.0, 200),
+            hist_state_build(b2, ["k"], "v", 0.0, 100.0, 200),
+        ],
+        ["k"],
+    )
+    [r] = hist_state_quantile(merged, ["k"], 0.5, 0.0, 100.0, 200).collect()
+    # error bounded by one bin width (0.5)
+    assert abs(r.q50 - vals[500]) <= 0.5
+    # clamp: out-of-domain values land in edge bins, never lost
+    edge = spark.createDataFrame(
+        [("k", -5.0), ("k", 500.0)], ["k", "v"]
+    )
+    st = hist_state_build(edge, ["k"], "v", 0.0, 100.0, 10)
+    assert {x.bin for x in st.collect()} == {0, 9}
+
+
+def test_triangle_count_known_graphs(spark):
+    from etdtransform_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; direction/duplicates/self-loops must not matter.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(
+        k4 + [(0, 0), (1, 2), (2, 1)], ["src", "dst"]
+    )
+    assert triangle_count(df).collect()[0].n_triangles == 4
+    # a path graph has none
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_longest_streak_ties_and_gaps(spark):
+    from etdtransform_spark.operators.temporal import longest_streak
+
+    d0 = dt.datetime(2024, 3, 1, 12, 0)
+
+    def day(n, h=0):
+        return d0 + dt.timedelta(days=n, hours=h)
+
+    rows = (
+        # u1: days 0,1,2 then 5,6 -> longest 3 starting day 0
+        [(1, day(0)), (1, day(1)), (1, day(1, 5)), (1, day(2)),
+         (1, day(5)), (1, day(6))]
+        # u2: two 2-day streaks (0-1 and 4-5) -> tie, earliest start wins
+        + [(2, day(0)), (2, day(1)), (2, day(4)), (2, day(5))]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.user_id: r for r in longest_streak(df, "user_id", "ts").collect()}
+    assert out[1].streak_days == 3
+    assert out[1].streak_start == day(0).date()
+    assert out[1].streak_end == day(2).date()
+    assert out[2].streak_days == 2
+    assert out[2].streak_start == day(0).date()
