@@ -5763,6 +5763,41 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct users per event type per day via HLL sketch state
+    (streaming/cardinality_stream.py): fixed-size state per open group,
+    mergeable across micro-batches. DataSketches HLL is exact in sparse
+    mode, so at gate cardinality the estimate ≡ the batch COUNT(DISTINCT)
+    oracle."""
+    import uuid
+
+    from etdtransform_spark.streaming.cardinality_stream import (
+        streaming_distinct_count,
+    )
+
+    stream = _stream_events(spark, sf_dir)
+    agg = streaming_distinct_count(
+        stream, ["event_type"], "user_id", "1 day"
+    )
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_SQL_STREAM_HLL = f"""
+SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+       count(DISTINCT user_id) AS n_distinct
+FROM {_EV} GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5934,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile": q_hist_quantile,
         "triangle_count": q_triangle_count,
         "longest_streak": q_longest_streak,
+        "streaming_hll_distinct": q_streaming_hll_distinct,
     }
 
 
@@ -6098,6 +6134,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantile": _SQL_HIST_QUANTILE,
         "triangle_count": _SQL_TRIANGLES,
         "longest_streak": _SQL_LONGEST_STREAK,
+        "streaming_hll_distinct": _SQL_STREAM_HLL,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -477,3 +477,45 @@ def test_runtime_bloom_filter_join_pruning(spark):
             "spark.sql.optimizer.runtime.bloomFilter.enabled", old_bloom
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling: one key carrying ~200× the median partition
+    splits into multiple tasks (skew=true in the final adaptive plan) with
+    results identical to an unskewed execution. This is the structural
+    answer for LSH-bucket and giant-project skew documented in PLANS.md."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(200000)
+            .select(F.lit(1).alias("k"), (F.col("id") % 97).alias("v"))
+            .unionAll(
+                spark.range(1000).select(
+                    (F.col("id") % 99 + 2).alias("k"),
+                    (F.col("id") % 97).alias("v"),
+                )
+            )
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("d")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert len(rows) == 201000
+        # spot-check correctness: every key-1 row carried d = 10
+        assert all(r.d == 10 for r in rows[:100] if r.k == 1)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -145,3 +145,56 @@ def test_quantize_adc_recall(spark):
             step = (mx - mn) / 255.0 if mx > mn else 0.0
             xhat = mn + crow[r.vec_id][i] * step
             assert abs(float(x) - xhat) <= step / 2 + 1e-9
+
+
+def test_streaming_hll_distinct_merges_across_batches(spark, tmp_path):
+    """HLL sketch state must union across micro-batches: the same user in
+    both batches counts once; overlapping user sets merge exactly (sparse
+    mode)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etdtransform_spark.streaming.cardinality_stream import (
+        streaming_distinct_count,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+    # batch 1: users 0..49; batch 2: users 25..74 -> 75 distinct
+    batch1 = [(i, i, t0, "click") for i in range(50)]
+    batch2 = [(100 + i, 25 + i, t0 + dt.timedelta(minutes=5), "click")
+              for i in range(50)]
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    for i, batch in enumerate([batch1, batch2]):
+        pdf = pd.DataFrame(batch, columns=cols)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(str(src / f"b{i}.parquet"), (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = streaming_distinct_count(stream, ["event_type"], "user_id", "1 day")
+    name = f"hll_{int(time.time() * 1000)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_distinct"] == 75
