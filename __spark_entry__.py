@@ -5798,6 +5798,49 @@ FROM {_EV} GROUP BY 1, 2
 """
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup SURGERY (operators/corpus.py:
+    remove_duplicate_spans): rebuild documents with non-canonical 5-gram
+    occurrences removed; canonical = corpus-wide lowest (doc, pos). The
+    profile twin is duplicate_spans; this one returns the cleaned text."""
+    from etdtransform_spark.operators.corpus import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=5)
+
+
+_SQL_REMOVE_SPANS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+  FROM spans
+), dups AS (
+  SELECT doc_id, list(pos) AS dp FROM marked WHERE rn > 1 GROUP BY 1
+), kept AS (
+  SELECT tk.doc_id, tk.t,
+         list_filter(
+           generate_series(1, len(tk.t)),
+           i -> len(list_filter(coalesce(d.dp, []),
+                                p -> p <= i AND p + 4 >= i)) = 0) AS ki
+  FROM toks tk LEFT JOIN dups d USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(ki, i -> t[i]), ' '), '')
+         AS clean_text,
+       len(t) AS n_tokens,
+       len(t) - len(ki) AS n_removed
+FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5970,6 +6013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "longest_streak": q_longest_streak,
         "streaming_hll_distinct": q_streaming_hll_distinct,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
     }
 
 
@@ -6135,6 +6179,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _SQL_TRIANGLES,
         "longest_streak": _SQL_LONGEST_STREAK,
         "streaming_hll_distinct": _SQL_STREAM_HLL,
+        "remove_duplicate_spans": _SQL_REMOVE_SPANS,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

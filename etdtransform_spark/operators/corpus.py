@@ -472,3 +472,68 @@ def rebalance_mixture(
         df.join(F.broadcast(rates), group_col)
         .filter(u < F.col("accept_rate"))
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The surgery step completing :func:`duplicate_spans` (Lee et al.
+    exact-substring dedup): rebuild each document with every NON-canonical
+    word n-gram occurrence removed — a token is dropped when any duplicated
+    n-gram span covers it; the corpus-wide first occurrence (lowest
+    (doc, position)) keeps its text. Whitespace is normalized to single
+    spaces by reconstruction.
+
+    Same distributed skeleton as the profile: positional explode →
+    min(struct) ownership agg → join-back; then the per-doc duplicated
+    span-start list (collect_list — list length is the doc's own dup count)
+    returns to the document row ONCE, and the token filter runs in-row with
+    higher-order functions (no second explode, no Python). The in-row cost
+    is O(tokens · dup_spans) per doc — fine for real documents; a
+    pathological fully-duplicated giant doc is exactly what the upstream
+    Gopher/repetition gates remove first.
+
+    Returns (id, clean_text, n_tokens, n_removed).
+    """
+    toks = _toks(text_col)
+    base = widen(df).select(F.col(id_col), F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    spans = (
+        base.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("_pos0", "_sh"))
+        # 1-based span start so "span p covers tokens p..p+n-1"
+        .select(F.col(id_col), (F.col("_pos0") + 1).alias("_pos"), "_sh")
+    )
+    owner = spans.groupBy("_sh").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))
+        ).alias("_own")
+    )
+    dups = (
+        spans.join(owner, "_sh")
+        .filter(
+            (F.col("_own._d") != F.col(id_col))
+            | (F.col("_own._p") != F.col("_pos"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("_pos").alias("_dups"))
+    )
+    joined = base.join(dups, id_col, "left")
+    tk = _toks(text_col)
+    dp = F.coalesce(F.col("_dups"), F.array().cast("array<int>"))
+    kept = F.filter(
+        tk,
+        lambda x, i: ~F.exists(
+            dp, lambda p: (p <= i + 1) & (p + F.lit(n - 1) >= i + 1)
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(tk).alias("n_tokens"),
+        (F.size(tk) - F.size(kept)).alias("n_removed"),
+    )

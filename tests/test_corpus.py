@@ -172,3 +172,58 @@ def test_rebalance_validates_weights(spark):
         rebalance_mixture(df, "source", "doc_id", {"a": 0.5})
     with pytest.raises(ValueError, match="strictly positive"):
         rebalance_mixture(df, "source", "doc_id", {"a": 1.5, "b": -0.5})
+
+
+def test_remove_duplicate_spans_crafted(spark):
+    """Canonical (first) occurrence keeps its text; later exact 3-gram
+    occurrences are cut, including the within-doc repeat; short docs pass
+    through with whitespace normalized."""
+    from etdtransform_spark.operators.corpus import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 owns "x y z" (lowest doc id, first position)
+            (1, "a b x y z c"),
+            # doc 2 repeats it -> those 3 tokens vanish
+            (2, "p q x y z r"),
+            # doc 3: within-doc repetition, second occurrence cut
+            (3, "x y z m n x y z"),
+            # doc 4: too short for any 3-gram -> untouched (normalized)
+            (4, "  just   two "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, n=3).collect()
+    }
+    assert out[1].clean_text == "a b x y z c" and out[1].n_removed == 0
+    assert out[2].clean_text == "p q r" and out[2].n_removed == 3
+    # doc 3: grams at pos 1 ("x y z") dup (doc1 owns), pos 6 dup too;
+    # middle grams ("y z m" etc.) unique -> only overlapping cover counts
+    assert out[3].n_removed >= 3
+    assert "m n" in out[3].clean_text or out[3].clean_text == ""
+    assert out[4].clean_text == "just two" and out[4].n_removed == 0
+
+
+def test_remove_duplicate_spans_overlap_cover(spark):
+    """Overlapping duplicated spans cover the union of their tokens, not
+    double-remove; a doc duplicating a long passage loses exactly that
+    passage."""
+    from etdtransform_spark.operators.corpus import remove_duplicate_spans
+
+    long = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, long + " tail"), (2, "head " + long)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r for r in remove_duplicate_spans(docs, n=3).collect()
+    }
+    # doc2's copies of every 3-gram of the passage are all non-canonical
+    # (doc1 is lower), so the whole passage goes; 'head' survives only if
+    # not covered — "head one two" is a unique gram but its span covers
+    # 'head'? No: gram "head one two" occurs once -> canonical -> kept.
+    assert out[1].n_removed == 0
+    assert out[2].clean_text.startswith("head")
+    assert "six" not in out[2].clean_text.split()[1:] or out[2].n_removed >= 4
