@@ -1815,6 +1815,40 @@ SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
 """
 
 
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution (operators/dedup.py:resolve_duplicates): the
+    MinHash-LSH pair list becomes keep/drop decisions — one survivor per
+    connected duplicate cluster, singletons kept. The step that turns pair
+    detection into a training-set filter."""
+    from etdtransform_spark.operators.dedup import resolve_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return resolve_duplicates(docs, pairs)
+
+
+def _sql_dedup_resolve() -> str:
+    lsh = _sql_minhash_lsh()
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(v, u) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
+),
+cc AS (SELECT v AS node, min(u) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # sessionization + deterministic sampling (event-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -6014,6 +6048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_streak": q_longest_streak,
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "remove_duplicate_spans": q_remove_duplicate_spans,
+        "dedup_resolve": q_dedup_resolve,
     }
 
 
@@ -6180,6 +6215,7 @@ def oracle_sql() -> dict[str, str]:
         "longest_streak": _SQL_LONGEST_STREAK,
         "streaming_hll_distinct": _SQL_STREAM_HLL,
         "remove_duplicate_spans": _SQL_REMOVE_SPANS,
+        "dedup_resolve": _sql_dedup_resolve(),
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

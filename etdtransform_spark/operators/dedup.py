@@ -647,3 +647,33 @@ def edit_distance_pairs(
         F.col("_rid").alias("id_b"),
         dist.alias("dist"),
     )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Dedup RESOLUTION: given the corpus and a near-duplicate pair list
+    (minhash_lsh_pairs / simhash_near_dup / embedding_near_duplicates
+    output), decide per document whether it survives — keep exactly ONE
+    representative per duplicate cluster (the minimum id, i.e. the cluster
+    label itself) and every untouched singleton. This is the step that
+    turns pair detection into an actual training-set filter.
+
+    Clusters come from :func:`connected_components` (node-count-sized
+    frame); the corpus joins against it ONCE on the id key — documents not
+    in any pair miss the join and keep themselves. Returns
+    (id, cluster_id, keep)."""
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    joined = df.select(F.col(id_col)).join(
+        cc, F.col(id_col) == F.col("node"), "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("keep"),
+    )

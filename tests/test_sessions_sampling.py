@@ -163,3 +163,19 @@ def test_weighted_sample_determinism_and_weight_bias(spark):
     # different seed -> different sample (the hash actually drives it)
     s3 = [r.id for r in weighted_hash_sample(df, "id", "w", k=50, seed="x").collect()]
     assert s1 != s3
+
+
+def test_resolve_duplicates_keep_one_per_cluster(spark):
+    from etdtransform_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], ["doc_id"]
+    )
+    # clusters: {1,2,3} (chain), {5,6}; 4 and 7 singletons
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r for r in resolve_duplicates(docs, pairs).collect()}
+    assert {d for d, r in out.items() if r.keep} == {1, 4, 5, 7}
+    assert out[3].cluster_id == 1 and out[6].cluster_id == 5
+    assert out[4].cluster_id == 4  # singleton keeps itself
