@@ -553,3 +553,36 @@ def read_pruned(
             .limit(0)
         )
     return spark.read.parquet(*keep).filter(F.col(column).between(lo, hi))
+
+
+def analyze_family(
+    spark: SparkSession,
+    base_folder: str,
+    name: str,
+    interval: str | None = None,
+    columns: list[str] | None = None,
+    table_prefix: str = "etd_",
+) -> str:
+    """Register a written dataset family as an external table and collect
+    cost-based-optimizer statistics (`ANALYZE TABLE COMPUTE STATISTICS`,
+    plus per-column NDV/min/max/histogram stats when ``columns`` given).
+
+    Why it matters at 100 TB: with table+column stats and
+    ``spark.sql.cbo.enabled``, Catalyst's join reordering and broadcast
+    decisions run on REAL cardinalities instead of raw file sizes — a
+    filtered fact that shrinks below the broadcast threshold gets planned
+    as a broadcast join, and multi-join orders put the smallest
+    intermediate first. Stats collection is one scan (column stats use
+    approximate NDV sketches internally), amortized over every downstream
+    query against the family. Returns the table name."""
+    path = family_path(base_folder, name, interval)
+    table = table_prefix + sanitize_name(
+        name if interval is None else f"{name}_{interval}"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{path}'")
+    stmt = f"ANALYZE TABLE {table} COMPUTE STATISTICS"
+    spark.sql(stmt)
+    if columns:
+        spark.sql(stmt + " FOR COLUMNS " + ", ".join(columns))
+    return table

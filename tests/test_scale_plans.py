@@ -519,3 +519,37 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_analyze_family_cbo_statistics(spark, tmp_path):
+    """analyze_family collects CBO stats: the optimized plan carries the
+    exact row count, and with column stats + cbo.enabled a selective
+    filter's cardinality estimate reflects the real value distribution
+    (far below the table row count) — the input Catalyst's join
+    reordering/broadcast decisions need."""
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.sources.parquet import analyze_family, write_family
+
+    df = spark.range(10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    write_family(df, str(tmp_path), "stats_demo")
+    old = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        table = analyze_family(
+            spark, str(tmp_path), "stats_demo", columns=["k", "v"]
+        )
+        full = spark.table(table)
+        st = full._jdf.queryExecution().optimizedPlan().stats()
+        assert st.rowCount().get() == 10000
+        filt = full.filter(F.col("v") < 5)
+        stf = filt._jdf.queryExecution().optimizedPlan().stats()
+        est = stf.rowCount().get()
+        # real selectivity is 5% -> estimate must be data-driven, not 100%
+        assert est < 2000, est
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS etd_stats_demo")
