@@ -5875,6 +5875,79 @@ FROM kept
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile capping of order totals per priority class
+    (operators/stats.py:winsorize): per-group exact [p5, p95] bounds
+    broadcast back onto the scan, clamp in projection."""
+    from etdtransform_spark.operators.stats import winsorize
+
+    orders = _t(spark, sf_dir, "orders")
+    out = winsorize(
+        orders, "o_totalprice", keys=["o_orderpriority"],
+        p_lo=0.05, p_hi=0.95,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        qround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "o_totalprice_winsorized",
+        "was_clamped",
+    )
+
+
+_SQL_WINSORIZE = f"""
+WITH b AS (
+  SELECT o_orderpriority,
+         {qround_sql('quantile_cont(o_totalprice, 0.05)', 6)} AS b_lo,
+         {qround_sql('quantile_cont(o_totalprice, 0.95)', 6)} AS b_hi
+  FROM orders GROUP BY 1)
+SELECT o_orderkey, o_orderpriority,
+       {qround_sql('o_totalprice', 2)} AS o_totalprice,
+       {qround_sql('least(greatest(o_totalprice, b_lo), b_hi)', 6)}
+         AS o_totalprice_winsorized,
+       (o_totalprice < b_lo OR o_totalprice > b_hi) AS was_clamped
+FROM orders JOIN b USING (o_orderpriority)
+"""
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity join at cosine ≥ 0.9
+    (operators/text.py:tfidf_cosine_pairs): candidates only through shared
+    terms — the inverted-index dual of the dense embedding near-dup."""
+    from etdtransform_spark.operators.text import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.9)
+
+
+_SQL_TFIDF_COSINE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE tf.tf * ln(n.n_docs / dfreq.df) > 0
+), norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       {qround_sql('dot / (na.nrm * nb.nrm)', 6)} AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE {qround_sql('dot / (na.nrm * nb.nrm)', 6)} >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6049,6 +6122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "dedup_resolve": q_dedup_resolve,
+        "winsorize": q_winsorize,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     }
 
 
@@ -6216,6 +6291,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll_distinct": _SQL_STREAM_HLL,
         "remove_duplicate_spans": _SQL_REMOVE_SPANS,
         "dedup_resolve": _sql_dedup_resolve(),
+        "winsorize": _SQL_WINSORIZE,
+        "tfidf_cosine_pairs": _SQL_TFIDF_COSINE,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

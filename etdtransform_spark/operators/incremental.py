@@ -113,23 +113,33 @@ def hist_state_build(
     lo: float,
     hi: float,
     nbins: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Per-key fixed-bin histogram state over one batch: integer counts per
-    bin index (edge-clamped), exactly mergeable by addition — the
-    incremental path for quantiles/distribution monitoring where moment
-    states aren't enough. Counts are integers, so merge order can never
-    perturb the state (unlike float centroids of t-digest)."""
+    """Per-key fixed-bin histogram state over one batch: counts per bin
+    index (edge-clamped), exactly mergeable by addition — the incremental
+    path for quantiles/distribution monitoring where moment states aren't
+    enough. Unweighted counts are integers, so merge order can never
+    perturb the state (unlike float centroids of t-digest).
+
+    With ``weight_col`` the state holds per-bin weight sums instead — the
+    scale path for WEIGHTED quantiles, where the exact operator
+    (stats.weighted_quantile) needs a per-group sort that a handful of
+    giant groups would serialize: the binned estimate is one hash agg,
+    fully parallel regardless of group skew, error ≤ one bin width."""
     x = F.col(value_col).cast("double")
     width = (hi - lo) / nbins
     b = F.least(
         F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(nbins - 1),
     )
-    return (
-        df.filter(x.isNotNull())
-        .groupBy(*keys, b.cast("int").alias("bin"))
-        .agg(F.count(F.lit(1)).alias("bin_n"))
-    )
+    base = df.filter(x.isNotNull())
+    if weight_col is not None:
+        wt = F.col(weight_col).cast("double")
+        base = base.filter(wt.isNotNull())
+        agg = F.sum(wt).alias("bin_n")
+    else:
+        agg = F.count(F.lit(1)).alias("bin_n")
+    return base.groupBy(*keys, b.cast("int").alias("bin")).agg(agg)
 
 
 def hist_state_merge(

@@ -625,3 +625,40 @@ def chi_square(
             ).alias("dof"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    digits: int = 6,
+) -> DataFrame:
+    """Winsorization (percentile capping): clamp ``value_col`` into its
+    per-group [p_lo, p_hi] exact-percentile band — the standard outlier
+    treatment before aggregates/regressions that must not be dominated by
+    tails, and the numeric cousin of the corpus quality gates.
+
+    One percentile aggregate per group (dimension-sized) broadcast back
+    onto the scan; the clamp is a projection. Bounds are rounded before
+    comparison so boundary membership is cross-engine deterministic. At
+    100 TB swap the exact `percentile` for `percentile_approx` (same
+    shape, documented trade as elsewhere). Adds ``<col>_winsorized`` and
+    ``was_clamped``."""
+    x = F.col(value_col).cast("double")
+    bounds = df.groupBy(*keys).agg(
+        qround(F.percentile(x, F.lit(p_lo)), digits).alias("_b_lo"),
+        qround(F.percentile(x, F.lit(p_hi)), digits).alias("_b_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(keys)) if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clamped = F.least(F.greatest(x, F.col("_b_lo")), F.col("_b_hi"))
+    return joined.select(
+        *df.columns,
+        qround(clamped, digits).alias(f"{value_col}_winsorized"),
+        (x.isNotNull() & ((x < F.col("_b_lo")) | (x > F.col("_b_hi"))))
+            .alias("was_clamped"),
+    )

@@ -283,3 +283,76 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Sparse lexical similarity join: document pairs whose TF-IDF vectors
+    have cosine ≥ ``threshold`` — the inverted-index-driven counterpart of
+    the dense `embedding_near_duplicates`, and the classic IR
+    all-pairs-similarity shape: candidate pairs are generated ONLY through
+    shared terms (join on the term key), so disjoint-vocabulary documents
+    never meet and the quadratic loop never plans.
+
+    Weights w = tf·ln(N/df); per-doc norms are one aggregate; the dot
+    products shuffle (term, doc, w) triples — never text. Corpus-wide
+    stop terms (df = N) get idf 0 and drop out of both the weights and
+    the join, which is also the built-in hot-term guard; for vocabularies
+    where near-stop terms still dominate, prune high-df terms first (the
+    AllPairs prefix refinement in `ngram_jaccard_pairs` is the exact
+    version of that idea). Cosine is rounded before the threshold compare
+    so boundary pairs are cross-engine deterministic."""
+    from ..functions.scalars import qround
+
+    toks = widen(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "term",
+            (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    norms = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col("_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            qround(F.col("dot") / (F.col("na") * F.col("nb")), digits).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -206,3 +206,67 @@ def test_inverted_index_postings(spark):
     assert out["apple"].df == 3 and out["apple"].postings == "1,2,3"
     assert out["banana"].df == 2 and out["banana"].postings == "2,3"
     assert "cherry" not in out  # min_df gate
+
+
+def test_winsorize_bounds_and_flags(spark):
+    from etdtransform_spark.operators.stats import winsorize
+
+    vals = [float(i) for i in range(1, 101)] + [10000.0]  # one huge outlier
+    df = spark.createDataFrame([("k", v) for v in vals], ["g", "v"])
+    out = winsorize(df, "v", p_lo=0.05, p_hi=0.95).collect()
+    clamped = [r for r in out if r.was_clamped]
+    hi_bound = max(r.v_winsorized for r in out)
+    # the outlier is pulled down to the p95 bound
+    big = [r for r in out if r.v == 10000.0][0]
+    assert big.was_clamped and big.v_winsorized == hi_bound
+    # interior values untouched
+    mid = [r for r in out if r.v == 50.0][0]
+    assert not mid.was_clamped and mid.v_winsorized == 50.0
+    # ~10% of rows clamped at 5/95
+    assert 5 <= len(clamped) <= 15
+
+
+def test_weighted_hist_state_quantile(spark):
+    from etdtransform_spark.operators.incremental import (
+        hist_state_build,
+        hist_state_merge,
+        hist_state_quantile,
+    )
+
+    # value 10 with weight 1, value 90 with weight 9 -> weighted median 90
+    df1 = spark.createDataFrame([("k", 10.0, 1.0)], ["k", "v", "w"])
+    df2 = spark.createDataFrame([("k", 90.0, 9.0)], ["k", "v", "w"])
+    merged = hist_state_merge(
+        [
+            hist_state_build(df1, ["k"], "v", 0.0, 100.0, 100, weight_col="w"),
+            hist_state_build(df2, ["k"], "v", 0.0, 100.0, 100, weight_col="w"),
+        ],
+        ["k"],
+    )
+    [r] = hist_state_quantile(merged, ["k"], 0.5, 0.0, 100.0, 100).collect()
+    assert 90.0 <= r.q50 <= 91.0  # inside the value-90 bin
+
+
+def test_tfidf_cosine_pairs_crafted(spark):
+    import math
+
+    from etdtransform_spark.operators.text import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),      # identical -> cosine 1
+            (3, "alpha delta epsilon"),   # shares only 'alpha'
+            (4, "zeta eta theta"),        # disjoint -> never a candidate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.id_a, r.id_b): r.cosine
+           for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+    assert math.isclose(out[(1, 2)], 1.0, abs_tol=1e-6)
+    assert all(4 not in pair for pair in out)
+    # doc3 shares only 'alpha' with 1/2 -> low but present
+    assert 0 < out[(1, 3)] < 0.5
+    # high threshold keeps only the identical pair
+    kept = tfidf_cosine_pairs(docs, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 2)}
