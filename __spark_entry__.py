@@ -5948,6 +5948,47 @@ WHERE {qround_sql('dot / (na.nrm * nb.nrm)', 6)} >= 0.9
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session event journeys (operators/sessions.py:session_paths):
+    6h gap-timeout sessions, total-ordered (ts, event_id) paths capped at
+    50 events with an explicit truncated flag."""
+    from etdtransform_spark.operators.sessions import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(
+        ev,
+        timeout_seconds=6 * 3600.0,
+        key_cols=["user_id"],
+        order_cols=["event_id"],
+        max_events=50,
+    )
+
+
+_SQL_SESSION_PATHS = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER wu IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER wu) > 21600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM {_EV}
+  WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+), agg AS (
+  SELECT user_id, session_id, min(ts) AS session_start,
+         count(*) AS n_events,
+         list(event_type ORDER BY ts, event_id) AS seq
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, session_id, session_start, n_events,
+       array_to_string(seq[1:50], '>') AS path,
+       n_events > 50 AS truncated
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6124,6 +6165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "winsorize": q_winsorize,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "session_paths": q_session_paths,
     }
 
 
@@ -6293,6 +6335,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_resolve": _sql_dedup_resolve(),
         "winsorize": _SQL_WINSORIZE,
         "tfidf_cosine_pairs": _SQL_TFIDF_COSINE,
+        "session_paths": _SQL_SESSION_PATHS,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -189,3 +189,31 @@ def hist_state_quantile(
             )
         )
     )
+
+
+def hll_intersection_estimate(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Per-key distinct-overlap estimate between two HLL state tables by
+    inclusion–exclusion: |A∩B| ≈ |A| + |B| − |A∪B| (sketches union
+    natively; intersection does not). Exact while both sketches are in
+    sparse mode; beyond it the error compounds the union error, so treat
+    small intersections of huge sets as noise — the documented limitation
+    that theta sketches solve if ever needed. One key-join of two
+    key-count-sized state tables."""
+    a = state_a.select(*keys, F.col("hll_state").alias("_ha"))
+    b = state_b.select(*keys, F.col("hll_state").alias("_hb"))
+    j = a.join(b, list(keys))
+    est = F.hll_sketch_estimate
+    union = est(F.hll_union(F.col("_ha"), F.col("_hb"), True))
+    na = est(F.col("_ha"))
+    nb = est(F.col("_hb"))
+    return j.select(
+        *keys,
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        union.alias("n_union"),
+        F.greatest(na + nb - union, F.lit(0)).alias("n_intersection"),
+    )

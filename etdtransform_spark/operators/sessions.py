@@ -140,3 +140,58 @@ def weighted_hash_sample(
         .orderBy(F.col("es_key").desc(), c.asc())
         .limit(k)
     )
+
+
+def session_paths(
+    df: DataFrame,
+    timeout_seconds: float,
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    max_events: int = 50,
+) -> DataFrame:
+    """Per-session journey extraction: the time-ordered sequence of events
+    in each gap-timeout session, concatenated as `a>b>c` — the
+    path-analysis / behavioral-sequence primitive (and the shape a
+    conversational-corpus builder uses to assemble ordered turns).
+
+    Ordering must be TOTAL (pass ``order_cols`` with a unique id) or
+    same-timestamp events would concatenate nondeterministically. The
+    sequence materializes per session via sort_array(collect_list(struct)),
+    truncated to ``max_events`` IN the aggregate's post-projection (the
+    `truncated` flag says so) — per-group memory is the session itself,
+    bounded by the timeout at any corpus size. Shares the sessionize
+    exchange: one shuffle on the key serves the window and the aggregate."""
+    keys = key_cols or ["user_id"]
+    order = [ts_col, *(order_cols or [])]
+    s = sessionize(df, timeout_seconds, ts_col, keys, order_cols)
+    seq = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order)],
+                F.col(event_col).alias("_e"),
+            )
+        )
+    )
+    return (
+        s.groupBy(*keys, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            seq.alias("_seq"),
+        )
+        .select(
+            *keys,
+            "session_id",
+            "session_start",
+            "n_events",
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("_seq"), 1, max_events), lambda x: x["_e"]
+                ),
+                ">",
+            ).alias("path"),
+            (F.col("n_events") > max_events).alias("truncated"),
+        )
+    )

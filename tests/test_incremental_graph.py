@@ -152,3 +152,37 @@ def test_pagerank_matches_python_recurrence(spark):
         assert math.isclose(got[v], want[v], abs_tol=1e-6), (v, got[v], want[v])
     # d receives nothing: exactly the teleport mass
     assert math.isclose(got["d"], 0.15 / 4, abs_tol=1e-6)
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    from etdtransform_spark.operators.incremental import (
+        hll_intersection_estimate,
+        hll_state_build,
+    )
+
+    # A = 0..99, B = 50..179 -> |A|=100 |B|=130 |A∪B|=180 |A∩B|=50
+    a = spark.createDataFrame([("k", i) for i in range(100)], ["k", "u"])
+    b = spark.createDataFrame([("k", i) for i in range(50, 180)], ["k", "u"])
+    [r] = hll_intersection_estimate(
+        hll_state_build(a, ["k"], "u"),
+        hll_state_build(b, ["k"], "u"),
+        ["k"],
+    ).collect()
+    assert r.n_a == 100 and r.n_b == 130 and r.n_union == 180
+    assert r.n_intersection == 50
+
+
+def test_hll_intersection_disjoint_clamps_at_zero(spark):
+    from etdtransform_spark.operators.incremental import (
+        hll_intersection_estimate,
+        hll_state_build,
+    )
+
+    a = spark.createDataFrame([("k", i) for i in range(40)], ["k", "u"])
+    b = spark.createDataFrame([("k", i) for i in range(100, 140)], ["k", "u"])
+    [r] = hll_intersection_estimate(
+        hll_state_build(a, ["k"], "u"),
+        hll_state_build(b, ["k"], "u"),
+        ["k"],
+    ).collect()
+    assert r.n_intersection == 0

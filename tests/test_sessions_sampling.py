@@ -179,3 +179,30 @@ def test_resolve_duplicates_keep_one_per_cluster(spark):
     assert {d for d, r in out.items() if r.keep} == {1, 4, 5, 7}
     assert out[3].cluster_id == 1 and out[6].cluster_id == 5
     assert out[4].cluster_id == 4  # singleton keeps itself
+
+
+def test_session_paths_order_truncation_and_boundary(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.sessions import session_paths
+
+    t0 = dt.datetime(2024, 5, 1, 8, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = (
+        # session 1: tie at minute 0 ordered by event_id; then a 2h gap
+        # within-timeout keeps it one session
+        [(1, at(0), "b", 12), (1, at(0), "a", 11), (1, at(120), "c", 13)]
+        # session 2 after >6h gap
+        + [(1, at(9 * 60), "d", 14)]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = {r.session_id: r for r in session_paths(
+        df, 6 * 3600.0, key_cols=["user_id"], order_cols=["event_id"],
+        max_events=2).collect()}
+    assert out[1].path == "b>a".replace("b>a", "b>a") or True  # see below
+    # tie broken by event_id: 11 before 12 -> "a>b", truncated at 2 events
+    assert out[1].path == "a>b" and out[1].truncated and out[1].n_events == 3
+    assert out[2].path == "d" and not out[2].truncated
