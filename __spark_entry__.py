@@ -5989,6 +5989,84 @@ FROM agg
 """
 
 
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per type
+    (operators/stats.py:autocorrelation): one lag window + one
+    sufficient-statistics aggregate sharing the key exchange."""
+    from etdtransform_spark.operators.stats import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(
+        ev, "ts", "value", ["event_type"], lag=1, order_cols=["event_id"]
+    )
+
+
+_SQL_AUTOCORR = f"""
+WITH p AS (
+  SELECT event_type, value AS x,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS y
+  FROM {_EV}
+), c AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1)
+SELECT event_type, n::BIGINT AS n_pairs,
+       {qround_sql(
+           'CASE WHEN n > 1 AND sxx - sx * sx / n > 0'
+           ' AND syy - sy * sy / n > 0'
+           ' THEN (sxy - sx * sy / n)'
+           ' / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) END', 6)}
+         AS acf_lag1
+FROM c
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM single change-point estimate per event type
+    (operators/timeseries.py:cusum_changepoint): running standardized
+    cumsum, peak |C| argmax with earliest-ts tie-break, scaled
+    significance."""
+    from etdtransform_spark.operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        ev, "ts", "value", ["event_type"], threshold=3.0,
+        order_cols=["event_id"],
+    )
+
+
+_SQL_CUSUM = f"""
+WITH mom AS (
+  SELECT event_type,
+         sum(value) / count(value) AS mu,
+         sqrt((sum(value * value) - sum(value) * sum(value) / count(value))
+              / (count(value) - 1)) AS sd,
+         count(value) AS n
+  FROM events GROUP BY 1
+), c AS (
+  SELECT e.event_type, e.ts,
+         sum((e.value - mu) / sd) OVER (PARTITION BY e.event_type
+                                        ORDER BY e.ts, e.event_id
+                                        ROWS UNBOUNDED PRECEDING) AS cu,
+         n
+  FROM {_EV} e JOIN mom USING (event_type)
+  WHERE sd > 0 AND e.value IS NOT NULL
+), ranked AS (
+  SELECT event_type, ts, n,
+         {qround_sql('abs(cu)', 9)} AS a,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {qround_sql('abs(cu)', 9)} DESC, ts ASC) AS rn
+  FROM c)
+SELECT event_type, ts AS changepoint_ts,
+       {qround_sql('a / sqrt(n)', 6)} AS cusum_stat,
+       a / sqrt(n) > 3.0 AS significant
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6166,6 +6244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "session_paths": q_session_paths,
+        "autocorrelation": q_autocorrelation,
+        "cusum_changepoint": q_cusum_changepoint,
     }
 
 
@@ -6336,6 +6416,8 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _SQL_WINSORIZE,
         "tfidf_cosine_pairs": _SQL_TFIDF_COSINE,
         "session_paths": _SQL_SESSION_PATHS,
+        "autocorrelation": _SQL_AUTOCORR,
+        "cusum_changepoint": _SQL_CUSUM,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

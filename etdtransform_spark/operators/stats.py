@@ -662,3 +662,47 @@ def winsorize(
         (x.isNotNull() & ((x < F.col("_b_lo")) | (x > F.col("_b_hi"))))
             .alias("was_clamped"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    lag: int = 1,
+    digits: int = 6,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key lag-``lag`` autocorrelation of an ordered series (the
+    periodicity probe: lag 288 on 5-minute data tests daily rhythm): pair
+    every value with its lag via one window, then Pearson r over complete
+    pairs from sufficient statistics — same one-agg shape as
+    `groupwise_corr`, NULL on degenerate variance.
+
+    One exchange: the lag window and the final aggregate share the key
+    partitioning. Pass ``order_cols`` (a unique id) when timestamps can
+    tie — the pairing must be total-ordered to be deterministic."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    x = F.col(value_col).cast("double")
+    paired = df.withColumn("_ylag", F.lag(x, lag).over(w))
+    y = F.col("_ylag")
+    both = x.isNotNull() & y.isNotNull()
+    xs, ys = F.when(both, x), F.when(both, y)
+    agged = paired.groupBy(*keys).agg(
+        F.count(xs).cast("double").alias("_n"),
+        F.sum(xs).alias("_sx"),
+        F.sum(ys).alias("_sy"),
+        F.sum(xs * xs).alias("_sxx"),
+        F.sum(ys * ys).alias("_syy"),
+        F.sum(xs * ys).alias("_sxy"),
+    )
+    n = F.col("_n")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    r = F.when((n > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agged.select(
+        *keys,
+        n.cast("bigint").alias("n_pairs"),
+        qround(r, digits).alias(f"acf_lag{lag}"),
+    )

