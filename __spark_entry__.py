@@ -6067,6 +6067,88 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.py:pq_encode)
+    against the deterministic lowest-id codebook (m=4 subspaces × k=8
+    codes over 64 dims): nearest-centroid code per subspace, computed as a
+    pure literal-model projection. Production swaps in pq_train's fitted
+    codebook — identical operator."""
+    from etdtransform_spark.operators.similarity import (
+        pq_deterministic_codebook,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_deterministic_codebook(emb, m=4, k=8)
+    return pq_encode(emb, cb)
+
+
+_SQL_PQ_BASE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+), cb0 AS (
+  SELECT vv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+), subs AS (SELECT unnest(range(4)) AS s),
+dist AS (
+  SELECT v.vec_id, subs.s, cb0.code,
+         list_sum(list_transform(range(1, 17),
+           i -> (v.vv[s * 16 + i] - cb0.vv[s * 16 + i])
+              * (v.vv[s * 16 + i] - cb0.vv[s * 16 + i]))) AS d2
+  FROM v CROSS JOIN subs CROSS JOIN cb0
+), best AS (
+  SELECT vec_id, s, code
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                             ORDER BY d2 ASC, code ASC) = 1
+)"""
+
+
+_SQL_PQ_CODES = _SQL_PQ_BASE + """
+SELECT vec_id, list(code ORDER BY s) AS codes FROM best GROUP BY 1
+"""
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-3 (operators/similarity.py:pq_adc_topk):
+    the 10 lowest-id float queries against the PQ-compressed corpus —
+    per subspace the contribution is dot(query_slice, codebook[code]),
+    scores rounded before ranking for cross-engine-stable ties."""
+    from etdtransform_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_deterministic_codebook,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_deterministic_codebook(emb, m=4, k=8)
+    codes = pq_encode(emb, cb)
+    queries = emb.orderBy("vec_id").limit(10)
+    return pq_adc_topk(queries, codes, cb, k=3)
+
+
+_SQL_PQ_ADC = _SQL_PQ_BASE + f""",
+q AS (SELECT vec_id AS qid, vv AS qv FROM v ORDER BY vec_id LIMIT 10),
+contrib AS (
+  SELECT q.qid, b.vec_id AS did,
+         list_sum(list_transform(range(1, 17),
+           i -> q.qv[b.s * 16 + i] * cb0.vv[b.s * 16 + i])) AS dot
+  FROM best b JOIN cb0 ON cb0.code = b.code CROSS JOIN q
+  WHERE q.qid <> b.vec_id
+), scored AS (
+  SELECT qid, did, {qround_sql('sum(dot)', 6)} AS approx_dot
+  FROM contrib GROUP BY 1, 2
+), ranked AS (
+  SELECT qid, did, approx_dot,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY approx_dot DESC, did ASC) AS rank
+  FROM scored)
+SELECT qid AS vec_id, did AS neighbor_id, approx_dot, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6246,6 +6328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "autocorrelation": q_autocorrelation,
         "cusum_changepoint": q_cusum_changepoint,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -6418,6 +6502,8 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": _SQL_SESSION_PATHS,
         "autocorrelation": _SQL_AUTOCORR,
         "cusum_changepoint": _SQL_CUSUM,
+        "pq_codes": _SQL_PQ_CODES,
+        "pq_adc_topk": _SQL_PQ_ADC,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -453,6 +453,9 @@ def kmeans(
         updated = {int(r["cluster_id"]): [float(x) for x in r["_c"]] for r in new}
         cent = [(cid, updated.get(cid, old)) for cid, old in cent]
 
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent]
+    )
     out = (
         assign(cent)
         .groupBy("cluster_id")
@@ -460,9 +463,193 @@ def kmeans(
             F.count(F.lit(1)).alias("n_members"),
             qround(F.sum("d2"), 4).alias("inertia"),
         )
+        # fitted model attached from the driver-side literal (k x d doubles)
+        .withColumn("centroid", F.element_at(cent_lit, F.col("cluster_id") + 1))
         # materialize before releasing the cached vectors: the returned
         # plan must not depend on the unpersisted cache
         .localCheckpoint(eager=True)
     )
     base.unpersist()
     return out
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a product-quantization codebook: split the d dimensions into
+    ``m`` contiguous subspaces and run :func:`kmeans` independently in each
+    — the FAISS PQ training step. With m subspaces of k codes, a vector
+    compresses to m small ints (m bytes at k ≤ 256) while distances stay
+    computable against the codebook — the memory format that makes
+    10^10-vector ANN feasible where even int8 scalar codes are too big.
+
+    m driver-loop kmeans runs, each the broadcast-model pattern (only
+    k × d/m doubles sync per iteration); the corpus is scanned per
+    subspace fit. Returns (subspace, code, centroid) — model-sized.
+    """
+    d = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub = d // m
+    parts = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                s * sub + 1,
+                sub,
+            ).alias("embedding"),
+        )
+        cb = kmeans(sliced, k=k, iters=iters, id_col=id_col,
+                    vec_col="embedding")
+        parts.append(
+            cb.select(
+                F.lit(s).alias("subspace"),
+                F.col("cluster_id").cast("int").alias("code"),
+                F.col("centroid"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pq_codebook_literal(codebook: DataFrame):
+    """Collect a trained codebook to a nested literal array CB[s][code] =
+    centroid (model-sized: m·k·d/m doubles) so encode/search run as pure
+    whole-stage-codegen projections — the same literal-model trick as
+    kmeans assignment."""
+    rows = codebook.select("subspace", "code", "centroid").collect()
+    by_s: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_s.setdefault(r.subspace, {})[r.code] = list(r.centroid)
+    m = len(by_s)
+    lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in by_s[s][c]])
+                    for c in sorted(by_s[s])
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    sub = len(next(iter(by_s[0].values())))
+    return lit, m, sub
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a trained PQ codebook: per subspace, the
+    nearest-centroid code (L2, lowest-code tie-break). A pure projection —
+    the codebook rides as a literal; no join, no shuffle. Returns
+    (id, codes array<int>)."""
+    cb, m, sub = _pq_codebook_literal(codebook)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(s: int):
+        q = F.slice(v, s * sub + 1, sub)
+        d2s = F.transform(
+            cb[s],
+            lambda c: F.aggregate(
+                F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+    return corpus.select(
+        F.col(id_col),
+        F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+    )
+
+
+def pq_deterministic_codebook(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook from the k LOWEST-ID vectors' subspace slices instead of
+    k-means — the same determinism trade `ivf_topk` ships for oracle
+    parity: encode/search are identical operators either way, only the
+    (model-sized) codebook table differs. Production uses `pq_train`."""
+    d = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub = d // m
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    data = []
+    for code, r in enumerate(rows):
+        vec = [float(x) for x in r[vec_col]]
+        for s in range(m):
+            data.append((s, code, vec[s * sub:(s + 1) * sub]))
+    return corpus.sparkSession.createDataFrame(
+        data, "subspace int, code int, centroid array<double>"
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    codes_id: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-compressed corpus: the float
+    query meets only codes — per subspace the score contribution is
+    dot(query_slice, CB[s][code_s]), summed across subspaces (≈ the full
+    dot product when vectors are normalized). Queries broadcast against the
+    compact code table (the corpus floats never load); per-query top-k is
+    one window. Compose with IVF list pruning for the full IVF-PQ shape —
+    same operator over the per-list code subset."""
+    from pyspark.sql import Window
+
+    cb, m, sub = _pq_codebook_literal(codebook)
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.transform(F.col(query_vec), lambda x: x.cast("double")).alias("_q"),
+    )
+    c = codes.select(F.col(codes_id).alias("did"), "codes")
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("did"))
+    score = None
+    for s in range(m):
+        qs = F.slice(F.col("_q"), s * sub + 1, sub)
+        cent = F.element_at(cb[s], F.element_at(F.col("codes"), s + 1) + 1)
+        contrib = F.aggregate(
+            F.zip_with(qs, cent, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = contrib if score is None else score + contrib
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_dot").desc(), F.col("did").asc()
+    )
+    return (
+        # rounded BEFORE ranking so rank ties are cross-engine stable
+        joined.withColumn("approx_dot", qround(score, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("did").alias("neighbor_id"),
+            "approx_dot",
+            "rank",
+        )
+    )

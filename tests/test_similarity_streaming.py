@@ -198,3 +198,59 @@ def test_streaming_hll_distinct_merges_across_batches(spark, tmp_path):
     rows = spark.table(name).collect()
     assert len(rows) == 1
     assert rows[0]["n_distinct"] == 75
+
+
+def test_pq_train_encode_adc_recall(spark):
+    """Product quantization end-to-end: codebook trained per subspace,
+    codes are nearest-centroid, and ADC top-1 over the compressed corpus
+    agrees with exact cosine top-1 for nearly all queries on clustered,
+    normalized data."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = _random.Random(11)
+    d, n_clusters = 16, 6
+    centers = [
+        [rng.gauss(0, 1) for _ in range(d)] for _ in range(n_clusters)
+    ]
+
+    def normed(v):
+        s = sum(x * x for x in v) ** 0.5
+        return [x / s for x in v]
+
+    rows = []
+    for i in range(240):
+        c = centers[i % n_clusters]
+        rows.append((i, normed([x + rng.gauss(0, 0.05) for x in c])))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cb = pq_train(df, m=4, k=8, iters=4)
+    assert cb.count() == 4 * 8
+    codes = pq_encode(df, cb)
+    first = codes.first()
+    assert len(first.codes) == 4 and all(0 <= c < 8 for c in first.codes)
+
+    queries = df.limit(20)
+    approx = {
+        r.vec_id: r.neighbor_id
+        for r in pq_adc_topk(queries, codes, cb, k=1).collect()
+    }
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(queries, df, k=1).collect()
+    }
+    # same-cluster agreement: the approx neighbor must share the exact
+    # neighbor's cluster (ids mod n_clusters encode the cluster)
+    agree = sum(
+        1 for q in exact
+        if approx[q] % n_clusters == exact[q] % n_clusters
+    )
+    assert agree >= int(0.9 * len(exact)), (agree, len(exact))
