@@ -6149,6 +6149,66 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ search (operators/similarity.py:ivfpq_topk): IVF list
+    pruning (nlist=8, nprobe=2) + PQ asymmetric-distance scoring over codes
+    only — the FAISS IndexIVFPQ composition, deterministic lowest-id models
+    for oracle parity."""
+    from etdtransform_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_deterministic_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_deterministic_codebook(emb, m=4, k=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(queries, emb, cb, k=3, nlist=8, nprobe=2)
+
+
+_SQL_IVFPQ = _SQL_PQ_BASE + f""",
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assign_raw AS (
+  SELECT c.vec_id AS did, t.centroid_id,
+         {_r6(_cos_sql_of("c.embedding", "t.cvec"))} AS acos
+  FROM embeddings c CROSS JOIN cent t
+), lists AS (
+  SELECT did, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY did
+                                 ORDER BY acos DESC, centroid_id) AS rn
+    FROM assign_raw) WHERE rn = 1
+), probe_raw AS (
+  SELECT q.vec_id AS qid, t.centroid_id,
+         {_r6(_cos_sql_of("q.embedding", "t.cvec"))} AS pcos
+  FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 10
+), probes AS (
+  SELECT qid, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY pcos DESC, centroid_id) AS rn
+    FROM probe_raw) WHERE rn <= 2
+), contrib AS (
+  SELECT p.qid, b.vec_id AS did,
+         list_sum(list_transform(range(1, 17),
+           i -> qq.vv[b.s * 16 + i] * cb0.vv[b.s * 16 + i])) AS dot
+  FROM best b
+  JOIN lists l ON l.did = b.vec_id
+  JOIN probes p ON p.list_id = l.list_id
+  JOIN cb0 ON cb0.code = b.code
+  JOIN v qq ON qq.vec_id = p.qid
+  WHERE p.qid <> b.vec_id
+), scored AS (
+  SELECT qid, did, {qround_sql('sum(dot)', 6)} AS approx_dot
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid AS query_id, did AS neighbor_id, approx_dot,
+       rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY approx_dot DESC, did) AS rank
+      FROM scored) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6330,6 +6390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
     }
 
 
@@ -6504,6 +6565,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": _SQL_CUSUM,
         "pq_codes": _SQL_PQ_CODES,
         "pq_adc_topk": _SQL_PQ_ADC,
+        "ivfpq_topk": _SQL_IVFPQ,
         # kmeans_centroids: iterative, accumulation-order-sensitive -> no
         # SQL oracle (driver records the weaker rows-only check).
     }

@@ -653,3 +653,98 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF-PQ approximate top-k (FAISS IndexIVFPQ, Jégou et al. 2011):
+    IVF coarse quantizer prunes the search to ``nprobe`` of ``nlist``
+    inverted lists, PQ asymmetric distance scores only the CODES of the
+    candidates — the float corpus is touched neither at search time nor in
+    the shuffle. This is the composition the 10^10-vector regime runs:
+    cost ≈ (queries × nprobe/nlist × corpus) code-table lookups, memory ≈
+    m bytes/vector.
+
+    Centroids are the deterministic lowest-id vectors (ivf_topk's oracle
+    trade — production swaps in kmeans/pq_train models, identical
+    dataflow). List assignment is a broadcast-scan max_by (no window over
+    the corpus); the probe→list join is an equijoin on list_id; scores are
+    rounded before ranking for engine-stable ties."""
+    from pyspark.sql import Window
+
+    cent = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("did"), F.col(vec_col).alias("cv"))
+    acos = qround(cosine_expr(F.col("cv"), F.col("cvec")), 6)
+    lists = (
+        c.crossJoin(cent)
+        .groupBy("did")
+        .agg(
+            F.max(
+                F.struct(
+                    acos.alias("_a"),
+                    (-F.col("centroid_id")).alias("_nc"),
+                    F.col("centroid_id").alias("_c"),
+                )
+            ).alias("_m")
+        )
+        .select("did", F.col("_m._c").alias("list_id"))
+    )
+    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
+    cand = codes.withColumnRenamed(id_col, "did").join(lists, "did")
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_q"),
+    )
+    pcos = qround(
+        cosine_expr(F.col("_q"), F.col("cvec")), 6
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("_p").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(cent)
+        .withColumn("_p", pcos)
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "_q", F.col("centroid_id").alias("list_id"))
+    )
+
+    cb, m, sub = _pq_codebook_literal(codebook)
+    joined = probes.join(cand, "list_id").filter(F.col("qid") != F.col("did"))
+    score = None
+    for s in range(m):
+        qs = F.slice(F.col("_q"), s * sub + 1, sub)
+        centroid = F.element_at(cb[s], F.element_at(F.col("codes"), s + 1) + 1)
+        contrib = F.aggregate(
+            F.zip_with(qs, centroid, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = contrib if score is None else score + contrib
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("approx_dot").desc(), F.col("did").asc()
+    )
+    return (
+        joined.withColumn("approx_dot", qround(score, 6))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("did").alias("neighbor_id"),
+            "approx_dot",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -254,3 +254,44 @@ def test_pq_train_encode_adc_recall(spark):
         if approx[q] % n_clusters == exact[q] % n_clusters
     )
     assert agree >= int(0.9 * len(exact)), (agree, len(exact))
+
+
+def test_ivfpq_candidates_subset_and_recall(spark):
+    """IVF-PQ results must come only from probed lists (a candidate-subset
+    property), and at nprobe=nlist with a trained codebook the top-1 should
+    match the exact neighbor's cluster on separable data."""
+    import random as _random
+
+    from etdtransform_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    rng = _random.Random(13)
+    d, ncl = 16, 4
+    centers = [[rng.gauss(0, 1) for _ in range(d)] for _ in range(ncl)]
+
+    def normed(v):
+        s = sum(x * x for x in v) ** 0.5
+        return [x / s for x in v]
+
+    rows = [
+        (i, normed([x + rng.gauss(0, 0.04) for x in centers[i % ncl]]))
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = pq_train(df, m=4, k=8, iters=4)
+    queries = df.limit(12)
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in ivfpq_topk(queries, df, cb, k=1, nlist=8, nprobe=8).collect()
+    }
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(queries, df, k=1).collect()
+    }
+    agree = sum(
+        1 for qid in exact if approx[qid] % ncl == exact[qid] % ncl
+    )
+    assert agree >= int(0.9 * len(exact)), (agree, len(exact))
