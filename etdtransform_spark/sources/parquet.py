@@ -586,3 +586,103 @@ def analyze_family(
     if columns:
         spark.sql(stmt + " FOR COLUMNS " + ", ".join(columns))
     return table
+
+
+# ---------------------------------------------------------------------------
+# versioned family sinks: time-travel-lite on plain parquet
+# ---------------------------------------------------------------------------
+
+def _versions_dir(base_folder: str, name: str, interval: str | None) -> str:
+    return family_path(base_folder, name, interval) + ".versions"
+
+
+def write_family_version(
+    df: DataFrame,
+    base_folder: str,
+    name: str,
+    interval: str | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Versioned stage sink: each write lands in an immutable
+    ``<family>.parquet.versions/v=<n>/`` directory (staged write + atomic
+    rename), and a ``_LATEST`` pointer file flips atomically (os.replace)
+    to publish it — readers either see the previous version or the new one,
+    never a partial write. This is time-travel-lite on plain parquet: the
+    two properties worth having from a table format (atomic publish +
+    reproducible historical reads, e.g. "train on the exact corpus snapshot
+    of last Tuesday") without its runtime dependency. No compaction/ACID
+    merge — the CDC path (`apply_changes_to_family`) and `compact_family`
+    stay the mutation tools for the CANONICAL family; versions are for
+    published snapshots. Returns the new version number."""
+    import shutil
+    import tempfile
+
+    vdir = _versions_dir(base_folder, name, interval)
+    os.makedirs(vdir, exist_ok=True)
+    existing = list_family_versions(base_folder, name, interval)
+    new_v = (existing[-1] + 1) if existing else 1
+    staging = tempfile.mkdtemp(prefix="_stage_", dir=vdir)
+    writer = df.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    target = os.path.join(staging, "data")
+    writer.save(target)
+    final = os.path.join(vdir, f"v={new_v}")
+    os.rename(target, final)
+    shutil.rmtree(staging, ignore_errors=True)
+    ptr_tmp = os.path.join(vdir, "_LATEST.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(ptr_tmp, os.path.join(vdir, "_LATEST"))
+    return new_v
+
+
+def list_family_versions(
+    base_folder: str, name: str, interval: str | None = None
+) -> list[int]:
+    vdir = _versions_dir(base_folder, name, interval)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for d in os.listdir(vdir):
+        if d.startswith("v=") and d[2:].isdigit():
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
+def read_family_version(
+    spark: SparkSession,
+    base_folder: str,
+    name: str,
+    interval: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a specific published version (default: the _LATEST pointer)."""
+    vdir = _versions_dir(base_folder, name, interval)
+    if version is None:
+        with open(os.path.join(vdir, "_LATEST")) as fh:
+            version = int(fh.read().strip())
+    path = os.path.join(vdir, f"v={version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"version {version} not found under {vdir}")
+    return spark.read.parquet(path)
+
+
+def prune_family_versions(
+    base_folder: str,
+    name: str,
+    interval: str | None = None,
+    keep_last: int = 3,
+) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` versions (never the
+    one _LATEST points to). Returns the removed version numbers."""
+    import shutil
+
+    vdir = _versions_dir(base_folder, name, interval)
+    versions = list_family_versions(base_folder, name, interval)
+    with open(os.path.join(vdir, "_LATEST")) as fh:
+        latest = int(fh.read().strip())
+    to_drop = [v for v in versions[:-keep_last] if v != latest] if keep_last else []
+    for v in to_drop:
+        shutil.rmtree(os.path.join(vdir, f"v={v}"), ignore_errors=True)
+    return to_drop

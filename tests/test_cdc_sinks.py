@@ -271,3 +271,42 @@ def test_streaming_resample_drops_data_later_than_watermark(spark, tmp_path):
     assert [(r["ReadingDate"].strftime("%H:%M"), r["v"]) for r in rows] == [
         ("10:15", 3.0)
     ]
+
+
+def test_versioned_family_publish_history_and_prune(spark, tmp_path):
+    """Versioned sinks: atomic publish flips _LATEST; historical versions
+    stay byte-stable and readable; pruning respects retention and never
+    drops the published latest; snapshot_diff composes across versions."""
+    from etdtransform_spark.operators.temporal import snapshot_diff
+    from etdtransform_spark.sources.parquet import (
+        list_family_versions,
+        prune_family_versions,
+        read_family_version,
+        write_family_version,
+    )
+
+    base = str(tmp_path)
+    v1_df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    v2_df = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], ["id", "val"])
+
+    v1 = write_family_version(v1_df, base, "corpus")
+    v2 = write_family_version(v2_df, base, "corpus")
+    assert (v1, v2) == (1, 2)
+    assert list_family_versions(base, "corpus") == [1, 2]
+
+    latest = read_family_version(spark, base, "corpus")
+    assert {tuple(r) for r in latest.collect()} == {(1, "a"), (2, "B"), (3, "c")}
+    old = read_family_version(spark, base, "corpus", version=1)
+    assert {tuple(r) for r in old.collect()} == {(1, "a"), (2, "b")}
+
+    # train-on-Tuesday's-snapshot reproducibility: the diff across versions
+    diff = snapshot_diff(old, latest, keys=["id"], compare_cols=["val"])
+    statuses = {r.id: r.status for r in diff.collect()}
+    assert statuses == {2: "changed", 3: "added"}
+
+    v3 = write_family_version(v1_df, base, "corpus")
+    dropped = prune_family_versions(base, "corpus", keep_last=2)
+    assert dropped == [1]
+    assert list_family_versions(base, "corpus") == [2, 3]
+    # latest pointer survives pruning and still resolves
+    assert read_family_version(spark, base, "corpus").count() == 2
