@@ -6209,6 +6209,20 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid
 """
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction + tokenization
+    (operators/corpus.py:bpe_train/bpe_encode): 10 merge rules learned from
+    the corpus word dictionary (iterative, driver-synced model — like
+    kmeans, no SQL oracle; the driver records the rows-only check, merge
+    semantics are unit-tested against the canonical Sennrich corpus), then
+    per-doc subword token counts."""
+    from etdtransform_spark.operators.corpus import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=10)
+    return bpe_encode(docs, merges)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6391,6 +6405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -6566,6 +6581,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _SQL_PQ_CODES,
         "pq_adc_topk": _SQL_PQ_ADC,
         "ivfpq_topk": _SQL_IVFPQ,
-        # kmeans_centroids: iterative, accumulation-order-sensitive -> no
-        # SQL oracle (driver records the weaker rows-only check).
+        # kmeans_centroids, bpe_token_counts: iterative driver-synced models
+        # -> no SQL oracle (driver records the weaker rows-only check);
+        # semantics unit-tested (separable blobs / canonical BPE corpus).
     }

@@ -537,3 +537,130 @@ def remove_duplicate_spans(
         F.size(tk).alias("n_tokens"),
         (F.size(tk) - F.size(kept)).alias("n_removed"),
     )
+
+
+def _bpe_apply_merge(sym_col: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping application of ONE merge (left, right)
+    → left+right over a symbol array, as a JVM-side fold: state carries the
+    output array and a pending symbol; the finish lambda flushes the
+    carry."""
+    merged = left + right
+    state = F.aggregate(
+        sym_col,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("carry"),
+        ),
+        lambda acc, s: F.when(
+            acc["carry"].isNull(),
+            F.struct(acc["out"].alias("out"), s.alias("carry")),
+        )
+        .when(
+            (acc["carry"] == F.lit(left)) & (s == F.lit(right)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                s.alias("carry"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["carry"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
+    )
+    return state
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge induction (Sennrich et al. 2016) over the
+    corpus: learn ``n_merges`` merge rules by repeatedly fusing the most
+    frequent adjacent symbol pair (count-desc, then lexicographic — fully
+    deterministic). Words carry an end-of-word marker ``</w>`` so merges
+    cannot cross word boundaries.
+
+    The scale property that makes this distributed-friendly: after ONE
+    corpus-sized aggregate (word → frequency), training runs entirely on
+    the WORD DICTIONARY (Heaps-law-bounded), kept as a cached DataFrame of
+    symbol arrays. Each iteration is a pair-explode + weighted count +
+    1-row argmax collect (model sync = one merge rule), then a narrow
+    in-row fold applying the merge. Returns [(left, right, freq)] in merge
+    order — the tokenizer model."""
+    words = (
+        widen(df)
+        .select(F.explode(_toks(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = words.select(
+        "cnt",
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    ).persist()
+    merges: list[tuple[str, str, int]] = []
+    cur = syms
+    for _ in range(n_merges):
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < 2:
+            break
+        left, right, freq = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["freq"]
+        merges.append((left, right, int(freq)))
+        cur = cur.select(
+            "cnt", _bpe_apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=False)
+    syms.unpersist()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained BPE model: split to words, explode, apply
+    the merge list in order (each an in-row fold — the model is literals in
+    codegen, never joined), and count resulting subword tokens per doc.
+    Returns (id, n_words, n_bpe_tokens, tokens array). Expression depth
+    grows with the merge count — past a few hundred merges, chunk the
+    application behind localCheckpoint projections (same fold)."""
+    words = widen(df).select(
+        F.col(id_col),
+        F.explode(_toks(text_col)).alias("w"),
+    )
+    syms = F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+    col = syms
+    for left, right, _f in merges:
+        col = _bpe_apply_merge(col, left, right)
+    return (
+        words.withColumn("_syms", col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("_syms")).alias("n_bpe_tokens"),
+        )
+    )

@@ -227,3 +227,39 @@ def test_remove_duplicate_spans_overlap_cover(spark):
     assert out[1].n_removed == 0
     assert out[2].clean_text.startswith("head")
     assert "six" not in out[2].clean_text.split()[1:] or out[2].n_removed >= 4
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich-style toy corpus: merge order follows pair frequency with
+    deterministic lexicographic ties; word boundaries never merge across."""
+    from etdtransform_spark.operators.corpus import bpe_encode, bpe_train
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_train(df, n_merges=5)
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    assert merges[2] == ("est", "</w>", 9)
+    assert merges[3][:2] == ("l", "o")
+
+    [enc] = bpe_encode(df, merges).collect()
+    assert enc.n_words == 16
+    # with more merges, token count must not increase
+    merges8 = bpe_train(df, n_merges=8)
+    [enc8] = bpe_encode(df, merges8).collect()
+    assert enc8.n_bpe_tokens <= enc.n_bpe_tokens
+
+
+def test_bpe_merge_application_nonoverlapping(spark):
+    """aaa with merge (a,a) -> [aa, a, </w>]: left-to-right, no overlap."""
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.operators.corpus import _bpe_apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a", "</w>"],)], ["syms"])
+    [r] = df.select(
+        _bpe_apply_merge(F.col("syms"), "a", "a").alias("out")
+    ).collect()
+    assert r.out == ["aa", "a", "</w>"]
