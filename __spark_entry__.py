@@ -5745,10 +5745,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the supplier co-supply graph (suppliers adjacent when
     they supply the same part; operators/graph.py:triangle_count): two
     equijoins over the canonicalized edge list + a semi-join closure, each
-    triangle counted once as a<b<c."""
+    triangle counted once as a<b<c. Bounded to suppliers < 200: co-supply
+    on the synthetic schema approaches a complete graph (every supplier
+    shares parts with every other), whose triangle count is intrinsically
+    ~n³ — fixture degeneracy, not operator cost."""
     from etdtransform_spark.operators.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 200)
     ps = li.select("l_partkey", "l_suppkey").distinct()
     a = ps.select("l_partkey", F.col("l_suppkey").alias("src"))
     b = ps.select("l_partkey", F.col("l_suppkey").alias("dst"))
@@ -5757,7 +5760,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TRIANGLES = """
-WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey < 200),
 edges AS (
   SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
   FROM ps a JOIN ps b USING (l_partkey)
@@ -5913,22 +5917,27 @@ FROM orders JOIN b USING (o_orderpriority)
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical similarity join at cosine ≥ 0.9
     (operators/text.py:tfidf_cosine_pairs): candidates only through shared
-    terms — the inverted-index dual of the dense embedding near-dup."""
+    terms — the inverted-index dual of the dense embedding near-dup. The
+    contract query bounds the input (doc_id < 1000): the synthetic corpus
+    has a ~30-word vocabulary, so EVERY pair shares informative terms and
+    the candidate set is intrinsically quadratic — a degeneracy of the
+    fixture, not the operator (real vocabularies are Heaps-law sparse)."""
     from etdtransform_spark.operators.text import tfidf_cosine_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return tfidf_cosine_pairs(docs, threshold=0.9)
 
 
 _SQL_TFIDF_COSINE = f"""
-WITH toks AS (
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 1000),
+toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                             x -> x <> '')) AS term
-  FROM documents
+  FROM docs
 ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
 w AS (
   SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / dfreq.df) AS w
   FROM tf JOIN dfreq USING (term) CROSS JOIN n
