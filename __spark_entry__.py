@@ -6232,6 +6232,41 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def q_customer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening (operators/graph.py:transitive_closure): the
+    WITH RECURSIVE / CONNECT BY gap — every (customer, ancestor, depth)
+    over the binary tree parent(k) = k/2 derived from customer keys.
+    Iterative frontier expansion with early-out; oracle is the genuine
+    recursive CTE."""
+    from etdtransform_spark.operators.graph import transitive_closure
+
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") > 1).select(
+        F.col("c_custkey").alias("child"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("parent"),
+    )
+    return transitive_closure(edges, max_depth=32).select(
+        F.col("node").alias("c_custkey"),
+        "ancestor",
+        F.col("depth").cast("bigint").alias("depth"),
+    )
+
+
+_SQL_HIERARCHY = """
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS child, (c_custkey // 2) AS parent
+  FROM customer WHERE c_custkey > 1
+),
+reach(node, ancestor, depth) AS (
+  SELECT child, parent, 1 FROM edges
+  UNION ALL
+  SELECT r.node, e.parent, r.depth + 1
+  FROM reach r JOIN edges e ON e.child = r.ancestor
+)
+SELECT node AS c_custkey, ancestor, depth::BIGINT AS depth FROM reach
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6415,6 +6450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "bpe_token_counts": q_bpe_token_counts,
+        "customer_hierarchy": q_customer_hierarchy,
     }
 
 
@@ -6590,6 +6626,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _SQL_PQ_CODES,
         "pq_adc_topk": _SQL_PQ_ADC,
         "ivfpq_topk": _SQL_IVFPQ,
+        "customer_hierarchy": _SQL_HIERARCHY,
         # kmeans_centroids, bpe_token_counts: iterative driver-synced models
         # -> no SQL oracle (driver records the weaker rows-only check);
         # semantics unit-tested (separable blobs / canonical BPE corpus).

@@ -116,3 +116,50 @@ def triangle_count(
         wedges.join(closing, ["a", "c"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Bounded transitive closure over a parent-child edge table: every
+    (node, ancestor, depth) pair reachable in ≤ ``max_depth`` hops — the
+    hierarchy-flattening query SQL spells WITH RECURSIVE / CONNECT BY,
+    which Spark lacks as a primitive. Iterative frontier expansion: each
+    round joins the depth-d frontier against the edge table on the
+    ancestor key (both hash-partitioned on it — the exchange is reused),
+    unions into the accumulator, and stops early when a round adds
+    nothing; `localCheckpoint` truncates lineage per round so the plan
+    stays flat. Cycles cannot loop forever (depth bound) but DO produce
+    one row per distinct path depth — pass a DAG.
+
+    At scale: frontier size is the live quantity (result rows at depth d);
+    the edge table partitioning is reused every round, and the early-out
+    touches only a count of the latest delta, never the accumulator."""
+    e = edges.select(
+        F.col(child_col).alias("node"),
+        F.col(parent_col).alias("ancestor"),
+        F.lit(1).alias("depth"),
+    ).distinct()
+    acc = e.localCheckpoint(eager=True)
+    frontier = acc
+    up = edges.select(
+        F.col(child_col).alias("_c"), F.col(parent_col).alias("_p")
+    ).distinct()
+    for _ in range(1, max_depth):
+        nxt = (
+            frontier.join(up, frontier["ancestor"] == up["_c"])
+            .select(
+                "node",
+                F.col("_p").alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return acc

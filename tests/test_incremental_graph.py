@@ -186,3 +186,23 @@ def test_hll_intersection_disjoint_clamps_at_zero(spark):
         ["k"],
     ).collect()
     assert r.n_intersection == 0
+
+
+def test_transitive_closure_tree_and_early_out(spark):
+    from etdtransform_spark.operators.graph import transitive_closure
+
+    # chain 4->3->2->1 plus branch 5->2
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (5, 2)], ["child", "parent"]
+    )
+    out = {
+        (r.node, r.ancestor): r.depth
+        for r in transitive_closure(edges, max_depth=10).collect()
+    }
+    assert out[(4, 3)] == 1 and out[(4, 2)] == 2 and out[(4, 1)] == 3
+    assert out[(5, 2)] == 1 and out[(5, 1)] == 2
+    assert (1, 1) not in out  # roots have no ancestors
+    assert len(out) == 3 + 2 + 2 + 1  # 4's 3 + 5's 2 + 3's 2 + 2's 1
+    # depth bound truncates
+    shallow = transitive_closure(edges, max_depth=1)
+    assert shallow.count() == 4

@@ -170,3 +170,34 @@ def test_asof_join_matches_pandas_merge_asof(
     )
     got = {int(r.lid): r.asof_price for r in out.collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.floats(min_value=0.01, max_value=10, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([0.25, 0.5, 0.9]),
+)
+@settings(max_examples=20, deadline=None)
+def test_weighted_quantile_matches_reference(spark, vw, q):
+    """weighted_quantile ≡ the definitional scan: smallest v whose
+    cumulative weight (ties accumulated together) reaches q·total."""
+    from etdtransform_spark.operators.stats import weighted_quantile
+
+    df = spark.createDataFrame([("k", v, w) for v, w in vw], ["k", "v", "w"])
+    [r] = weighted_quantile(df, "v", "w", ["k"], q=q).collect()
+
+    tot = sum(w for _v, w in vw)
+    # cumulative weight at value x = sum of weights of all rows with v <= x
+    expect = None
+    for v in sorted({v for v, _w in vw}):
+        cum = sum(w for vv, w in vw if vv <= v)
+        if cum >= q * tot - 1e-9:
+            expect = v
+            break
+    assert r.wq is not None and abs(r.wq - expect) < 1e-6
