@@ -6267,6 +6267,77 @@ SELECT node AS c_custkey, ancestor, depth::BIGINT AS depth FROM reach
 """
 
 
+def q_streaming_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-3 event types per day maintained by foreachBatch
+    (streaming/topn_stream.py): minimal stateful aggregate + full batch
+    query surface per micro-batch, idempotent snapshot publish — verified
+    against the batch top-N oracle."""
+    import hashlib as _hl
+    import uuid
+
+    from etdtransform_spark.streaming.topn_stream import streaming_leaderboard
+
+    stream = _stream_events(spark, sf_dir)
+    out = (
+        f"/tmp/etd_leaderboard_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{uuid.uuid4().hex[:6]}"
+    )
+    q = streaming_leaderboard(stream, "event_type", out, window="1 day", n=3)
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+_SQL_STREAM_LEADERBOARD = f"""
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+         event_type AS item, count(*) AS n_events
+  FROM {_EV} GROUP BY 1, 2
+)
+SELECT bucket_start, item, n_events, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY bucket_start
+                               ORDER BY n_events DESC, item ASC) AS rank
+  FROM c) WHERE rank <= 3
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile normalization of event values
+    (operators/stats.py:quantile_normalize): per-type rank position mapped
+    onto the pooled inverse CDF with linear interpolation — the score
+    alignment step for mixed sources."""
+    from etdtransform_spark.operators.stats import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_normalize(ev, "value", "event_type", ["event_id"])
+
+
+_SQL_QUANTILE_NORMALIZE = f"""
+WITH base AS (
+  SELECT event_id, event_type AS grp, value AS v
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_id, grp, v,
+         (rank() OVER (PARTITION BY grp ORDER BY v) - 1)::DOUBLE
+           / (count(*) OVER (PARTITION BY grp) - 1)::DOUBLE AS r
+  FROM base
+), cdf AS (
+  SELECT v AS cv, row_number() OVER (ORDER BY v) AS rn,
+         lead(v) OVER (ORDER BY v) AS nxt
+  FROM base
+), n AS (SELECT count(*)::DOUBLE AS n FROM base),
+pos AS (
+  SELECT event_id, grp, v,
+         r * (n.n - 1) + 1 AS p
+  FROM ranked CROSS JOIN n)
+SELECT event_id, grp AS event_type,
+       {qround_sql('v', 6)} AS value,
+       {qround_sql(
+           'cv + (p - floor(p)) * (coalesce(nxt, cv) - cv)', 6)}
+         AS normalized
+FROM pos JOIN cdf ON floor(p)::INT = cdf.rn
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6451,6 +6522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "bpe_token_counts": q_bpe_token_counts,
         "customer_hierarchy": q_customer_hierarchy,
+        "streaming_leaderboard": q_streaming_leaderboard,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -6627,6 +6700,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _SQL_PQ_ADC,
         "ivfpq_topk": _SQL_IVFPQ,
         "customer_hierarchy": _SQL_HIERARCHY,
+        "streaming_leaderboard": _SQL_STREAM_LEADERBOARD,
+        "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
         # kmeans_centroids, bpe_token_counts: iterative driver-synced models
         # -> no SQL oracle (driver records the weaker rows-only check);
         # semantics unit-tested (separable blobs / canonical BPE corpus).

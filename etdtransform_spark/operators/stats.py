@@ -706,3 +706,66 @@ def autocorrelation(
         n.cast("bigint").alias("n_pairs"),
         qround(r, digits).alias(f"acf_lag{lag}"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_cols: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Quantile normalization: map each value onto the POOLED distribution
+    at its within-group quantile position — after it, every group has the
+    same marginal distribution (the cross-source score-alignment step for
+    mixed corpora; microarray normalization's classic trick).
+
+    Per-group position is explicit rank arithmetic r=(rank−1)/(n−1) (not
+    engine-internal percent_rank — the op sequence must be reproducible
+    cross-engine); the pooled inverse CDF is the globally sorted value
+    table with its lead, joined on the floor position and linearly
+    interpolated. The global sort is the scale caveat: at 100 TB replace
+    the exact CDF table with sampled/approx quantiles (same join shape),
+    as in the other exact-vs-approx trades. Returns
+    (ids..., group, value, normalized)."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(
+        *id_cols, F.col(group_col).alias("grp"), x.alias("v")
+    )
+    wg = Window.partitionBy("grp").orderBy("v")
+    ng = Window.partitionBy("grp")
+    ranked = base.select(
+        *id_cols,
+        "grp",
+        "v",
+        (
+            (F.rank().over(wg) - 1).cast("double")
+            / (F.count(F.lit(1)).over(ng) - 1).cast("double")
+        ).alias("_r"),
+    )
+    w_all = Window.orderBy("_cv")
+    cdf = (
+        base.select(F.col("v").alias("_cv"))
+        .withColumn("_rn", F.row_number().over(w_all))
+        .withColumn("_nxt", F.lead("_cv").over(w_all))
+    )
+    n_tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    pos = F.col("_r") * (F.col("_n") - 1) + 1
+    interp = F.col("_cv") + F.col("_frac") * (
+        F.coalesce(F.col("_nxt"), F.col("_cv")) - F.col("_cv")
+    )
+    left = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn("_lo", F.floor(pos).cast("int"))
+        .withColumn("_frac", pos - F.floor(pos))
+        .alias("l")
+    )
+    return (
+        left.join(cdf.alias("c"), F.col("l._lo") == F.col("c._rn"))
+        .select(
+            *[F.col(f"l.{c}") for c in id_cols],
+            F.col("l.grp").alias(group_col),
+            qround(F.col("l.v"), digits).alias(value_col),
+            qround(interp, digits).alias("normalized"),
+        )
+    )

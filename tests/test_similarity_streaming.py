@@ -295,3 +295,45 @@ def test_ivfpq_candidates_subset_and_recall(spark):
         1 for qid in exact if approx[qid] % ncl == exact[qid] % ncl
     )
     assert agree >= int(0.9 * len(exact)), (agree, len(exact))
+
+
+def test_streaming_leaderboard_snapshot(spark, tmp_path):
+    """foreachBatch leaderboard: ranked snapshot on disk equals the batch
+    top-N, ties broken by item name."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etdtransform_spark.streaming.topn_stream import streaming_leaderboard
+
+    t0 = dt.datetime(2024, 2, 1, 10, 0)
+    rows = (
+        [(i, 1, t0, "x") for i in range(5)]
+        + [(10 + i, 1, t0, "y") for i in range(3)]
+        + [(20 + i, 1, t0, "z") for i in range(3)]
+        + [(30 + i, 1, t0, "w") for i in range(1)]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(src / "b0.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "board")
+    q = streaming_leaderboard(stream, "event_type", out, window="1 day", n=3)
+    q.awaitTermination(120)
+    board = {(r.item): (r.n_events, r.rank)
+             for r in spark.read.parquet(out).collect()}
+    # top-3: x(5), then y and z tied at 3 -> y before z; w excluded
+    assert board == {"x": (5, 1), "y": (3, 2), "z": (3, 3)}

@@ -169,3 +169,21 @@ def test_cusum_finds_planted_level_shift(spark):
     r = out["k"]
     assert r.changepoint_ts == t0 + dt.timedelta(minutes=59)
     assert r.significant and r.cusum_stat > 3.0
+
+
+def test_quantile_normalize_aligns_marginals(spark):
+    """After normalization the two groups' value sets coincide with the
+    pooled distribution positions: a group that is a constant shift of
+    another maps onto identical normalized values."""
+    from etdtransform_spark.operators.stats import quantile_normalize
+
+    g1 = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    g2 = [(10 + i, "b", float(v)) for i, v in enumerate([101, 102, 103, 104, 105])]
+    df = spark.createDataFrame(g1 + g2, ["id", "g", "v"])
+    out = quantile_normalize(df, "v", "g", ["id"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.normalized)
+    assert sorted(by_g["a"]) == sorted(by_g["b"])
+    # extremes map to pooled extremes
+    assert min(by_g["a"]) == 1.0 and max(by_g["b"]) == 105.0
