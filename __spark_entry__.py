@@ -6338,6 +6338,70 @@ FROM pos JOIN cdf ON floor(p)::INT = cdf.rn
 """
 
 
+def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heating/cooling degree days per day
+    (operators/timeseries.py:degree_days): event values scaled to a
+    pseudo-temperature, daily mean, clamped shortfall/excess — the energy
+    sector's weather-demand index (reference README.md:299-326 regresses
+    against exactly this covariate)."""
+    from etdtransform_spark.operators.timeseries import degree_days
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "temp", F.col("value") / 10.0
+    )
+    return degree_days(ev, "ts", "temp")
+
+
+_SQL_DEGREE_DAYS = f"""
+WITH daily AS (
+  SELECT ts::DATE AS day,
+         sum(value / 10.0) / count(value / 10.0) AS tavg
+  FROM {_EV} WHERE value IS NOT NULL GROUP BY 1)
+SELECT day, {qround_sql('tavg', 4)} AS t_mean,
+       {qround_sql('greatest(18.0 - tavg, 0.0)', 4)} AS hdd,
+       {qround_sql('tavg - 22.0', 4).replace('tavg - 22.0',
+           'greatest(tavg - 22.0, 0.0)')} AS cdd
+FROM daily
+"""
+
+
+def q_weather_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weather-normalized consumption benchmark
+    (operators/stats.py:weather_normalize): per event type, the OLS fit of
+    value on hour-of-day evaluated at the reference hour 12 — groups
+    compared after removing the covariate."""
+    from etdtransform_spark.operators.stats import weather_normalize
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("double")
+    )
+    return weather_normalize(ev, "hr", "value", ["event_type"], x_ref=12.0)
+
+
+_SQL_WEATHER_NORM = f"""
+WITH b AS (
+  SELECT event_type, hour(ts)::DOUBLE AS x, value AS y FROM {_EV}
+), a AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM b GROUP BY 1
+), fit AS (
+  SELECT event_type, n,
+         {qround_sql(
+             'CASE WHEN n*sxx - sx*sx <> 0.0'
+             ' THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END', 12)} AS slope12,
+         {qround_sql(
+             'CASE WHEN n*sxx - sx*sx <> 0.0'
+             ' THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END',
+             12)} AS icept12
+  FROM a)
+SELECT event_type, n::BIGINT AS n,
+       {qround_sql('slope12', 4)} AS slope,
+       {qround_sql('icept12 + slope12 * 12.0', 4)} AS y_at_ref
+FROM fit
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6524,6 +6588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_hierarchy": q_customer_hierarchy,
         "streaming_leaderboard": q_streaming_leaderboard,
         "quantile_normalize": q_quantile_normalize,
+        "degree_days": q_degree_days,
+        "weather_normalize": q_weather_normalize,
     }
 
 
@@ -6702,6 +6768,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_hierarchy": _SQL_HIERARCHY,
         "streaming_leaderboard": _SQL_STREAM_LEADERBOARD,
         "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
+        "degree_days": _SQL_DEGREE_DAYS,
+        "weather_normalize": _SQL_WEATHER_NORM,
         # kmeans_centroids, bpe_token_counts: iterative driver-synced models
         # -> no SQL oracle (driver records the weaker rows-only check);
         # semantics unit-tested (separable blobs / canonical BPE corpus).

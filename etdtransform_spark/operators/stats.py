@@ -769,3 +769,28 @@ def quantile_normalize(
             qround(interp, digits).alias("normalized"),
         )
     )
+
+
+def weather_normalize(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: Sequence[str],
+    x_ref: float,
+    digits: int = 4,
+) -> DataFrame:
+    """Weather-normalized consumption (the benchmarking step after the
+    reference's heating-vs-temperature regression, README.md:299-326): fit
+    y = a + b·x per group via the OLS sufficient statistics and report the
+    expected consumption AT the reference condition, ŷ(x_ref) = a + b·x_ref
+    — how groups compare after removing weather variation. One aggregate;
+    degenerate-variance groups yield NULL."""
+    fitted = groupwise_ols(df, x_col, y_col, keys, digits=12)
+    return fitted.select(
+        *keys,
+        "n",
+        qround(F.col("slope"), digits).alias("slope"),
+        qround(
+            F.col("intercept") + F.col("slope") * F.lit(x_ref), digits
+        ).alias("y_at_ref"),
+    )

@@ -297,3 +297,38 @@ def cusum_changepoint(
         qround(stat, digits).alias("cusum_stat"),
         (stat > threshold).alias("significant"),
     )
+
+
+def degree_days(
+    df: DataFrame,
+    ts_col: str,
+    temp_col: str,
+    base_heating: float = 18.0,
+    base_cooling: float = 22.0,
+    keys: Sequence[str] = (),
+    digits: int = 4,
+) -> DataFrame:
+    """Heating / cooling degree days — the energy sector's weather-demand
+    index (and the covariate the reference's heating analysis regresses
+    against, README.md:299-326): per day (per key), the daily MEAN
+    temperature's shortfall below the heating base and excess above the
+    cooling base. Two stacked aggregates (hour→day mean, then the clamp) —
+    one data shuffle on (keys, day), everything else arithmetic."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    t = F.col(temp_col).cast("double")
+    daily = df.groupBy(*keys, day).agg(
+        (F.sum(t) / F.count(t)).alias("_tavg")
+    )
+    return daily.select(
+        *keys,
+        "day",
+        qround(F.col("_tavg"), digits).alias("t_mean"),
+        qround(
+            F.greatest(F.lit(base_heating) - F.col("_tavg"), F.lit(0.0)),
+            digits,
+        ).alias("hdd"),
+        qround(
+            F.greatest(F.col("_tavg") - F.lit(base_cooling), F.lit(0.0)),
+            digits,
+        ).alias("cdd"),
+    )

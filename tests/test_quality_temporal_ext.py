@@ -446,3 +446,40 @@ def test_overlap_join_randomized_equals_brute_force(spark):
             ).collect()
         )
         assert got == expect, f"granularity={gran}"
+
+
+def test_degree_days_clamps(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.timeseries import degree_days
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = (
+        # day 1: mean 10 -> hdd 8, cdd 0
+        [(t0, 8.0), (t0 + dt.timedelta(hours=1), 12.0)]
+        # day 2: mean 25 -> hdd 0, cdd 3
+        + [(t0 + dt.timedelta(days=1), 24.0),
+           (t0 + dt.timedelta(days=1, hours=2), 26.0)]
+        # day 3: mean 20 (between bases) -> both 0
+        + [(t0 + dt.timedelta(days=2), 20.0)]
+    )
+    df = spark.createDataFrame(rows, ["ts", "temp"])
+    out = {r.day.isoformat(): r for r in degree_days(df, "ts", "temp").collect()}
+    assert out["2024-01-01"].hdd == 8.0 and out["2024-01-01"].cdd == 0.0
+    assert out["2024-01-02"].hdd == 0.0 and out["2024-01-02"].cdd == 3.0
+    assert out["2024-01-03"].hdd == 0.0 and out["2024-01-03"].cdd == 0.0
+
+
+def test_weather_normalize_removes_covariate(spark):
+    from etdtransform_spark.operators.stats import weather_normalize
+
+    # two groups with identical response to x but different baselines:
+    # g1: y = 100 - 2x ; g2: y = 120 - 2x  -> at x_ref both report their a - 2*ref
+    rows = []
+    for x in range(0, 20):
+        rows.append(("g1", float(x), 100.0 - 2.0 * x))
+        rows.append(("g2", float(x), 120.0 - 2.0 * x))
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r.g: r for r in weather_normalize(df, "x", "y", ["g"], 10.0).collect()}
+    assert out["g1"].slope == -2.0 and out["g2"].slope == -2.0
+    assert out["g1"].y_at_ref == 80.0 and out["g2"].y_at_ref == 100.0
