@@ -6402,6 +6402,38 @@ FROM fit
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment join
+    (operators/dedup.py:containment_pairs): near-superset / quote
+    detection that symmetric Jaccard misses — either direction ≥ 0.8 over
+    distinct 3-gram shingles. Bounded input (doc_id < 1000) for the same
+    tiny-vocabulary fixture degeneracy as tfidf_cosine_pairs."""
+    from etdtransform_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return containment_pairs(docs, threshold=0.8)
+
+
+_SQL_CONTAINMENT = f"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 1000),
+sh AS (SELECT doc_id, list_distinct({_SH3}) AS shingles FROM docs),
+e AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
+         count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       {qround_sql('inter / na::DOUBLE', 6)} AS containment_a_in_b,
+       {qround_sql('inter / nb::DOUBLE', 6)} AS containment_b_in_a
+FROM pairs
+WHERE greatest({qround_sql('inter / na::DOUBLE', 6)},
+               {qround_sql('inter / nb::DOUBLE', 6)}) >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6590,6 +6622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "degree_days": q_degree_days,
         "weather_normalize": q_weather_normalize,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -6770,6 +6803,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
         "degree_days": _SQL_DEGREE_DAYS,
         "weather_normalize": _SQL_WEATHER_NORM,
+        "containment_pairs": _SQL_CONTAINMENT,
         # kmeans_centroids, bpe_token_counts: iterative driver-synced models
         # -> no SQL oracle (driver records the weaker rows-only check);
         # semantics unit-tested (separable blobs / canonical BPE corpus).

@@ -677,3 +677,64 @@ def resolve_duplicates(
         cluster.alias("cluster_id"),
         (cluster == F.col(id_col)).alias("keep"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric set-containment join over DISTINCT word n-gram shingles:
+    pairs where either document contains ≥ ``threshold`` of the other's
+    shingles (c(A→B) = |A∩B| / |A|). Jaccard misses near-SUPERSETS — a
+    short document quoted whole inside a long one scores low symmetric
+    similarity but containment ≈ 1; this is the quote/boilerplate/
+    subsumption detector that complements `ngram_jaccard_pairs`.
+
+    Same dataflow skeleton as the jaccard join (distinct hashed shingles,
+    shingle-key equijoin, per-pair counts); the same stop-shingle caveat
+    applies, and the same prefix-filter principle bounds it at scale —
+    for containment the prefix length derives from the CONTAINED side
+    (|A|−⌈t|A|⌉+1 rarest shingles of the smaller set). Output keeps both
+    directions on one (id_a < id_b) row."""
+    sh = widen(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    )
+    e = sh.select(
+        "id", F.size("hs").alias("nsh"), F.explode("hs").alias("h")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nsh").alias("na"),
+            F.col("b.nsh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c_ab = qround(F.col("inter") / F.col("na"), 6)
+    c_ba = qround(F.col("inter") / F.col("nb"), 6)
+    return (
+        pairs.withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= threshold
+        )
+        .select(
+            "id_a", "id_b", "inter",
+            "containment_a_in_b", "containment_b_in_a",
+        )
+    )

@@ -149,3 +149,28 @@ def test_leakage_split_rejects_mismatched_names(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="length mismatch"):
         leakage_safe_split(df, ratios=(0.8, 0.2))  # default 3 names
+
+
+def test_containment_detects_superset_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment(A→B) = 1
+    while Jaccard is far below a near-dup threshold."""
+    from etdtransform_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"word{i} filler{i} more{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different content here now")],
+        ["doc_id", "text"],
+    )
+    out = {(r.id_a, r.id_b): r
+           for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)].containment_a_in_b == 1.0
+    assert out[(1, 2)].containment_b_in_a < 0.2
+    assert all(3 not in p for p in out)
+    # symmetric jaccard misses the same pair at any near-dup threshold
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert not any(r.id_a == 1 and r.id_b == 2 for r in jac)
