@@ -6434,6 +6434,33 @@ WHERE greatest({qround_sql('inter / na::DOUBLE', 6)},
 """
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / 7-day rolling active users / stickiness per day
+    (operators/sessions.py:rolling_active_users): non-decomposable rolling
+    distinct via presence-contribution explode — no day×day self-join."""
+    from etdtransform_spark.operators.sessions import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7)
+
+
+_SQL_ROLLING_ACTIVE = f"""
+WITH pres AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM {_EV}),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM pres),
+contrib AS (
+  SELECT u, unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS rd
+  FROM pres),
+rolling AS (SELECT rd, count(DISTINCT u) AS rolling_active
+            FROM contrib GROUP BY 1),
+dau AS (SELECT d AS rd, count(DISTINCT u) AS dau FROM pres GROUP BY 1)
+SELECT r.rd AS day, coalesce(dau.dau, 0) AS dau, rolling_active,
+       {qround_sql('coalesce(dau.dau, 0) / rolling_active::DOUBLE', 6)}
+         AS stickiness
+FROM rolling r LEFT JOIN dau ON dau.rd = r.rd CROSS JOIN bounds
+WHERE r.rd >= bounds.lo AND r.rd <= bounds.hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6623,6 +6650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_days": q_degree_days,
         "weather_normalize": q_weather_normalize,
         "containment_pairs": q_containment_pairs,
+        "rolling_active_users": q_rolling_active_users,
     }
 
 
@@ -6804,6 +6832,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_days": _SQL_DEGREE_DAYS,
         "weather_normalize": _SQL_WEATHER_NORM,
         "containment_pairs": _SQL_CONTAINMENT,
+        "rolling_active_users": _SQL_ROLLING_ACTIVE,
         # kmeans_centroids, bpe_token_counts: iterative driver-synced models
         # -> no SQL oracle (driver records the weaker rows-only check);
         # semantics unit-tested (separable blobs / canonical BPE corpus).

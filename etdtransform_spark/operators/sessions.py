@@ -195,3 +195,64 @@ def session_paths(
             (F.col("n_events") > max_events).alias("truncated"),
         )
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """DAU / rolling-window active users / stickiness per day — the
+    product-health metrics (WAU at 7 days, MAU at 28/30). Rolling DISTINCT
+    counts are non-decomposable (a user active twice in the window counts
+    once), so the window is NOT a frame over daily counts: each distinct
+    (user, day) presence row is EXPLODED to the ``window_days`` report
+    days it contributes to (sequence+explode — a narrow map), then one
+    count-distinct per report day. Linear in presences × window, no
+    self-join, no quadratic day×day scan; report days clamp to the
+    observed [min, max] day range.
+
+    At 100 TB: presence collapse is the only data-sized shuffle; the
+    explode factor is the window length on day-granular rows (≤ 30×
+    users·days — tiny relative to the event log), and the final distinct
+    aggregate partial-combines per day."""
+    from ..functions.scalars import qround
+
+    day = F.to_date(F.col(ts_col))
+    pres = df.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).distinct()
+    bounds = pres.agg(
+        F.min("d").alias("_lo"), F.max("d").alias("_hi")
+    )
+    contrib = pres.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("rd"),
+    )
+    rolling = contrib.groupBy("rd").agg(
+        F.count_distinct("u").alias("rolling_active")
+    )
+    dau = pres.groupBy(F.col("d").alias("rd")).agg(
+        F.count_distinct("u").alias("dau")
+    )
+    return (
+        rolling.join(dau, "rd", "left")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("rd") >= F.col("_lo")) & (F.col("rd") <= F.col("_hi")))
+        .select(
+            F.col("rd").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "rolling_active",
+            qround(
+                F.coalesce(F.col("dau"), F.lit(0))
+                / F.col("rolling_active"),
+                digits,
+            ).alias("stickiness"),
+        )
+    )

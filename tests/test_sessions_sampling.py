@@ -206,3 +206,36 @@ def test_session_paths_order_truncation_and_boundary(spark):
     # tie broken by event_id: 11 before 12 -> "a>b", truncated at 2 events
     assert out[1].path == "a>b" and out[1].truncated and out[1].n_events == 3
     assert out[2].path == "d" and not out[2].truncated
+
+
+def test_rolling_active_users_window_semantics(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.sessions import rolling_active_users
+
+    d0 = dt.datetime(2024, 6, 1, 9, 0)
+
+    def day(n):
+        return d0 + dt.timedelta(days=n)
+
+    rows = (
+        # u1 active day 0 and day 3; u2 active day 0 only; u3 day 9
+        [(1, day(0)), (1, day(0)), (1, day(3)), (2, day(0)), (3, day(9))]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.day.isoformat(): r
+           for r in rolling_active_users(df, window_days=3).collect()}
+    # day0: dau 2 (u1,u2), rolling(3d ending? our window is FORWARD
+    # contribution: presence on d contributes to d..d+2, i.e. rolling at
+    # day X = users active in [X-2, X])
+    assert out["2024-06-01"].dau == 2 and out["2024-06-01"].rolling_active == 2
+    # day2: nobody active that day, but day-0 actives still in window
+    assert out["2024-06-02"].dau == 0 and out["2024-06-02"].rolling_active == 2
+    # day3: u1 re-activates; u2's day-0 presence aged out... day3 window
+    # is [1,3]: only u1 -> rolling 1
+    assert out["2024-06-04"].dau == 1 and out["2024-06-04"].rolling_active == 1
+    # u1 counted once on overlapping windows (active day0 and day3: day
+    # window [2,4]... ) and gaps between activity produce rolling>0,dau=0
+    assert out["2024-06-05"].rolling_active == 1 and out["2024-06-05"].dau == 0
+    # clamped to observed range: last day is day 9
+    assert max(out) == "2024-06-10"
