@@ -6461,6 +6461,35 @@ WHERE r.rd >= bounds.lo AND r.rd <= bounds.hi
 """
 
 
+def q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance inequality: per-source Gini of document lengths
+    (operators/stats.py:gini_coefficient) — one rank window + one
+    aggregate sharing the group exchange."""
+    from etdtransform_spark.operators.stats import gini_coefficient
+
+    docs = _t(spark, sf_dir, "documents")
+    return gini_coefficient(docs, "n_chars", ["source"])
+
+
+_SQL_GINI = f"""
+WITH base AS (
+  SELECT source, n_chars::DOUBLE AS v FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 0
+), ranked AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v) AS i
+  FROM base
+), a AS (
+  SELECT source, count(*)::DOUBLE AS n, sum(v) AS s, sum(i * v) AS isum
+  FROM ranked GROUP BY 1)
+SELECT source, n::BIGINT AS n,
+       {qround_sql(
+           'CASE WHEN s > 0'
+           ' THEN 2.0 * isum / (n * s) - (n + 1) / n END', 6)} AS gini
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6651,6 +6680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weather_normalize": q_weather_normalize,
         "containment_pairs": q_containment_pairs,
         "rolling_active_users": q_rolling_active_users,
+        "gini_sources": q_gini_sources,
     }
 
 
@@ -6833,6 +6863,7 @@ def oracle_sql() -> dict[str, str]:
         "weather_normalize": _SQL_WEATHER_NORM,
         "containment_pairs": _SQL_CONTAINMENT,
         "rolling_active_users": _SQL_ROLLING_ACTIVE,
+        "gini_sources": _SQL_GINI,
         # kmeans_centroids, bpe_token_counts: iterative driver-synced models
         # -> no SQL oracle (driver records the weaker rows-only check);
         # semantics unit-tested (separable blobs / canonical BPE corpus).

@@ -794,3 +794,42 @@ def weather_normalize(
             F.col("intercept") + F.col("slope") * F.lit(x_ref), digits
         ).alias("y_at_ref"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative quantity — the
+    inequality/concentration gauge (how skewed is corpus volume across
+    sources, demand across households, tokens across documents):
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over ascending-sorted values.
+    0 = perfectly even, →1 = one member holds everything.
+
+    One rank window + one aggregate sharing the group exchange. Ties need
+    no tie-break: equal values contribute the same Σ i·x regardless of
+    their relative order, so row_number over the value alone is
+    deterministic. NULL and negative rows are excluded (Gini is defined on
+    non-negative support); zero-total groups yield NULL."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & (x >= 0)).select(
+        *keys, x.alias("v")
+    )
+    w = Window.partitionBy(*keys).orderBy("v")
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    agged = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("v").alias("_s"),
+        F.sum(F.col("_i") * F.col("v")).alias("_is"),
+    )
+    g = (
+        2.0 * F.col("_is") / (F.col("_n") * F.col("_s"))
+        - (F.col("_n") + 1) / F.col("_n")
+    )
+    return agged.select(
+        *keys,
+        F.col("_n").cast("bigint").alias("n"),
+        qround(F.when(F.col("_s") > 0, g), digits).alias("gini"),
+    )

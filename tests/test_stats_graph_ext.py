@@ -187,3 +187,24 @@ def test_quantile_normalize_aligns_marginals(spark):
     assert sorted(by_g["a"]) == sorted(by_g["b"])
     # extremes map to pooled extremes
     assert min(by_g["a"]) == 1.0 and max(by_g["b"]) == 105.0
+
+
+def test_gini_extremes_and_known_value(spark):
+    from etdtransform_spark.operators.stats import gini_coefficient
+
+    rows = (
+        # perfectly even -> 0
+        [("even", 5.0)] * 4
+        # fully concentrated: one member holds everything -> (n-1)/n = .75
+        + [("conc", 0.0)] * 3 + [("conc", 100.0)]
+        # known small case [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+        + [("known", float(v)) for v in (1, 2, 3, 4)]
+        # negatives excluded
+        + [("neg", -5.0), ("neg", 10.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in gini_coefficient(df, "v", ["g"]).collect()}
+    assert out["even"].gini == 0.0
+    assert out["conc"].gini == 0.75
+    assert out["known"].gini == 0.25
+    assert out["neg"].n == 1 and out["neg"].gini == 0.0
