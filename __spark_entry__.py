@@ -6490,6 +6490,38 @@ FROM a
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM fluency score
+    (operators/corpus.py:bigram_logprob): transitions built in-row, two
+    broadcast dictionaries, V as a broadcast scalar."""
+    from etdtransform_spark.operators.corpus import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+_SQL_BIGRAM_LP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT w1, count(*) AS c1 FROM (
+    SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+vocab AS (SELECT count(*)::DOUBLE AS v FROM uni)
+SELECT doc_id, count(*) AS n_bigrams,
+       {qround_sql('avg(ln((c2 + 1) / (c1 + v)))', 6)}
+         AS avg_bigram_logprob
+FROM pairs JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6681,6 +6713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "rolling_active_users": q_rolling_active_users,
         "gini_sources": q_gini_sources,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -6864,6 +6897,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _SQL_CONTAINMENT,
         "rolling_active_users": _SQL_ROLLING_ACTIVE,
         "gini_sources": _SQL_GINI,
+        "bigram_logprob": _SQL_BIGRAM_LP,
         # kmeans_centroids, bpe_token_counts: iterative driver-synced models
         # -> no SQL oracle (driver records the weaker rows-only check);
         # semantics unit-tested (separable blobs / canonical BPE corpus).

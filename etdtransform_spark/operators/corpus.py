@@ -664,3 +664,58 @@ def bpe_encode(
             F.sum(F.size("_syms")).alias("n_bpe_tokens"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram log-probability under the
+    corpus's own add-one-smoothed bigram LM: mean over positions i ≥ 2 of
+    ln((c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)) — the next-step-up fluency
+    score from :func:`unigram_logprob` (word-salad scores low even when
+    every word is common, because the TRANSITIONS are rare). Documents
+    with fewer than two tokens are excluded (no bigram support).
+
+    Bigrams are built in-row (zip_with over the shifted token array — a
+    narrow map, no self-join); the bigram dictionary and unigram-context
+    counts are two aggregates broadcast back; V (vocabulary size) rides as
+    a broadcast scalar. Zipf keeps both dictionaries broadcastable at
+    corpus scale; the explode dominates and never shuffles text."""
+    from ..functions.scalars import qround
+
+    toks = _toks(text_col)
+    bi = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        widen(df)
+        .filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(bi).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        widen(df)
+        .select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    lp = F.log(
+        (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+    )
+    return (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            qround(F.avg(lp), digits).alias("avg_bigram_logprob"),
+        )
+    )

@@ -174,3 +174,26 @@ def test_containment_detects_superset_jaccard_misses(spark):
     # symmetric jaccard misses the same pair at any near-dup threshold
     jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert not any(r.id_a == 1 and r.id_b == 2 for r in jac)
+
+
+def test_bigram_logprob_known_probabilities(spark):
+    """Hand-checkable corpus: 'a b a b' + 'a c' + 'solo'. Vocabulary
+    {a,b,c,solo} (V=4); bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; context
+    counts a=3, b=2."""
+    import math
+
+    from etdtransform_spark.operators.corpus import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert 3 not in out  # single-token doc has no bigram support
+    # doc1 positions: (a,b): ln(3/7); (b,a): ln(2/6); (a,b): ln(3/7)
+    want1 = (math.log(3 / 7) + math.log(2 / 6) + math.log(3 / 7)) / 3
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].avg_bigram_logprob - want1) < 1e-6
+    # doc2: (a,c): ln((1+1)/(3+4))
+    assert abs(out[2].avg_bigram_logprob - math.log(2 / 7)) < 1e-6
+    # word-salad transitions score below habitual ones
+    assert out[2].avg_bigram_logprob < out[1].avg_bigram_logprob
