@@ -2467,7 +2467,10 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_OLS = f"""
 WITH b AS (
+  -- pairwise-complete conditioning, matching groupwise_ols (the fixture
+  -- is null-free, but the oracle must not diverge if that ever changes)
   SELECT event_type, hour(ts)::DOUBLE AS x, value AS y FROM {_EV}
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ), a AS (
   SELECT event_type, count(*)::DOUBLE AS n,
          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
@@ -6468,9 +6471,13 @@ WITH base AS (
   SELECT event_id, event_type AS grp, value AS v
   FROM events WHERE value IS NOT NULL
 ), ranked AS (
+  -- single-row groups pin to the pooled median (r = 0.5), matching the
+  -- operator's n=1 guard
   SELECT event_id, grp, v,
-         (rank() OVER (PARTITION BY grp ORDER BY v) - 1)::DOUBLE
-           / (count(*) OVER (PARTITION BY grp) - 1)::DOUBLE AS r
+         CASE WHEN count(*) OVER (PARTITION BY grp) > 1
+              THEN (rank() OVER (PARTITION BY grp ORDER BY v) - 1)::DOUBLE
+                   / (count(*) OVER (PARTITION BY grp) - 1)::DOUBLE
+              ELSE 0.5 END AS r
   FROM base
 ), cdf AS (
   SELECT v AS cv, row_number() OVER (ORDER BY v) AS rn,
@@ -6532,7 +6539,10 @@ def q_weather_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_WEATHER_NORM = f"""
 WITH b AS (
+  -- pairwise-complete conditioning, matching groupwise_ols (the fixture
+  -- is null-free, but the oracle must not diverge if that ever changes)
   SELECT event_type, hour(ts)::DOUBLE AS x, value AS y FROM {_EV}
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ), a AS (
   SELECT event_type, count(*)::DOUBLE AS n,
          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx

@@ -2,11 +2,15 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing, UDF
-signatures) is real and tested; the actual media decode is STUBBED — codec
-libraries (PIL/ffmpeg/torchaudio) are not available in this environment.
-``decode_stub='deterministic'`` produces a seeded fake so downstream operators
-(feature joins, dedup on features) are testable end-to-end;
-``decode_stub='raise'`` marks the integration point with NotImplementedError.
+signatures) is real and tested. IMAGE decode is REAL for container metadata:
+:func:`image_header_dims` parses PNG/JPEG/GIF/BMP dimensions from the bytes
+(stdlib only), exposed as :func:`decode_image_metadata` and as
+``extract_media_features(decode_stub='real')``. Pixel-level decode and
+audio/video codecs (PIL/ffmpeg/torchaudio) are not available in this
+environment and stay stubbed: ``decode_stub='deterministic'`` produces a
+seeded fake so downstream operators (feature joins, dedup on features) are
+testable end-to-end; the remaining ``decode_stub='raise'`` sites
+(frames/audio) mark those integration points with NotImplementedError.
 
 Scale notes: media rows are large and few per partition —
 ``spark.sql.files.maxPartitionBytes`` should be lowered (e.g. 32 MB) when
@@ -55,6 +59,112 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def image_header_dims(payload: bytes | None) -> tuple[str, int, int] | None:
+    """REAL stdlib-only image decode (container headers): returns
+    (format, width, height) for PNG / JPEG / GIF / BMP payloads, None for
+    anything unparseable. This is the working non-stub decoder behind the
+    Arrow integration points — pixel decode still needs PIL/ffmpeg, but
+    dimensions/format (the metadata a curation pipeline filters on) come
+    straight from the bytes.
+
+    PNG: 8-byte signature, IHDR width/height big-endian at offsets 16/20.
+    GIF: 'GIF87a'/'GIF89a', logical screen w/h little-endian at 6/8.
+    BMP: 'BM', BITMAPINFOHEADER signed little-endian w/h at 18/22
+    (negative height = top-down rows; dimensions are the magnitudes).
+    JPEG: walk the segment chain from SOI to the first SOFn marker
+    (skipping non-frame segments and 0xFF fill bytes); height/width are
+    big-endian at +5/+7 inside the frame header."""
+    p = payload
+    if p is None or len(p) < 10:
+        return None
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24 and p[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(p[16:20], "big"),
+            int.from_bytes(p[20:24], "big"),
+        )
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+        )
+    if p[:2] == b"BM" and len(p) >= 26:
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = int.from_bytes(p[22:26], "little", signed=True)
+        return ("bmp", abs(w), abs(h))
+    if p[:2] == b"\xff\xd8":
+        pos = 2
+        n = len(p)
+        # SOF0-SOF15 carry dimensions, except DHT(C4)/DNL(C8)/DAC(CC)
+        sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+        while pos + 4 <= n:
+            if p[pos] != 0xFF:
+                return None  # corrupt chain
+            marker = p[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:  # RST/SOI/EOI: no length field
+                pos += 2
+                continue
+            seglen = int.from_bytes(p[pos + 2 : pos + 4], "big")
+            if marker in sof:
+                if pos + 9 > n:
+                    return None
+                h = int.from_bytes(p[pos + 5 : pos + 7], "big")
+                w = int.from_bytes(p[pos + 7 : pos + 9], "big")
+                return ("jpeg", w, h)
+            pos += 2 + seglen
+        return None
+    return None
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def decode_image_metadata(df: DataFrame) -> DataFrame:
+    """Real image metadata through the production Arrow path: one
+    ``mapInPandas`` stage calling :func:`image_header_dims` per payload.
+    Unparseable/missing payloads yield NULL format/dims (kept, so the
+    caller can quarantine them) — the standard curation gate 'drop media
+    outside [min_dim, max_dim] or with unknown container'."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                image_header_dims(bytes(b) if b is not None else None)
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [m[0] if m else None for m in metas],
+                    "width": pd.array(
+                        [m[1] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m[2] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "n_bytes": [
+                        len(b) if b is not None else 0 for b in pdf["content"]
+                    ],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        process, schema=IMAGE_META_SCHEMA
+    )
+
+
 def _fake_features(payload: bytes | None, dim: int) -> list[float]:
     """Deterministic stand-in for a real decode+embed: bytes of the sha256
     digest scaled to [0, 1). Stable across runs and engines."""
@@ -73,22 +183,52 @@ def extract_media_features(
 ) -> DataFrame:
     """Decode media content and emit per-item features via ``mapInPandas``.
 
-    The real pipeline would decode images (resize), sample video frames, or
-    window audio here; this stub hashes the payload instead. The Arrow batch
-    loop, output schema, and partition behavior are production-shaped.
-    Batch sizing is governed by ``spark.sql.execution.arrow.
-    maxRecordsPerBatch`` (session conf), not a per-call knob.
+    Modes: ``'deterministic'`` (default) hashes the payload into a seeded
+    fake feature vector — stable cross-engine, used by the oracle gate.
+    ``'real'`` performs the WORKING image decode (:func:`image_header_dims`
+    — container format + dimensions, stdlib-only) and emits
+    [width, height, aspect, ln(bytes)] zero-padded to ``feature_dim``;
+    audio/video rows in 'real' mode raise NotImplementedError — those
+    decoders need ffmpeg/torchaudio and remain documented integration
+    points. The Arrow batch loop, output schema, and partition behavior
+    are production-shaped in every mode. Batch sizing is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (session conf), not
+    a per-call knob.
     """
-    if decode_stub not in ("deterministic", "raise"):
-        raise ValueError("decode_stub must be 'deterministic' or 'raise'")
+    import math
+
+    if decode_stub not in ("deterministic", "real"):
+        raise ValueError("decode_stub must be 'deterministic' or 'real'")
+
+    def _real_features(modality: str, payload: bytes | None) -> list[float] | None:
+        if modality != "image":
+            raise NotImplementedError(
+                f"real {modality} decode requires ffmpeg/torchaudio, not "
+                "present in this environment; integrate here"
+            )
+        meta = image_header_dims(payload)
+        if meta is None:
+            return None
+        _fmt, w, h = meta
+        feats = [
+            float(w),
+            float(h),
+            float(w) / float(h) if h else 0.0,
+            math.log(len(payload)) if payload else 0.0,
+        ]
+        return (feats + [0.0] * feature_dim)[:feature_dim]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in this "
-                    "environment; integrate PIL/ffmpeg here"
-                )
+            if decode_stub == "real":
+                feats = [
+                    _real_features(m, bytes(b) if b is not None else None)
+                    for m, b in zip(pdf["modality"], pdf["content"])
+                ]
+            else:
+                feats = [
+                    _fake_features(b, feature_dim) for b in pdf["content"]
+                ]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -99,9 +239,7 @@ def extract_media_features(
                     "content_sha256": pdf["content"].map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
-                    "features": pdf["content"].map(
-                        lambda b: _fake_features(b, feature_dim)
-                    ),
+                    "features": feats,
                 }
             )
             yield out

@@ -574,13 +574,22 @@ def welch_ttest(
     na, nb = F.col("n_a"), F.col("n_b")
     ma = F.col("s_a") / na
     mb = F.col("s_b") / nb
-    va = (F.col("q_a") - F.col("s_a") * F.col("s_a") / na) / (na - 1)
-    vb = (F.col("q_b") - F.col("s_b") * F.col("s_b") / nb) / (nb - 1)
+    # n <= 1 arms yield NULL variance (and thus NULL t/dof) instead of an
+    # ANSI DIVIDE_BY_ZERO abort — a single-observation arm is a degenerate
+    # test, not a job failure
+    va = F.when(
+        na > 1, (F.col("q_a") - F.col("s_a") * F.col("s_a") / na) / (na - 1)
+    )
+    vb = F.when(
+        nb > 1, (F.col("q_b") - F.col("s_b") * F.col("s_b") / nb) / (nb - 1)
+    )
     sea = va / na
     seb = vb / nb
     t = (ma - mb) / F.sqrt(sea + seb)
-    dof = (sea + seb) * (sea + seb) / (
-        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    dof = F.when(
+        (na > 1) & (nb > 1),
+        (sea + seb) * (sea + seb)
+        / (sea * sea / (na - 1) + seb * seb / (nb - 1)),
     )
     return agged.select(
         na.cast("bigint").alias("n_a"),
@@ -655,7 +664,11 @@ def winsorize(
         df.join(F.broadcast(bounds), list(keys)) if keys
         else df.crossJoin(F.broadcast(bounds))
     )
-    clamped = F.least(F.greatest(x, F.col("_b_lo")), F.col("_b_hi"))
+    # NULL inputs stay NULL: greatest/least skip NULLs, so without the
+    # guard a NULL row would fabricate the lower bound (was_clamped=false)
+    clamped = F.when(
+        x.isNotNull(), F.least(F.greatest(x, F.col("_b_lo")), F.col("_b_hi"))
+    )
     return joined.select(
         *df.columns,
         qround(clamped, digits).alias(f"{value_col}_winsorized"),
@@ -734,14 +747,20 @@ def quantile_normalize(
     )
     wg = Window.partitionBy("grp").orderBy("v")
     ng = Window.partitionBy("grp")
+    # a single-row group has no rank span: pin it to the pooled median
+    # (r = 0.5) instead of dividing by zero (ANSI abort / NaN)
+    cnt = F.count(F.lit(1)).over(ng)
     ranked = base.select(
         *id_cols,
         "grp",
         "v",
-        (
+        F.when(
+            cnt > 1,
             (F.rank().over(wg) - 1).cast("double")
-            / (F.count(F.lit(1)).over(ng) - 1).cast("double")
-        ).alias("_r"),
+            / (cnt - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("_r"),
     )
     w_all = Window.orderBy("_cv")
     cdf = (

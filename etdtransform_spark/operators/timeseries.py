@@ -263,11 +263,16 @@ def cusum_changepoint(
     # explicit sufficient-statistics moments (not avg/stddev_samp) so the
     # oracle can run the IDENTICAL op sequence — engine-internal variance
     # algorithms differ at the last ulp, which a 2000-step cumsum amplifies
+    # n <= 1 keys get NULL sd (then dropped by the _sd > 0 filter like
+    # zero-variance keys) instead of an ANSI DIVIDE_BY_ZERO abort
     mom = df.groupBy(*keys).agg(
         (F.sum(x) / F.count(x)).alias("_mu"),
-        F.sqrt(
-            (F.sum(x * x) - F.sum(x) * F.sum(x) / F.count(x))
-            / (F.count(x) - 1)
+        F.when(
+            F.count(x) > 1,
+            F.sqrt(
+                (F.sum(x * x) - F.sum(x) * F.sum(x) / F.count(x))
+                / (F.count(x) - 1)
+            ),
         ).alias("_sd"),
         F.count(x).alias("_n"),
     )

@@ -97,3 +97,110 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     mixed = read_jsonl(spark, str(bad), DOCUMENTS_SCHEMA).cache()
     assert mixed.filter(F.col("_corrupt_record").isNotNull()).count() == 1
     assert mixed.filter(F.col("doc_id") == 1).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# real image header decode (stdlib-only, no codec libraries)
+# ---------------------------------------------------------------------------
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * (3 * w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def _bmp_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, w, -h, 1, 24)  # top-down: negative height
+        + b"\x00" * 24
+    )
+
+
+def test_image_header_dims_all_formats():
+    from etdtransform_spark.operators.multimodal import image_header_dims
+
+    assert image_header_dims(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert image_header_dims(_jpeg_bytes(1024, 768)) == ("jpeg", 1024, 768)
+    assert image_header_dims(_gif_bytes(32, 16)) == ("gif", 32, 16)
+    assert image_header_dims(_bmp_bytes(200, 100)) == ("bmp", 200, 100)
+    assert image_header_dims(b"not an image at all") is None
+    assert image_header_dims(None) is None
+    assert image_header_dims(b"\xff\xd8\x00\x00garbage") is None  # corrupt chain
+
+
+def test_decode_image_metadata_arrow_path(spark):
+    from etdtransform_spark.operators.multimodal import decode_image_metadata
+
+    rows = [
+        (1, "image", bytearray(_png_bytes(640, 480)), "image/png"),
+        (2, "image", bytearray(_jpeg_bytes(1024, 768)), "image/jpeg"),
+        (3, "image", bytearray(b"corrupt"), "image/png"),
+        (4, "image", None, "image/png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary, mime_type string"
+    )
+    out = {r.media_id: r for r in decode_image_metadata(df).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 640, 480)
+    assert (out[2].format, out[2].width, out[2].height) == ("jpeg", 1024, 768)
+    assert out[3].format is None and out[3].width is None
+    assert out[4].format is None and out[4].n_bytes == 0
+
+
+def test_extract_media_features_real_mode(spark):
+    from etdtransform_spark.operators.multimodal import extract_media_features
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(_png_bytes(64, 32)), "image/png")],
+        "media_id long, modality string, content binary, mime_type string",
+    )
+    [r] = extract_media_features(df, feature_dim=4, decode_stub="real").collect()
+    assert r.features[0] == 64.0 and r.features[1] == 32.0
+    assert abs(r.features[2] - 2.0) < 1e-12
+    # audio/video stay explicit integration points in real mode
+    av = spark.createDataFrame(
+        [(2, "audio", bytearray(b"pcm"), "audio/wav")],
+        "media_id long, modality string, content binary, mime_type string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg|torchaudio"):
+        extract_media_features(av, decode_stub="real").collect()

@@ -171,6 +171,63 @@ def test_cusum_finds_planted_level_shift(spark):
     assert r.significant and r.cusum_stat > 3.0
 
 
+def test_welch_ttest_single_observation_arm_yields_null(spark):
+    """An arm with n=1 has no sample variance: the test must return NULL
+    t/dof (degenerate test), not abort with ANSI DIVIDE_BY_ZERO."""
+    from etdtransform_spark.operators.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)], ["g", "v"]
+    )
+    [r] = welch_ttest(df, "g", "v", "a", "b").collect()
+    assert r.n_a == 3 and r.n_b == 1
+    assert r.mean_b == 10.0
+    assert r.t_stat is None and r.dof is None
+
+
+def test_cusum_single_row_key_dropped_not_crashed(spark):
+    """A key with one observation has no sample sd: it must be dropped
+    like a zero-variance key, not abort the whole job (ANSI guard)."""
+    import datetime as dt
+
+    from etdtransform_spark.operators.timeseries import cusum_changepoint
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(minutes=i),
+             0.0 if i < 30 else 10.0, i) for i in range(60)]
+    rows += [("lone", t0, 42.0, 0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    out = {r.k for r in cusum_changepoint(
+        df, "ts", "v", ["k"], order_cols=["eid"]).collect()}
+    assert out == {"k"}
+
+
+def test_winsorize_preserves_nulls(spark):
+    """NULL inputs must stay NULL — greatest/least skip NULLs, so without
+    the guard a NULL row silently became the lower bound."""
+    from etdtransform_spark.operators.stats import winsorize
+
+    rows = [(i, float(v)) for i, v in enumerate(range(0, 101))]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {r.id: r for r in winsorize(df, "v", p_lo=0.05, p_hi=0.95).collect()}
+    assert out[999].v_winsorized is None
+    assert out[999].was_clamped is False
+
+
+def test_quantile_normalize_single_row_group_maps_to_median(spark):
+    """A 1-row group has no rank span: it pins to r=0.5 (pooled median)
+    instead of dividing by zero."""
+    from etdtransform_spark.operators.stats import quantile_normalize
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    rows.append((99, "solo", 1000.0))
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    out = {r.id: r for r in quantile_normalize(df, "v", "g", ["id"]).collect()}
+    # pooled values sorted: [1,2,3,4,5,1000]; r=0.5 -> pos 3.5 -> 3.5
+    assert abs(out[99].normalized - 3.5) < 1e-9
+
+
 def test_quantile_normalize_aligns_marginals(spark):
     """After normalization the two groups' value sets coincide with the
     pooled distribution positions: a group that is a constant shift of
