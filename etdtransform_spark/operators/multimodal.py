@@ -2,15 +2,17 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing, UDF
-signatures) is real and tested. IMAGE decode is REAL for container metadata:
-:func:`image_header_dims` parses PNG/JPEG/GIF/BMP dimensions from the bytes
-(stdlib only), exposed as :func:`decode_image_metadata` and as
-``extract_media_features(decode_stub='real')``. Pixel-level decode and
-audio/video codecs (PIL/ffmpeg/torchaudio) are not available in this
-environment and stay stubbed: ``decode_stub='deterministic'`` produces a
-seeded fake so downstream operators (feature joins, dedup on features) are
-testable end-to-end; the remaining ``decode_stub='raise'`` sites
-(frames/audio) mark those integration points with NotImplementedError.
+signatures) is real and tested. CONTAINER decode is REAL (stdlib-only):
+:func:`image_header_dims` parses PNG/JPEG/GIF/BMP dimensions,
+:func:`audio_header_info` WAV channel/rate/duration,
+:func:`video_header_info` MP4 mvhd duration — exposed as
+:func:`decode_image_metadata` and as
+``extract_media_features(decode_stub='real')``. Pixel/sample-level decode
+(PIL/ffmpeg/torchaudio) is not available in this environment and stays
+stubbed: ``decode_stub='deterministic'`` produces a seeded fake so
+downstream operators (feature joins, dedup on features) are testable
+end-to-end; the remaining ``decode_stub='raise'`` sites (frame/chunk/resize
+kernels) mark those integration points with NotImplementedError.
 
 Scale notes: media rows are large and few per partition —
 ``spark.sql.files.maxPartitionBytes`` should be lowered (e.g. 32 MB) when
@@ -120,6 +122,84 @@ def image_header_dims(payload: bytes | None) -> tuple[str, int, int] | None:
     return None
 
 
+def audio_header_info(
+    payload: bytes | None,
+) -> tuple[str, int, int, int] | None:
+    """REAL stdlib-only audio metadata from a WAV (RIFF/WAVE) container:
+    (format, channels, sample_rate, duration_ms). Walks the chunk chain to
+    'fmt ' (channels/rate/byte-rate) and 'data' (payload size → duration).
+    Returns None for non-WAV/corrupt payloads — compressed codecs (mp3,
+    flac, aac) need real codec libraries and stay integration points."""
+    p = payload
+    if p is None or len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos = 12
+    channels = rate = byte_rate = None
+    data_size = None
+    n = len(p)
+    while pos + 8 <= n:
+        cid = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 20 <= n:
+            channels = int.from_bytes(p[pos + 10 : pos + 12], "little")
+            rate = int.from_bytes(p[pos + 12 : pos + 16], "little")
+            byte_rate = int.from_bytes(p[pos + 16 : pos + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        # chunks are word-aligned (odd sizes padded by one byte)
+        pos += 8 + size + (size & 1)
+    if not channels or not rate or not byte_rate or data_size is None:
+        return None
+    duration_ms = int(data_size * 1000 // byte_rate)
+    return ("wav", channels, rate, duration_ms)
+
+
+def video_header_info(payload: bytes | None) -> tuple[str, int] | None:
+    """REAL stdlib-only video metadata from an ISO-BMFF (MP4/MOV)
+    container: (format, duration_ms) out of the moov/mvhd box (timescale +
+    duration). Walks top-level boxes, then moov children; supports mvhd
+    version 0 (32-bit) and 1 (64-bit). Frame decode still needs ffmpeg."""
+    p = payload
+    if p is None or len(p) < 16:
+        return None
+
+    def boxes(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(p[pos : pos + 4], "big")
+            typ = p[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                size = int.from_bytes(p[pos + 8 : pos + 16], "big")
+            if size < 8 or pos + size > end:
+                return
+            yield typ, pos + 8, pos + size
+            pos += size
+
+    if p[4:8] != b"ftyp":
+        return None
+    for typ, body, bend in boxes(0, len(p)):
+        if typ != b"moov":
+            continue
+        for ctyp, cbody, cbend in boxes(body, bend):
+            if ctyp != b"mvhd":
+                continue
+            version = p[cbody]
+            if version == 1 and cbody + 28 <= cbend:
+                timescale = int.from_bytes(p[cbody + 20 : cbody + 24], "big")
+                duration = int.from_bytes(p[cbody + 24 : cbody + 32], "big")
+            elif version == 0 and cbody + 20 <= cbend:
+                timescale = int.from_bytes(p[cbody + 12 : cbody + 16], "big")
+                duration = int.from_bytes(p[cbody + 16 : cbody + 20], "big")
+            else:
+                return None
+            if not timescale:
+                return None
+            return ("mp4", int(duration * 1000 // timescale))
+    return None
+
+
 IMAGE_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -185,15 +265,18 @@ def extract_media_features(
 
     Modes: ``'deterministic'`` (default) hashes the payload into a seeded
     fake feature vector — stable cross-engine, used by the oracle gate.
-    ``'real'`` performs the WORKING image decode (:func:`image_header_dims`
-    — container format + dimensions, stdlib-only) and emits
-    [width, height, aspect, ln(bytes)] zero-padded to ``feature_dim``;
-    audio/video rows in 'real' mode raise NotImplementedError — those
-    decoders need ffmpeg/torchaudio and remain documented integration
-    points. The Arrow batch loop, output schema, and partition behavior
-    are production-shaped in every mode. Batch sizing is governed by
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (session conf), not
-    a per-call knob.
+    ``'real'`` performs the WORKING container decode (stdlib-only):
+    images via :func:`image_header_dims` → [width, height, aspect,
+    ln(bytes)]; audio via :func:`audio_header_info` (WAV) → [channels,
+    sample_rate, duration_ms, ln(bytes)]; video via
+    :func:`video_header_info` (MP4 mvhd) → [duration_ms, ln(bytes)];
+    all zero-padded to ``feature_dim``. Unparseable payloads yield NULL
+    features (quarantine rows). Pixel/sample-level decode still needs
+    PIL/ffmpeg and remains an integration point in the frame/chunk/resize
+    operators. The Arrow batch loop, output schema, and partition
+    behavior are production-shaped in every mode. Batch sizing is
+    governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    (session conf), not a per-call knob.
     """
     import math
 
@@ -201,21 +284,27 @@ def extract_media_features(
         raise ValueError("decode_stub must be 'deterministic' or 'real'")
 
     def _real_features(modality: str, payload: bytes | None) -> list[float] | None:
-        if modality != "image":
-            raise NotImplementedError(
-                f"real {modality} decode requires ffmpeg/torchaudio, not "
-                "present in this environment; integrate here"
-            )
-        meta = image_header_dims(payload)
-        if meta is None:
+        lb = math.log(len(payload)) if payload else 0.0
+        if modality == "image":
+            meta = image_header_dims(payload)
+            if meta is None:
+                return None
+            _fmt, w, h = meta
+            feats = [float(w), float(h), float(w) / float(h) if h else 0.0, lb]
+        elif modality == "audio":
+            ainfo = audio_header_info(payload)
+            if ainfo is None:
+                return None
+            _fmt, channels, rate, dur_ms = ainfo
+            feats = [float(channels), float(rate), float(dur_ms), lb]
+        elif modality == "video":
+            vinfo = video_header_info(payload)
+            if vinfo is None:
+                return None
+            _fmt, dur_ms = vinfo
+            feats = [float(dur_ms), lb]
+        else:
             return None
-        _fmt, w, h = meta
-        feats = [
-            float(w),
-            float(h),
-            float(w) / float(h) if h else 0.0,
-            math.log(len(payload)) if payload else 0.0,
-        ]
         return (feats + [0.0] * feature_dim)[:feature_dim]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

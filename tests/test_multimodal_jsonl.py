@@ -197,10 +197,76 @@ def test_extract_media_features_real_mode(spark):
     [r] = extract_media_features(df, feature_dim=4, decode_stub="real").collect()
     assert r.features[0] == 64.0 and r.features[1] == 32.0
     assert abs(r.features[2] - 2.0) < 1e-12
-    # audio/video stay explicit integration points in real mode
+    # unparseable audio payload -> NULL features (quarantine), not a crash
     av = spark.createDataFrame(
         [(2, "audio", bytearray(b"pcm"), "audio/wav")],
         "media_id long, modality string, content binary, mime_type string",
     )
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg|torchaudio"):
-        extract_media_features(av, decode_stub="real").collect()
+    [ra] = extract_media_features(av, decode_stub="real").collect()
+    assert ra.features is None
+
+
+def _wav_bytes(channels: int, rate: int, seconds: float) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * channels * int(rate * seconds))
+    return buf.getvalue()
+
+
+def _mp4_bytes(timescale: int, duration: int) -> bytes:
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,
+    )
+    return ftyp + box(b"moov", mvhd)
+
+
+def test_audio_header_info_real_wav():
+    from etdtransform_spark.operators.multimodal import audio_header_info
+
+    fmt, ch, rate, dur = audio_header_info(_wav_bytes(2, 16000, 1.5))
+    assert (fmt, ch, rate) == ("wav", 2, 16000)
+    assert abs(dur - 1500) <= 1
+    assert audio_header_info(b"RIFFxxxxNOPE") is None
+    assert audio_header_info(None) is None
+
+
+def test_video_header_info_real_mp4():
+    from etdtransform_spark.operators.multimodal import video_header_info
+
+    assert video_header_info(_mp4_bytes(1000, 2500)) == ("mp4", 2500)
+    assert video_header_info(_mp4_bytes(600, 1200)) == ("mp4", 2000)
+    assert video_header_info(b"\x00\x00\x00\x08free") is None
+    assert video_header_info(None) is None
+
+
+def test_extract_media_features_real_audio_video(spark):
+    from etdtransform_spark.operators.multimodal import extract_media_features
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(1, 8000, 2.0)), "audio/wav"),
+        (2, "video", bytearray(_mp4_bytes(90000, 90000 * 3)), "video/mp4"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary, mime_type string"
+    )
+    out = {r.media_id: r for r in extract_media_features(
+        df, feature_dim=4, decode_stub="real").collect()}
+    assert out[1].features[0] == 1.0 and out[1].features[1] == 8000.0
+    assert abs(out[1].features[2] - 2000.0) <= 1.0
+    assert out[2].features[0] == 3000.0
