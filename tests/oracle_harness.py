@@ -92,12 +92,27 @@ def compare_query(spark, con, name, fn, sql, sf_dir):
     return problems
 
 
-def run_all(sf_dir: str, only: list[str] | None = None):
+def run_all(sf_dir: str, only: list[str] | None = None, plain: bool = False):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from etdtransform_spark.session import get_spark
 
-    spark = get_spark("oracle-harness", master="local[8]", shuffle_partitions=8)
+    if plain:
+        # driver parity: a bare SparkSession with NO get_spark() confs —
+        # catches contract code that silently relies on session-factory
+        # settings (the driver builds its own session)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+    else:
+        from etdtransform_spark.session import get_spark
+
+        spark = get_spark(
+            "oracle-harness", master="local[8]", shuffle_partitions=8
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
@@ -127,10 +142,10 @@ def run_all(sf_dir: str, only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--strict"]
-    if len(args) != len(sys.argv) - 1:
-        STRICT = True
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    STRICT = "--strict" in flags
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     only = args[1].split(",") if len(args) > 1 else None
-    failures = run_all(sf, only)
+    failures = run_all(sf, only, plain="--plain" in flags)
     sys.exit(1 if failures else 0)
