@@ -3420,6 +3420,18 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, iters=5).select("cluster_id", "n_members")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py:semantic_dedup): k-means-bucketed
+    semantic near-dup pruning — pairs compared only within a cluster
+    (equijoin, never all-pairs), lowest-id member of each near-dup chain
+    kept. Oracle: _sql_semantic_dedup() — the shared unrolled-Lloyd prefix
+    plus a within-cluster list_dot_product pair join; discrete outputs."""
+    from etdtransform_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=5, threshold=0.4)
+
+
 def q_validate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based twin of the reference's per-household loop
     validate_household_column (impute.py:262-326, unused there): one
@@ -6341,14 +6353,15 @@ FROM docw JOIN wtok USING (w) GROUP BY doc_id""")
     return "".join(parts)
 
 
-def _sql_kmeans() -> str:
-    """DuckDB replica of operators/similarity.py:kmeans(k=8, iters=5) with
-    the 5 Lloyd iterations unrolled over exploded (vec_id, dim, x) rows:
-    init = the 8 lowest vec_ids (cluster_id = rank-1), assignment = argmin
-    of squared L2 with lowest-cluster tie-break (row_number over (d2,
-    cluster_id) == array_position-of-min), empty clusters keep their
-    previous centroid (LEFT JOIN + coalesce).  Output is integer cluster
-    sizes only — centroid floats never leave the query."""
+def _sql_kmeans_prefix() -> str:
+    """Shared DuckDB replica of the Lloyd loop in
+    operators/similarity.py:_kmeans_fit/_kmeans_assign (k=8, iters=5),
+    unrolled over exploded (vec_id, dim, x) rows: init = the 8 lowest
+    vec_ids (cluster_id = rank-1), assignment = argmin of squared L2 with
+    lowest-cluster tie-break (row_number over (d2, cluster_id) ==
+    array_position-of-min), empty clusters keep their previous centroid
+    (LEFT JOIN + coalesce).  Ends with CTE ``a6`` = the final
+    (vec_id, cluster_id) assignment."""
     iters = 5
     parts = ["""
 WITH emb AS (
@@ -6381,10 +6394,36 @@ WITH emb AS (
     FROM a{i} a JOIN ed USING (vec_id) GROUP BY 1, 2) n
   USING (cluster_id, dim)
 )""")
-    parts.append(
-        f"\nSELECT cluster_id, count(*) AS n_members FROM a{iters + 1} GROUP BY 1"
-    )
     return "".join(parts)
+
+
+def _sql_kmeans() -> str:
+    """kmeans_centroids oracle: integer cluster sizes from the shared
+    unrolled-Lloyd prefix — centroid floats never leave the query."""
+    return _sql_kmeans_prefix() + (
+        "\nSELECT cluster_id, count(*) AS n_members FROM a6 GROUP BY 1"
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    """semantic_dedup oracle: within-cluster cosine pairs on the final
+    assignment (list_dot_product ≡ the Spark zip_with fold's accumulation
+    order), drop ids that have a >=-threshold neighbor with a lower id in
+    their cluster.  Output is (vec_id, cluster_id, keep) — float-free."""
+    cos = (
+        "list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return _sql_kmeans_prefix() + f""", pr AS MATERIALIZED (
+  SELECT DISTINCT y.vec_id AS id_b
+  FROM a6 x JOIN a6 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  JOIN emb ea ON ea.vec_id = x.vec_id
+  JOIN emb eb ON eb.vec_id = y.vec_id
+  WHERE floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+)
+SELECT a.vec_id, a.cluster_id, pr.id_b IS NULL AS keep
+FROM a6 a LEFT JOIN pr ON pr.id_b = a.vec_id"""
 
 
 def q_customer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6703,6 +6742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_linear_fill": q_impute_linear_fill,
         "bpe_token_counts": q_bpe_token_counts,
         "kmeans_centroids": q_kmeans_centroids,
+        "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -7069,4 +7109,5 @@ def oracle_sql() -> dict[str, str]:
         # fully-unrolled SQL replicas (integer-only outputs).
         "bpe_token_counts": _sql_bpe(),
         "kmeans_centroids": _sql_kmeans(),
+        "semantic_dedup": _sql_semantic_dedup(),
     }

@@ -389,54 +389,76 @@ def kmeans(
     Returns (cluster_id, centroid array<double>, n_members, inertia) for
     the final assignment.
     """
-    spark = corpus.sparkSession
-    v = F.col(vec_col)
-    # persist: every iteration re-scans the vectors (assignment + the final
-    # pass); without this the parquet scan + float->double cast reruns
-    # iters+1 times.
-    base = corpus.select(
+    base = _kmeans_base(corpus, id_col, vec_col).persist()
+    cent = _kmeans_fit(base, k, iters)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent]
+    )
+    out = (
+        _kmeans_assign(base, cent)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            qround(F.sum("d2"), 4).alias("inertia"),
+        )
+        # fitted model attached from the driver-side literal (k x d doubles)
+        .withColumn("centroid", F.element_at(cent_lit, F.col("cluster_id") + 1))
+        # materialize before releasing the cached vectors: the returned
+        # plan must not depend on the unpersisted cache
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out
+
+
+def _kmeans_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return corpus.select(
         F.col(id_col).alias("_vid"),
-        F.transform(v, lambda x: x.cast("double")).alias("_v"),
-    ).persist()
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+
+
+def _kmeans_assign(base: DataFrame, cent_rows) -> DataFrame:
+    """Nearest-centroid assignment against a LITERAL centroid model: the
+    model is k x d doubles — small enough to inline as an array-of-arrays
+    literal, so assignment is a pure projection in whole-stage codegen:
+    per row, distance to each centroid (zip_with fold) and argmin via
+    array_position of the min (first occurrence = lowest cluster id, the
+    same tie-break as min(struct(d2, cluster_id))). No per-iteration
+    groupBy-by-row-id, no join-back shuffle."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent_rows]
+    )
+    d2s = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return base.select("_vid", "_v", d2s.alias("_d2s")).select(
+        "_vid",
+        "_v",
+        (F.array_position(F.col("_d2s"), F.array_min(F.col("_d2s"))) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.array_min(F.col("_d2s")).alias("d2"),
+    )
+
+
+def _kmeans_fit(base: DataFrame, k: int, iters: int):
+    """Lloyd iterations over a (persisted) ``_kmeans_base`` frame; returns
+    the fitted [(cluster_id, centroid)] model. Init is the k lowest-id
+    vectors; only the k x d centroid table returns to the driver between
+    iterations (the MLlib model-sync pattern)."""
     cent = [
         (int(i), [float(x) for x in r["_v"]])
         for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
     ]
-
-    def assign(cent_rows):
-        # The model is k x d doubles — small enough to inline as a LITERAL
-        # array-of-arrays, so assignment is a pure projection in whole-stage
-        # codegen: per row, distance to each centroid (zip_with fold) and
-        # argmin via array_position of the min (first occurrence = lowest
-        # cluster id, the same tie-break as min(struct(d2, cluster_id))).
-        # No per-iteration groupBy-by-row-id, no join-back shuffle.
-        cent_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent_rows]
-        )
-        d2s = F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return base.select(
-            "_vid",
-            "_v",
-            d2s.alias("_d2s"),
-        ).select(
-            "_vid",
-            "_v",
-            (F.array_position(F.col("_d2s"), F.array_min(F.col("_d2s"))) - 1)
-            .cast("int")
-            .alias("cluster_id"),
-            F.array_min(F.col("_d2s")).alias("d2"),
-        )
-
     for _ in range(iters):
         new = (
-            assign(cent)
+            _kmeans_assign(base, cent)
             .select("cluster_id", F.posexplode("_v").alias("dim", "x"))
             .groupBy("cluster_id", "dim")
             .agg(F.avg("x").alias("m"))
@@ -452,21 +474,71 @@ def kmeans(
         # empty clusters keep their previous centroid
         updated = {int(r["cluster_id"]): [float(x) for x in r["_c"]] for r in new}
         cent = [(cid, updated.get(cid, old)) for cid, old in cent]
+    return cent
 
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent]
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning —
+    cluster the embedding corpus with k-means, then compare pairs ONLY
+    within a cluster and drop every document that has a sufficiently
+    similar (cosine >= ``threshold``) neighbor with a lower id in its
+    cluster. The kept set is deterministic: per near-dup chain the
+    lowest-id member survives (documented variant of the paper's
+    keep-one-per-epsilon-ball; the paper keeps a random or
+    farthest-from-centroid member).
+
+    The 100 TB story IS the clustering: an all-pairs cosine join is
+    O(n²), but the cluster-key equijoin bounds candidates to Σ|cluster|²
+    — with k scaled so clusters stay ~constant-sized, that's O(n²/k),
+    the SemDeDup design point. Assignment is a literal-model projection
+    (no shuffle); the pair join shuffles on cluster_id; AQE's skew-join
+    splits a degenerate hot cluster.
+
+    Returns (``id_col``, cluster_id, keep) — discrete columns only, so
+    the oracle compare is float-free.
+    """
+    base = _kmeans_base(corpus, id_col, vec_col).persist()
+    cent = _kmeans_fit(base, k, iters)
+    assigned = _kmeans_assign(base, cent).select(
+        "_vid", "_v", "cluster_id"
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("_vid").alias("id_a"),
+        F.col("_v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("_vid").alias("id_b"),
+        F.col("_v").alias("vb"),
+    )
+    # within-cluster pairs only: cluster-key equijoin, never a cross join
+    dup_b = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            qround(cosine_expr(F.col("va"), F.col("vb")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("id_b").alias("_dup"))
+        .distinct()
     )
     out = (
-        assign(cent)
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            qround(F.sum("d2"), 4).alias("inertia"),
+        assigned.join(
+            dup_b, assigned["_vid"] == dup_b["_dup"], "left"
         )
-        # fitted model attached from the driver-side literal (k x d doubles)
-        .withColumn("centroid", F.element_at(cent_lit, F.col("cluster_id") + 1))
-        # materialize before releasing the cached vectors: the returned
-        # plan must not depend on the unpersisted cache
+        .select(
+            F.col("_vid").alias(id_col),
+            "cluster_id",
+            F.col("_dup").isNull().alias("keep"),
+        )
         .localCheckpoint(eager=True)
     )
     base.unpersist()

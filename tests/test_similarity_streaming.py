@@ -337,3 +337,33 @@ def test_streaming_leaderboard_snapshot(spark, tmp_path):
              for r in spark.read.parquet(out).collect()}
     # top-3: x(5), then y and z tied at 3 -> y before z; w excluded
     assert board == {"x": (5, 1), "y": (3, 2), "z": (3, 3)}
+
+
+def test_semantic_dedup_keeps_lowest_id_per_chain(spark):
+    """Planted near-dup group: vectors 1/2/3 nearly identical, 10/11
+    nearly identical but very different direction, 20 unique. Lowest id
+    of each chain survives; unique vectors always keep."""
+    from etdtransform_spark.operators.similarity import semantic_dedup
+
+    def vec(base, eps, dim=8):
+        v = [0.0] * dim
+        v[base] = 1.0
+        v[(base + 1) % dim] = eps
+        return v
+
+    # ids chosen so the k=3 lowest-id init seeds span three DISTINCT
+    # directions (seeding k centroids inside one near-dup chain would
+    # split the chain across clusters — inherent SemDeDup recall loss)
+    rows = [
+        (1, vec(0, 0.00)), (5, vec(0, 0.01)), (6, vec(0, 0.02)),
+        (2, vec(4, 0.00)), (7, vec(4, 0.01)),
+        (3, vec(7, 0.0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, k=3, iters=3, threshold=0.95).collect()}
+    assert {i for i, r in out.items() if r.keep} == {1, 2, 3}
+    # near-dups landed in the same cluster as their survivor
+    assert out[5].cluster_id == out[1].cluster_id
+    assert out[6].cluster_id == out[1].cluster_id
+    assert out[7].cluster_id == out[2].cluster_id
