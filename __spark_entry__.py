@@ -6787,9 +6787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmin_join": q_argmin_join,
         "revenue_share": q_revenue_share,
         "above_avg_customers": q_above_avg_customers,
+        # --- beyond the 50-query window (semantic_dedup's insertion moved
+        # the boundary here): queued for round-3+ rotation; all guarded by
+        # tests/oracle_harness.py --strict locally ---
         "dim_grid": q_dim_grid,
-        # --- beyond the 50-query window: queued for round-3+ rotation;
-        # all guarded by tests/oracle_harness.py --strict locally ---
         "union_evolved": q_union_evolved,
         "rolling_time_window": q_rolling_time_window,
         "impute_date_stats": q_impute_date_stats,
