@@ -215,7 +215,15 @@ def vocab_growth(
     )
     return out.withColumn(
         "type_token_ratio",
-        qround(F.col("vocab_size") / F.col("cum_tokens"), round_digits),
+        # a leading run of empty documents has cum_tokens = 0: NULL ratio
+        # (undefined), not an ANSI DIVIDE_BY_ZERO abort
+        qround(
+            F.when(
+                F.col("cum_tokens") > 0,
+                F.col("vocab_size") / F.col("cum_tokens"),
+            ),
+            round_digits,
+        ),
     )
 
 

@@ -243,8 +243,11 @@ def seasonal_residuals(
     joined = seasoned.join(F.broadcast(stats), [*keys, season_name])
     n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
     baseline = sx / n
+    # n=1 cells have no sample sd: NULL z (row never flagged), not an
+    # ANSI DIVIDE_BY_ZERO abort
     z = qround(
-        (x - baseline) / F.sqrt((sxx - sx * sx / n) / (n - 1)), digits
+        F.when(n > 1, (x - baseline) / F.sqrt((sxx - sx * sx / n) / (n - 1))),
+        digits,
     )
     return (
         joined.withColumn("baseline", qround(baseline, digits))
@@ -309,8 +312,11 @@ def zscore_outliers(
     )
     joined = df.join(F.broadcast(stats), list(keys))
     n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    # n=1 groups have no sample sd: NULL z (row never flagged), not an
+    # ANSI DIVIDE_BY_ZERO abort
     z = qround(
-        (x - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1)), digits
+        F.when(n > 1, (x - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))),
+        digits,
     )
     return (
         joined.withColumn("z", z)

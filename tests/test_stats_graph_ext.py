@@ -265,3 +265,31 @@ def test_gini_extremes_and_known_value(spark):
     assert out["conc"].gini == 0.75
     assert out["known"].gini == 0.25
     assert out["neg"].n == 1 and out["neg"].gini == 0.0
+
+
+def test_zscore_and_seasonal_single_row_groups_not_crashed(spark):
+    """n=1 groups/cells have no sample sd: rows get NULL z (never flagged)
+    instead of aborting with ANSI DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.operators.stats import (
+        seasonal_residuals,
+        zscore_outliers,
+    )
+
+    rows = [("g", float(v)) for v in [1, 2, 3, 100]] + [("lone", 42.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = zscore_outliers(df, "v", ["k"], threshold=1.0).collect()
+    assert all(r.k == "g" for r in out)  # the lone group never flags
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 6, 0)  # midnight
+    srows = [("g", t0 + dt.timedelta(days=i), float(v))
+             for i, v in enumerate([1, 2, 3, 100])]
+    srows.append(("g", t0 + dt.timedelta(hours=5), 7.0))  # only 05:00 row
+    sdf = spark.createDataFrame(srows, ["k", "ts", "v"])
+    sout = seasonal_residuals(
+        sdf, "v", ["k"], season=F.hour("ts"), threshold=1.0
+    ).collect()
+    assert all(r.ts.hour == 0 for r in sout)  # singleton 05:00 cell silent
