@@ -302,7 +302,11 @@ def quantize_embeddings(
         scaled = (x.cast("double") - mn) / (mx - mn) * F.lit(m) + F.lit(0.5)
         fl = scaled - (scaled % F.lit(1.0))  # exact double floor (x >= 0)
         return (
-            F.when(mx == mn, F.lit(0.0)).otherwise(F.least(F.lit(m), fl))
+            # NULL elements stay NULL — least() skips NULLs, so without
+            # the guard a NULL dimension would fabricate the top code
+            F.when(x.isNull(), F.lit(None))
+            .when(mx == mn, F.lit(0.0))
+            .otherwise(F.least(F.lit(m), fl))
         ).cast("bigint")
 
     codes = F.zip_with(

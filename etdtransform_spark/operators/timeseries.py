@@ -324,16 +324,26 @@ def degree_days(
     daily = df.groupBy(*keys, day).agg(
         (F.sum(t) / F.count(t)).alias("_tavg")
     )
+    # a day whose temperatures are all NULL has NULL mean — its degree
+    # days must be NULL too (greatest() skips NULLs, so unguarded clamps
+    # would fabricate 0.0 "no demand" for a day with no readings)
+    have = F.col("_tavg").isNotNull()
     return daily.select(
         *keys,
         "day",
         qround(F.col("_tavg"), digits).alias("t_mean"),
         qround(
-            F.greatest(F.lit(base_heating) - F.col("_tavg"), F.lit(0.0)),
+            F.when(
+                have,
+                F.greatest(F.lit(base_heating) - F.col("_tavg"), F.lit(0.0)),
+            ),
             digits,
         ).alias("hdd"),
         qround(
-            F.greatest(F.col("_tavg") - F.lit(base_cooling), F.lit(0.0)),
+            F.when(
+                have,
+                F.greatest(F.col("_tavg") - F.lit(base_cooling), F.lit(0.0)),
+            ),
             digits,
         ).alias("cdd"),
     )

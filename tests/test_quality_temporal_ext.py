@@ -483,3 +483,34 @@ def test_weather_normalize_removes_covariate(spark):
     out = {r.g: r for r in weather_normalize(df, "x", "y", ["g"], 10.0).collect()}
     assert out["g1"].slope == -2.0 and out["g2"].slope == -2.0
     assert out["g1"].y_at_ref == 80.0 and out["g2"].y_at_ref == 100.0
+
+
+def test_degree_days_all_null_day_yields_null_not_zero(spark):
+    """A day with no readings (all-NULL temps) must report NULL hdd/cdd —
+    greatest() skips NULLs, so unguarded clamps fabricated 0.0."""
+    import datetime as dt
+
+    from etdtransform_spark.operators.timeseries import degree_days
+
+    t0 = dt.datetime(2024, 1, 1, 6)
+    rows = [("k", t0, 5.0), ("k", t0 + dt.timedelta(hours=2), 7.0),
+            ("k", t0 + dt.timedelta(days=1), None)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, temp double")
+    out = {r.day.isoformat(): r
+           for r in degree_days(df, "ts", "temp", keys=["k"]).collect()}
+    assert out["2024-01-01"].hdd is not None
+    assert out["2024-01-02"].t_mean is None
+    assert out["2024-01-02"].hdd is None and out["2024-01-02"].cdd is None
+
+
+def test_quantize_null_element_stays_null(spark):
+    """A NULL embedding dimension must quantize to NULL, not the top code
+    (least() skips NULLs)."""
+    from etdtransform_spark.operators.similarity import quantize_embeddings
+
+    rows = [(1, [0.0, 1.0]), (2, [1.0, None]), (3, [0.5, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.codes
+           for r in quantize_embeddings(df, n_dims=2).collect()}
+    assert out[2][1] is None
+    assert out[2][0] == 255
