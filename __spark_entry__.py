@@ -6072,10 +6072,17 @@ WITH p AS (
                           ORDER BY ts, event_id) AS y
   FROM {_EV}
 ), c AS (
-  SELECT event_type, count(*)::DOUBLE AS n,
-         sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
-  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1)
+  -- FILTER (not WHERE): a key whose every pair is incomplete must still
+  -- emit an n_pairs=0 row, matching the operator's conditional aggregate
+  -- (latent divergence flagged in round-1 advice; fixture is null-free)
+  SELECT event_type,
+         count(*) FILTER (x IS NOT NULL AND y IS NOT NULL)::DOUBLE AS n,
+         sum(x)     FILTER (x IS NOT NULL AND y IS NOT NULL) AS sx,
+         sum(y)     FILTER (x IS NOT NULL AND y IS NOT NULL) AS sy,
+         sum(x * x) FILTER (x IS NOT NULL AND y IS NOT NULL) AS sxx,
+         sum(y * y) FILTER (x IS NOT NULL AND y IS NOT NULL) AS syy,
+         sum(x * y) FILTER (x IS NOT NULL AND y IS NOT NULL) AS sxy
+  FROM p GROUP BY 1)
 SELECT event_type, n::BIGINT AS n_pairs,
        {qround_sql(
            'CASE WHEN n > 1 AND sxx - sx * sx / n > 0'
