@@ -510,25 +510,35 @@ def semantic_dedup(
     """
     base = _kmeans_base(corpus, id_col, vec_col).persist()
     cent = _kmeans_fit(base, k, iters)
+    # norms precomputed ONCE per vector (the pair join would otherwise
+    # re-fold both norms for every candidate — 3x the per-pair work);
+    # dot/(na*nb) is the identical op sequence to the oracle's
+    # list_dot_product / (sqrt(dp_aa) * sqrt(dp_bb))
     assigned = _kmeans_assign(base, cent).select(
-        "_vid", "_v", "cluster_id"
+        "_vid", "_v", "cluster_id", norm_expr(F.col("_v")).alias("_nrm")
     )
     a = assigned.select(
         F.col("cluster_id"),
         F.col("_vid").alias("id_a"),
         F.col("_v").alias("va"),
+        F.col("_nrm").alias("na"),
     )
     b = assigned.select(
         F.col("cluster_id"),
         F.col("_vid").alias("id_b"),
         F.col("_v").alias("vb"),
+        F.col("_nrm").alias("nb"),
     )
     # within-cluster pairs only: cluster-key equijoin, never a cross join
     dup_b = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            qround(cosine_expr(F.col("va"), F.col("vb")), 6)
+            qround(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
             >= F.lit(float(threshold))
         )
         .select(F.col("id_b").alias("_dup"))
