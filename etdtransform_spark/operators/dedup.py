@@ -500,14 +500,21 @@ def embedding_near_duplicates(
         base = base.filter(F.col("id") < id_filter_max)
 
     if strategy == "expr":
-        from .similarity import cosine_expr
+        from .similarity import dot_expr, norm_expr
 
-        a, b = base.alias("a"), base.alias("b")
+        # norms folded once per vector, not per pair (same op sequence as
+        # cosine_expr — oracle values bit-equal)
+        based = base.withColumn("_n", norm_expr(F.col("v")))
+        a, b = based.alias("a"), based.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
         sim = pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            qround(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            qround(
+                dot_expr(F.col("a.v"), F.col("b.v"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            ).alias("cosine"),
         )
         return sim.filter(F.col("cosine") >= threshold)
 

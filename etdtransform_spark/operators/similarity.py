@@ -49,15 +49,29 @@ def cosine_topk(
     6 decimals, ties broken by neighbor id, so results are deterministic and
     engine-portable.
     """
+    # norms are computed ONCE per vector (not re-folded per pair: that
+    # would triple the per-pair work); dot/(qn*cn) runs the identical op
+    # sequence as cosine_expr, so oracle values are bit-equal
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
+    )
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        qround(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        qround(
+            dot_expr(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -112,14 +126,26 @@ def ivf_topk(
     cent = F.broadcast(
         corpus.orderBy(id_col)
         .limit(nlist)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            norm_expr(F.col(vec_col)).alias("_ctn"),
+        )
     )
     # index build: nearest centroid per corpus vector (rounded cosine +
     # centroid-id tiebreak => engine-portable determinism). max_by instead of
     # a row_number window: hash aggregation with map-side partials — no sort,
-    # and at 100 TB the corpus never needs to be range-shuffled.
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    acos = qround(cosine_expr(F.col("cv"), F.col("cvec")), 6)
+    # and at 100 TB the corpus never needs to be range-shuffled. Norms are
+    # folded once per vector, never per pair (identical op sequence to
+    # cosine_expr — oracle values bit-equal).
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
+    )
+    acos = qround(
+        dot_expr(F.col("cv"), F.col("cvec")) / (F.col("_cn") * F.col("_ctn")), 6
+    )
     assign_order = F.struct(
         acos.alias("s"), (-F.col("centroid_id")).alias("tb")
     )
@@ -129,11 +155,16 @@ def ivf_topk(
         .agg(
             F.max_by(F.col("centroid_id"), assign_order).alias("list_id"),
             F.first("cv").alias("cv"),
+            F.first("_cn").alias("_cn"),
         )
-        .select("neighbor_id", "cv", "list_id")
+        .select("neighbor_id", "cv", "_cn", "list_id")
     )
     # search: probe nprobe nearest centroids per query
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
+    )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("centroid_id").asc()
     )
@@ -142,12 +173,17 @@ def ivf_topk(
         .select(
             "query_id",
             "qv",
+            "_qn",
             "centroid_id",
-            qround(cosine_expr(F.col("qv"), F.col("cvec")), 6).alias("pcos"),
+            qround(
+                dot_expr(F.col("qv"), F.col("cvec"))
+                / (F.col("_qn") * F.col("_ctn")),
+                6,
+            ).alias("pcos"),
         )
         .withColumn("_rn", F.row_number().over(probe_w))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
+        .select("query_id", "qv", "_qn", F.col("centroid_id").alias("list_id"))
     )
     scored = (
         probes.join(lists, "list_id")
@@ -155,7 +191,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            qround(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            qround(
+                dot_expr(F.col("qv"), F.col("cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -179,18 +219,23 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
         sign_prefix_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
         sign_prefix_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
     )
     pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        qround(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        qround(
+            dot_expr(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -348,16 +393,22 @@ def adc_topk(
         lambda t: t["1"] + t["codes"] * (t["2"] - t["1"]) / F.lit(m),
     )
     corpus = codes.crossJoin(F.broadcast(stats_df)).select(
-        F.col(codes_id).alias("corpus_id"), deq.alias("_vhat")
-    )
+        F.col(codes_id).alias("corpus_id"),
+        deq.alias("_vhat"),
+    ).withColumn("_vn", norm_expr(F.col("_vhat")))
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_q")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_q"),
+        norm_expr(F.col(query_vec)).alias("_qn"),
     )
     pairs = q.crossJoin(corpus).filter(F.col("query_id") != F.col("corpus_id"))
     scored = pairs.select(
         "query_id",
         "corpus_id",
-        cosine_expr(F.col("_q"), F.col("_vhat")).alias("cos_adc"),
+        (
+            dot_expr(F.col("_q"), F.col("_vhat"))
+            / (F.col("_qn") * F.col("_vn"))
+        ).alias("cos_adc"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_adc").desc(), F.col("corpus_id").asc()
@@ -769,10 +820,20 @@ def ivfpq_topk(
     cent = F.broadcast(
         corpus.orderBy(id_col)
         .limit(nlist)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            norm_expr(F.col(vec_col)).alias("_ctn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("did"), F.col(vec_col).alias("cv"))
-    acos = qround(cosine_expr(F.col("cv"), F.col("cvec")), 6)
+    c = corpus.select(
+        F.col(id_col).alias("did"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
+    )
+    acos = qround(
+        dot_expr(F.col("cv"), F.col("cvec")) / (F.col("_cn") * F.col("_ctn")), 6
+    )
     lists = (
         c.crossJoin(cent)
         .groupBy("did")
@@ -793,9 +854,9 @@ def ivfpq_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_q"),
-    )
+    ).withColumn("_qn", norm_expr(F.col("_q")))
     pcos = qround(
-        cosine_expr(F.col("_q"), F.col("cvec")), 6
+        dot_expr(F.col("_q"), F.col("cvec")) / (F.col("_qn") * F.col("_ctn")), 6
     )
     wp = Window.partitionBy("qid").orderBy(
         F.col("_p").desc(), F.col("centroid_id").asc()
