@@ -6730,6 +6730,61 @@ GROUP BY doc_id
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-level n-gram novelty score
+    (operators/corpus.py:ngram_novelty): distinct-shingle explode →
+    document-frequency aggregate → join-back aggregate; no pair join."""
+    from etdtransform_spark.operators.corpus import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3, min_df=2)
+
+
+_SQL_NGRAM_NOVELTY = f"""
+WITH sh AS (SELECT doc_id, {word_shingles_sql("text", 3)} AS shingles
+            FROM documents),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM e GROUP BY 1)
+SELECT doc_id, count(*) AS n_shingles,
+       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       {qround_sql(
+           '1.0 - sum(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END)'
+           ' / count(*)::DOUBLE', 6)} AS novelty
+FROM e JOIN dfreq USING (s)
+GROUP BY doc_id
+"""
+
+
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair exact-duplication matrix
+    (operators/dedup.py:cross_source_duplication): per-(text-hash, source)
+    counts self-joined per hash; pair tallies are count products, document
+    pairs are never materialized."""
+    from etdtransform_spark.operators.dedup import cross_source_duplication
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_duplication(docs)
+
+
+_SQL_CROSS_SOURCE_DUP = r"""
+WITH per AS (
+  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k,
+         source, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source THEN a.c * (a.c - 1) / 2
+              ELSE a.c * b.c END AS np
+  FROM per a JOIN per b ON a.k = b.k AND a.source <= b.source
+)
+SELECT source_a, source_b,
+       sum(CASE WHEN np > 0 THEN 1 ELSE 0 END)::BIGINT AS n_texts,
+       sum(np)::BIGINT AS n_dup_pairs
+FROM p GROUP BY 1, 2
+HAVING sum(np) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6882,6 +6937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "gini_sources": q_gini_sources,
         "bigram_logprob": q_bigram_logprob,
+        "ngram_novelty": q_ngram_novelty,
+        "cross_source_dup": q_cross_source_dup,
         "scan_filter_project": q_scan_filter_project,
         "multi_join_revenue": q_multi_join_revenue,
         "semi_join": q_semi_join,
@@ -7113,6 +7170,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": _SQL_ROLLING_ACTIVE,
         "gini_sources": _SQL_GINI,
         "bigram_logprob": _SQL_BIGRAM_LP,
+        "ngram_novelty": _SQL_NGRAM_NOVELTY,
+        "cross_source_dup": _SQL_CROSS_SOURCE_DUP,
         # round 2: the two formerly oracle-less iterative queries now have
         # fully-unrolled SQL replicas (integer-only outputs).
         "bpe_token_counts": _sql_bpe(),

@@ -362,6 +362,68 @@ def repetition_ratio(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word ``n``-grams that appear in fewer than ``min_df`` documents
+    corpus-wide. Low novelty marks templated/boilerplate-heavy documents
+    whose content is mostly shared with the rest of the corpus — the
+    corpus-level complement of :func:`repetition_ratio` (which is
+    within-document) and the soft-scoring sibling of exact/MinHash dedup:
+    instead of dropping near-duplicates it scores HOW derivative every
+    document is, which is what a mixture-weighting stage consumes.
+
+    Shape: per-doc distinct-shingle explode → document-frequency aggregate
+    keyed on the shingle hash → join back → per-doc aggregate. Both
+    shuffles key on the shingle hash / doc id; a boilerplate shingle shared
+    by k documents contributes k rows to an AGGREGATE (never a pair join),
+    so there is no quadratic term anywhere — this survives hot shingles
+    that would blow up any candidate-pair approach. Returns
+    (doc_id, n_shingles, n_shared, novelty) with novelty rounded to
+    ``digits`` for cross-engine hash parity.
+    """
+    from ..functions.hashing import word_shingles
+    from ..functions.scalars import qround
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("h"),
+    )
+    # word_shingles is already distinct per document, so count(*) per hash
+    # IS the document frequency.
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= F.lit(min_df), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_shared"),
+            qround(
+                F.lit(1.0)
+                - F.sum(
+                    F.when(F.col("df") >= F.lit(min_df), F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.count(F.lit(1)).cast("double"),
+                digits,
+            ).alias("novelty"),
+        )
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     ratios: Sequence[float] = (0.8, 0.1, 0.1),

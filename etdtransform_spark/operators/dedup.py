@@ -686,6 +686,60 @@ def resolve_duplicates(
     )
 
 
+def cross_source_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    normalize: bool = True,
+) -> DataFrame:
+    """Source-pair duplication matrix: for every (source_a ≤ source_b) pair,
+    how many exact-duplicate DOCUMENT pairs span them. This is the
+    provenance view of exact dedup — at corpus-curation time it answers
+    "which sources are re-crawls / mirrors of each other" and "how much of
+    source X is already inside source Y", which drives mixture weights and
+    crawl-pruning decisions.
+
+    Shape: normalized-text hash → per-(hash, source) COUNT aggregate →
+    per-hash self-join on the count table → source-pair aggregate of count
+    PRODUCTS (``ca*cb`` across sources, ``c*(c-1)/2`` within). Document
+    pairs are never materialized: a text duplicated k times contributes one
+    count row per holding source and the pair tally is arithmetic on
+    counts, so a million-copy boilerplate text costs O(sources²) join rows,
+    not O(k²). Returns (source_a, source_b, n_texts, n_dup_pairs).
+    """
+    df = widen(df)
+    key = F.col(text_col)
+    if normalize:
+        key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
+    per = (
+        df.select(F.xxhash64(key).alias("k"), F.col(source_col))
+        .groupBy("k", source_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per.select(
+        F.col("k"), F.col(source_col).alias("source_a"), F.col("c").alias("ca")
+    )
+    b = per.select(
+        F.col("k"), F.col(source_col).alias("source_b"), F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "k").filter(F.col("source_a") <= F.col("source_b"))
+    n_pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("ca") * (F.col("ca") - F.lit(1))) / F.lit(2),
+    ).otherwise(F.col("ca") * F.col("cb"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.when(n_pairs > 0, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_texts"
+            ),
+            F.sum(n_pairs).cast("bigint").alias("n_dup_pairs"),
+        )
+        .filter(F.col("n_dup_pairs") > 0)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
