@@ -6785,6 +6785,29 @@ HAVING sum(np) > 0
 """
 
 
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap
+    (operators/corpus.py:per_source_cap): hash-rank row_number filter,
+    compiled to a partial-then-final WindowGroupLimit."""
+    from etdtransform_spark.operators.corpus import per_source_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return per_source_cap(docs, max_docs=40).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+_SQL_PER_SOURCE_CAP = f"""
+SELECT doc_id, source,
+       row_number() OVER (
+         PARTITION BY source
+         ORDER BY {portable_hash64_sql('doc_id::VARCHAR', 'cap')}, doc_id
+       )::INT AS sample_rank
+FROM documents
+QUALIFY sample_rank <= 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6939,6 +6962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "ngram_novelty": q_ngram_novelty,
         "cross_source_dup": q_cross_source_dup,
+        "per_source_cap": q_per_source_cap,
         "scan_filter_project": q_scan_filter_project,
         "multi_join_revenue": q_multi_join_revenue,
         "semi_join": q_semi_join,
@@ -7172,6 +7196,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _SQL_BIGRAM_LP,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "cross_source_dup": _SQL_CROSS_SOURCE_DUP,
+        "per_source_cap": _SQL_PER_SOURCE_CAP,
         # round 2: the two formerly oracle-less iterative queries now have
         # fully-unrolled SQL replicas (integer-only outputs).
         "bpe_token_counts": _sql_bpe(),

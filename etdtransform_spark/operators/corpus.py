@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import word_shingles
+from ..functions.hashing import portable_hash64, word_shingles
 from ..sources.parquet import widen
 
 
@@ -421,6 +421,36 @@ def ngram_novelty(
                 digits,
             ).alias("novelty"),
         )
+    )
+
+
+def per_source_cap(
+    df: DataFrame,
+    max_docs: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """Cap each source at ``max_docs`` documents, selected by a deterministic
+    per-document hash rank — the crawl-curation guard that stops a dominant
+    domain/source from swamping the mixture. Hash-rank selection (not "first
+    N encountered") makes the kept subset reproducible, order-independent,
+    and an unbiased sample of the source; ``fast=True`` switches the md5
+    portable hash to xxhash64 for production.
+
+    Scale: the rank filter compiles to Spark's WindowGroupLimit with a
+    PARTIAL pass (plan-asserted in tests), so every map task prunes its own
+    partition down to ``max_docs`` rows per source BEFORE the shuffle — a
+    billion-document hot source moves only ``tasks × max_docs`` rows, not
+    its full volume, and the final per-source pass sees a bounded stream.
+    Returns the surviving rows with their ``sample_rank`` (1-based).
+    """
+    h = portable_hash64(F.col(id_col).cast("string"), seed="cap", fast=fast)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        widen(df)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.lit(max_docs))
     )
 
 

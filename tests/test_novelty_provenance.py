@@ -55,6 +55,29 @@ def test_ngram_novelty_hot_shingle_is_aggregate_not_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_per_source_cap_deterministic_and_partial_limit(spark):
+    from etdtransform_spark.operators.corpus import per_source_cap
+
+    rows = [(i, "doc %d" % i, "s%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = per_source_cap(df, max_docs=10)
+    got = out.collect()
+    # exactly 10 per source, ranks 1..10, and a re-run picks the same docs
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for v in by_src.values():
+        assert sorted(r for r, _ in v) == list(range(1, 11))
+    again = {(r.source, r.doc_id) for r in per_source_cap(df, max_docs=10).collect()}
+    assert again == {(r.source, r.doc_id) for r in got}
+    # the rank filter must compile to the partial+final WindowGroupLimit so
+    # a hot source is pruned map-side before the shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
 def test_cross_source_duplication_counts(spark):
     # text "t1": 2 copies in s1, 1 in s2 -> within-s1 pair = 1, s1xs2 = 2.
     # text "t2": only s2, 3 copies -> within-s2 pairs = 3.
