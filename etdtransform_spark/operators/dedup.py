@@ -115,8 +115,12 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     exploded = shingled.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
-    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-    ranked = exploded.join(freq, "shingle")
+    # document frequency as a COUNT window keyed on the shingle (one
+    # shuffle) instead of a groupBy + join-back (two); a hot shingle still
+    # only feeds a windowed count, never a pair join
+    ranked = exploded.withColumn(
+        "_f", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     # total global order (rarest first; value breaks frequency ties) — both
     # documents of a pair rank their shingles identically.
     pos = F.row_number().over(
@@ -849,8 +853,12 @@ def containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     from pyspark.sql import Window
 
     e = sh.select("id", "nsh", F.explode("hs").alias("h"))
-    freq = e.groupBy("h").agg(F.count(F.lit(1)).alias("_f"))
-    ranked = e.join(freq, "h")
+    # document frequency as a COUNT window on the shingle hash — one
+    # shuffle instead of groupBy + join-back (same rewrite as
+    # ngram_jaccard_pairs)
+    ranked = e.withColumn(
+        "_f", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     pos = F.row_number().over(
         Window.partitionBy("id").orderBy(F.col("_f").asc(), F.col("h").asc())
     )
