@@ -303,17 +303,20 @@ def unigram_logprob(
     onto the token explode and a per-doc mean of ``ln(tf/total)``.
 
     The corpus total enters as a broadcast scalar subquery (cross join of a
-    1-row aggregate) — never a driver-side ``collect``. At 100 TB the
-    dictionary stays ~millions of rows (Zipf), comfortably broadcastable;
-    the token explode dominates and is map-side only.
+    1-row aggregate) — never a driver-side ``collect``. At 100 TB the term
+    frequency is a COUNT window keyed on the term (the dictionary never
+    materializes and the token explode runs ONCE — the groupBy +
+    broadcast-join formulation re-exploded the corpus for the probe side);
+    the scalar total comes from a map-side size() aggregate that never
+    explodes at all.
     """
-    toks = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = tf.agg(F.sum("tf").alias("total"))
     from ..functions.scalars import qround
 
+    toks = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+    total = df.select(F.sum(F.size(_toks(text_col))).alias("total"))
+    tf = F.count(F.lit(1)).over(Window.partitionBy("term"))
     scored = (
-        toks.join(F.broadcast(tf), "term")
+        toks.select(F.col(id_col), tf.alias("tf"))
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
@@ -791,22 +794,24 @@ def bigram_logprob(
     corpus scale; the explode dominates and never shuffles text."""
     from ..functions.scalars import qround
 
-    toks = _toks(text_col)
+    # stage the token array behind a projection boundary: the shifted-zip
+    # bigram build references it five times (two slices, three sizes), and
+    # inlined each reference would re-split the text
+    staged = widen(df).select(F.col(id_col), _toks(text_col).alias("_t"))
+    toks = F.col("_t")
     bi = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     pairs = (
-        widen(df)
-        .filter(F.size(toks) >= 2)
+        staged.filter(F.size(toks) >= 2)
         .select(F.col(id_col), F.explode(bi).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uni = (
-        widen(df)
-        .select(F.explode(toks).alias("w1"))
+        staged.select(F.explode(toks).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
