@@ -909,12 +909,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=16).select(F.col("id").alias("doc_id"), "simhash")
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(bits: int = 16) -> str:
     h = portable_hash64_sql("tok", seed="simhash")
     votes = ",\n       ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
     )
-    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(16))
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(bits))
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
@@ -2094,18 +2094,21 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs within Hamming distance 3 of the 16-bit portable
+    """Near-dup pairs within Hamming distance 3 of the 32-bit portable
     SimHash. Banded candidate generation (4 bands -> pigeonhole-exact for
-    hamming <= 3); oracle does the all-pairs comparison the bands avoid."""
+    hamming <= 3); oracle does the all-pairs comparison the bands avoid.
+    32-bit/4-band means 8-bit band values: candidate volume is ~n²/2⁸ per
+    band instead of ~n²/2⁴ at 16 bits — the same reason the documented
+    production config is 64-bit/4-band."""
     from etdtransform_spark.operators.dedup import simhash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup(docs, bits=16, bands=4, max_hamming=3)
+    return simhash_near_dup(docs, bits=32, bands=4, max_hamming=3)
 
 
 def _sql_simhash_near_dup() -> str:
     return f"""
-WITH s AS ({_sql_simhash()})
+WITH s AS ({_sql_simhash(bits=32)})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
