@@ -6773,7 +6773,7 @@ _SQL_CROSS_SOURCE_DUP = r"""
 WITH per AS (
   SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k,
          source, count(*) AS c
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
 ), p AS (
   SELECT a.source AS source_a, b.source AS source_b,
          CASE WHEN a.source = b.source THEN a.c * (a.c - 1) / 2

@@ -91,8 +91,10 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
     Built from :func:`tokens` with a sequence/transform composition (pure
     Catalyst expressions; no UDF). A document shorter than ``n`` tokens yields
-    a single shingle of all its tokens, so no document silently drops out of
-    dedup.
+    a single shingle of all its tokens, so no document with content silently
+    drops out of dedup; NULL and zero-token documents yield a NULL array
+    (nothing to dedup — and the cross-engine-portable choice, see the note
+    in ``build``).
 
     The token array is LET-BOUND via a single-element-array transform: a
     Catalyst lambda variable is evaluated once per element, so the split/
@@ -107,9 +109,16 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         idx = F.sequence(
             F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
         )
-        return F.array_distinct(
+        grams = F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
         )
+        # NULL or zero-token text propagates to a NULL shingle array (the
+        # row drops at the explode) instead of fabricating a "" shingle via
+        # concat_ws — without this every NULL/empty document would
+        # exact-match every other one in the shingle joins, and diverge
+        # from the DuckDB oracle, whose array_to_string over a NULL/empty
+        # slice yields NULL (list_distinct then drops it)
+        return F.when(F.size(t) > 0, grams)
 
     return F.transform(F.array(toks), build)[0]
 
@@ -128,7 +137,11 @@ def positional_word_grams(toks: Column, n: int) -> Column:
         idx = F.sequence(
             F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
         )
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+        # same NULL/empty propagation as word_shingles
+        return F.when(
+            F.size(t) > 0,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+        )
 
     return F.transform(F.array(toks), build)[0]
 

@@ -717,7 +717,11 @@ def cross_source_duplication(
     if normalize:
         key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
     per = (
-        df.select(F.xxhash64(key).alias("k"), F.col(source_col))
+        # NULL text is excluded explicitly: Spark's xxhash64 folds NULL into
+        # the seed (a real value), which would silently count all NULL-text
+        # documents as copies of one another
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.xxhash64(key).alias("k"), F.col(source_col))
         .groupBy("k", source_col)
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -1,0 +1,116 @@
+"""NULL/empty-text semantics for the document operators.
+
+The driver fixture is null-free, so the oracle gate can never catch a
+null-handling divergence (the ADVICE round-1 pattern). These tests pin the
+declared semantics — NULL text drops out of shingle-based operators instead
+of fabricating a '' shingle via concat_ws, and never counts as an exact
+duplicate — and prove Spark/DuckDB parity end-to-end on a corpus that DOES
+contain NULL and empty documents.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etdtransform_spark.functions.hashing import word_shingles
+from etdtransform_spark.operators import corpus, dedup
+
+
+ROWS = [
+    (1, "a b c d e", "s1"),
+    (2, None, "s1"),
+    (3, "", "s2"),
+    (4, "a b c d e", "s2"),
+    (5, None, "s2"),
+    (6, "", "s1"),
+]
+SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t, "en", s) for i, t, s in ROWS], SCHEMA
+    )
+
+
+def test_word_shingles_null_propagates(spark):
+    out = _docs(spark).select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).collect()
+    got = {r.doc_id: r.sh for r in out}
+    assert got[1] == ["a b c", "b c d", "c d e"]
+    assert got[2] is None  # NULL text -> NULL array, not ['']
+    assert got[3] is None  # zero-token text -> NULL array too
+
+
+def test_shingle_joins_drop_null_docs(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark), id_col="doc_id", threshold=0.8
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # the two real duplicates pair; NULL and empty docs pair with nothing
+    assert got == {(1, 4)}
+
+
+def test_containment_drops_null_docs(spark):
+    pairs = dedup.containment_pairs(_docs(spark), threshold=0.8).collect()
+    assert all(r.id_a not in (2, 5) and r.id_b not in (2, 5) for r in pairs)
+
+
+def test_cross_source_dup_excludes_null_text(spark):
+    got = {
+        (r.source_a, r.source_b): r.n_dup_pairs
+        for r in dedup.cross_source_duplication(_docs(spark)).collect()
+    }
+    # 'a b c d e' spans s1 x s2 (1 pair); '' spans s1 x s2 (1 pair);
+    # the four NULL-text docs contribute nothing
+    assert got == {("s1", "s2"): 2}
+
+
+def test_novelty_drops_null_docs(spark):
+    out = {r.doc_id for r in corpus.ngram_novelty(_docs(spark)).collect()}
+    assert out == {1, 4}
+
+
+def test_oracle_parity_with_null_documents(spark, tmp_path):
+    """End-to-end: the ngram_jaccard and cross_source_dup contract oracles
+    agree with the Spark operators on a corpus containing NULL/empty text —
+    the exact divergence class the null-free driver fixture cannot see."""
+    import __spark_entry__ as e
+
+    pq = os.path.join(str(tmp_path), "documents.parquet")
+    _docs(spark).coalesce(1).write.mode("overwrite").parquet(str(tmp_path))
+    # duckdb reads the directory glob; spark operators read the frame
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS FROM '{tmp_path}/*.parquet'"
+    )
+
+    def canon(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            "|".join("NULL" if r[i] is None else f"{r[i]}" for i in order)
+            for r in rows
+        )
+
+    for name, build in [
+        (
+            "ngram_jaccard",
+            lambda: dedup.ngram_jaccard_pairs(
+                _docs(spark), id_col="doc_id", threshold=0.8
+            ).select("id_a", "id_b", "jaccard"),
+        ),
+        (
+            "cross_source_dup",
+            lambda: dedup.cross_source_duplication(_docs(spark)),
+        ),
+    ]:
+        sdf = build()
+        srows = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+        rel = con.sql(e.oracle_sql()[name])
+        orows = canon(rel.columns, rel.fetchall())
+        assert srows == orows, f"{name} diverged on null corpus"
