@@ -2807,7 +2807,10 @@ WITH g AS (
   SELECT doc_id,
          list_transform(
            generate_series(1, greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) - 2, 1)),
-           i -> array_to_string(list_slice(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), i, i + 2), ' ')
+           -- coalesce: a zero-token document keeps Spark's degenerate ''
+           -- whole-doc gram (array_to_string over an empty slice is NULL
+           -- in DuckDB, '' via concat_ws in Spark)
+           i -> coalesce(array_to_string(list_slice(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), i, i + 2), ' '), '')
          ) AS grams
   FROM documents
 )
@@ -3601,6 +3604,10 @@ WITH m AS (
   SELECT doc_id AS media_id, text,
          (octet_length(encode(text)) * 40)::BIGINT AS duration_ms
   FROM documents WHERE doc_id % 3 = 2
+    -- zero/NULL-duration videos have no frames — without this the range()
+    -- below fabricates a phantom frame at ts=0 that the operator
+    -- (sample_video_frames, duration_ms > 0 filter) correctly drops
+    AND octet_length(encode(text)) > 0
 ), f AS (
   SELECT media_id, text,
          unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS frame_ts_ms
@@ -3640,8 +3647,13 @@ WITH t AS (
 SELECT doc_id, chunk_id,
        (chunk_id * 48)::BIGINT AS chunk_start,
        least(64, len(toks) - chunk_id * 48)::BIGINT AS n_chunk_tokens,
-       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
-         AS chunk_text
+       -- DuckDB's array_to_string over an EMPTY slice is NULL where
+       -- Spark's array_join is '' — a zero-token document keeps its one
+       -- empty chunk on both engines; NULL text stays NULL on both
+       CASE WHEN toks IS NOT NULL THEN
+         coalesce(
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '),
+           '') END AS chunk_text
 FROM c
 """
 
@@ -4204,8 +4216,10 @@ WITH f AS (
          coalesce(mean_wl BETWEEN 3.0 AND 10.0, FALSE) AS ok_mean_word_len,
          coalesce(alpha_ratio >= 0.8, FALSE) AS ok_alpha_ratio,
          coalesce(n_stops >= 2, FALSE) AS ok_stopwords,
-         coalesce((len(grams) - len(list_distinct(grams)))
-                  / CAST(len(grams) AS DOUBLE) <= 0.3, FALSE) AS ok_repetition
+         coalesce(CASE WHEN n < 3 THEN TRUE
+                       ELSE (len(grams) - len(list_distinct(grams)))
+                            / CAST(len(grams) AS DOUBLE) <= 0.3 END,
+                  FALSE) AS ok_repetition
   FROM m
 )
 SELECT doc_id, ok_words, ok_mean_word_len, ok_alpha_ratio, ok_stopwords,

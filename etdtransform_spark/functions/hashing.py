@@ -39,8 +39,13 @@ def portable_hash64(col: Column | str, seed: int | str = 0, fast: bool = False) 
 
 
 def portable_hash64_sql(expr: str, seed: int | str = 0) -> str:
-    """DuckDB SQL fragment computing the same value as :func:`portable_hash64`."""
-    return f"('0x' || substr(md5(concat('{seed}|', {expr})), 1, 15))::BIGINT"
+    """DuckDB SQL fragment computing the same value as :func:`portable_hash64`.
+
+    Concatenation uses ``||`` (NULL-propagating), NOT DuckDB's ``concat``
+    (which skips NULL arguments): Spark's concat returns NULL for NULL
+    input, so a ``concat``-built oracle would fabricate a real hash for a
+    NULL value while the operator returns NULL."""
+    return f"('0x' || substr(md5('{seed}|' || ({expr})), 1, 15))::BIGINT"
 
 
 # Universal-hash family derived from ONE md5 base hash: h_i(x) = (a_i * (base

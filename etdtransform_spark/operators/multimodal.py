@@ -245,11 +245,14 @@ def decode_image_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def _fake_features(payload: bytes | None, dim: int) -> list[float]:
+def _fake_features(payload: bytes | None, dim: int) -> list[float] | None:
     """Deterministic stand-in for a real decode+embed: bytes of the sha256
-    digest scaled to [0, 1). Stable across runs and engines."""
+    digest scaled to [0, 1). Stable across runs and engines. NULL payload
+    -> NULL features (nothing was decoded — same quarantine semantics as
+    the 'real' mode and the DuckDB oracle, which must not fabricate a
+    zero vector for missing media)."""
     if payload is None:
-        return [0.0] * dim
+        return None
     digest = hashlib.sha256(payload).digest()
     need = (dim + len(digest) - 1) // len(digest)
     raw = (digest * need)[:dim]
@@ -323,7 +326,7 @@ def extract_media_features(
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["content"].map(
-                        lambda b: len(b) if b is not None else 0
+                        lambda b: len(b) if b is not None else None
                     ),
                     "content_sha256": pdf["content"].map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None

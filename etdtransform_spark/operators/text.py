@@ -161,7 +161,12 @@ def gopher_gate(
         & (mean_wl <= max_mean_word_len),
         "ok_alpha_ratio": alpha_ratio >= min_alpha_word_ratio,
         "ok_stopwords": distinct_stops >= min_distinct_stopwords,
-        "ok_repetition": dup_frac <= max_dup_trigram_frac,
+        # vacuously true below 3 tokens (no trigram can repeat); guarded on
+        # n so NULL text yields NULL -> coalesce(False) like every rule
+        # (concat_ws would otherwise fabricate a '' gram with dup_frac 0)
+        "ok_repetition": F.when(
+            n.isNotNull(), (n < 3) | (dup_frac <= max_dup_trigram_frac)
+        ),
     }
     out = staged
     keep = F.lit(True)

@@ -1,0 +1,60 @@
+"""Build a null-injected copy of a testdata scale-factor directory.
+
+The driver's documents fixture is null-free, so the oracle gate can never
+catch NULL/empty-text divergences between Spark and DuckDB (round-2 found
+six: '' shingle fabrication, concat-vs-|| hash fabrication, phantom video
+frames, chunk/repetition '' vs NULL, zero-payload features). This script
+copies every table and appends NULL/empty/whitespace documents, so the full
+harness can be pointed at it:
+
+    python scripts/make_null_fixture.py [src_sf_dir] [dst_dir]
+    python tests/oracle_harness.py /tmp/sf_nulls --strict
+
+Expect the same N/N match as the clean fixture. tests/test_null_text_
+semantics.py pins the individual semantics; this is the corpus-wide sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "embeddings",
+]
+
+
+def main(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"""
+COPY (
+  SELECT * FROM '{src}/documents.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (90001, NULL, 'en', 'web', NULL),
+    (90002, '', 'en', 'web', 0),
+    (90003, '   ', NULL, 'books', 3),
+    (90004, NULL, NULL, NULL, NULL),
+    (90005, 'the quick brown fox', 'en', NULL, 19)
+  ) t(doc_id, text, lang, source, n_chars)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    n, nt = con.sql(
+        f"SELECT count(*), count(text) FROM '{dst}/documents.parquet'"
+    ).fetchone()
+    print(f"{dst}: {n} documents ({n - nt} with NULL text)")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_nulls"
+    main(src, dst)

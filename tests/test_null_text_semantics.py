@@ -76,41 +76,55 @@ def test_novelty_drops_null_docs(spark):
     assert out == {1, 4}
 
 
-def test_oracle_parity_with_null_documents(spark, tmp_path):
-    """End-to-end: the ngram_jaccard and cross_source_dup contract oracles
-    agree with the Spark operators on a corpus containing NULL/empty text —
-    the exact divergence class the null-free driver fixture cannot see."""
-    import __spark_entry__ as e
+# the contract queries that the round-2 null sweep caught diverging (plus
+# the two new provenance ops): the full corpus-wide sweep is
+# scripts/make_null_fixture.py + tests/oracle_harness.py; this pins the
+# fixed ones in CI on a tiny corpus
+NULL_SENSITIVE_QUERIES = [
+    "dedup_exact",
+    "fingerprint",
+    "ngram_jaccard",
+    "ngram_novelty",
+    "cross_source_dup",
+    "chunk_documents",
+    "repetition_ratio",
+    "gopher_gate",
+    "frame_sample",
+    "multimodal_features",
+    "token_counts",
+]
 
-    pq = os.path.join(str(tmp_path), "documents.parquet")
-    _docs(spark).coalesce(1).write.mode("overwrite").parquet(str(tmp_path))
-    # duckdb reads the directory glob; spark operators read the frame
+
+def test_oracle_parity_with_null_documents(spark, tmp_path):
+    """End-to-end: every null-sensitive contract oracle agrees with its
+    Spark query on a corpus containing NULL/empty/whitespace text — the
+    exact divergence class the null-free driver fixture cannot see."""
+    import __spark_entry__ as e
+    import oracle_harness
+
+    docs_null = spark.createDataFrame(
+        [(i, t, "en" if i % 2 else None, s, len(t) if t else None)
+         for i, t, s in ROWS]
+        + [(7, "the quick brown fox jumps over the lazy dog", "en", "s1", 43),
+           (8, "   ", None, "books", 3)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    docs_null.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
     con = duckdb.connect()
     con.sql(
-        f"CREATE VIEW documents AS FROM '{tmp_path}/*.parquet'"
+        "CREATE VIEW documents AS "
+        f"FROM '{tmp_path}/documents.parquet/*.parquet'"
     )
 
-    def canon(cols, rows):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        return sorted(
-            "|".join("NULL" if r[i] is None else f"{r[i]}" for i in order)
-            for r in rows
+    qs, sqls = e.queries(), e.oracle_sql()
+    failures = {}
+    for name in NULL_SENSITIVE_QUERIES:
+        problems = oracle_harness.compare_query(
+            spark, con, name, qs[name], sqls[name], str(tmp_path)
         )
-
-    for name, build in [
-        (
-            "ngram_jaccard",
-            lambda: dedup.ngram_jaccard_pairs(
-                _docs(spark), id_col="doc_id", threshold=0.8
-            ).select("id_a", "id_b", "jaccard"),
-        ),
-        (
-            "cross_source_dup",
-            lambda: dedup.cross_source_duplication(_docs(spark)),
-        ),
-    ]:
-        sdf = build()
-        srows = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
-        rel = con.sql(e.oracle_sql()[name])
-        orows = canon(rel.columns, rel.fetchall())
-        assert srows == orows, f"{name} diverged on null corpus"
+        if problems:
+            failures[name] = problems
+    assert not failures, f"null-corpus divergences: {failures}"
