@@ -59,8 +59,20 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table reader; repairs nanosecond parquet timestamps (events.ts) to
-    TimestampType with DuckDB-identical microsecond truncation."""
-    return read_table(spark, f"{sf_dir}/{name}.parquet")
+    TimestampType with DuckDB-identical microsecond truncation.
+
+    Events carry an INGESTION GATE: rows with NULL ts are dropped (mirrored
+    by the oracle's ``_EV`` macro). An event that cannot be placed on the
+    timeline cannot participate in any window/resample/session operator,
+    and the two engines disagree on every default it would otherwise touch
+    (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST; Spark's
+    time-window drops it, DuckDB groups it) — a production pipeline routes
+    such rows to a dead-letter table at ingestion, which is the semantics
+    the contract declares."""
+    df = read_table(spark, f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.filter(F.col("ts").isNotNull())
+    return df
 
 
 # Synthesized-null expression used by the gap/min-count queries: the events
@@ -100,7 +112,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type != "timestamp":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    # same ingestion gate as _t: NULL event-time cannot enter a watermarked
+    # stream (and would diverge from the oracle's _EV macro)
+    return stream.filter(F.col("ts").isNotNull())
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +305,7 @@ SELECT user_id,
        floor((CASE WHEN count(v) >= count(*) * 0.6 THEN sum(v) / count(v) END) * 1000000.0 + 0.5) / 1000000.0 AS gated_avg,
        floor((CASE WHEN count(v) >= count(*) * 0.6 THEN max(v) END) * 10000.0 + 0.5) / 10000.0 AS gated_max,
        count(*) AS n
-FROM (SELECT user_id, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+FROM (SELECT user_id, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL))
 GROUP BY user_id
 """
 
@@ -302,7 +316,7 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_type").distinct()
 
 
-_SQL_DISTINCT = "SELECT DISTINCT user_id, event_type FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)"
+_SQL_DISTINCT = "SELECT DISTINCT user_id, event_type FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)"
 
 
 def q_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +365,7 @@ def q_window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_LAG_DIFF = """
 SELECT event_id, user_id,
        floor((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 1000000.0 + 0.5) / 1000000.0 AS diff
-FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)
 """
 
 
@@ -370,7 +384,7 @@ _SQL_CUMSUM = """
 SELECT event_id, user_id,
        floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING)) * 10000.0 + 0.5) / 10000.0 AS cum_value
-FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)
 """
 
 
@@ -390,7 +404,7 @@ _SQL_FFILL = f"""
 SELECT event_id, user_id,
        floor((last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                               ROWS UNBOUNDED PRECEDING)) * 1000000.0 + 0.5) / 1000000.0 AS v_filled
-FROM (SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+FROM (SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL))
 """
 
 
@@ -408,7 +422,7 @@ def q_rolling_avg_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ROLLING = f"""
 SELECT event_id, user_id,
        floor((CASE WHEN count(v) OVER w >= 3 THEN avg(v) OVER w END) * 1000000.0 + 0.5) / 1000000.0 AS rolling_avg
-FROM (SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+FROM (SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL))
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
@@ -435,7 +449,7 @@ def q_iso_week_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ISO_WEEK = """
 SELECT event_type, isoyear(ts)::BIGINT AS iso_year, weekofyear(ts)::BIGINT AS week_of_year,
        floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS weekly_avg, count(*) AS n_events
-FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)
 GROUP BY 1, 2, 3
 """
 
@@ -494,7 +508,7 @@ _SQL_RESAMPLE_15 = f"""
 SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
        floor((CASE WHEN count(v) >= 3 THEN sum(v) END) * 10000.0 + 0.5) / 10000.0 AS bucket_sum,
        count(*) AS n_rows
-FROM (SELECT event_type, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+FROM (SELECT event_type, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL))
 GROUP BY 1, 2
 """
 
@@ -522,7 +536,7 @@ SELECT user_id, time_bucket(INTERVAL '60 minutes', ts) AS bucket_start,
        floor((CASE WHEN count(v) >= 2 THEN sum(v) END) * 10000.0 + 0.5) / 10000.0 AS sum_v,
        floor((CASE WHEN count(v) >= 2 THEN max(v) END) * 10000.0 + 0.5) / 10000.0 AS max_v,
        floor((CASE WHEN count(v) >= 2 THEN sum(v) / count(v) END) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
-FROM (SELECT user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events))
+FROM (SELECT user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL))
 GROUP BY 1, 2
 """
 
@@ -556,7 +570,7 @@ def q_gap_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_GAP_GROUPS = f"""
 WITH base AS (
-  SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+  SELECT event_id, user_id, ts, {_V_NULLED_SQL} AS v FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)
 ), marked AS (
   SELECT *, (v IS NULL) AS is_na,
          coalesce(lag(v IS NULL) OVER (PARTITION BY user_id ORDER BY ts, event_id), false) AS prev_na
@@ -657,7 +671,7 @@ _SQL_IMPUTE_LINEAR = """
 WITH base AS (
   SELECT event_id, user_id, ts, event_type,
          CASE WHEN event_type NOT IN ('error', 'signup') THEN floor((abs(value)) * 100.0 + 0.5) / 100.0 END AS d
-  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)
 ), cumd AS (
   SELECT *, CASE WHEN event_type <> 'error' THEN
       sum(coalesce(d, 0.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
@@ -759,7 +773,7 @@ SELECT strftime(ts, '%Y%m%d')::BIGINT AS yyyymmdd,
        (hour(ts) + 1)::BIGINT AS hh,
        count(*) AS n_events,
        floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
-FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)
 GROUP BY 1, 2
 """
 
@@ -788,7 +802,7 @@ FROM (
          floor((value) * 10.0 + 0.5) / 10.0 / 10.0 AS t,
          (user_id % 10) / 2.0 AS w,
          ((event_id % 50) + 30)::DOUBLE AS h
-  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)
 )
 """
 
@@ -803,8 +817,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_JSON = """
-SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS n
-FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+SELECT CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k')::BIGINT END AS k, count(*) AS n
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)
 GROUP BY 1
 """
 
@@ -1095,7 +1110,8 @@ WHERE floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
 # §2.5 period analytics (reference calculated_columns.py:148-556)
 # ---------------------------------------------------------------------------
 
-_EV = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)"
+# WHERE mirrors _t's events ingestion gate: NULL-ts rows are quarantined
+_EV = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events WHERE ts IS NOT NULL)"
 
 
 def q_extreme_avg_period(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,7 +1678,9 @@ WITH base AS (
 SELECT user_id, count(*) AS n,
        count(CASE WHEN imp THEN 1 END) AS imputed,
        bit_or(mask) AS impute_type_mask,
-       array_to_string(coalesce(list_sort(list_distinct(list(m) FILTER (m IS NOT NULL))), []), ',') AS methods,
+       -- outer coalesce: DuckDB's array_to_string over an EMPTY list is
+       -- NULL where Spark's array_join is ''
+       coalesce(array_to_string(coalesce(list_sort(list_distinct(list(m) FILTER (m IS NOT NULL))), []), ','), '') AS methods,
        {_r6("count(CASE WHEN imp THEN 1 END) * 100.0 / count(*)")} AS percentage_imputed
 FROM base GROUP BY user_id
 """
@@ -2384,7 +2402,9 @@ SELECT user_id, event_id,
        {qround_sql('percent_rank() OVER w', 6)} AS pct_rank,
        {qround_sql('cume_dist() OVER w', 6)} AS cume
 FROM {_EV}
-WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+-- NULLS FIRST matches Spark's ascending default (DuckDB defaults LAST)
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY value ASC NULLS FIRST, event_id ASC)
 """
 
 
@@ -2598,11 +2618,17 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EWMA = f"""
 SELECT event_id, user_id, value,
-       {qround_sql('list_reduce(l, (acc, x) -> 0.3 * x + 0.7 * acc)', 6)} AS ewma
+       -- FILTER mirrors collect_list's null-skipping; the CASE guards the
+       -- all-null frame (list_reduce errors on an empty list, Spark seeds
+       -- NULL via try_element_at)
+       CASE WHEN len(l) > 0 THEN
+         {qround_sql('list_reduce(l, (acc, x) -> 0.3 * x + 0.7 * acc)', 6)}
+       END AS ewma
 FROM (
   SELECT event_id, user_id, value,
-         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+         list(value) FILTER (WHERE value IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
   FROM {_EV}
 )
 """
@@ -3244,7 +3270,8 @@ SELECT event_id, user_id, {qround_sql('value', 2)} AS value, NULL::BIGINT AS k
 FROM {_EV} WHERE event_type = 'view'
 UNION ALL BY NAME
 SELECT event_id, user_id, {qround_sql('value', 2)} AS value,
-       json_extract_string(props, '$.k')::BIGINT AS k
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k')::BIGINT END AS k
 FROM {_EV} WHERE event_type = 'purchase'
 """
 
@@ -5423,8 +5450,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_HEAVY_HITTERS = f"""
-WITH c AS (SELECT event_type AS item, count(*) AS cnt FROM events GROUP BY 1),
-t AS (SELECT count(*) AS tot FROM events)
+WITH c AS (SELECT event_type AS item, count(*) AS cnt FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY 1),
+t AS (SELECT count(*) AS tot FROM (SELECT * FROM events WHERE ts IS NOT NULL) events)
 SELECT item, cnt, {qround_sql('cnt / tot::DOUBLE', 6)} AS share
 FROM c, t WHERE cnt >= 0.199 * tot
 """
@@ -5507,7 +5534,7 @@ _SQL_POP = f"""
 WITH agg AS (
   SELECT event_type, date_trunc('week', ts) AS period,
          {qround_sql('sum(value)', 4)} AS total
-  FROM events GROUP BY 1, 2),
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY 1, 2),
 lagged AS (
   SELECT event_type, period, total,
          lag(total) OVER (PARTITION BY event_type ORDER BY period) AS prev,
@@ -5535,7 +5562,7 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_COOCCURRENCE = f"""
 WITH pres AS (SELECT DISTINCT user_id AS basket, event_type AS item
-              FROM events),
+              FROM (SELECT * FROM events WHERE ts IS NOT NULL) events),
 ic AS (SELECT item, count(*) AS icnt FROM pres GROUP BY 1),
 nb AS (SELECT count(DISTINCT basket) AS nb FROM pres),
 pairs AS (
@@ -5567,7 +5594,7 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ATTRIBUTION = """
 WITH conv AS (
-  SELECT user_id, min(ts) AS conv_ts FROM events
+  SELECT user_id, min(ts) AS conv_ts FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
   WHERE event_type = 'purchase' GROUP BY 1),
 touches AS (
   SELECT e.user_id, c.conv_ts, e.event_type,
@@ -5575,7 +5602,7 @@ touches AS (
                             ORDER BY e.ts, e.event_id) AS rn_f,
          row_number() OVER (PARTITION BY e.user_id
                             ORDER BY e.ts DESC, e.event_id DESC) AS rn_l
-  FROM events e JOIN conv c USING (user_id)
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) e JOIN conv c USING (user_id)
   WHERE e.event_type <> 'purchase' AND e.ts < c.conv_ts)
 SELECT user_id AS user, conv_ts,
        min(CASE WHEN rn_f = 1 THEN event_type END) AS first_touch,
@@ -5640,7 +5667,7 @@ SELECT event_type,
        {qround_sql('stddev_samp(value)', 4)} AS std,
        {qround_sql('min(value)', 4)} AS min,
        {qround_sql('max(value)', 4)} AS max
-FROM events GROUP BY event_type
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type
 """
 
 
@@ -5717,7 +5744,7 @@ WITH s AS (
          count(CASE WHEN event_type = 'view' THEN value END)::DOUBLE AS n_b,
          sum(CASE WHEN event_type = 'view' THEN value END) AS s_b,
          sum(CASE WHEN event_type = 'view' THEN value * value END) AS q_b
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM events WHERE ts IS NOT NULL AND event_type IN ('click', 'view')
 ), d AS (
   SELECT n_a, n_b, s_a / n_a AS ma, s_b / n_b AS mb,
          ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS sea,
@@ -5751,7 +5778,7 @@ WITH cells AS (
   SELECT event_type AS g,
          CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS o,
          count(*) AS n
-  FROM events GROUP BY 1, 2),
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY 1, 2),
 gm AS (SELECT g, sum(n) AS g_n FROM cells GROUP BY 1),
 om AS (SELECT o, sum(n) AS o_n FROM cells GROUP BY 1),
 tot AS (SELECT sum(n) AS all_n FROM cells),
@@ -5797,7 +5824,7 @@ WITH b AS (
   SELECT event_type,
          least(greatest(floor(value / 5.0), 0), 99)::INT AS bin,
          count(*) AS bin_n
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2),
 c AS (
   SELECT event_type, bin, bin_n,
          sum(bin_n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
@@ -6064,7 +6091,9 @@ WITH s AS (
   FROM g GROUP BY 1, 2
 )
 SELECT user_id, session_id, session_start, n_events,
-       array_to_string(seq[1:50], '>') AS path,
+       -- coalesce: a session whose only events have NULL event_type joins
+       -- to NULL in DuckDB but '' via Spark's null-skipping array_join
+       coalesce(array_to_string(seq[1:50], '>'), '') AS path,
        n_events > 50 AS truncated
 FROM agg
 """
@@ -6132,7 +6161,7 @@ WITH mom AS (
          sqrt((sum(value * value) - sum(value) * sum(value) / count(value))
               / (count(value) - 1)) AS sd,
          count(value) AS n
-  FROM events GROUP BY 1
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY 1
 ), c AS (
   SELECT e.event_type, e.ts,
          sum((e.value - mu) / sd) OVER (PARTITION BY e.event_type
@@ -6532,7 +6561,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_QUANTILE_NORMALIZE = f"""
 WITH base AS (
   SELECT event_id, event_type AS grp, value AS v
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 ), ranked AS (
   -- single-row groups pin to the pooled median (r = 0.5), matching the
   -- operator's n=1 guard

@@ -195,7 +195,10 @@ def ewma(
     arr = F.col("_frame")
     folded = F.aggregate(
         F.slice(arr, 2, lookback),
-        F.element_at(arr, 1),
+        # try_element_at: a frame whose every observation is NULL collects
+        # to an EMPTY list (collect_list drops nulls) and plain element_at
+        # would throw INVALID_ARRAY_INDEX under ANSI; such rows get NULL
+        F.try_element_at(arr, F.lit(1)),
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return staged.withColumn("ewma", qround(folded, digits)).drop("_frame")

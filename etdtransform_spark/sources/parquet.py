@@ -75,7 +75,15 @@ def read_table(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # apply the repair only when Spark actually surfaced raw long
+        # nanoseconds: INT96 timestamps (Spark's default writer output)
+        # read as timestamp[ns] in pyarrow's footer view but as proper
+        # TimestampType in Spark — div-1000ing those would be an
+        # AnalysisException (and wrong)
+        if df.schema[c].dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
     return df
 
 

@@ -68,7 +68,10 @@ def _tws_processor(value_col: str):
                 {
                     "key": [key[0]],
                     "n": [n],
-                    "sum_value": [s],
+                    # the running sum is 0.0 internally, but a key that has
+                    # never seen a non-null value reports NULL (SQL sum
+                    # semantics — the batch-oracle sum of all-NULLs is NULL)
+                    "sum_value": [s if n > 0 else None],
                     "min_value": [mn],
                     "max_value": [mx],
                 }
@@ -127,7 +130,8 @@ def streaming_running_agg(
             {
                 "key": [key[0]],
                 "n": [n],
-                "sum_value": [s],
+                # NULL sum for a never-observed key — see the tws twin
+                "sum_value": [s if n > 0 else None],
                 "min_value": [mn],
                 "max_value": [mx],
             }

@@ -24,7 +24,7 @@ import duckdb
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "embeddings",
+    "orders", "lineitem", "embeddings",
 ]
 
 
@@ -48,10 +48,38 @@ COPY (
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """
     )
+    # events: NULL ts (quarantined by the _t/_EV ingestion gate), NULL
+    # user/type/value groups, and malformed JSON props
+    con.sql(
+        f"""
+COPY (
+  SELECT * FROM '{src}/events.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (990001, NULL::TIMESTAMP, 3::BIGINT, 'click', 1.5::DOUBLE,
+     NULL::VARCHAR),
+    (990002, TIMESTAMP '2024-01-15 12:00:00', NULL::BIGINT, 'view',
+     NULL::DOUBLE, '{{"plan": "pro"}}'),
+    (990003, TIMESTAMP '2024-01-16 08:30:00', 5::BIGINT, NULL, 2.0::DOUBLE,
+     NULL),
+    (990004, NULL::TIMESTAMP, NULL::BIGINT, NULL::VARCHAR, NULL::DOUBLE,
+     NULL::VARCHAR),
+    (990005, TIMESTAMP '2024-01-17 20:45:00', 7::BIGINT, 'purchase',
+     NULL::DOUBLE, 'not-json')
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+"""
+    )
     n, nt = con.sql(
         f"SELECT count(*), count(text) FROM '{dst}/documents.parquet'"
     ).fetchone()
-    print(f"{dst}: {n} documents ({n - nt} with NULL text)")
+    ne, nets = con.sql(
+        f"SELECT count(*), count(ts) FROM '{dst}/events.parquet'"
+    ).fetchone()
+    print(
+        f"{dst}: {n} documents ({n - nt} NULL text), "
+        f"{ne} events ({ne - nets} NULL ts)"
+    )
 
 
 if __name__ == "__main__":

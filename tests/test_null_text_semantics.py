@@ -95,6 +95,69 @@ NULL_SENSITIVE_QUERIES = [
 ]
 
 
+# event queries the round-2 events-null sweep caught diverging: NULL-ts
+# ingestion gate, NULLS FIRST ordering, empty-list array_to_string,
+# malformed JSON, all-null EWMA frames, never-observed stateful keys
+NULL_SENSITIVE_EVENT_QUERIES = [
+    "window_lag_diff",
+    "window_rank_family",
+    "ewma",
+    "json_extract",
+    "union_evolved",
+    "session_paths",
+    "resample_15min",
+    "group_mode",
+    "merge_intervals",
+    "touch_attribution",
+]
+
+
+def test_oracle_parity_with_null_events(spark, tmp_path):
+    """The NULL-ts ingestion gate (_t/_EV), NULLS FIRST window ordering,
+    and JSON/empty-list guards hold end-to-end on an events table with
+    NULL ts/user/type/value and malformed JSON props."""
+    import __spark_entry__ as e
+    import oracle_harness
+
+    rows = [
+        (i, f"2024-01-{(i % 27) + 1:02d} {(i * 7) % 24:02d}:15:00",
+         i % 4, ["click", "view", "purchase", "error"][i % 4],
+         float(i % 11) if i % 5 else None, None)
+        for i in range(120)
+    ] + [
+        (990001, None, 3, "click", 1.5, None),
+        (990002, "2024-01-15 12:00:00", None, "view", None, '{"plan": 1}'),
+        (990003, "2024-01-16 08:30:00", 5, None, 2.0, None),
+        (990004, None, None, None, None, None),
+        (990005, "2024-01-17 20:45:00", 7, "purchase", None, "not-json"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    failures = {}
+    for name in NULL_SENSITIVE_EVENT_QUERIES:
+        try:
+            problems = oracle_harness.compare_query(
+                spark, con, name, qs[name], sqls[name], str(tmp_path)
+            )
+        except Exception as ex:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(ex).__name__}: {str(ex)[:200]}"]
+        if problems:
+            failures[name] = problems
+    assert not failures, f"null-events divergences: {failures}"
+
+
 def test_oracle_parity_with_null_documents(spark, tmp_path):
     """End-to-end: every null-sensitive contract oracle agrees with its
     Spark query on a corpus containing NULL/empty/whitespace text — the
