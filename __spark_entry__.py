@@ -72,6 +72,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = read_table(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.filter(F.col("ts").isNotNull())
+    elif name == "embeddings":
+        # same principle for vectors: a NULL, empty, or NULL-element
+        # embedding cannot enter any distance computation (DuckDB's
+        # list_inner_product ERRORS on NULL elements; Spark's zip_with
+        # fold silently yields NULL) — the index-build stage validates
+        # and quarantines at ingestion. Mirrored by the oracle _EMB gate.
+        df = df.filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
     return df
 
 
@@ -1065,7 +1076,7 @@ _SQL_EMB_NORMS = """
 SELECT vec_id, label::BIGINT AS label,
        len(embedding)::BIGINT AS dim,
        floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
-FROM embeddings
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
 """
 
 
@@ -1082,7 +1093,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_COSINE_TOPK = f"""
 WITH scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
@@ -1101,7 +1112,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EMB_NEAR_DUP = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) b ON a.vec_id < b.vec_id
 WHERE floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
 """
 
@@ -1592,11 +1603,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_IVF_TOPK = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) ORDER BY vec_id LIMIT 8
 ), assign_raw AS (
   SELECT c.vec_id AS neighbor_id, c.embedding AS cv, t.centroid_id,
          {_r6(_cos_sql_of("c.embedding", "t.cvec"))} AS acos
-  FROM embeddings c CROSS JOIN cent t
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) c CROSS JOIN cent t
 ), lists AS (
   SELECT neighbor_id, cv, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY neighbor_id
@@ -1605,7 +1616,7 @@ WITH cent AS (
 ), probe_raw AS (
   SELECT q.vec_id AS query_id, q.embedding AS qv, t.centroid_id,
          {_r6(_cos_sql_of("q.embedding", "t.cvec"))} AS pcos
-  FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 10
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) q CROSS JOIN cent t WHERE q.vec_id < 10
 ), probes AS (
   SELECT query_id, qv, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -3595,7 +3606,7 @@ _SQL_QUANTIZE = """
 WITH e AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS d,
          unnest(embedding)::DOUBLE AS x
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
 ), s AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
 c AS (
   SELECT e.vec_id, e.d,
@@ -4475,7 +4486,7 @@ _SQL_EMB_CENTROIDS = f"""
 WITH e AS (
   SELECT label, unnest(embedding)::DOUBLE AS x,
          generate_subscripts(embedding, 1) - 1 AS dim
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
   WHERE embedding IS NOT NULL
 ), d AS (
   SELECT label, dim, {qround_sql('avg(CAST(x AS DOUBLE))', 6)} AS mean_x,
@@ -6210,7 +6221,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PQ_BASE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
 ), cb0 AS (
   SELECT vv, row_number() OVER (ORDER BY vec_id) - 1 AS code
   FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
@@ -6293,11 +6304,11 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_IVFPQ = _SQL_PQ_BASE + f""",
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) ORDER BY vec_id LIMIT 8
 ), assign_raw AS (
   SELECT c.vec_id AS did, t.centroid_id,
          {_r6(_cos_sql_of("c.embedding", "t.cvec"))} AS acos
-  FROM embeddings c CROSS JOIN cent t
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) c CROSS JOIN cent t
 ), lists AS (
   SELECT did, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY did
@@ -6306,7 +6317,7 @@ cent AS (
 ), probe_raw AS (
   SELECT q.vec_id AS qid, t.centroid_id,
          {_r6(_cos_sql_of("q.embedding", "t.cvec"))} AS pcos
-  FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 10
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) q CROSS JOIN cent t WHERE q.vec_id < 10
 ), probes AS (
   SELECT qid, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY qid
@@ -6418,7 +6429,7 @@ def _sql_kmeans_prefix() -> str:
     iters = 5
     parts = ["""
 WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
 ), ed AS (
   SELECT vec_id, i::INT AS dim, x
   FROM (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x

@@ -24,7 +24,7 @@ import duckdb
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "embeddings",
+    "orders", "lineitem",
 ]
 
 
@@ -70,15 +70,44 @@ COPY (
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """
     )
+    # embeddings: NULL vector, empty vector, NULL element, NULL label —
+    # the first three are quarantined by the _t/_EMB ingestion gate
+    # (DuckDB's list_inner_product ERRORS on NULL elements)
+    dim = con.sql(
+        f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    vec = "[" + ",".join("0.5" for _ in range(dim)) + "]::FLOAT[]"
+    nullelem = (
+        "[" + ",".join("NULL" if i == 0 else "0.25" for i in range(dim))
+        + "]::FLOAT[]"
+    )
+    con.sql(
+        f"""
+COPY (
+  SELECT * FROM '{src}/embeddings.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (880001, NULL::FLOAT[], 1),
+    (880002, []::FLOAT[], NULL),
+    (880003, {nullelem}, 2),
+    (880004, {vec}, NULL)
+  ) t(vec_id, embedding, label)
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
     n, nt = con.sql(
         f"SELECT count(*), count(text) FROM '{dst}/documents.parquet'"
     ).fetchone()
     ne, nets = con.sql(
         f"SELECT count(*), count(ts) FROM '{dst}/events.parquet'"
     ).fetchone()
+    nv, nvv = con.sql(
+        f"SELECT count(*), count(embedding) FROM '{dst}/embeddings.parquet'"
+    ).fetchone()
     print(
         f"{dst}: {n} documents ({n - nt} NULL text), "
-        f"{ne} events ({ne - nets} NULL ts)"
+        f"{ne} events ({ne - nets} NULL ts), "
+        f"{nv} embeddings ({nv - nvv} NULL vector)"
     )
 
 

@@ -158,6 +158,64 @@ def test_oracle_parity_with_null_events(spark, tmp_path):
     assert not failures, f"null-events divergences: {failures}"
 
 
+# ANN queries gated by the embeddings ingestion filter (NULL/empty/
+# NULL-element vectors quarantined — DuckDB's list_inner_product errors
+# on NULL elements, Spark's zip_with fold silently yields NULL)
+NULL_SENSITIVE_EMBEDDING_QUERIES = [
+    "embedding_norms",
+    "cosine_topk",
+    "embedding_near_dup",
+    "ivf_topk",
+    "quantize_embeddings",
+    "embedding_centroids",
+]
+
+
+def test_oracle_parity_with_null_embeddings(spark, tmp_path):
+    """The embeddings ingestion gate (_t/_EMB) holds end-to-end on a table
+    with NULL, empty, and NULL-element vectors."""
+    import __spark_entry__ as e
+    import oracle_harness
+
+    dim = 8
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)], i % 3)
+        for i in range(60)
+    ] + [
+        (880001, None, 1),
+        (880002, [], None),
+        (880003, [None] + [0.25] * (dim - 1), 2),
+        (880004, [0.5] * dim, None),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"FROM '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    failures = {}
+    for name in NULL_SENSITIVE_EMBEDDING_QUERIES:
+        try:
+            problems = oracle_harness.compare_query(
+                spark, con, name, qs[name], sqls[name], str(tmp_path)
+            )
+        except Exception as ex:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(ex).__name__}: {str(ex)[:200]}"]
+        if problems:
+            failures[name] = problems
+    assert not failures, f"null-embeddings divergences: {failures}"
+
+
 def test_oracle_parity_with_null_documents(spark, tmp_path):
     """End-to-end: every null-sensitive contract oracle agrees with its
     Spark query on a corpus containing NULL/empty/whitespace text — the
