@@ -2195,6 +2195,9 @@ SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
        {qround_sql('sum(o_totalprice)', 2)} AS sum_total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+-- HAVING: on an EMPTY table the SQL-standard () grouping set still emits
+-- one grand-total row (count 0) — Spark's rollup emits nothing; align
+HAVING count(*) > 0
 """
 
 
@@ -2694,6 +2697,8 @@ SELECT event_type, hr,
        count(*) AS n, {qround_sql('sum(value)', 2)} AS sum_value
 FROM (SELECT event_type, hour(ts) AS hr, value FROM {_EV})
 GROUP BY CUBE (event_type, hr)
+-- same empty-input alignment as the rollup oracle
+HAVING count(*) > 0
 """
 
 

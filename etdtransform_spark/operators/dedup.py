@@ -526,6 +526,11 @@ def embedding_near_duplicates(
 
     spark = df.sparkSession
     n_rows = base.count()
+    if n_rows == 0:
+        # empty corpus: numpy's axis-1 reductions reject a 0-vector matrix
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     if n_rows > max_broadcast_rows:
         raise ValueError(
             f"corpus has {n_rows} rows > max_broadcast_rows={max_broadcast_rows}; "

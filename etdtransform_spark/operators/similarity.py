@@ -446,6 +446,13 @@ def kmeans(
     """
     base = _kmeans_base(corpus, id_col, vec_col).persist()
     cent = _kmeans_fit(base, k, iters)
+    if not cent:
+        base.unpersist()
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "cluster_id int, n_members bigint, inertia double, "
+            "centroid array<double>",
+        )
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent]
     )
@@ -511,6 +518,10 @@ def _kmeans_fit(base: DataFrame, k: int, iters: int):
         (int(i), [float(x) for x in r["_v"]])
         for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
     ]
+    if not cent:
+        # empty corpus: no model — callers early-return empty frames
+        # rather than building a VOID-typed centroid literal
+        return []
     for _ in range(iters):
         new = (
             _kmeans_assign(base, cent)
@@ -561,6 +572,11 @@ def semantic_dedup(
     """
     base = _kmeans_base(corpus, id_col, vec_col).persist()
     cent = _kmeans_fit(base, k, iters)
+    if not cent:
+        base.unpersist()
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, cluster_id int, keep boolean"
+        )
     # norms precomputed ONCE per vector (the pair join would otherwise
     # re-fold both norms for every candidate — 3x the per-pair work);
     # dot/(na*nb) is the identical op sequence to the oracle's
@@ -629,7 +645,12 @@ def pq_train(
     k × d/m doubles sync per iteration); the corpus is scanned per
     subspace fit. Returns (subspace, code, centroid) — model-sized.
     """
-    d = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "subspace int, code int, centroid array<double>"
+        )
+    d = row["d"]
     if d % m != 0:
         raise ValueError(f"dims {d} not divisible by m={m}")
     sub = d // m
@@ -668,6 +689,10 @@ def _pq_codebook_literal(codebook: DataFrame):
     for r in rows:
         by_s.setdefault(r.subspace, {})[r.code] = list(r.centroid)
     m = len(by_s)
+    if m == 0:
+        # empty codebook (trained on an empty corpus): callers early-return
+        # empty result frames instead of building a VOID-typed literal
+        return None, 0, 0
     lit = F.array(
         *[
             F.array(
@@ -694,6 +719,10 @@ def pq_encode(
     the codebook rides as a literal; no join, no shuffle. Returns
     (id, codes array<int>)."""
     cb, m, sub = _pq_codebook_literal(codebook)
+    if m == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, codes array<int>"
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def code_for(s: int):
@@ -725,7 +754,12 @@ def pq_deterministic_codebook(
     k-means — the same determinism trade `ivf_topk` ships for oracle
     parity: encode/search are identical operators either way, only the
     (model-sized) codebook table differs. Production uses `pq_train`."""
-    d = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "subspace int, code int, centroid array<double>"
+        )
+    d = row["d"]
     if d % m != 0:
         raise ValueError(f"dims {d} not divisible by m={m}")
     sub = d // m
@@ -759,6 +793,12 @@ def pq_adc_topk(
     from pyspark.sql import Window
 
     cb, m, sub = _pq_codebook_literal(codebook)
+    if m == 0:
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id} bigint, neighbor_id bigint, "
+            "approx_dot double, rank int",
+        )
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.transform(F.col(query_vec), lambda x: x.cast("double")).alias("_q"),
@@ -870,6 +910,12 @@ def ivfpq_topk(
     )
 
     cb, m, sub = _pq_codebook_literal(codebook)
+    if m == 0:
+        return queries.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, "
+            "approx_dot double, rank bigint",
+        )
     joined = probes.join(cand, "list_id").filter(F.col("qid") != F.col("did"))
     score = None
     for s in range(m):
