@@ -586,3 +586,20 @@ def test_no_accidental_cartesian_or_python_row_udf(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_ingestion_gates_push_to_scan(spark):
+    """The events NULL-ts gate and the embeddings validity gate are not
+    post-scan filters: IsNotNull pushes into the parquet scan
+    (PushedFilters), so at 100 TB row groups whose statistics prove the
+    column non-null are the only ones that even evaluate the predicate,
+    and an all-null file is skipped from its footer alone."""
+    import __spark_entry__ as e
+
+    ev = e._t(spark, "/root/testdata/sf0.001", "events")
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+
+    emb = e._t(spark, "/root/testdata/sf0.001", "embeddings")
+    plan2 = emb._jdf.queryExecution().executedPlan().toString()
+    assert "IsNotNull(embedding)" in plan2
