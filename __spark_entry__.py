@@ -94,6 +94,15 @@ def _v_nulled(col: str = "value") -> F.Column:
 
 _V_NULLED_SQL = "CASE WHEN event_type <> 'error' THEN value END"
 
+# Oracle-side embeddings ingestion gate (single source of truth — mirrors
+# the Spark-side filter in _t above; ADVICE r2: previously copy-pasted
+# verbatim across the embedding oracles, risking silent drift).
+_EMB = (
+    "(SELECT * FROM embeddings WHERE embedding IS NOT NULL "
+    "AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0)"
+)
+
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the sf events table with ``ts`` normalized to
@@ -593,7 +602,10 @@ WITH base AS (
     END AS gap_group
   FROM marked
 )
-SELECT event_id, user_id, gap_group,
+-- gap_group::BIGINT: un-cast it is HUGEINT; it stays NULL-bearing so both
+-- engines land on pandas float64 either way, but the type contract
+-- (tests/test_oracle_types.py) bans HUGEINT outputs outright
+SELECT event_id, user_id, gap_group::BIGINT AS gap_group,
        CASE WHEN gap_group IS NOT NULL
             THEN count(*) OVER (PARTITION BY user_id, gap_group) END AS gap_length
 FROM grouped
@@ -723,7 +735,10 @@ WITH base AS (
          floor((CASE WHEN end_raw >= 0 THEN end_raw END) * 100.0 + 0.5)::BIGINT AS end_cum_c
   FROM stats WHERE cvg IS NOT NULL
 )
-SELECT event_id, user_id, cvg, gap_length, prev_cum_c, end_cum_c,
+-- cvg::BIGINT: un-cast it is HUGEINT (windowed integer sum) → pandas
+-- float64, mismatching Spark's non-null int64 under the driver's
+-- dtype-sensitive canonicalizer (r1+r2 driver red root cause).
+SELECT event_id, user_id, cvg::BIGINT AS cvg, gap_length, prev_cum_c, end_cum_c,
        end_cum_c - prev_cum_c AS gap_jump_c,
        floor((end_cum_c - prev_cum_c) * 10000.0 / gap_length + 0.5)::BIGINT AS linear_fill_e6
 FROM fixed
@@ -1023,10 +1038,14 @@ SELECT doc_id, n_chars_calc, n_tokens,
        floor((punct_ratio) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
        floor((stop_ratio) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
        floor((mean_word_len) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+       -- ::DOUBLE: DuckDB decimal literals make the sum DECIMAL(6,2);
+       -- pandas maps today's DECIMAL to float64 (matching Spark) but the
+       -- oracle type contract bans DECIMAL outputs outright (see
+       -- tests/test_oracle_types.py)
        (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
         + CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END
         + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
-        + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END) AS quality_score
+        + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
 FROM r
 """
 
@@ -1072,11 +1091,11 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_EMB_NORMS = """
+_SQL_EMB_NORMS = f"""
 SELECT vec_id, label::BIGINT AS label,
        len(embedding)::BIGINT AS dim,
        floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
-FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+FROM {_EMB}
 """
 
 
@@ -1093,7 +1112,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_COSINE_TOPK = f"""
 WITH scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+  FROM {_EMB} a JOIN {_EMB} b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
@@ -1112,7 +1131,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EMB_NEAR_DUP = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) b ON a.vec_id < b.vec_id
+FROM {_EMB} a JOIN {_EMB} b ON a.vec_id < b.vec_id
 WHERE floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
 """
 
@@ -1603,11 +1622,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_IVF_TOPK = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) ORDER BY vec_id LIMIT 8
+  FROM {_EMB} ORDER BY vec_id LIMIT 8
 ), assign_raw AS (
   SELECT c.vec_id AS neighbor_id, c.embedding AS cv, t.centroid_id,
          {_r6(_cos_sql_of("c.embedding", "t.cvec"))} AS acos
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) c CROSS JOIN cent t
+  FROM {_EMB} c CROSS JOIN cent t
 ), lists AS (
   SELECT neighbor_id, cv, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY neighbor_id
@@ -1616,7 +1635,7 @@ WITH cent AS (
 ), probe_raw AS (
   SELECT q.vec_id AS query_id, q.embedding AS qv, t.centroid_id,
          {_r6(_cos_sql_of("q.embedding", "t.cvec"))} AS pcos
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) q CROSS JOIN cent t WHERE q.vec_id < 10
+  FROM {_EMB} q CROSS JOIN cent t WHERE q.vec_id < 10
 ), probes AS (
   SELECT query_id, qv, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1760,7 +1779,16 @@ def q_coldest_weeks_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.join(
         F.broadcast(flags), ["event_type", "iso_year", "week_of_year"], "left"
-    ).select("event_id", "event_type", "iso_year", "week_of_year", "is_coldest_week")
+    ).select(
+        "event_id",
+        "event_type",
+        "iso_year",
+        "week_of_year",
+        # coalesce: a NULL-keyed row misses the left join and would emit a
+        # NULL boolean, which pandas surfaces as None (Spark) vs NaN
+        # (DuckDB .df()) in an object column — un-flagged weeks are FALSE
+        F.coalesce("is_coldest_week", F.lit(False)).alias("is_coldest_week"),
+    )
 
 
 _SQL_COLDEST_JOIN = f"""
@@ -1779,7 +1807,8 @@ WITH ev AS (
            AS is_coldest_week
   FROM weekly
 )
-SELECT e.event_id, e.event_type, e.iso_year, e.week_of_year, f.is_coldest_week
+SELECT e.event_id, e.event_type, e.iso_year, e.week_of_year,
+       coalesce(f.is_coldest_week, false) AS is_coldest_week
 FROM ev e LEFT JOIN flags f
   ON e.event_type = f.event_type AND e.iso_year = f.iso_year
  AND e.week_of_year = f.week_of_year
@@ -1938,7 +1967,11 @@ WITH s AS (
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM s
 )
-SELECT user_id, session_id,
+-- session_id::BIGINT: DuckDB sum(INTEGER) yields HUGEINT, which lands in
+-- pandas as float64 ("1.0") while Spark's non-null long is int64 ("1") —
+-- the driver's dtype-sensitive canonicalizer hashes those differently
+-- (root cause of the r1+r2 driver red; reproduced locally via .df()).
+SELECT user_id, session_id::BIGINT AS session_id,
        epoch_us(min(ts)) // 1000000 AS session_start_s,
        epoch_us(max(ts)) // 1000000 AS session_end_s,
        count(*) AS n_events,
@@ -2084,11 +2117,15 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     points = ev.select("event_id", "ts", "value")
     rj = range_join(points, top, point_ts="ts", granularity_seconds=3600)
+    # Integer-cent sum: floor(v*100+0.5) is a long on the Spark side and an
+    # integer-valued double on the DuckDB side, so the aggregate is exact in
+    # both engines regardless of accumulation order — no float ULP surface
+    # in the contract (round-2 driver-red hardening).
     return rj.groupBy(
         F.col("s_user_id").alias("user_id"), "session_id"
     ).agg(
         F.count(F.lit(1)).alias("n_in_range"),
-        qround(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("sum_value_c"),
     )
 
 
@@ -2111,8 +2148,8 @@ WITH s AS (
 ), top AS (
   SELECT * FROM sess ORDER BY dur DESC, user_id ASC, session_id ASC LIMIT 20
 )
-SELECT t.user_id, t.session_id, count(*) AS n_in_range,
-       {qround_sql('sum(e.value)', 2)} AS sum_value
+SELECT t.user_id, t.session_id::BIGINT AS session_id, count(*) AS n_in_range,
+       CAST(sum(floor(e.value * 100.0 + 0.5)) AS BIGINT) AS sum_value_c
 FROM top t JOIN {_EV} e ON e.ts BETWEEN t.session_start AND t.session_end
 GROUP BY 1, 2
 """
@@ -2726,8 +2763,13 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set algebra over (user, day) activity: purchase-days ∩ view-days
     minus error-days (INTERSECT/EXCEPT — absent from the reference, SURVEY
     §2.3 'no intersect/except'; Spark plans both as aggregated joins)."""
+    # day emitted as TIMESTAMP, not DATE: Spark DateType reaches pandas as
+    # object(datetime.date) ("2023-01-05") while DuckDB DATE arrives as
+    # datetime64 ("2023-01-05T00:00:00") — a dtype-sensitive canonicalizer
+    # hash-mismatches even though the days are equal (same class as the
+    # HUGEINT reds; caught by the r3 pandas-dtype harness sweep).
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day"), "event_type"
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day"), "event_type"
     )
 
     def days(t: str) -> DataFrame:
@@ -2737,11 +2779,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SET_OPS = f"""
-(SELECT DISTINCT user_id, ts::DATE AS day FROM {_EV} WHERE event_type = 'purchase'
+(SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM {_EV} WHERE event_type = 'purchase'
  INTERSECT
- SELECT DISTINCT user_id, ts::DATE AS day FROM {_EV} WHERE event_type = 'view')
+ SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM {_EV} WHERE event_type = 'view')
 EXCEPT
-SELECT DISTINCT user_id, ts::DATE AS day FROM {_EV} WHERE event_type = 'error'
+SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM {_EV} WHERE event_type = 'error'
 """
 
 
@@ -3418,8 +3460,8 @@ def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PRIORITY_SHIP = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
   AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -3442,7 +3484,7 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profile_sql_one(c: str) -> str:
     return f"""
 SELECT '{c}' AS "column", count({c}) AS n,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        {qround_sql(f'avg({c}::DOUBLE)', 4)} AS mean,
        {qround_sql(f'stddev_samp({c}::DOUBLE)', 4)} AS std,
        {qround_sql(f'min({c}::DOUBLE)', 4)} AS "min",
@@ -3607,11 +3649,11 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_QUANTIZE = """
+_SQL_QUANTIZE = f"""
 WITH e AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS d,
          unnest(embedding)::DOUBLE AS x
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+  FROM {_EMB}
 ), s AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
 c AS (
   SELECT e.vec_id, e.d,
@@ -3926,10 +3968,10 @@ WITH b AS (
   SELECT DISTINCT event_type, day FROM b
 )
 SELECT g.event_type, g.day, coalesce(n.n_new, 0) AS n_new,
-       sum(coalesce(n.n_new, 0)) OVER (
+       CAST(sum(coalesce(n.n_new, 0)) OVER (
          PARTITION BY g.event_type ORDER BY g.day
          ROWS UNBOUNDED PRECEDING
-       ) AS cumulative_distinct
+       ) AS BIGINT) AS cumulative_distinct
 FROM grid g LEFT JOIN news n USING (event_type, day)
 """
 
@@ -4113,8 +4155,8 @@ WITH toks AS (
   GROUP BY 1
 ), curve AS (
   SELECT p.doc_id, p.n_tokens, coalesce(n.n_new_terms, 0) AS n_new_terms,
-         sum(p.n_tokens) OVER w AS cum_tokens,
-         sum(coalesce(n.n_new_terms, 0)) OVER w AS vocab_size
+         CAST(sum(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         CAST(sum(coalesce(n.n_new_terms, 0)) OVER w AS BIGINT) AS vocab_size
   FROM per_doc p LEFT JOIN news n ON p.doc_id = n.doc_id
   WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
 )
@@ -4491,8 +4533,7 @@ _SQL_EMB_CENTROIDS = f"""
 WITH e AS (
   SELECT label, unnest(embedding)::DOUBLE AS x,
          generate_subscripts(embedding, 1) - 1 AS dim
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
-  WHERE embedding IS NOT NULL
+  FROM {_EMB}
 ), d AS (
   SELECT label, dim, {qround_sql('avg(CAST(x AS DOUBLE))', 6)} AS mean_x,
          count(*) AS n
@@ -5528,8 +5569,9 @@ WHERE NOT EXISTS (
 def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week value totals per event type with change / %-change
     against the previous observed week
-    (operators/timeseries.py:period_over_period). Periods surface as DATE
-    on both engines (DuckDB date_trunc returns DATE)."""
+    (operators/timeseries.py:period_over_period). Periods surface as
+    TIMESTAMP on both engines — Spark DateType would reach pandas as
+    object(date) vs DuckDB's datetime64 and hash-mismatch at the driver."""
     from etdtransform_spark.operators.timeseries import period_over_period
 
     ev = _t(spark, sf_dir, "events")
@@ -5538,9 +5580,9 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type",
-        F.col("period").cast("date").alias("period"),
+        F.col("period").cast("timestamp").alias("period"),
         "total",
-        F.col("prev_period").cast("date").alias("prev_period"),
+        F.col("prev_period").cast("timestamp").alias("prev_period"),
         "change",
         "pct_change",
     )
@@ -5548,7 +5590,7 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_POP = f"""
 WITH agg AS (
-  SELECT event_type, date_trunc('week', ts) AS period,
+  SELECT event_type, date_trunc('week', ts)::TIMESTAMP AS period,
          {qround_sql('sum(value)', 4)} AS total
   FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY 1, 2),
 lagged AS (
@@ -5894,7 +5936,14 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etdtransform_spark.operators.temporal import longest_streak
 
     ev = _t(spark, sf_dir, "events")
-    return longest_streak(ev, "user_id", "ts")
+    out = longest_streak(ev, "user_id", "ts")
+    # TIMESTAMP emission (not DATE) — pandas dtype parity with the oracle
+    return out.select(
+        "user_id",
+        "streak_days",
+        F.col("streak_start").cast("timestamp").alias("streak_start"),
+        F.col("streak_end").cast("timestamp").alias("streak_end"),
+    )
 
 
 _SQL_LONGEST_STREAK = f"""
@@ -5908,7 +5957,10 @@ agg AS (
   SELECT user_id, anchor, count(*) AS streak_days,
          min(day) AS streak_start, max(day) AS streak_end
   FROM isl GROUP BY 1, 2)
-SELECT user_id, streak_days, streak_start, streak_end FROM agg
+SELECT user_id, streak_days,
+       streak_start::TIMESTAMP AS streak_start,
+       streak_end::TIMESTAMP AS streak_end
+FROM agg
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY streak_days DESC, streak_start ASC) = 1
 """
@@ -6106,7 +6158,7 @@ WITH s AS (
          list(event_type ORDER BY ts, event_id) AS seq
   FROM g GROUP BY 1, 2
 )
-SELECT user_id, session_id, session_start, n_events,
+SELECT user_id, session_id::BIGINT AS session_id, session_start, n_events,
        -- coalesce: a session whose only events have NULL event_type joins
        -- to NULL in DuckDB but '' via Spark's null-skipping array_join
        coalesce(array_to_string(seq[1:50], '>'), '') AS path,
@@ -6223,10 +6275,10 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PQ_BASE = """
+_SQL_PQ_BASE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+  FROM {_EMB}
 ), cb0 AS (
   SELECT vv, row_number() OVER (ORDER BY vec_id) - 1 AS code
   FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
@@ -6309,11 +6361,11 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_IVFPQ = _SQL_PQ_BASE + f""",
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) ORDER BY vec_id LIMIT 8
+  FROM {_EMB} ORDER BY vec_id LIMIT 8
 ), assign_raw AS (
   SELECT c.vec_id AS did, t.centroid_id,
          {_r6(_cos_sql_of("c.embedding", "t.cvec"))} AS acos
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) c CROSS JOIN cent t
+  FROM {_EMB} c CROSS JOIN cent t
 ), lists AS (
   SELECT did, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY did
@@ -6322,7 +6374,7 @@ cent AS (
 ), probe_raw AS (
   SELECT q.vec_id AS qid, t.centroid_id,
          {_r6(_cos_sql_of("q.embedding", "t.cvec"))} AS pcos
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) q CROSS JOIN cent t WHERE q.vec_id < 10
+  FROM {_EMB} q CROSS JOIN cent t WHERE q.vec_id < 10
 ), probes AS (
   SELECT qid, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY qid
@@ -6432,9 +6484,9 @@ def _sql_kmeans_prefix() -> str:
     (LEFT JOIN + coalesce).  Ends with CTE ``a6`` = the final
     (vec_id, cluster_id) assignment."""
     iters = 5
-    parts = ["""
+    parts = [f"""
 WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {_EMB}
 ), ed AS (
   SELECT vec_id, i::INT AS dim, x
   FROM (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x
@@ -6616,7 +6668,9 @@ def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "temp", F.col("value") / 10.0
     )
-    return degree_days(ev, "ts", "temp")
+    out = degree_days(ev, "ts", "temp")
+    # TIMESTAMP emission (not DATE) — pandas dtype parity with the oracle
+    return out.withColumn("day", F.col("day").cast("timestamp"))
 
 
 _SQL_DEGREE_DAYS = f"""
@@ -6624,7 +6678,7 @@ WITH daily AS (
   SELECT ts::DATE AS day,
          sum(value / 10.0) / count(value / 10.0) AS tavg
   FROM {_EV} WHERE value IS NOT NULL GROUP BY 1)
-SELECT day, {qround_sql('tavg', 4)} AS t_mean,
+SELECT day::TIMESTAMP AS day, {qround_sql('tavg', 4)} AS t_mean,
        {qround_sql('greatest(18.0 - tavg, 0.0)', 4)} AS hdd,
        {qround_sql('tavg - 22.0', 4).replace('tavg - 22.0',
            'greatest(tavg - 22.0, 0.0)')} AS cdd
@@ -6711,7 +6765,9 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etdtransform_spark.operators.sessions import rolling_active_users
 
     ev = _t(spark, sf_dir, "events")
-    return rolling_active_users(ev, window_days=7)
+    out = rolling_active_users(ev, window_days=7)
+    # TIMESTAMP emission (not DATE) — pandas dtype parity with the oracle
+    return out.withColumn("day", F.col("day").cast("timestamp"))
 
 
 _SQL_ROLLING_ACTIVE = f"""
@@ -6723,7 +6779,7 @@ contrib AS (
 rolling AS (SELECT rd, count(DISTINCT u) AS rolling_active
             FROM contrib GROUP BY 1),
 dau AS (SELECT d AS rd, count(DISTINCT u) AS dau FROM pres GROUP BY 1)
-SELECT r.rd AS day, coalesce(dau.dau, 0) AS dau, rolling_active,
+SELECT r.rd::TIMESTAMP AS day, coalesce(dau.dau, 0) AS dau, rolling_active,
        {qround_sql('coalesce(dau.dau, 0) / rolling_active::DOUBLE', 6)}
          AS stickiness
 FROM rolling r LEFT JOIN dau ON dau.rd = r.rd CROSS JOIN bounds
@@ -6871,6 +6927,204 @@ QUALIFY sample_rank <= 40
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions: skew mitigation, sketch intersection, LSH ANN,
+# z-order round-trip — the strongest previously unit-only operators,
+# promoted to hard oracle contracts (VERDICT r2 next-round #6)
+# ---------------------------------------------------------------------------
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage skew-safe aggregation (operators/skew.py:salted_agg):
+    partial aggregate on (key, salt) spreads a hot key over 16 reducers,
+    then the per-key combine — result ≡ the direct one-stage groupBy the
+    oracle runs. Measures are integer cents so the two-stage double
+    accumulation has no ULP surface; avg is ONE IEEE division of exact
+    integers."""
+    from etdtransform_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vc", F.floor(F.col("value") * 100 + F.lit(0.5))
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("vc", "sum", "sum_c"),
+            ("vc", "count", "n"),
+            ("vc", "min", "min_c"),
+            ("vc", "max", "max_c"),
+        ],
+        n_salt=16,
+    )
+    avg = F.when(
+        F.col("n") > 0,
+        qround(
+            F.col("sum_c").cast("double")
+            / (F.col("n") * 100).cast("double"),
+            6,
+        ),
+    )
+    return out.select(
+        "event_type", "sum_c", "n", "min_c", "max_c", avg.alias("avg_v")
+    )
+
+
+_SQL_SALTED_AGG = f"""
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM {_EV}
+)
+SELECT event_type, CAST(sum(vc) AS BIGINT) AS sum_c, count(vc) AS n,
+       min(vc) AS min_c, max(vc) AS max_c,
+       CASE WHEN count(vc) > 0 THEN
+         {qround_sql('CAST(sum(vc) AS DOUBLE) / CAST(count(vc) * 100 AS DOUBLE)', 6)}
+       END AS avg_v
+FROM b GROUP BY 1
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (operators/skew.py:salted_join): fact rows get a
+    deterministic salt, the dim side is replicated n_salt ways, the join
+    runs on (key, salt) — each hot key spreads over 8 reducers. Result
+    multiset ≡ the plain inner join the oracle runs."""
+    from etdtransform_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    fact = ev.select("event_id", "event_type", "user_id")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_count")
+    )
+    out = salted_join(fact, dim, on=["event_type"], n_salt=8, how="inner")
+    return out.select("event_id", "event_type", "user_id", "type_count")
+
+
+_SQL_SALTED_JOIN = f"""
+WITH d AS (SELECT event_type, count(*) AS type_count FROM {_EV} GROUP BY 1)
+SELECT e.event_id, e.event_type, e.user_id, d.type_count
+FROM {_EV} e JOIN d ON e.event_type = d.event_type
+"""
+
+
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-overlap of two HLL state tables by inclusion-exclusion
+    (operators/incremental.py:hll_intersection_estimate): |A∩B| ≈ |A| +
+    |B| − |A∪B| on mergeable DataSketches state. At gate cardinality the
+    sketches are in sparse mode, where estimates are EXACT — so the
+    oracle is the exact COUNT(DISTINCT) arithmetic."""
+    from etdtransform_spark.operators.incremental import (
+        hll_intersection_estimate,
+        hll_state_build,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", F.pmod(F.col("user_id"), F.lit(5))
+    )
+    a = hll_state_build(
+        ev.filter(F.col("event_type") == "purchase"), ["cohort"], "user_id"
+    )
+    b = hll_state_build(
+        ev.filter(F.col("event_type") == "view"), ["cohort"], "user_id"
+    )
+    return hll_intersection_estimate(a, b, ["cohort"])
+
+
+_SQL_HLL_INTERSECTION = f"""
+WITH pu AS (SELECT DISTINCT user_id % 5 AS cohort, user_id FROM {_EV}
+            WHERE event_type = 'purchase'),
+vu AS (SELECT DISTINCT user_id % 5 AS cohort, user_id FROM {_EV}
+       WHERE event_type = 'view'),
+a AS (SELECT cohort, count(*) AS n_a FROM pu GROUP BY 1),
+b AS (SELECT cohort, count(*) AS n_b FROM vu GROUP BY 1),
+u AS (SELECT cohort, count(*) AS n_union
+      FROM (SELECT * FROM pu UNION SELECT * FROM vu) GROUP BY 1)
+SELECT a.cohort, n_a, n_b, n_union,
+       greatest(n_a + n_b - n_union, 0) AS n_intersection
+FROM a JOIN b USING (cohort) JOIN u USING (cohort)
+"""
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate cosine top-k
+    (operators/similarity.py:lsh_cosine_topk): corpus and queries hash to
+    a 4-bit sign-prefix bucket (axis-plane LSH), candidates come from a
+    bucket EQUIJOIN — O(Q·N/2⁴) instead of the brute-force O(Q·N) scan.
+    The bucketing is a pure function of the vector, so the oracle mirrors
+    it exactly in SQL — a full-value check of the approximate plan."""
+    from etdtransform_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(queries_df, emb, k=3, bucket_dims=4).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def _bucket_sql_of(v: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {v}[{d + 1}] >= 0 THEN {2 ** d} ELSE 0 END)"
+        for d in range(4)
+    )
+
+
+_SQL_LSH_COSINE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_bucket_sql_of('embedding')} AS bucket
+  FROM {_EMB} WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {_bucket_sql_of('embedding')} AS bucket
+  FROM {_EMB}
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_r6(_cos_sql_of('q.qv', 'c.cv'))} AS cosine
+  FROM q JOIN c USING (bucket)
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered layout round-trip (sources/parquet.py:write_zordered):
+    events re-written range-partitioned + sorted on the (user_id,
+    event_id) Morton code, read back, filtered and aggregated — the
+    multi-dimensional clustering must be a pure LAYOUT change (the file-
+    pruning effect itself is plan-asserted in tests/test_zorder_pruning).
+    Oracle runs the same filter/aggregate on the original table."""
+    import uuid
+
+    from etdtransform_spark.sources.parquet import write_zordered
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    path = f"/tmp/zorder_rt_{uuid.uuid4().hex[:8]}"
+    write_zordered(ev, path, by=["user_id", "event_id"], n_files=8)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("user_id") % 10 == 3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("sum_c"),
+        )
+    )
+
+
+_SQL_ZORDER_RT = f"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS sum_c
+FROM {_EV} WHERE user_id % 10 = 3
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -6881,62 +7135,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver check window (first 50 keys): round-2 rotation ---
-        # 3 round-1 reds (now encoding-invariant) + the 2 newly-oracled
-        # iterative queries + 45 not-yet-driver-verified queries.
-        "impute_summary": q_impute_summary,
+        # --- driver check window (first 50 keys): rotated by
+        # scripts/rotate_window.py — reds first, then the round-3
+        # additions, then never-checked ---
         "sessionize": q_sessionize,
         "impute_linear_fill": q_impute_linear_fill,
-        "bpe_token_counts": q_bpe_token_counts,
-        "kmeans_centroids": q_kmeans_centroids,
-        "semantic_dedup": q_semantic_dedup,
-        "stratified_sample": q_stratified_sample,
-        "streaming_dedup": q_streaming_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "simhash_near_dup": q_simhash_near_dup,
-        "topk_revenue": q_topk_revenue,
-        "rollup_orders": q_rollup_orders,
-        "pivot_events": q_pivot_events,
-        "count_distinct": q_count_distinct,
-        "sliding_window": q_sliding_window,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "streaming_sessionize": q_streaming_sessionize,
-        "chunk_documents": q_chunk_documents,
-        "pack_documents": q_pack_documents,
-        "scrub_pii": q_scrub_pii,
-        "contamination": q_contamination,
-        "frame_sample": q_frame_sample,
-        "quantize_embeddings": q_quantize_embeddings,
-        "streaming_sliding": q_streaming_sliding,
-        "window_rank_family": q_window_rank_family,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "validate_columns": q_validate_columns,
-        "ols_regression": q_ols_regression,
-        "histogram": q_histogram,
-        "unpivot_events": q_unpivot_events,
-        "zscore_outliers": q_zscore_outliers,
-        "weighted_sample": q_weighted_sample,
-        "time_grid": q_time_grid,
-        "interpolate_gaps": q_interpolate_gaps,
-        "ewma": q_ewma,
-        "quantile_iqr": q_quantile_iqr,
-        "cube_events": q_cube_events,
-        "latest_snapshot": q_latest_snapshot,
-        "set_ops": q_set_ops,
-        "full_outer_activity": q_full_outer_activity,
-        "mad_outliers": q_mad_outliers,
-        "unigram_logprob": q_unigram_logprob,
-        "repetition_ratio": q_repetition_ratio,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "argmin_join": q_argmin_join,
-        "revenue_share": q_revenue_share,
-        "above_avg_customers": q_above_avg_customers,
-        # --- beyond the 50-query window (semantic_dedup's insertion moved
-        # the boundary here): queued for round-3+ rotation; all guarded by
-        # tests/oracle_harness.py --strict locally ---
+        "salted_agg": q_salted_agg,
+        "salted_join": q_salted_join,
+        "hll_intersection": q_hll_intersection,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "zorder_roundtrip": q_zorder_roundtrip,
         "dim_grid": q_dim_grid,
         "union_evolved": q_union_evolved,
         "rolling_time_window": q_rolling_time_window,
@@ -6979,6 +7188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "product_type_profit": q_product_type_profit,
         "important_part_value": q_important_part_value,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue_share": q_promo_revenue_share,
         "top_supplier": q_top_supplier,
@@ -7025,6 +7236,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "cross_source_dup": q_cross_source_dup,
         "per_source_cap": q_per_source_cap,
+        "impute_summary": q_impute_summary,
+        "bpe_token_counts": q_bpe_token_counts,
+        "kmeans_centroids": q_kmeans_centroids,
+        "semantic_dedup": q_semantic_dedup,
+        "stratified_sample": q_stratified_sample,
+        "streaming_dedup": q_streaming_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_join": q_asof_join,
+        "simhash_near_dup": q_simhash_near_dup,
+        "topk_revenue": q_topk_revenue,
+        "rollup_orders": q_rollup_orders,
+        "pivot_events": q_pivot_events,
+        "count_distinct": q_count_distinct,
+        "sliding_window": q_sliding_window,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_sessionize": q_streaming_sessionize,
+        "chunk_documents": q_chunk_documents,
+        "pack_documents": q_pack_documents,
+        "scrub_pii": q_scrub_pii,
+        "contamination": q_contamination,
+        "frame_sample": q_frame_sample,
+        "quantize_embeddings": q_quantize_embeddings,
+        "streaming_sliding": q_streaming_sliding,
+        "window_rank_family": q_window_rank_family,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "validate_columns": q_validate_columns,
+        "ols_regression": q_ols_regression,
+        "histogram": q_histogram,
+        "unpivot_events": q_unpivot_events,
+        "zscore_outliers": q_zscore_outliers,
+        "weighted_sample": q_weighted_sample,
+        "time_grid": q_time_grid,
+        "interpolate_gaps": q_interpolate_gaps,
+        "ewma": q_ewma,
+        "quantile_iqr": q_quantile_iqr,
+        "cube_events": q_cube_events,
+        "latest_snapshot": q_latest_snapshot,
+        "set_ops": q_set_ops,
+        "full_outer_activity": q_full_outer_activity,
+        "mad_outliers": q_mad_outliers,
+        "unigram_logprob": q_unigram_logprob,
+        "repetition_ratio": q_repetition_ratio,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "argmin_join": q_argmin_join,
+        "revenue_share": q_revenue_share,
+        "above_avg_customers": q_above_avg_customers,
         "scan_filter_project": q_scan_filter_project,
         "multi_join_revenue": q_multi_join_revenue,
         "semi_join": q_semi_join,
@@ -7264,4 +7522,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _sql_bpe(),
         "kmeans_centroids": _sql_kmeans(),
         "semantic_dedup": _sql_semantic_dedup(),
+        # round 3: previously unit-only operators promoted to contracts
+        "salted_agg": _SQL_SALTED_AGG,
+        "salted_join": _SQL_SALTED_JOIN,
+        "hll_intersection": _SQL_HLL_INTERSECTION,
+        "lsh_cosine_topk": _SQL_LSH_COSINE,
+        "zorder_roundtrip": _SQL_ZORDER_RT,
     }

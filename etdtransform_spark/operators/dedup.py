@@ -722,11 +722,15 @@ def cross_source_duplication(
     if normalize:
         key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
     per = (
-        # NULL text is excluded explicitly: Spark's xxhash64 folds NULL into
-        # the seed (a real value), which would silently count all NULL-text
-        # documents as copies of one another
+        # NULL text is excluded explicitly (a NULL grouping key would count
+        # all NULL-text documents as copies of one another). The duplicate
+        # class key is the normalized TEXT, not a 64-bit hash: a hash
+        # collision would silently merge two distinct texts into one class
+        # and inflate n_texts/n_dup_pairs at multi-billion-document scale.
+        # The shuffle carries each text once (same volume as exact dedup);
+        # the post-aggregate counts table the self-join runs on is small.
         df.filter(F.col(text_col).isNotNull())
-        .select(F.xxhash64(key).alias("k"), F.col(source_col))
+        .select(key.alias("k"), F.col(source_col))
         .groupBy("k", source_col)
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -737,9 +741,12 @@ def cross_source_duplication(
         F.col("k"), F.col(source_col).alias("source_b"), F.col("c").alias("cb")
     )
     pairs = a.join(b, "k").filter(F.col("source_a") <= F.col("source_b"))
+    # integer `div`, not true division: ca*(ca-1) is always even, and a
+    # double intermediate loses exactness past 2^53 accumulated pairs —
+    # reachable for the billion-copy boilerplate case
     n_pairs = F.when(
         F.col("source_a") == F.col("source_b"),
-        (F.col("ca") * (F.col("ca") - F.lit(1))) / F.lit(2),
+        F.expr("ca * (ca - CAST(1 AS BIGINT)) div 2"),
     ).otherwise(F.col("ca") * F.col("cb"))
     return (
         pairs.groupBy("source_a", "source_b")

@@ -733,6 +733,9 @@ def quantile_normalize(
     group_col: str,
     id_cols: Sequence[str],
     digits: int = 6,
+    exact: bool = True,
+    grid_size: int = 1025,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Quantile normalization: map each value onto the POOLED distribution
     at its within-group quantile position — after it, every group has the
@@ -741,11 +744,15 @@ def quantile_normalize(
 
     Per-group position is explicit rank arithmetic r=(rank−1)/(n−1) (not
     engine-internal percent_rank — the op sequence must be reproducible
-    cross-engine); the pooled inverse CDF is the globally sorted value
-    table with its lead, joined on the floor position and linearly
-    interpolated. The global sort is the scale caveat: at 100 TB replace
-    the exact CDF table with sampled/approx quantiles (same join shape),
-    as in the other exact-vs-approx trades. Returns
+    cross-engine). ``exact=True`` (oracle parity): the pooled inverse CDF
+    is the globally sorted value table with its lead, joined on the floor
+    position and linearly interpolated — a single-partition sort, fine at
+    test scale, NOT the 100 TB plan. ``exact=False`` is the scale path:
+    the pooled CDF collapses to one ``percentile_approx`` aggregate row (a
+    ``grid_size``-knot array, error 1/``accuracy``), broadcast to every
+    row; the inverse CDF is two ANSI-safe ``element_at`` lookups + linear
+    interpolation. No global sort, no single-partition window, no extra
+    shuffle — the only Window left is the per-group rank. Returns
     (ids..., group, value, normalized)."""
     x = F.col(value_col).cast("double")
     base = df.filter(x.isNotNull()).select(
@@ -768,6 +775,32 @@ def quantile_normalize(
         .otherwise(F.lit(0.5))
         .alias("_r"),
     )
+    if not exact:
+        # Scale path: the pooled CDF is a grid_size-knot approx-quantile
+        # array computed in ONE aggregate (t-digest style partial merge,
+        # model-sized result), broadcast-crossJoined as a single row. The
+        # inverse CDF at r is linear interpolation between the two
+        # bracketing knots — element_at indices clamped with least() so
+        # r=1.0 can't index past the array under ANSI mode.
+        knots = grid_size - 1
+        qs = [i / knots for i in range(grid_size)]
+        grid = base.agg(
+            F.percentile_approx("v", qs, F.lit(accuracy)).alias("_qs")
+        )
+        posg = F.col("_r") * F.lit(float(knots))
+        lo = F.floor(posg).cast("int")
+        frac = posg - F.floor(posg)
+        gv = F.element_at(F.col("_qs"), lo + 1)
+        gn = F.element_at(F.col("_qs"), F.least(F.lit(grid_size), lo + 2))
+        return (
+            ranked.crossJoin(F.broadcast(grid))
+            .select(
+                *id_cols,
+                F.col("grp").alias(group_col),
+                qround(F.col("v"), digits).alias(value_col),
+                qround(gv + frac * (gn - gv), digits).alias("normalized"),
+            )
+        )
     w_all = Window.orderBy("_cv")
     cdf = (
         base.select(F.col("v").alias("_cv"))

@@ -61,34 +61,89 @@ def _canon_rows(cols, rows):
     )
 
 
+def _dtype_class(dtype) -> str:
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(dtype):
+        return "bool"
+    if pt.is_integer_dtype(dtype):
+        return "int"
+    if pt.is_float_dtype(dtype):
+        return "float"
+    if pt.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
+def _pandas_cells(df, cols_sorted):
+    """Per-row canonical strings from a pandas frame, DTYPE-SENSITIVELY —
+    this replicates the driver: an int64 1 stringifies as "1" but a float64
+    1.0 as "1.0", so a DuckDB HUGEINT/DECIMAL output column (which pandas
+    converts to float64) mismatches a Spark non-null bigint even when every
+    value is numerically equal. The round-1/2 `sessionize`/`range_join`/
+    `impute_linear_fill` driver reds were exactly this class; a fetchall()-
+    based comparison (lossless Python ints) can never see it."""
+    import pandas as pd
+
+    series = []
+    for c in cols_sorted:
+        col = df[c]
+        vals = []
+        for v in col.tolist():
+            if v is None or v is pd.NaT or v is pd.NA:
+                vals.append("NULL")
+            elif isinstance(v, (list, tuple)) or getattr(v, "ndim", 0):
+                # toPandas hands ArrayType back as numpy arrays — the
+                # driver's pandas canonicalizer cannot sort/hash these
+                raise TypeError(
+                    f"unhashable type in result: {type(v).__name__} — "
+                    "serialize the column"
+                )
+            else:
+                vals.append(_canon_value(v))
+        series.append(vals)
+    return sorted("|".join(cells) for cells in zip(*series))
+
+
 def compare_query(spark, con, name, fn, sql, sf_dir):
     sdf = fn(spark, sf_dir)
-    s_cols = [c.lower() for c in sdf.columns]
-    s_rows = [tuple(r) for r in sdf.collect()]
+    sp = sdf.toPandas()
+    sp.columns = [c.lower() for c in sp.columns]
     rel = con.sql(sql)
-    d_cols = [c.lower() for c in rel.columns]
-    d_rows = rel.fetchall()
+    dp = rel.df()
+    dp.columns = [c.lower() for c in dp.columns]
 
     problems = []
-    if sorted(s_cols) != sorted(d_cols):
-        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-    if len(s_rows) != len(d_rows):
-        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
-    if not problems:
-        try:
-            cs = _canon_rows(s_cols, s_rows)
-            cd = _canon_rows(d_cols, d_rows)
-        except TypeError as e:
-            return [f"unhashable output: {e}"]
-        if cs != cd:
-            diffs = [
-                (a, b) for a, b in zip(cs, cd) if a != b
-            ][:3]
-            only_s = [r for r in cs if r not in set(cd)][:3]
-            only_d = [r for r in cd if r not in set(cs)][:3]
+    if sorted(sp.columns) != sorted(dp.columns):
+        problems.append(
+            f"columns differ: spark={sorted(sp.columns)} duck={sorted(dp.columns)}"
+        )
+    if len(sp) != len(dp):
+        problems.append(f"row count differs: spark={len(sp)} duck={len(dp)}")
+    if problems:
+        return problems
+    cols = sorted(sp.columns)
+    for c in cols:
+        sc, dc = _dtype_class(sp[c].dtype), _dtype_class(dp[c].dtype)
+        if sc != dc:
             problems.append(
-                f"values differ; first pair diffs={diffs} only_spark={only_s} only_duck={only_d}"
+                f"pandas dtype class differs for '{c}': spark={sp[c].dtype}"
+                f" duck={dp[c].dtype} — driver canonicalizer will hash-mismatch"
             )
+    if problems:
+        return problems
+    try:
+        cs = _pandas_cells(sp, cols)
+        cd = _pandas_cells(dp, cols)
+    except TypeError as e:
+        return [f"unhashable output: {e}"]
+    if cs != cd:
+        diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+        only_s = [r for r in cs if r not in set(cd)][:3]
+        only_d = [r for r in cd if r not in set(cs)][:3]
+        problems.append(
+            f"values differ; first pair diffs={diffs} only_spark={only_s} only_duck={only_d}"
+        )
     return problems
 
 

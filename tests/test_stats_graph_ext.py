@@ -246,6 +246,36 @@ def test_quantile_normalize_aligns_marginals(spark):
     assert min(by_g["a"]) == 1.0 and max(by_g["b"]) == 105.0
 
 
+def test_quantile_normalize_sampled_path(spark):
+    """exact=False (the 100 TB path): (1) matches the exact inverse CDF
+    within grid resolution on a smooth fixture, (2) is ANSI-safe at the
+    rank extremes r=0 and r=1 (element_at is clamped), and (3) carries NO
+    partition-less window — every windowspecdefinition in the optimized
+    plan is the per-group rank, so no single-partition global sort
+    survives in the plan (the exact path's scale caveat)."""
+    import re
+
+    from etdtransform_spark.operators.stats import quantile_normalize
+
+    rows = [(g * 1000 + i, f"g{g}", float(g * 7 + i)) for g in range(3)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    sampled = quantile_normalize(df, "v", "g", ["id"], exact=False,
+                                 grid_size=257, accuracy=10000)
+    exact = quantile_normalize(df, "v", "g", ["id"], exact=True)
+    s = {r.id: r.normalized for r in sampled.collect()}
+    e = {r.id: r.normalized for r in exact.collect()}
+    assert set(s) == set(e)
+    span = max(e.values()) - min(e.values())
+    for k in e:
+        assert abs(s[k] - e[k]) <= span / 64, (k, s[k], e[k])
+    # plan: the only windows are partitioned by grp; no global-sort window
+    plan = sampled._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(col == "grp" for col in specs), specs
+    assert "percentile_approx" in plan
+
+
 def test_gini_extremes_and_known_value(spark):
     from etdtransform_spark.operators.stats import gini_coefficient
 
