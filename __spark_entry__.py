@@ -7124,6 +7124,139 @@ GROUP BY 1
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/corpus.py:
+    dsir_importance_weights; Xie et al. NeurIPS 2023): hashed-unigram
+    log-ratio weights of every document against a target-domain sample
+    (here source='src18'), with deterministic top-40 selection. The
+    web-crawl → target-domain data-selection step of an LLM pipeline."""
+    from etdtransform_spark.operators.corpus import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs,
+        target=F.col("source") == "src18",
+        n_buckets=64,
+        top_n=40,
+    )
+
+
+_DSIR_B = portable_hash64_sql("term", "dsir")
+_SQL_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, (source = 'src18') AS is_t,
+         {_DSIR_B} % 64 AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  )
+), dists AS (
+  SELECT b, count(*) AS cq,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cp
+  FROM toks GROUP BY 1
+), totals AS (SELECT CAST(sum(cq) AS BIGINT) AS tq,
+                     CAST(sum(cp) AS BIGINT) AS tp FROM dists),
+ratio AS (
+  SELECT b, ln((cp + 1)::DOUBLE / (tp + 64)::DOUBLE)
+           - ln((cq + 1)::DOUBLE / (tq + 64)::DOUBLE) AS lr
+  FROM dists CROSS JOIN totals
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         {qround_sql('sum(r.lr)', 6)} AS logw
+  FROM toks t JOIN ratio r USING (b) GROUP BY 1
+)
+SELECT doc_id, n_tokens, logw,
+       row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS rank,
+       row_number() OVER (ORDER BY logw DESC, doc_id ASC) <= 40 AS selected
+FROM scored
+"""
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script histogram + dominant script
+    (operators/text.py:script_profile) — writing-system detection that
+    complements n-gram language ID; zero-shuffle strip-and-diff counts."""
+    from etdtransform_spark.operators.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return script_profile(docs)
+
+
+def _script_sql() -> str:
+    classes = [
+        ("latin", r"\p{Latin}"),
+        ("cyrillic", r"\p{Cyrillic}"),
+        ("han", r"\p{Han}"),
+        ("arabic", r"\p{Arabic}"),
+        ("greek", r"\p{Greek}"),
+        ("digit", "[0-9]"),
+        ("space", r"\s"),
+    ]
+    cnt = {
+        n: f"(length(text) - length(regexp_replace(text, '{p}', '', 'g')))"
+        for n, p in classes
+    }
+    named = [n for n, _ in classes if n not in ("digit", "space")]
+    dom = "CAST(NULL AS VARCHAR)"
+    for n in reversed(named):
+        conds = [f"{cnt[n]} > 0"] + [
+            f"{cnt[n]} >= {cnt[o]}" for o in named if o != n
+        ]
+        dom = f"CASE WHEN {' AND '.join(conds)} THEN '{n}' ELSE {dom} END"
+    cols = ",\n       ".join(f"{cnt[n]}::BIGINT AS n_{n}" for n, _ in classes)
+    others = " - ".join([f"length(text)::BIGINT"] + [cnt[n] for n, _ in classes])
+    return f"""
+SELECT doc_id, length(text)::BIGINT AS n_chars_total,
+       {cols},
+       ({others})::BIGINT AS n_other,
+       {dom} AS dominant_script
+FROM documents
+"""
+
+
+def q_dedup_resolve_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup resolution
+    (operators/dedup.py:resolve_duplicates_best): the survivor of each
+    MinHash-LSH duplicate cluster is the LONGEST member (n_chars, ties to
+    lowest id) — what production curation keeps, instead of the min-id
+    arbitrary representative."""
+    from etdtransform_spark.operators.dedup import resolve_duplicates_best
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return resolve_duplicates_best(docs, pairs, quality_col="n_chars")
+
+
+def _sql_dedup_resolve_best() -> str:
+    lsh = _sql_minhash_lsh()
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(v, u) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
+),
+cc AS (SELECT v AS node, min(u) AS cluster_id FROM reach GROUP BY v),
+base AS (
+  SELECT d.doc_id,
+         coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         coalesce(d.n_chars, -1)::BIGINT AS quality
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, cluster_id, quality,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+FROM base
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7330,6 +7463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_rule_chain": q_impute_rule_chain,
         "brand_supplier_revenue": q_brand_supplier_revenue,
         "hash_sample": q_hash_sample,
+        # round-3 late additions (never driver-checked; next rotation
+        # moves them into the window)
+        "dsir_weights": q_dsir_weights,
+        "script_profile": q_script_profile,
+        "dedup_resolve_best": q_dedup_resolve_best,
     }
 
 
@@ -7528,4 +7666,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_intersection": _SQL_HLL_INTERSECTION,
         "lsh_cosine_topk": _SQL_LSH_COSINE,
         "zorder_roundtrip": _SQL_ZORDER_RT,
+        "dsir_weights": _SQL_DSIR,
+        "script_profile": _script_sql(),
+        "dedup_resolve_best": _sql_dedup_resolve_best(),
     }

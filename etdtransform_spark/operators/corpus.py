@@ -463,6 +463,80 @@ def per_source_cap(
     )
 
 
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    seed: int | str = "dsir",
+    digits: int = 6,
+    top_n: int | None = None,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score every document by how target-domain-like its hashed
+    unigram feature counts are, then select the highest-weight documents.
+    The standard recipe for skimming a web-scale crawl down to the slice
+    that matches a small high-quality target sample.
+
+    ``target`` is a boolean Column marking the target-domain sample inside
+    ``df``. Features are unigrams hashed into ``n_buckets`` (the paper's
+    hashed n-gram generative model); target distribution p and raw
+    distribution q are Laplace-smoothed bucket frequencies, and the
+    per-document log importance weight is Σ_tokens (ln p_b − ln q_b).
+
+    100 TB shape: the two bucket dictionaries are ``n_buckets``-row
+    aggregates (broadcast); scoring is one token explode + broadcast join
+    + per-doc sum — two passes over the corpus, no shuffle wider than the
+    doc key, dictionary never driver-side. Zero-token / NULL-text
+    documents have no features and drop from the output (the declared
+    no-content semantics shared with the shingle operators). Returns
+    (id, n_tokens, logw) plus (rank, selected) when ``top_n`` is set —
+    rank on the ROUNDED weight with id tie-break, so selection is
+    deterministic cross-engine."""
+    from ..functions.scalars import qround
+
+    bucket = portable_hash64(F.col("term"), seed=seed) % n_buckets
+    toks = (
+        widen(df)
+        .select(F.col(id_col), target.alias("_is_t"), F.explode(_toks(text_col)).alias("term"))
+        .select(F.col(id_col), F.col("_is_t"), bucket.alias("b"))
+    )
+    dists = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cq"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("cp"),
+    )
+    totals = dists.agg(
+        F.sum("cq").alias("tq"), F.sum("cp").alias("tp")
+    )
+    ratio = (
+        dists.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("cp") + 1).cast("double") / (F.col("tp") + n_buckets).cast("double"))
+                - F.log((F.col("cq") + 1).cast("double") / (F.col("tq") + n_buckets).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            qround(F.sum("lr"), digits).alias("logw"),
+        )
+    )
+    if top_n is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("logw").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).withColumn(
+        "selected", F.col("rank") <= top_n
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     ratios: Sequence[float] = (0.8, 0.1, 0.1),

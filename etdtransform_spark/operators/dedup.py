@@ -695,6 +695,46 @@ def resolve_duplicates(
     )
 
 
+def resolve_duplicates_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware dedup resolution: like :func:`resolve_duplicates`, but
+    the survivor of each duplicate cluster is the HIGHEST-``quality_col``
+    member (ties to the lowest id) instead of the lowest id. This is what
+    production curation actually does — near-duplicate crawls keep the
+    longest / highest-scoring variant, not an arbitrary one (the min-id
+    rule silently prefers whichever copy was ingested first).
+
+    Same scale shape as resolve_duplicates: connected components over the
+    pair list (node-count-sized), ONE left join from the corpus, and a
+    per-cluster rank window — clusters are tiny, so the window sorts
+    within shuffle partitions. NULL quality ranks below every real value
+    (coalesce to -1), keeping the decision total. Returns
+    (id, cluster_id, quality, keep)."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    joined = df.select(F.col(id_col), F.col(quality_col)).join(
+        cc, F.col(id_col) == F.col("node"), "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    q = F.coalesce(F.col(quality_col).cast("bigint"), F.lit(-1))
+    ranked = joined.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        q.alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return ranked.withColumn("keep", F.row_number().over(w) == 1)
+
+
 def cross_source_duplication(
     df: DataFrame,
     text_col: str = "text",

@@ -188,6 +188,58 @@ def gopher_gate(
     )
 
 
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    # (name, Java-regex char class) — Unicode SCRIPT properties, which RE2
+    # (DuckDB) spells \p{Latin} and Java spells \p{IsLatin}; counts verified
+    # identical across both engines on mixed-script fixtures.
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("han", r"\p{IsHan}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("greek", r"\p{IsGreek}"),
+    ("digit", "[0-9]"),
+    ("space", r"\s"),
+]
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document Unicode SCRIPT histogram + dominant script — the
+    writing-system complement of the n-gram language-ID heuristic (a
+    Cyrillic document scores zero on English stopwords but lang-id alone
+    can't say *what* it is; script counts can, and they also catch
+    mixed-script spam / mojibake that slips past language filters).
+
+    Counts are strip-and-diff (``length(t) − length(regexp_replace(t,
+    class, ''))``) — one projection, zero shuffles, whole-stage codegen;
+    ``other`` is the remainder. Dominant script = the max-count class over
+    the named scripts (fixed priority order on ties), NULL for NULL text.
+    Returns (id, n_chars, per-class counts..., other, dominant)."""
+    t = F.col(text_col)
+    total = F.length(t)
+    counts = {
+        name: (total - F.length(F.regexp_replace(t, pat, ""))).cast("bigint")
+        for name, pat in SCRIPT_CLASSES
+    }
+    named = [n for n, _ in SCRIPT_CLASSES if n not in ("digit", "space")]
+    other = total.cast("bigint") - sum(counts.values())
+    # fixed priority order: first class with count >= every other count
+    dominant = F.lit(None).cast("string")
+    for name in reversed(named):
+        cond = counts[name] > 0  # zero-script text has NO dominant script
+        for o in named:
+            if o != name:
+                cond = cond & (counts[name] >= counts[o])
+        dominant = F.when(cond, F.lit(name)).otherwise(dominant)
+    return df.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_chars_total"),
+        *[counts[n].alias(f"n_{n}") for n, _ in SCRIPT_CLASSES],
+        other.alias("n_other"),
+        dominant.alias("dominant_script"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", fast: bool = False) -> DataFrame:
     """64-bit content fingerprint of whitespace-normalized lowercased text —
     the exact-dedup key for massive corpora (hash join instead of string
