@@ -7257,6 +7257,62 @@ FROM base
 """
 
 
+def q_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization asymmetric-distance top-k
+    (operators/similarity.py:adc_topk): float queries scored against the
+    CODES-ONLY corpus, dequantized on the fly from broadcast per-dim
+    min/max stats — the memory path of billion-scale ANN (the corpus never
+    exists in float form at query time). Oracle mirrors quantize +
+    dequantize + cosine end-to-end."""
+    from etdtransform_spark.operators.similarity import (
+        adc_topk,
+        embedding_dim_stats,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = embedding_dim_stats(emb, n_dims=64)
+    codes = quantize_embeddings(emb)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return adc_topk(queries_df, codes, stats, k=3, n_dims=64)
+
+
+_SQL_ADC_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM {_EMB}
+), s AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+c AS (
+  SELECT e.vec_id, e.d,
+         (CASE WHEN s.mx = s.mn THEN 0.0
+               ELSE least(255.0, floor((e.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5))
+          END)::BIGINT AS code
+  FROM e JOIN s USING (d)
+), deq AS (
+  SELECT c.vec_id, c.d, s.mn + c.code * (s.mx - s.mn) / 255.0 AS xh
+  FROM c JOIN s USING (d)
+), corpus AS (
+  SELECT vec_id AS corpus_id, list(xh ORDER BY d) AS vhat FROM deq GROUP BY 1
+), q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM {_EMB} WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, corpus.corpus_id,
+         list_dot_product(q.qv, corpus.vhat)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(corpus.vhat, corpus.vhat))) AS cos_raw
+  FROM q CROSS JOIN corpus
+  WHERE q.query_id <> corpus.corpus_id
+)
+SELECT query_id, corpus_id, {_r6('cos_raw')} AS cos_adc,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_raw DESC, corpus_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7468,6 +7524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "script_profile": q_script_profile,
         "dedup_resolve_best": q_dedup_resolve_best,
+        "adc_topk": q_adc_topk,
     }
 
 
@@ -7669,4 +7726,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _SQL_DSIR,
         "script_profile": _script_sql(),
         "dedup_resolve_best": _sql_dedup_resolve_best(),
+        "adc_topk": _SQL_ADC_TOPK,
     }
