@@ -7096,9 +7096,16 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-dimensional clustering must be a pure LAYOUT change (the file-
     pruning effect itself is plan-asserted in tests/test_zorder_pruning).
     Oracle runs the same filter/aggregate on the original table."""
+    import glob
+    import shutil
     import uuid
 
     from etdtransform_spark.sources.parquet import write_zordered
+
+    # best-effort cleanup of prior runs' layout dirs (bench runs this
+    # every round; without it /tmp accumulates one dir per invocation)
+    for old in glob.glob("/tmp/zorder_rt_*"):
+        shutil.rmtree(old, ignore_errors=True)
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"

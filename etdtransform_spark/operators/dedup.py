@@ -442,9 +442,10 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = adj.select(F.col("src").alias("v")).distinct().withColumn(
+    init_labels = adj.select(F.col("src").alias("v")).distinct().withColumn(
         "label", F.col("v")
     ).persist()
+    labels = init_labels
     # Labels are monotone non-increasing under Pregel-min, so the exact
     # decimal sum of all labels is a convergence certificate: unchanged sum
     # ⟺ fixpoint. One scalar per round crosses to the driver — no
@@ -454,21 +455,31 @@ def connected_components(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     for _ in range(max_iter):
+        # localCheckpoint, not persist: persist caches partitions but the
+        # LINEAGE still compounds round over round — the returned frame's
+        # plan held one full upstream copy (LSH candidate generation +
+        # corpus scan) PER ROUND (measured: 337 FileScans / 1170 Exchanges
+        # in the executed plan at 2 rounds of a 190-query suite). Catalyst
+        # re-optimizes that whole tree on every downstream use, and a lost
+        # executor would recompute the entire history. Checkpointing
+        # truncates each round to a LogicalRDD root (the shape pagerank
+        # already uses); the convergence agg right below materializes it,
+        # so no extra pass is paid.
         new_labels = (
             adj.join(labels, adj.dst == labels.v)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("v"), "label")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    init_labels.unpersist()
     adj.unpersist()
     e.unpersist()
     return labels.select(F.col("v").alias("node"), F.col("label").alias("cluster_id"))

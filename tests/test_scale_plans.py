@@ -603,3 +603,24 @@ def test_ingestion_gates_push_to_scan(spark):
     emb = e._t(spark, "/root/testdata/sf0.001", "embeddings")
     plan2 = emb._jdf.queryExecution().executedPlan().toString()
     assert "IsNotNull(embedding)" in plan2
+
+
+def test_iterative_loops_truncate_lineage(spark):
+    """Pregel-style loops (connected components, pagerank) must NOT return
+    a plan whose lineage compounds per round: before the fix,
+    resolve_duplicates' executed plan held one full upstream copy (LSH
+    candidate generation + corpus scan) PER ROUND — 337 FileScans / 1170
+    Exchanges — so Catalyst re-optimized the whole history on every use
+    and a lost executor would recompute it. localCheckpoint truncates each
+    round to a LogicalRDD root: the returned plan re-scans the input at
+    most twice (the final corpus join), regardless of round count."""
+    import re
+
+    import __spark_entry__ as e
+
+    for name in ("dedup_resolve", "dedup_clusters", "dedup_resolve_best"):
+        df = e.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = len(re.findall(r"FileScan parquet", plan))
+        assert n_scans <= 2, (name, n_scans)
+        assert plan.count("Exchange") <= 6, (name, plan.count("Exchange"))
