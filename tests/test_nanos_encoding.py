@@ -112,7 +112,17 @@ def test_repair_min_max_lag_epoch(spark, nanos_sf_dir):
 
 
 @pytest.mark.parametrize(
-    "qname", ["impute_linear_fill", "sessionize", "impute_summary"]
+    "qname",
+    [
+        "impute_linear_fill",
+        "sessionize",
+        "impute_summary",
+        # round-3 additions that read/write event timestamps
+        "range_join",
+        "zorder_roundtrip",
+        "salted_agg",
+        "hll_intersection",
+    ],
 )
 def test_contract_queries_on_nanos(spark, nanos_sf_dir, qname):
     import __spark_entry__ as entrymod
