@@ -134,6 +134,43 @@ def test_resize_nearest_known_mapping():
     assert out == expect
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 8),
+        color_type=st.sampled_from([0, 2, 4, 6]),
+        data=st.data(),
+    )
+    def test_decode_roundtrip_property(w, h, color_type, data):
+        """Any 8-bit image under any per-row filter assignment decodes back
+        to the exact source samples — the unfilter paths are inverses of the
+        spec's forward filters for arbitrary pixel data, not just
+        gradients."""
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        got = png_decode_pixels(make_png(w, h, px, color_type, filters))
+        assert got is not None
+        assert got[:3] == (w, h, ch)
+        assert bytes(got[3]) == px
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_resize_images_real_mode(spark):
     """End-to-end Arrow kernel: decode_stub='real' resizes actual PNG
     payloads and NULLs non-PNG rows; schema identical to stub mode."""
