@@ -7279,7 +7279,7 @@ def q_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     stats = embedding_dim_stats(emb, n_dims=64)
-    codes = quantize_embeddings(emb)
+    codes = quantize_embeddings(emb, stats_df=stats)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return adc_topk(queries_df, codes, stats, k=3, n_dims=64)
 

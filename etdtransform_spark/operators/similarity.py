@@ -318,6 +318,7 @@ def quantize_embeddings(
     id_col: str = "vec_id",
     n_dims: int = 64,
     levels: int = 256,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-dimension scalar quantization to ``levels`` codes (int8-style):
     code_d = floor((x_d - min_d) / (max_d - min_d) * (levels-1) + 0.5),
@@ -335,7 +336,11 @@ def quantize_embeddings(
     (see :func:`adc_topk`).
     """
     v = F.col(vec_col)
-    srow = embedding_dim_stats(df, vec_col, n_dims).collect()[0]
+    # accept a precomputed stats frame so a caller that also needs the
+    # stats (adc_topk's dequantize side) pays the corpus stats pass once
+    srow = (
+        stats_df if stats_df is not None else embedding_dim_stats(df, vec_col, n_dims)
+    ).collect()[0]
     m = float(levels - 1)
     # Stats are model metadata (2*d doubles) — inline them as LITERAL
     # arrays and encode with one zip_with fold: constant-folded codegen,
