@@ -22,6 +22,7 @@ scanning media parquet so a batch of decoded frames fits executor memory.
 from __future__ import annotations
 
 import hashlib
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -226,6 +227,203 @@ def png_resize_nearest(
             d = (ty * target_w + tx) * ch
             out[d : d + ch] = px[s : s + ch]
     return bytes(out)
+
+
+def bmp_decode_pixels(
+    payload: bytes | None,
+) -> tuple[int, int, int, bytearray] | None:
+    """FULL BMP pixel decode, stdlib only: 24-bit uncompressed
+    BITMAPINFOHEADER bitmaps (the overwhelmingly common raw-BMP case).
+    Returns (width, height, 3, row-major interleaved RGB samples) — rows
+    re-ordered top-down and channels swapped from the file's bottom-up BGR
+    so the output convention matches :func:`png_decode_pixels`. None for
+    anything else (palette/compressed/16|32-bit variants stay header-only)."""
+    p = payload
+    if p is None or len(p) < 54 or p[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(p[10:14], "little")
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h = int.from_bytes(p[22:26], "little", signed=True)
+    bpp = int.from_bytes(p[28:30], "little")
+    compression = int.from_bytes(p[30:34], "little")
+    if w <= 0 or h == 0 or bpp != 24 or compression != 0:
+        return None
+    top_down = h < 0
+    height = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * height > len(p):
+        return None
+    out = bytearray(w * height * 3)
+    for row in range(height):
+        src = data_off + (row if top_down else height - 1 - row) * stride
+        d = row * w * 3
+        for x in range(w):
+            s = src + x * 3
+            out[d + x * 3] = p[s + 2]      # R
+            out[d + x * 3 + 1] = p[s + 1]  # G
+            out[d + x * 3 + 2] = p[s]      # B
+    return w, height, 3, out
+
+
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_pixels: int
+) -> bytearray | None:
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
+    code width grows when the table fills, capped at 12 bits — giflib's
+    non-early-change convention)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < max_pixels:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code != clear and code != end:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def gif_decode_pixels(
+    payload: bytes | None,
+) -> tuple[int, int, int, bytearray] | None:
+    """FULL GIF pixel decode, stdlib only: first image frame of a
+    GIF87a/GIF89a (global or local color table, optional interlacing)
+    through a pure-Python GIF-LZW inflate. Returns (width, height, 3,
+    row-major RGB) in the frame's own dimensions, or None for
+    corrupt/truncated payloads. Animation frames beyond the first and
+    transparency compositing are out of scope — the curation pipeline's
+    decode target is the representative bitmap."""
+    p = payload
+    if p is None or len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+
+    def le16(i: int) -> int:
+        return int.from_bytes(p[i : i + 2], "little")
+
+    packed = p[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 ** ((packed & 7) + 1)
+        gct = p[pos : pos + 3 * size]
+        pos += 3 * size
+    n = len(p)
+    while pos < n:
+        b = p[pos]
+        if b == 0x21:  # extension block: label byte + data sub-blocks
+            pos += 2
+            while pos < n and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                return None
+            w, h = le16(pos + 5), le16(pos + 7)
+            ipacked = p[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                size = 2 ** ((ipacked & 7) + 1)
+                ct = p[pos : pos + 3 * size]
+                pos += 3 * size
+            if ct is None or pos >= n or w == 0 or h == 0:
+                return None
+            min_code = p[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            data = bytearray()
+            while pos < n and p[pos] != 0:
+                ln = p[pos]
+                data += p[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if indices is None or len(indices) < w * h:
+                return None
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter = bytearray(w * h)
+                for src_row, dst_row in enumerate(order):
+                    deinter[dst_row * w : (dst_row + 1) * w] = indices[
+                        src_row * w : (src_row + 1) * w
+                    ]
+                indices = deinter
+            out = bytearray(w * h * 3)
+            for i in range(w * h):
+                ci = indices[i] * 3
+                if ci + 3 > len(ct):
+                    return None
+                out[i * 3 : i * 3 + 3] = ct[ci : ci + 3]
+            return w, h, 3, out
+        else:  # trailer (0x3B) or corrupt
+            return None
+    return None
+
+
+def wav_decode_samples(
+    payload: bytes | None,
+) -> tuple[int, int, "array.array"] | None:
+    """FULL PCM sample decode for 16-bit PCM WAV, stdlib only: returns
+    (channels, sample_rate, interleaved int16 samples). None for
+    compressed / non-16-bit payloads (mp3/flac/aac need real codec
+    libraries and stay integration points)."""
+    import array
+
+    p = payload
+    if p is None or len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos = 12
+    n = len(p)
+    channels = rate = None
+    fmt_tag = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= n:
+            fmt_tag = int.from_bytes(p[pos + 8 : pos + 10], "little")
+            channels = int.from_bytes(p[pos + 10 : pos + 12], "little")
+            rate = int.from_bytes(p[pos + 12 : pos + 16], "little")
+            bits = int.from_bytes(p[pos + 22 : pos + 24], "little")
+        elif cid == b"data":
+            data = p[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt_tag != 1 or bits != 16 or not channels or not rate or data is None:
+        return None
+    usable = len(data) - (len(data) % (2 * channels))
+    samples = array.array("h")
+    samples.frombytes(data[:usable])
+    if sys.byteorder == "big":  # pragma: no cover - WAV is little-endian
+        samples.byteswap()
+    return channels, rate, samples
 
 
 def audio_header_info(
@@ -545,6 +743,10 @@ CHUNK_SCHEMA = StructType(
         StructField("start_ms", LongType(), False),
         StructField("end_ms", LongType(), False),
         StructField("chunk_sha256", StringType(), True),
+        # real-decode extras (NULL in stub mode): RMS of the chunk's PCM
+        # samples in milli-units, and the decoded frame count
+        StructField("rms_milli", LongType(), True),
+        StructField("n_frames", LongType(), True),
     ]
 )
 
@@ -558,7 +760,15 @@ def chunk_audio(
     """Overlapping audio windows (the ASR/embedding pre-segmentation shape):
     window starts every ``hop_ms`` while they begin inside the clip, end
     clamped to the clip. Same Catalyst-enumerate / Arrow-decode split as
-    :func:`sample_video_frames`."""
+    :func:`sample_video_frames`.
+
+    ``decode_stub='real'`` runs ACTUAL sample decode for 16-bit PCM WAV
+    (:func:`wav_decode_samples`): per-chunk seek+slice of the interleaved
+    frames, content hash over the sliced bytes, RMS (milli-units) and
+    frame count. Non-PCM payloads yield NULL features; compressed codecs
+    (mp3/flac/aac) remain the codec integration point."""
+    if decode_stub not in ("deterministic", "raise", "real"):
+        raise ValueError("decode_stub must be 'deterministic'|'raise'|'real'")
     chunks = (
         # same null/zero-duration guard as sample_video_frames: least()
         # skipping a null _dur would un-clamp end_ms to a full window
@@ -586,6 +796,56 @@ def chunk_audio(
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError("audio decode integration point")
+            if decode_stub == "real":
+                # ACTUAL sample-level decode for PCM16 WAV: seek + slice
+                # per chunk (what an ffmpeg segmenter does for raw PCM),
+                # content hash over the sliced bytes, RMS + frame count as
+                # the per-chunk features. Decode once per media row, not
+                # per chunk — the chunks of a clip share one payload.
+                cache: dict[int, object] = {}
+                hashes, rmss, frames = [], [], []
+                for mid, c, s, e in zip(
+                    pdf["media_id"], pdf["content"], pdf["start_ms"],
+                    pdf["end_ms"],
+                ):
+                    if mid not in cache:
+                        cache[mid] = (
+                            wav_decode_samples(bytes(c))
+                            if c is not None
+                            else None
+                        )
+                    dec = cache[mid]
+                    if dec is None:
+                        hashes.append(None)
+                        rmss.append(None)
+                        frames.append(None)
+                        continue
+                    ch, rate, samples = dec
+                    f0 = int(s) * rate // 1000
+                    f1 = int(e) * rate // 1000
+                    seg = samples[f0 * ch : f1 * ch]
+                    hashes.append(
+                        hashlib.sha256(seg.tobytes()).hexdigest()
+                    )
+                    n = len(seg)
+                    if n:
+                        mean_sq = sum(int(x) * int(x) for x in seg) / n
+                        rmss.append(int(mean_sq ** 0.5 * 1000 + 0.5))
+                    else:
+                        rmss.append(0)
+                    frames.append(f1 - f0)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "chunk_idx": pdf["chunk_idx"].astype("int64"),
+                        "start_ms": pdf["start_ms"].astype("int64"),
+                        "end_ms": pdf["end_ms"].astype("int64"),
+                        "chunk_sha256": hashes,
+                        "rms_milli": pd.array(rmss, dtype="Int64"),
+                        "n_frames": pd.array(frames, dtype="Int64"),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -602,6 +862,8 @@ def chunk_audio(
                             pdf["content"], pdf["start_ms"], pdf["end_ms"]
                         )
                     ],
+                    "rms_milli": pd.array([None] * len(pdf), dtype="Int64"),
+                    "n_frames": pd.array([None] * len(pdf), dtype="Int64"),
                 }
             )
 
@@ -647,7 +909,14 @@ def resize_images(
             if decode_stub == "real":
                 payloads = []
                 for c in pdf["content"]:
-                    d = png_decode_pixels(bytes(c)) if c is not None else None
+                    d = None
+                    if c is not None:
+                        b = bytes(c)
+                        d = (
+                            png_decode_pixels(b)
+                            or bmp_decode_pixels(b)
+                            or gif_decode_pixels(b)
+                        )
                     payloads.append(
                         png_resize_nearest(d, target_w, target_h)
                         if d is not None
