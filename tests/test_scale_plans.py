@@ -583,6 +583,14 @@ def test_no_accidental_cartesian_or_python_row_udf(spark):
             flags.append("CartesianProduct")
         if "BatchEvalPython" in plan:
             flags.append("BatchEvalPython")
+        # re-scan multiplicity bound: a plan that scans one table tens of
+        # times is a compounding-lineage bug, not a join shape (this is
+        # exactly how the connected-components loop regression looked:
+        # 337 FileScans). The widest legitimate plan today is ivfpq_topk
+        # at 5 scans of embeddings; 12 leaves generous headroom.
+        n_scans = plan.count("FileScan parquet")
+        if n_scans > 12:
+            flags.append(f"{n_scans} FileScans")
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
