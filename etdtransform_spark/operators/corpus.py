@@ -472,18 +472,20 @@ def dsir_importance_weights(
     seed: int | str = "dsir",
     digits: int = 6,
     top_n: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
     2023): score every document by how target-domain-like its hashed
-    unigram feature counts are, then select the highest-weight documents.
+    n-gram feature counts are, then select the highest-weight documents.
     The standard recipe for skimming a web-scale crawl down to the slice
     that matches a small high-quality target sample.
 
     ``target`` is a boolean Column marking the target-domain sample inside
-    ``df``. Features are unigrams hashed into ``n_buckets`` (the paper's
-    hashed n-gram generative model); target distribution p and raw
-    distribution q are Laplace-smoothed bucket frequencies, and the
-    per-document log importance weight is Σ_tokens (ln p_b − ln q_b).
+    ``df``. Features are word ``ngram``s (1 = unigrams; 2 = the paper's
+    hashed-bigram generative model) hashed into ``n_buckets``; target
+    distribution p and raw distribution q are Laplace-smoothed bucket
+    frequencies, and the per-document log importance weight is
+    Σ_features (ln p_b − ln q_b).
 
     100 TB shape: the two bucket dictionaries are ``n_buckets``-row
     aggregates (broadcast); scoring is one token explode + broadcast join
@@ -496,10 +498,28 @@ def dsir_importance_weights(
     deterministic cross-engine."""
     from ..functions.scalars import qround
 
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    if ngram == 1:
+        feats = _toks(text_col)
+    else:
+        # n-grams built in-row from the token array; a document with fewer
+        # than `ngram` tokens has NO features. Guarded explicitly:
+        # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty.
+        feats = F.transform(
+            F.array(_toks(text_col)),
+            lambda ts: F.when(
+                F.size(ts) >= ngram,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - (ngram - 1)),
+                    lambda i: F.array_join(F.slice(ts, i, ngram), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )[0]
     bucket = portable_hash64(F.col("term"), seed=seed) % n_buckets
     toks = (
         widen(df)
-        .select(F.col(id_col), target.alias("_is_t"), F.explode(_toks(text_col)).alias("term"))
+        .select(F.col(id_col), target.alias("_is_t"), F.explode(feats).alias("term"))
         .select(F.col(id_col), F.col("_is_t"), bucket.alias("b"))
     )
     dists = toks.groupBy("b").agg(

@@ -45,6 +45,27 @@ def test_dsir_deterministic_across_runs(spark):
     assert sum(1 for r in a if r[4]) == 10  # exactly top_n selected
 
 
+def test_dsir_bigram_features(spark):
+    """ngram=2 (the paper's hashed-bigram model): a candidate sharing the
+    target's word ORDER outscores one with the same words scrambled —
+    unigram features cannot tell them apart, bigrams can. Docs shorter
+    than the n-gram width have no features and drop."""
+    from etdtransform_spark.operators.corpus import dsir_importance_weights
+
+    rows = [
+        (1, "the quick brown fox jumps", "t"),
+        (2, "the quick brown fox leaps", "s"),   # shares 3 target bigrams
+        (3, "fox the brown jumps quick", "s"),   # same words, no bigrams
+        (4, "single", "s"),                      # 1 token -> no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r.doc_id: r for r in dsir_importance_weights(
+        df, F.col("src") == "t", n_buckets=64, ngram=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].logw > out[3].logw
+    assert out[1].n_tokens == 4  # 5 tokens -> 4 bigrams
+
+
 def test_script_profile_counts_and_dominant(spark):
     from etdtransform_spark.operators.text import script_profile
 
