@@ -265,6 +265,337 @@ def bmp_decode_pixels(
     return w, height, 3, out
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_COS = [
+    [
+        __import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16)
+        * (0.35355339059327373 if u == 0 else 0.5)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+def _jpeg_idct_block(coef: list[float]) -> list[int]:
+    """Separable 8x8 inverse DCT (double precision) + level shift + clamp."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = coef[y * 8 : y * 8 + 8]
+        for x in range(8):
+            c = _IDCT_COS[x]
+            tmp[y * 8 + x] = (
+                row[0] * c[0] + row[1] * c[1] + row[2] * c[2] + row[3] * c[3]
+                + row[4] * c[4] + row[5] * c[5] + row[6] * c[6] + row[7] * c[7]
+            )
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[y * 8 + x] for y in range(8)]
+        for y in range(8):
+            c = _IDCT_COS[y]
+            v = (
+                col[0] * c[0] + col[1] * c[1] + col[2] * c[2] + col[3] * c[3]
+                + col[4] * c[4] + col[5] * c[5] + col[6] * c[6] + col[7] * c[7]
+            )
+            iv = int(v + 128.5) if v >= -128.5 else 0
+            out[y * 8 + x] = 0 if iv < 0 else (255 if iv > 255 else iv)
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment reader with 0xFF00 byte unstuffing; stops
+    cleanly at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                    self.pos += 2
+                elif self.pos + 1 < len(d) and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                    # restart marker: consumed by the MCU loop, not here
+                    return self.nbits > 0
+                else:
+                    return self.nbits > 0
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        if self.nbits == 0:
+            return None
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align_restart(self) -> bool:
+        """Skip to just past the next RSTn marker; drop buffered bits."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return True
+            self.pos += 1
+        return False
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]):
+    code = 0
+    length = 0
+    while length < 16:
+        b = reader.read_bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def jpeg_decode_pixels(
+    payload: bytes | None,
+) -> tuple[int, int, int, bytearray] | None:
+    """FULL baseline JPEG decode, stdlib only: 8-bit baseline sequential
+    DCT (SOF0), canonical Huffman entropy coding, dequantize + de-zigzag +
+    double-precision IDCT, nearest-neighbor chroma upsample, BT.601
+    YCbCr→RGB. Grayscale (1 component) and color (3 components, any
+    sampling factors ≤ 2) are supported; restart intervals handled.
+    Returns (width, height, channels, row-major samples) or None for
+    progressive/arithmetic/12-bit streams and corrupt payloads.
+
+    Validated in tests against a spec-side ENCODER (forward DCT + Annex K
+    Huffman tables written independently in the test): flat blocks decode
+    exactly, textured images within quantization error. Pure-Python IDCT
+    is test-scale only; production swaps libjpeg-turbo behind the same
+    Arrow kernel."""
+    p = payload
+    if p is None or len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (w, h, comps) comps: list of (cid, hs, vs, tq)
+    scan_map = None  # cid -> (dc_table, ac_table)
+    restart_interval = 0
+    pos = 2
+    n = len(p)
+    while pos + 4 <= n:
+        if p[pos] != 0xFF:
+            return None
+        marker = p[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        seglen = int.from_bytes(p[pos + 2 : pos + 4], "big")
+        body = p[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline-8
+                qt[tq] = [body[i + 1 + k] for k in range(64)]
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid = body[6 + c * 3]
+                hs, vs = body[7 + c * 3] >> 4, body[7 + c * 3] & 15
+                comps.append((cid, hs, vs, body[8 + c * 3]))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                syms = body[i + 17 : i + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_map = {}
+            for s in range(ns):
+                cid = body[1 + s * 2]
+                scan_map[cid] = (body[2 + s * 2] >> 4, body[2 + s * 2] & 15)
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan_map is None:
+        return None
+    w, h, comps = frame
+    if w == 0 or h == 0 or len(comps) not in (1, 3):
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        return None
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = {}
+    pw = {}
+    ph = {}
+    for cid, hs, vs, tq in comps:
+        pw[cid] = mcus_x * hs * 8
+        ph[cid] = mcus_y * vs * 8
+        planes[cid] = bytearray(pw[cid] * ph[cid])
+    reader = _JpegBitReader(p, pos)
+    dc_pred = {cid: 0 for cid, _, _, _ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if not reader.align_restart():
+                    return None
+                dc_pred = {cid: 0 for cid, _, _, _ in comps}
+            mcu_count += 1
+            for cid, hs, vs, tq in comps:
+                if tq not in qt or (0, scan_map[cid][0]) not in huff or (
+                    1, scan_map[cid][1]
+                ) not in huff:
+                    return None
+                q = qt[tq]
+                dct = huff[(0, scan_map[cid][0])]
+                act = huff[(1, scan_map[cid][1])]
+                for by in range(vs):
+                    for bx in range(hs):
+                        s = _jpeg_huff_decode(reader, dct)
+                        if s is None:
+                            return None
+                        if s == 0:
+                            diff = 0
+                        else:
+                            bits = reader.read_bits(s)
+                            if bits is None:
+                                return None
+                            diff = _jpeg_extend(bits, s)
+                        dc_pred[cid] += diff
+                        coef = [0.0] * 64
+                        coef[0] = dc_pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader, act)
+                            if rs is None:
+                                return None
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            bits = reader.read_bits(size)
+                            if bits is None:
+                                return None
+                            coef[_ZIGZAG[k]] = _jpeg_extend(bits, size) * q[k]
+                            k += 1
+                        block = _jpeg_idct_block(coef)
+                        px0 = (mx * hs + bx) * 8
+                        py0 = (my * vs + by) * 8
+                        plane = planes[cid]
+                        stride = pw[cid]
+                        for yy in range(8):
+                            row0 = (py0 + yy) * stride + px0
+                            plane[row0 : row0 + 8] = bytes(
+                                block[yy * 8 : yy * 8 + 8]
+                            )
+    if len(comps) == 1:
+        cid = comps[0][0]
+        stride = pw[cid]
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w : (y + 1) * w] = planes[cid][y * stride : y * stride + w]
+        return w, h, 1, out
+    # color: upsample each plane to full resolution, then YCbCr -> RGB
+    full = {}
+    for cid, hs, vs, tq in comps:
+        sx, sy = hmax // hs, vmax // vs
+        plane = planes[cid]
+        stride = pw[cid]
+        if sx == 1 and sy == 1:
+            full[cid] = (plane, stride)
+        else:
+            up = bytearray(mcus_x * mcu_w * mcus_y * mcu_h)
+            ustride = mcus_x * mcu_w
+            for y in range(mcus_y * mcu_h):
+                src_row = (y // sy) * stride
+                drow = y * ustride
+                for x in range(ustride):
+                    up[drow + x] = plane[src_row + (x // sx)]
+            full[cid] = (up, ustride)
+    (yid, _, _, _), (cbid, _, _, _), (crid, _, _, _) = comps
+    yp, ystride = full[yid]
+    cbp, cbstride = full[cbid]
+    crp, crstride = full[crid]
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        yr, cbr, crr = y * ystride, y * cbstride, y * crstride
+        orow = y * w * 3
+        for x in range(w):
+            Y = yp[yr + x]
+            Cb = cbp[cbr + x] - 128
+            Cr = crp[crr + x] - 128
+            r = int(Y + 1.402 * Cr + 0.5)
+            g = int(Y - 0.344136 * Cb - 0.714136 * Cr + 0.5)
+            b = int(Y + 1.772 * Cb + 0.5)
+            out[orow + x * 3] = 0 if r < 0 else (255 if r > 255 else r)
+            out[orow + x * 3 + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[orow + x * 3 + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return w, h, 3, out
+
+
 def _gif_lzw_decode(
     data: bytes, min_code_size: int, max_pixels: int
 ) -> bytearray | None:
@@ -916,6 +1247,7 @@ def resize_images(
                             png_decode_pixels(b)
                             or bmp_decode_pixels(b)
                             or gif_decode_pixels(b)
+                            or jpeg_decode_pixels(b)
                         )
                     payloads.append(
                         png_resize_nearest(d, target_w, target_h)
