@@ -3681,7 +3681,11 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("content"),
         (F.octet_length("text") * 40).cast("long").alias("duration_ms"),
     )
-    return sample_video_frames(media, every_ms=1000)
+    # project the stub-mode columns only: the real-mode extras
+    # (sample_idx/sample_size) are NULL here and not part of the contract
+    return sample_video_frames(media, every_ms=1000).select(
+        "media_id", "frame_idx", "frame_ts_ms", "frame_sha256"
+    )
 
 
 _SQL_FRAME_SAMPLE = """

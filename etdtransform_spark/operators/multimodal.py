@@ -789,6 +789,151 @@ def audio_header_info(
     return ("wav", channels, rate, duration_ms)
 
 
+def mp4_sample_table(
+    payload: bytes | None,
+) -> list[tuple[int, int, int]] | None:
+    """REAL ISO-BMFF sample-table extraction, stdlib only: walks
+    moov/trak/mdia for the first VIDEO track and resolves its stbl tables
+    (stts time-to-sample, stsz sizes, stsc sample-to-chunk, stco/co64
+    chunk offsets) into one entry per sample:
+    ``(start_time_ms, byte_offset, byte_size)``. This is the container
+    half of frame seeking — exactly what an ffmpeg demuxer does before
+    the codec runs; only the bitstream DECODE of each sample stays a
+    codec integration point."""
+    p = payload
+    if p is None or len(p) < 16 or p[4:8] != b"ftyp":
+        return None
+
+    def boxes(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(p[pos : pos + 4], "big")
+            typ = p[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                size = int.from_bytes(p[pos + 8 : pos + 16], "big")
+                hdr = 16
+            if size < hdr or pos + size > end:
+                return
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    def child(start: int, end: int, name: bytes):
+        for typ, b, e in boxes(start, end):
+            if typ == name:
+                return b, e
+        return None
+
+    moov = child(0, len(p), b"moov")
+    if moov is None:
+        return None
+    for typ, tb, te in boxes(*moov):
+        if typ != b"trak":
+            continue
+        mdia = child(tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = child(*mdia, b"hdlr")
+        if hdlr is None or p[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = child(*mdia, b"mdhd")
+        if mdhd is None:
+            return None
+        mb = mdhd[0]
+        timescale = int.from_bytes(
+            p[mb + 20 : mb + 24] if p[mb] == 1 else p[mb + 12 : mb + 16],
+            "big",
+        )
+        if timescale == 0:
+            return None
+        minf = child(*mdia, b"minf")
+        stbl = child(*minf, b"stbl") if minf else None
+        if stbl is None:
+            return None
+        stts = child(*stbl, b"stts")
+        stsz = child(*stbl, b"stsz")
+        stsc = child(*stbl, b"stsc")
+        stco = child(*stbl, b"stco")
+        co64 = child(*stbl, b"co64")
+        if stts is None or stsz is None or stsc is None or (
+            stco is None and co64 is None
+        ):
+            return None
+        # stts -> per-sample start times in the media timescale
+        b0 = stts[0]
+        n_ent = int.from_bytes(p[b0 + 4 : b0 + 8], "big")
+        starts: list[int] = []
+        t = 0
+        for i in range(n_ent):
+            cnt = int.from_bytes(p[b0 + 8 + i * 8 : b0 + 12 + i * 8], "big")
+            dur = int.from_bytes(p[b0 + 12 + i * 8 : b0 + 16 + i * 8], "big")
+            for _ in range(cnt):
+                starts.append(t)
+                t += dur
+        # stsz -> per-sample sizes
+        b0 = stsz[0]
+        fixed = int.from_bytes(p[b0 + 4 : b0 + 8], "big")
+        n_samples = int.from_bytes(p[b0 + 8 : b0 + 12], "big")
+        if fixed:
+            sizes = [fixed] * n_samples
+        else:
+            sizes = [
+                int.from_bytes(p[b0 + 12 + i * 4 : b0 + 16 + i * 4], "big")
+                for i in range(n_samples)
+            ]
+        if len(starts) < n_samples:
+            return None
+        # chunk offsets
+        if stco is not None:
+            b0 = stco[0]
+            nch = int.from_bytes(p[b0 + 4 : b0 + 8], "big")
+            offsets = [
+                int.from_bytes(p[b0 + 8 + i * 4 : b0 + 12 + i * 4], "big")
+                for i in range(nch)
+            ]
+        else:
+            b0 = co64[0]
+            nch = int.from_bytes(p[b0 + 4 : b0 + 8], "big")
+            offsets = [
+                int.from_bytes(p[b0 + 8 + i * 8 : b0 + 16 + i * 8], "big")
+                for i in range(nch)
+            ]
+        # stsc -> samples per chunk runs
+        b0 = stsc[0]
+        nsc = int.from_bytes(p[b0 + 4 : b0 + 8], "big")
+        runs = [
+            (
+                int.from_bytes(p[b0 + 8 + i * 12 : b0 + 12 + i * 12], "big"),
+                int.from_bytes(p[b0 + 12 + i * 12 : b0 + 16 + i * 12], "big"),
+            )
+            for i in range(nsc)
+        ]
+        out: list[tuple[int, int, int]] = []
+        si = 0
+        for ri, (first_chunk, spc) in enumerate(runs):
+            last_chunk = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+            )
+            for ci in range(first_chunk - 1, last_chunk):
+                if ci >= len(offsets):
+                    break
+                off = offsets[ci]
+                for _ in range(spc):
+                    if si >= n_samples:
+                        break
+                    out.append(
+                        (starts[si] * 1000 // timescale, off, sizes[si])
+                    )
+                    off += sizes[si]
+                    si += 1
+        if si != n_samples:
+            return None
+        return out
+    return None
+
+
 def video_header_info(payload: bytes | None) -> tuple[str, int] | None:
     """REAL stdlib-only video metadata from an ISO-BMFF (MP4/MOV)
     container: (format, duration_ms) out of the moov/mvhd box (timescale +
@@ -1000,6 +1145,10 @@ FRAME_SCHEMA = StructType(
         StructField("frame_idx", LongType(), False),
         StructField("frame_ts_ms", LongType(), False),
         StructField("frame_sha256", StringType(), True),
+        # real-mode extras (NULL in stub mode): the container sample this
+        # timestamp resolves to, and its byte size
+        StructField("sample_idx", LongType(), True),
+        StructField("sample_size", LongType(), True),
     ]
 )
 
@@ -1014,12 +1163,18 @@ def sample_video_frames(
     Frame TIMESTAMPS are enumerated Catalyst-side (``sequence`` + explode —
     cheap, prunable, proportional to output) so the Arrow kernel receives one
     row per target frame, which is exactly the shape a real ffmpeg-seek
-    decode produces; the per-frame decode itself is the stubbed step
-    (sha256(content:ts) stands in for decode+hash of the frame bitmap).
-    Requires ``duration_ms`` to be non-null on video rows.
-    """
-    if decode_stub not in ("deterministic", "raise"):
-        raise ValueError("decode_stub must be 'deterministic' or 'raise'")
+    decode produces.
+
+    ``decode_stub='real'`` runs the REAL container half of the seek for
+    MP4 payloads: :func:`mp4_sample_table` resolves stts/stsz/stsc/stco
+    into per-sample (time, offset, size); each requested timestamp maps to
+    the sample covering it and the emitted hash is over the sample's
+    ACTUAL bytes from mdat, with its index and size alongside. Non-BMFF
+    payloads yield NULLs. Only the per-sample BITSTREAM decode (H.264 et
+    al.) remains a codec integration point; ``'deterministic'`` stands the
+    whole step in with sha256(content:ts)."""
+    if decode_stub not in ("deterministic", "raise", "real"):
+        raise ValueError("decode_stub must be 'deterministic'|'raise'|'real'")
     frames = (
         # duration must be known and positive: greatest/least SKIP null
         # operands in Spark, so an unfiltered null duration would fabricate
@@ -1043,11 +1198,51 @@ def sample_video_frames(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bisect
+
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError(
                     "frame decode requires ffmpeg; integrate the seek+decode here"
                 )
+            if decode_stub == "real":
+                cache: dict[int, object] = {}
+                hashes, sidx, ssize = [], [], []
+                for mid, c, ts in zip(
+                    pdf["media_id"], pdf["content"], pdf["frame_ts_ms"]
+                ):
+                    if mid not in cache:
+                        cache[mid] = (
+                            mp4_sample_table(bytes(c))
+                            if c is not None
+                            else None
+                        )
+                    table = cache[mid]
+                    if not table:
+                        hashes.append(None)
+                        sidx.append(None)
+                        ssize.append(None)
+                        continue
+                    times = [t for t, _, _ in table]
+                    i = bisect.bisect_right(times, int(ts)) - 1
+                    if i < 0:
+                        i = 0
+                    _, off, size = table[i]
+                    payload = bytes(c)[off : off + size]
+                    hashes.append(hashlib.sha256(payload).hexdigest())
+                    sidx.append(i)
+                    ssize.append(size)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "frame_idx": pdf["frame_idx"].astype("int64"),
+                        "frame_ts_ms": pdf["frame_ts_ms"].astype("int64"),
+                        "frame_sha256": hashes,
+                        "sample_idx": pd.array(sidx, dtype="Int64"),
+                        "sample_size": pd.array(ssize, dtype="Int64"),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -1061,6 +1256,8 @@ def sample_video_frames(
                         else None
                         for c, ts in zip(pdf["content"], pdf["frame_ts_ms"])
                     ],
+                    "sample_idx": pd.array([None] * len(pdf), dtype="Int64"),
+                    "sample_size": pd.array([None] * len(pdf), dtype="Int64"),
                 }
             )
 
