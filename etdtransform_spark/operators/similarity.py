@@ -431,6 +431,7 @@ def kmeans(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest_ids",
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — the production training
     step for :func:`ivf_topk`'s coarse quantizer (which ships with
@@ -450,7 +451,7 @@ def kmeans(
     the final assignment.
     """
     base = _kmeans_base(corpus, id_col, vec_col).persist()
-    cent = _kmeans_fit(base, k, iters)
+    cent = _kmeans_fit(base, k, iters, init)
     if not cent:
         base.unpersist()
         return corpus.sparkSession.createDataFrame(
@@ -514,15 +515,50 @@ def _kmeans_assign(base: DataFrame, cent_rows) -> DataFrame:
     )
 
 
-def _kmeans_fit(base: DataFrame, k: int, iters: int):
+def _kmeans_init_farthest(base: DataFrame, k: int):
+    """Deterministic k-means++-style seeding (farthest-first traversal,
+    the exact-argmax variant of D² sampling — no RNG, rerun-stable): the
+    first seed is the lowest-id vector; each next seed is the point with
+    the MAXIMUM squared distance to its nearest chosen seed, ties to the
+    lowest id. k-1 driver rounds, each returning ONE row (an argmax over
+    the broadcast-seed assignment) — model-sized sync, like the Lloyd
+    loop itself. Far better-spread seeds than lowest-id init on clustered
+    data (pinned by unit test: strictly lower inertia on a separable
+    fixture)."""
+    first = base.orderBy("_vid").limit(1).collect()
+    if not first:
+        return []
+    cent = [(0, [float(x) for x in first[0]["_v"]])]
+    for i in range(1, k):
+        row = (
+            _kmeans_assign(base, cent)
+            .select(F.struct(F.col("d2"), (-F.col("_vid")).alias("_nid"),
+                             F.col("_v")).alias("_s"))
+            .agg(F.max("_s").alias("_m"))
+            .collect()[0]["_m"]
+        )
+        if row is None:
+            break
+        cent.append((i, [float(x) for x in row["_v"]]))
+    return cent
+
+
+def _kmeans_fit(base: DataFrame, k: int, iters: int, init: str = "lowest_ids"):
     """Lloyd iterations over a (persisted) ``_kmeans_base`` frame; returns
-    the fitted [(cluster_id, centroid)] model. Init is the k lowest-id
-    vectors; only the k x d centroid table returns to the driver between
-    iterations (the MLlib model-sync pattern)."""
-    cent = [
-        (int(i), [float(x) for x in r["_v"]])
-        for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
-    ]
+    the fitted [(cluster_id, centroid)] model. ``init='lowest_ids'`` (the
+    oracle-parity default: k lowest-id vectors) or ``'kmeanspp'``
+    (deterministic farthest-first D²-argmax seeding). Only the k x d
+    centroid table returns to the driver between iterations (the MLlib
+    model-sync pattern)."""
+    if init == "kmeanspp":
+        cent = _kmeans_init_farthest(base, k)
+    elif init == "lowest_ids":
+        cent = [
+            (int(i), [float(x) for x in r["_v"]])
+            for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
+        ]
+    else:
+        raise ValueError("init must be 'lowest_ids' or 'kmeanspp'")
     if not cent:
         # empty corpus: no model — callers early-return empty frames
         # rather than building a VOID-typed centroid literal

@@ -241,3 +241,39 @@ def test_bigram_logprob_known_probabilities(spark):
     assert abs(out[2].avg_bigram_logprob - math.log(2 / 7)) < 1e-6
     # word-salad transitions score below habitual ones
     assert out[2].avg_bigram_logprob < out[1].avg_bigram_logprob
+
+
+def test_kmeans_plusplus_init_beats_lowest_ids(spark):
+    """Deterministic k-means++ (farthest-first D²-argmax) seeding: on a
+    corpus whose LOWEST-ID vectors all sit inside one cluster (the
+    adversarial case for lowest-id init), the ++ seeds land one per true
+    cluster and total inertia comes out strictly lower; rerun-stable."""
+    import itertools
+
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    rows = []
+    vid = itertools.count()
+    # ids 0..5 all in cluster 0 first (adversarial ordering)
+    for j in range(6):
+        rows.append((next(vid), [centers[0][0] + j * 0.1, centers[0][1]], 0))
+    for ci in (1, 2):
+        for j in range(6):
+            rows.append(
+                (next(vid), [centers[ci][0] + j * 0.1, centers[ci][1]], ci)
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def inertia(init, iters=1):
+        out = kmeans(df, k=3, iters=iters, init=init).collect()
+        return sum(r.inertia for r in out), sorted(r.n_members for r in out)
+
+    # after ONE Lloyd step the seeding quality is visible: ++ seeds land
+    # one per true cluster (balanced, near-zero inertia) while the
+    # lowest-id seeds all start inside cluster 0
+    i_pp, sizes_pp = inertia("kmeanspp")
+    i_low, sizes_low = inertia("lowest_ids")
+    assert i_pp < i_low
+    assert sizes_pp == [6, 6, 6]  # one seed per true cluster
+    assert sizes_low != [6, 6, 6]
+    # deterministic: identical on rerun
+    assert inertia("kmeanspp") == (i_pp, sizes_pp)
