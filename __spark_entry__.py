@@ -7324,6 +7324,33 @@ QUALIFY rank <= 3
 """
 
 
+def q_mg_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries mergeable frequent-items summaries
+    (operators/incremental.py:mg_state_build/merge): per-partition counter
+    sketches merged by a state-sized aggregate — the heavy-hitter member
+    of the incremental-state family (moments/HLL/histogram). The gate runs
+    in the EXACT regime (event-type domain ≪ capacity, so no decrement
+    ever fires and max_err ≡ 0): the oracle is the plain GROUP BY count."""
+    from etdtransform_spark.operators.incremental import (
+        mg_state_build,
+        mg_state_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", F.pmod(F.col("user_id"), F.lit(3))
+    )
+    state = mg_state_build(ev, ["cohort"], "event_type", capacity=16)
+    return mg_state_merge([state], ["cohort"], capacity=16)
+
+
+_SQL_MG_FREQ = f"""
+SELECT user_id % 3 AS cohort, event_type AS item,
+       count(*) AS weight, CAST(0 AS BIGINT) AS max_err
+FROM {_EV} WHERE event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7536,6 +7563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
+        "mg_frequent_items": q_mg_frequent_items,
     }
 
 
@@ -7738,4 +7766,5 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_sql(),
         "dedup_resolve_best": _sql_dedup_resolve_best(),
         "adc_topk": _SQL_ADC_TOPK,
+        "mg_frequent_items": _SQL_MG_FREQ,
     }

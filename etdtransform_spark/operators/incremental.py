@@ -217,3 +217,102 @@ def hll_intersection_estimate(
         union.alias("n_union"),
         F.greatest(na + nb - union, F.lit(0)).alias("n_intersection"),
     )
+
+
+def mg_state_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    capacity: int = 16,
+) -> DataFrame:
+    """Per-partition Misra-Gries frequent-items summaries — the mergeable
+    heavy-hitter sketch (Misra & Gries 1982; mergeability per Agarwal et
+    al., "Mergeable Summaries", PODS'12). Each input partition produces at
+    most ``capacity`` (keys, item, weight) rows via an Arrow kernel: the
+    classic counter algorithm (increment if tracked, insert if room, else
+    decrement ALL counters by the min and evict zeros — implemented as the
+    equivalent batch form). Guarantee per partition: true_count − n/(m+1)
+    ≤ weight ≤ true_count.
+
+    The summaries are long-format rows, so the merge is a plain
+    sum-by-item aggregate (:func:`mg_state_merge`) — no binary blobs, and
+    the state for G groups is ≤ G·capacity rows regardless of data
+    volume. When every group's distinct-item count ≤ ``capacity`` the
+    summary is EXACT (no decrements ever fire), which is the oracle-
+    checkable regime the contract query runs in."""
+    import pandas as pd
+
+    key_list = list(keys)
+    sel = df.select(*key_list, F.col(item_col).alias("_item")).filter(
+        F.col("_item").isNotNull()
+    )
+    out_fields = ", ".join(
+        f"`{c}` {t}" for c, t in sel.dtypes if c != "_item"
+    )
+    schema = f"{out_fields}, item string, weight long" if out_fields else \
+        "item string, weight long"
+
+    def summarize(batches):
+        counters: dict[tuple, dict[str, int]] = {}
+        for pdf in batches:
+            cols = [pdf[c] for c in key_list] + [pdf["_item"]]
+            for vals in zip(*(col.tolist() for col in cols)):
+                g = tuple(vals[:-1])
+                item = str(vals[-1])
+                c = counters.setdefault(g, {})
+                if item in c:
+                    c[item] += 1
+                elif len(c) < capacity:
+                    c[item] = 1
+                else:
+                    # decrement-all step, batch form: drop zeros
+                    dead = []
+                    for k2 in c:
+                        c[k2] -= 1
+                        if c[k2] == 0:
+                            dead.append(k2)
+                    for k2 in dead:
+                        del c[k2]
+        rows = []
+        for g, c in counters.items():
+            for item, w in c.items():
+                rows.append((*g, item, w))
+        cols = [*key_list, "item", "weight"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(summarize, schema=schema)
+
+
+def mg_state_merge(
+    states: Sequence[DataFrame],
+    keys: Sequence[str],
+    capacity: int = 16,
+) -> DataFrame:
+    """Merge Misra-Gries summaries (from any number of partitions or
+    batches): sum weights by item, then apply the mergeable-summaries
+    reduction — subtract the (capacity+1)-th largest weight within each
+    group and keep positive remainders, restoring the ≤ capacity size
+    bound with the summed error guarantee. One aggregate + one rank
+    window over state-sized (not data-sized) rows."""
+    from pyspark.sql import Window
+
+    key_list = list(keys)
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    summed = u.groupBy(*key_list, "item").agg(
+        F.sum("weight").alias("weight")
+    )
+    w = Window.partitionBy(*key_list).orderBy(
+        F.col("weight").desc(), F.col("item").asc()
+    )
+    ranked = summed.withColumn("_rk", F.row_number().over(w))
+    # the (capacity+1)-th weight is the decrement; 0 when the group holds
+    # at most `capacity` distinct items (the exact regime)
+    dec = F.max(F.when(F.col("_rk") == capacity + 1, F.col("weight"))).over(
+        Window.partitionBy(*key_list)
+    )
+    return (
+        ranked.withColumn("_dec", F.coalesce(dec, F.lit(0)))
+        .withColumn("weight", F.col("weight") - F.col("_dec"))
+        .filter((F.col("weight") > 0) & (F.col("_rk") <= capacity))
+        .select(*key_list, "item", "weight", F.col("_dec").alias("max_err"))
+    )
