@@ -7033,9 +7033,9 @@ def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_HLL_INTERSECTION = f"""
-WITH pu AS (SELECT DISTINCT user_id % 5 AS cohort, user_id FROM {_EV}
+WITH pu AS (SELECT DISTINCT ((user_id % 5 + 5) % 5) AS cohort, user_id FROM {_EV}
             WHERE event_type = 'purchase'),
-vu AS (SELECT DISTINCT user_id % 5 AS cohort, user_id FROM {_EV}
+vu AS (SELECT DISTINCT ((user_id % 5 + 5) % 5) AS cohort, user_id FROM {_EV}
        WHERE event_type = 'view'),
 a AS (SELECT cohort, count(*) AS n_a FROM pu GROUP BY 1),
 b AS (SELECT cohort, count(*) AS n_b FROM vu GROUP BY 1),
@@ -7344,7 +7344,7 @@ def q_mg_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MG_FREQ = f"""
-SELECT user_id % 3 AS cohort, event_type AS item,
+SELECT ((user_id % 3 + 3) % 3) AS cohort, event_type AS item,
        count(*) AS weight, CAST(0 AS BIGINT) AS max_err
 FROM {_EV} WHERE event_type IS NOT NULL
 GROUP BY 1, 2
@@ -7363,8 +7363,60 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
-        # scripts/rotate_window.py — reds first, then the round-3
-        # additions, then never-checked ---
+        # scripts/rotate_window.py — reds first, then never-checked ---
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier": q_top_supplier,
+        "parts_supplier_count": q_parts_supplier_count,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "excess_supply_suppliers": q_excess_supply_suppliers,
+        "rebalance_mixture": q_rebalance_mixture,
+        "weighted_median": q_weighted_median,
+        "heavy_hitters": q_heavy_hitters,
+        "entropy_divergence": q_entropy_divergence,
+        "pareto_frontier": q_pareto_frontier,
+        "period_over_period": q_period_over_period,
+        "cooccurrence": q_cooccurrence,
+        "touch_attribution": q_touch_attribution,
+        "inverted_index": q_inverted_index,
+        "incremental_agg": q_incremental_agg,
+        "pagerank": q_pagerank,
+        "welch_ttest": q_welch_ttest,
+        "chi_square": q_chi_square,
+        "hist_quantile": q_hist_quantile,
+        "triangle_count": q_triangle_count,
+        "longest_streak": q_longest_streak,
+        "streaming_hll_distinct": q_streaming_hll_distinct,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "dedup_resolve": q_dedup_resolve,
+        "winsorize": q_winsorize,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "session_paths": q_session_paths,
+        "autocorrelation": q_autocorrelation,
+        "cusum_changepoint": q_cusum_changepoint,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "customer_hierarchy": q_customer_hierarchy,
+        "streaming_leaderboard": q_streaming_leaderboard,
+        "quantile_normalize": q_quantile_normalize,
+        "degree_days": q_degree_days,
+        "weather_normalize": q_weather_normalize,
+        "containment_pairs": q_containment_pairs,
+        "rolling_active_users": q_rolling_active_users,
+        "gini_sources": q_gini_sources,
+        "bigram_logprob": q_bigram_logprob,
+        "ngram_novelty": q_ngram_novelty,
+        "cross_source_dup": q_cross_source_dup,
+        "per_source_cap": q_per_source_cap,
+        "dsir_weights": q_dsir_weights,
+        "script_profile": q_script_profile,
+        "dedup_resolve_best": q_dedup_resolve_best,
+        "adc_topk": q_adc_topk,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
+        "mg_frequent_items": q_mg_frequent_items,
         "sessionize": q_sessionize,
         "impute_linear_fill": q_impute_linear_fill,
         "range_join": q_range_join,
@@ -7415,54 +7467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "product_type_profit": q_product_type_profit,
         "important_part_value": q_important_part_value,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
-        "customer_order_distribution": q_customer_order_distribution,
-        "promo_revenue_share": q_promo_revenue_share,
-        "top_supplier": q_top_supplier,
-        "parts_supplier_count": q_parts_supplier_count,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "excess_supply_suppliers": q_excess_supply_suppliers,
-        "rebalance_mixture": q_rebalance_mixture,
-        "weighted_median": q_weighted_median,
-        "heavy_hitters": q_heavy_hitters,
-        "entropy_divergence": q_entropy_divergence,
-        "pareto_frontier": q_pareto_frontier,
-        "period_over_period": q_period_over_period,
-        "cooccurrence": q_cooccurrence,
-        "touch_attribution": q_touch_attribution,
-        "inverted_index": q_inverted_index,
-        "incremental_agg": q_incremental_agg,
-        "pagerank": q_pagerank,
-        "welch_ttest": q_welch_ttest,
-        "chi_square": q_chi_square,
-        "hist_quantile": q_hist_quantile,
-        "triangle_count": q_triangle_count,
-        "longest_streak": q_longest_streak,
-        "streaming_hll_distinct": q_streaming_hll_distinct,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "dedup_resolve": q_dedup_resolve,
-        "winsorize": q_winsorize,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "session_paths": q_session_paths,
-        "autocorrelation": q_autocorrelation,
-        "cusum_changepoint": q_cusum_changepoint,
-        "pq_codes": q_pq_codes,
-        "pq_adc_topk": q_pq_adc_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "customer_hierarchy": q_customer_hierarchy,
-        "streaming_leaderboard": q_streaming_leaderboard,
-        "quantile_normalize": q_quantile_normalize,
-        "degree_days": q_degree_days,
-        "weather_normalize": q_weather_normalize,
-        "containment_pairs": q_containment_pairs,
-        "rolling_active_users": q_rolling_active_users,
-        "gini_sources": q_gini_sources,
-        "bigram_logprob": q_bigram_logprob,
-        "ngram_novelty": q_ngram_novelty,
-        "cross_source_dup": q_cross_source_dup,
-        "per_source_cap": q_per_source_cap,
         "impute_summary": q_impute_summary,
         "bpe_token_counts": q_bpe_token_counts,
         "kmeans_centroids": q_kmeans_centroids,
@@ -7557,13 +7561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_rule_chain": q_impute_rule_chain,
         "brand_supplier_revenue": q_brand_supplier_revenue,
         "hash_sample": q_hash_sample,
-        # round-3 late additions (never driver-checked; next rotation
-        # moves them into the window)
-        "dsir_weights": q_dsir_weights,
-        "script_profile": q_script_profile,
-        "dedup_resolve_best": q_dedup_resolve_best,
-        "adc_topk": q_adc_topk,
-        "mg_frequent_items": q_mg_frequent_items,
     }
 
 

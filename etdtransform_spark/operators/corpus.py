@@ -473,6 +473,8 @@ def dsir_importance_weights(
     digits: int = 6,
     top_n: int | None = None,
     ngram: int = 1,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
     2023): score every document by how target-domain-like its hashed
@@ -495,7 +497,21 @@ def dsir_importance_weights(
     no-content semantics shared with the shingle operators). Returns
     (id, n_tokens, logw) plus (rank, selected) when ``top_n`` is set —
     rank on the ROUNDED weight with id tie-break, so selection is
-    deterministic cross-engine."""
+    deterministic cross-engine.
+
+    ``exact=True`` ranks every document with one global row_number window
+    (single-partition sort of all per-doc scores — oracle parity, test
+    scale). ``exact=False`` is the 100 TB selection path: an
+    ``approx_percentile`` threshold (with a 2× candidate-margin against
+    sketch error) keeps only the boundary slice, which alone is ranked
+    exactly — the global sort shrinks from |corpus| to ~2·top_n rows.
+    Non-candidates get ``rank = NULL, selected = false`` (their exact
+    global rank is unknowable without the full sort, and irrelevant —
+    they are not selected). If the sketch margin ever under-covers
+    (candidates < top_n, possible only under extreme weight ties), the
+    call falls back to the exact path. The doc-key-sized score table is
+    persisted across the threshold/candidate passes so the corpus-wide
+    scoring pipeline runs once."""
     from ..functions.scalars import qround
 
     if ngram < 1:
@@ -552,6 +568,37 @@ def dsir_importance_weights(
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("logw").desc(), F.col(id_col).asc())
+    if not exact:
+        scored = scored.persist()
+        try:
+            n_docs = scored.count()
+            if n_docs > top_n:
+                frac = min(1.0, 2.0 * top_n / n_docs)
+                thr_row = scored.agg(
+                    F.percentile_approx(
+                        "logw", F.lit(1.0 - frac), F.lit(accuracy)
+                    ).alias("_thr")
+                )
+                wc = scored.crossJoin(F.broadcast(thr_row))
+                cand = wc.filter(F.col("logw") >= F.col("_thr"))
+                if cand.count() >= top_n:
+                    ranked = (
+                        cand.withColumn("rank", F.row_number().over(w))
+                        .withColumn("selected", F.col("rank") <= top_n)
+                        .drop("_thr")
+                    )
+                    rest = (
+                        wc.filter(F.col("logw") < F.col("_thr"))
+                        .withColumn("rank", F.lit(None).cast("int"))
+                        .withColumn("selected", F.lit(False))
+                        .drop("_thr")
+                    )
+                    return ranked.unionByName(rest)
+            # corpus no bigger than top_n, or sketch under-covered:
+            # the exact window below is small/unavoidable respectively
+        except Exception:
+            scored.unpersist()
+            raise
     return scored.withColumn("rank", F.row_number().over(w)).withColumn(
         "selected", F.col("rank") <= top_n
     )

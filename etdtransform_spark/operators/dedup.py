@@ -22,6 +22,25 @@ from ..functions.hashing import portable_hash64, word_shingles
 from ..sources.parquet import widen
 
 
+def _persistent_rdd_jmap(sc) -> dict:
+    """{rdd_id: java RDD} for every currently-persisted RDD, via the JVM's
+    persistent-RDD registry. PySpark has no public handle to the block
+    storage behind ``Dataset.localCheckpoint`` (``DataFrame.unpersist``
+    only releases *cached plans*), so iterative algorithms that checkpoint
+    per round need this to release superseded rounds. Best-effort: on any
+    py4j surprise we return {} and simply skip the release (storage then
+    accumulates for the job's lifetime, the pre-fix behavior)."""
+    try:
+        out: dict = {}
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+    except Exception:
+        return {}
+
+
 def exact_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -454,6 +473,8 @@ def connected_components(
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
+    sc = edges.sparkSession.sparkContext
+    prev_ckpt_ids: set[int] = set()
     for _ in range(max_iter):
         # localCheckpoint, not persist: persist caches partitions but the
         # LINEAGE still compounds round over round — the returned frame's
@@ -464,7 +485,11 @@ def connected_components(
         # executor would recompute the entire history. Checkpointing
         # truncates each round to a LogicalRDD root (the shape pagerank
         # already uses); the convergence agg right below materializes it,
-        # so no extra pass is paid.
+        # so no extra pass is paid. TRADE-OFF: localCheckpoint data is
+        # NON-RECOVERABLE — losing an executor fails the job instead of
+        # recomputing (a reliable `checkpoint()` dir is the HA option at
+        # cluster scale).
+        pre_ids = set(_persistent_rdd_jmap(sc))
         new_labels = (
             adj.join(labels, adj.dst == labels.v)
             .groupBy("src")
@@ -475,6 +500,16 @@ def connected_components(
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+        # The convergence agg above materialized the new checkpoint, so the
+        # PREVIOUS round's checkpointed labels are now superseded — release
+        # them, or executor storage accumulates one node-sized dataset per
+        # round (labels never reference older rounds once checkpointed).
+        post = _persistent_rdd_jmap(sc)
+        for rid in prev_ckpt_ids:
+            jrdd = post.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        prev_ckpt_ids = set(post) - pre_ids
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -724,9 +759,12 @@ def resolve_duplicates_best(
     Same scale shape as resolve_duplicates: connected components over the
     pair list (node-count-sized), ONE left join from the corpus, and a
     per-cluster rank window — clusters are tiny, so the window sorts
-    within shuffle partitions. NULL quality ranks below every real value
-    (coalesce to -1), keeping the decision total. Returns
-    (id, cluster_id, quality, keep)."""
+    within shuffle partitions. The rank is taken on the NATIVE numeric
+    type (no integer cast — fractional scores in [0,1] must not all
+    truncate to 0), with NULL quality below every real value via
+    NULLS LAST; the reported ``quality`` column coalesces NULL to -1 in
+    the column's own type family (int stays int, double stays double).
+    Returns (id, cluster_id, quality, keep)."""
     from pyspark.sql import Window
 
     cc = connected_components(pairs, a_col=a_col, b_col=b_col)
@@ -734,16 +772,17 @@ def resolve_duplicates_best(
         cc, F.col(id_col) == F.col("node"), "left"
     )
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
-    q = F.coalesce(F.col(quality_col).cast("bigint"), F.lit(-1))
+    q = F.coalesce(F.col(quality_col), F.lit(-1))
     ranked = joined.select(
         F.col(id_col),
         cluster.alias("cluster_id"),
+        F.col(quality_col).alias("_q_raw"),
         q.alias("quality"),
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality").desc(), F.col(id_col).asc()
+        F.col("_q_raw").desc_nulls_last(), F.col(id_col).asc()
     )
-    return ranked.withColumn("keep", F.row_number().over(w) == 1)
+    return ranked.withColumn("keep", F.row_number().over(w) == 1).drop("_q_raw")
 
 
 def cross_source_duplication(

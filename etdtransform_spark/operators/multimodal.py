@@ -2,17 +2,26 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing, UDF
-signatures) is real and tested. CONTAINER decode is REAL (stdlib-only):
-:func:`image_header_dims` parses PNG/JPEG/GIF/BMP dimensions,
-:func:`audio_header_info` WAV channel/rate/duration,
-:func:`video_header_info` MP4 mvhd duration — exposed as
-:func:`decode_image_metadata` and as
-``extract_media_features(decode_stub='real')``. Pixel/sample-level decode
-(PIL/ffmpeg/torchaudio) is not available in this environment and stays
-stubbed: ``decode_stub='deterministic'`` produces a seeded fake so
-downstream operators (feature joins, dedup on features) are testable
-end-to-end; the remaining ``decode_stub='raise'`` sites (frame/chunk/resize
-kernels) mark those integration points with NotImplementedError.
+signatures) is real and tested, and so is decode — stdlib-only, no
+PIL/ffmpeg:
+
+- CONTAINER headers: :func:`image_header_dims` (PNG/JPEG/GIF/BMP
+  dimensions), :func:`audio_header_info` (WAV channel/rate/duration),
+  :func:`video_header_info` (MP4 mvhd duration).
+- PIXELS: :func:`png_decode_pixels` (zlib inflate + all 5 unfilters),
+  :func:`bmp_decode_pixels`, :func:`gif_decode_pixels` (LZW), and
+  :func:`jpeg_decode_pixels` (baseline SOF0 — Huffman + IDCT, validated
+  against a spec-side encoder in tests/test_jpeg_decode.py).
+- SAMPLES: :func:`wav_decode_samples` (PCM16), and MP4 frame SEEK via
+  :func:`mp4_sample_table` (stts/stsz/stsc/stco → per-sample
+  time/offset/size).
+
+``decode_stub='real'`` routes through these; ``'deterministic'`` produces
+a seeded fake for schema-only tests. The ONLY remaining
+``decode_stub='raise'`` integration points are the entropy codecs —
+MP3/AAC audio bitstreams and inter-frame video bitstreams — which need a
+native codec library by nature; MP3 frame-header walks (duration/offsets)
+are handled, full Huffman audio decode is out of scope (COVERAGE.md).
 
 Scale notes: media rows are large and few per partition —
 ``spark.sql.files.maxPartitionBytes`` should be lowered (e.g. 32 MB) when
@@ -757,16 +766,130 @@ def wav_decode_samples(
     return channels, rate, samples
 
 
+_MP3_BITRATES = {
+    # (version-group, layer) -> kbps by bitrate index 1..14 (0=free, 15=bad)
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_parse_header(p: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``. Returns
+    (frame_bytes, samples_per_frame, sample_rate, channels) or None."""
+    if pos + 4 > len(p):
+        return None
+    b1, b2, b3 = p[pos], p[pos + 1], p[pos + 2]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    version = (b2 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (b2 >> 1) & 0x3  # 3=Layer I, 2=Layer II, 1=Layer III
+    if version == 1 or layer == 0:
+        return None
+    br_idx = (b3 >> 4) & 0xF
+    sr_idx = (b3 >> 2) & 0x3
+    padding = (b3 >> 1) & 0x1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = 1 if version == 3 else 2
+    lnum = {3: 1, 2: 2, 1: 3}[layer]
+    kbps = _MP3_BITRATES[(vgroup, min(lnum, 2) if vgroup == 2 else lnum)][br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    if lnum == 1:
+        samples = 384
+        size = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        samples = 1152 if (vgroup == 1 or lnum == 2) else 576
+        size = samples // 8 * kbps * 1000 // rate + padding
+    mode = (p[pos + 3] >> 6) & 0x3 if pos + 4 <= len(p) else 0
+    channels = 1 if mode == 3 else 2
+    if size < 4:
+        return None
+    return size, samples, rate, channels
+
+
+def mp3_frame_table(
+    payload: bytes | None,
+) -> list[tuple[int, int, int]] | None:
+    """REAL stdlib-only MPEG-audio frame walk (the MP4-sample-table
+    analogue for MP3): skips a leading ID3v2 tag, finds the first valid
+    frame sync, then resolves every frame's exact byte extent from the
+    header's bitrate/samplerate/padding tables — one
+    ``(start_time_ms, byte_offset, byte_size)`` entry per frame. This is
+    the demuxer half of audio seeking (duration, frame offsets, chunk
+    boundaries); only the Huffman DECODE of each frame stays a codec
+    integration point. Requires at least two consecutive valid frames
+    (or one frame ending exactly at EOF) so random bytes containing a
+    lone 0xFFE sync don't parse as audio. Returns None otherwise."""
+    p = payload
+    if p is None or len(p) < 4:
+        return None
+    pos = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        syncsafe = (
+            (p[6] & 0x7F) << 21 | (p[7] & 0x7F) << 14 | (p[8] & 0x7F) << 7 | (p[9] & 0x7F)
+        )
+        pos = 10 + syncsafe
+    n = len(p)
+    # scan to the first header that chains to a second valid frame / EOF
+    start = None
+    scan = pos
+    while scan + 4 <= n:
+        h = _mp3_parse_header(p, scan)
+        if h is not None:
+            size = h[0]
+            nxt = scan + size
+            if nxt == n or _mp3_parse_header(p, nxt) is not None:
+                start = scan
+                break
+        scan += 1
+    if start is None:
+        return None
+    frames = []
+    t_num = 0  # elapsed samples (exact; ms computed per frame)
+    pos = start
+    rate0 = None
+    while pos + 4 <= n:
+        h = _mp3_parse_header(p, pos)
+        if h is None:
+            break
+        size, samples, rate, _ch = h
+        if rate0 is None:
+            rate0 = rate
+        if pos + size > n:
+            break  # truncated final frame
+        frames.append((int(t_num * 1000 // rate0), pos, size))
+        t_num += samples
+        pos += size
+    return frames or None
+
+
 def audio_header_info(
     payload: bytes | None,
 ) -> tuple[str, int, int, int] | None:
-    """REAL stdlib-only audio metadata from a WAV (RIFF/WAVE) container:
-    (format, channels, sample_rate, duration_ms). Walks the chunk chain to
-    'fmt ' (channels/rate/byte-rate) and 'data' (payload size → duration).
-    Returns None for non-WAV/corrupt payloads — compressed codecs (mp3,
-    flac, aac) need real codec libraries and stay integration points."""
+    """REAL stdlib-only audio metadata: (format, channels, sample_rate,
+    duration_ms). WAV (RIFF/WAVE): walks the chunk chain to 'fmt '
+    (channels/rate/byte-rate) and 'data' (payload size → duration).
+    MPEG audio (MP3): walks the frame-header chain via
+    :func:`mp3_frame_table` — exact per-frame sizes from the bitrate/
+    samplerate tables give duration without decoding (VBR-correct, no
+    Xing header needed). Returns None for other/corrupt payloads —
+    fully-compressed codec DECODE (mp3 Huffman, flac, aac) stays the
+    integration point."""
     p = payload
     if p is None or len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        frames = mp3_frame_table(p)
+        if frames:
+            h = _mp3_parse_header(p, frames[0][1])
+            assert h is not None
+            size, samples, rate, channels = h
+            last_ms = frames[-1][0]
+            # duration = last frame start + one frame's worth of samples
+            dur = last_ms + int(samples * 1000 // rate)
+            return ("mp3", channels, rate, dur)
         return None
     pos = 12
     channels = rate = byte_rate = None
@@ -1361,7 +1484,10 @@ def chunk_audio(
                         rmss.append(int(mean_sq ** 0.5 * 1000 + 0.5))
                     else:
                         rmss.append(0)
-                    frames.append(f1 - f0)
+                    # Actual decoded frame count — the data chunk may be
+                    # shorter than duration_ms implies, in which case the
+                    # slice (and hash) covers fewer samples than f1 - f0.
+                    frames.append(n // ch if ch else 0)
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],

@@ -442,34 +442,12 @@ def write_sorted(
     return path
 
 
-def zorder_value(cols: list[str], bits: int = 16) -> F.Column:
-    """Morton (Z-order) curve value from per-column rank percentiles.
-
-    Each column is first reduced to a ``bits``-bit integer by scaling its
-    ``percent_rank`` (rank-based, so skew and outliers cannot collapse the
-    code space the way min/max scaling would), then the codes are
-    bit-interleaved: output bit ``k*len(cols)+j`` = bit ``k`` of column
-    ``j``. Nearby z-values are near in EVERY dimension, which is what
-    turns parquet min/max footers into multi-column zone maps.
-
-    percent_rank needs a total order per column — one window per column
-    over an empty partition. That is a single-partition sort of the WHOLE
-    input per column, acceptable for layout maintenance jobs at moderate
-    size; at extreme scale substitute a sampled CDF join (approx quantile
-    boundaries) for the exact rank. Interleaving itself is pure integer
-    codegen (shift/mask folds).
-    """
-    n = len(cols)
-    codes = []
-    for c in cols:
-        pr = F.percent_rank().over(Window.orderBy(F.col(c)))
-        codes.append(
-            F.least(
-                F.lit((1 << bits) - 1),
-                F.floor(pr * F.lit(float(1 << bits))).cast("bigint"),
-            )
-        )
-    # disjoint bit positions -> plain addition == bitwise OR
+def _interleave_bits(codes: list[F.Column], bits: int) -> F.Column:
+    """Morton bit-interleave of per-column integer codes: output bit
+    ``k*len(codes)+j`` = bit ``k`` of code ``j``. Disjoint bit positions
+    → plain addition == bitwise OR; pure integer codegen (shift/mask
+    folds), no shuffle."""
+    n = len(codes)
     z = F.lit(0).cast("bigint")
     for k in range(bits):
         for j, code in enumerate(codes):
@@ -480,12 +458,107 @@ def zorder_value(cols: list[str], bits: int = 16) -> F.Column:
     return z
 
 
+def zorder_value(cols: list[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) curve value from per-column rank percentiles —
+    the EXACT variant (oracle parity).
+
+    Each column is first reduced to a ``bits``-bit integer by scaling its
+    ``percent_rank`` (rank-based, so skew and outliers cannot collapse the
+    code space the way min/max scaling would), then the codes are
+    bit-interleaved via :func:`_interleave_bits`. Nearby z-values are near
+    in EVERY dimension, which is what turns parquet min/max footers into
+    multi-column zone maps.
+
+    percent_rank needs a total order per column — one window per column
+    over an empty partition. That is a single-partition sort of the WHOLE
+    input per column, acceptable for layout maintenance jobs at moderate
+    size; the 100 TB path is :func:`zorder_value_sampled` (broadcast
+    approx-quantile boundaries, no window at all).
+    """
+    codes = []
+    for c in cols:
+        pr = F.percent_rank().over(Window.orderBy(F.col(c)))
+        codes.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.floor(pr * F.lit(float(1 << bits))).cast("bigint"),
+            )
+        )
+    return _interleave_bits(codes, bits)
+
+
+def zorder_value_sampled(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 10,
+    accuracy: int = 10000,
+    out_col: str = "_z",
+) -> DataFrame:
+    """Morton code via SAMPLED per-column rank buckets — the scale path
+    (mirrors ``quantile_normalize(exact=False)``, stats.py).
+
+    One ``percentile_approx`` aggregate computes ``2**bits - 1`` sorted
+    cut points per column (t-digest style partial merge, model-sized
+    single row), broadcast to every row; each column's code is the count
+    of cut points ≤ value, found by a BRANCHLESS BINARY SEARCH unrolled
+    to ``bits`` ``element_at`` probes (pure codegen — no per-element
+    array aggregate, no window, no extra shuffle, no single-partition
+    sort). NULL values probe NULL → code 0, matching the exact variant's
+    NULLS FIRST rank. ``bits`` defaults to 10 (1024 buckets/dimension):
+    beyond ``accuracy`` the extra buckets stop being distinct, and file-
+    level zone maps only need code granularity ≳ file count.
+
+    Returns ``df`` with ``out_col`` added."""
+    n_cuts = (1 << bits) - 1
+    qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    grid = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs, F.lit(accuracy)).alias(
+                f"_cuts_{j}"
+            )
+            for j, c in enumerate(cols)
+        ]
+    )
+    with_grid = df.crossJoin(F.broadcast(grid))
+    # Binary search as a FOLD over the step sizes, not an unrolled
+    # When-chain: each unrolled step would reference the previous index
+    # expression three times, tripling the tree per level (3^bits nodes —
+    # Catalyst optimization time explodes past bits≈8). F.aggregate's
+    # lambda BINDS the accumulator, so the tree stays O(bits) and the
+    # search runs as a real loop at execution time.
+    steps = F.array(
+        *[F.lit(1 << b).cast("bigint") for b in range(bits - 1, -1, -1)]
+    )
+    def make_probe(arr, v):
+        def probe(acc, stp):
+            cand = acc + stp
+            # element_at is 1-indexed and ANSI-throws past the end: clamp
+            # the probe, gate the move on the true bound check
+            safe = F.least(cand, F.lit(n_cuts).cast("bigint")).cast("int")
+            ok = (cand <= F.lit(n_cuts)) & (F.element_at(arr, safe) <= v)
+            return F.when(ok, cand).otherwise(acc)
+
+        return probe
+
+    codes = []
+    for j, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        arr = F.col(f"_cuts_{j}")
+        codes.append(
+            F.aggregate(steps, F.lit(0).cast("bigint"), make_probe(arr, v))
+        )
+    return with_grid.withColumn(out_col, _interleave_bits(codes, bits)).drop(
+        *[f"_cuts_{j}" for j in range(len(cols))]
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     by: list[str],
     n_files: int | None = None,
     bits: int = 16,
+    exact: bool = True,
 ) -> str:
     """Multi-dimensional clustered parquet write: range-partition + sort on
     the Morton code of ``by``, so every file's parquet min/max stats are
@@ -495,8 +568,18 @@ def write_zordered(
     the first dimension's tightness for bounded spread everywhere (the
     property Delta/Iceberg OPTIMIZE ZORDER provides, here on plain
     parquet).
+
+    ``exact=True`` codes by exact percent_rank (one single-partition sort
+    per dimension — deterministic, test/oracle scale). ``exact=False`` is
+    the 100 TB layout-maintenance path: :func:`zorder_value_sampled`
+    broadcast approx-quantile buckets, no window anywhere in the plan —
+    the only wide operation left is the range exchange of the write
+    itself.
     """
-    zed = df.withColumn("_z", zorder_value(by, bits))
+    if not exact:
+        zed = zorder_value_sampled(df, by, bits=min(bits, 10))
+    else:
+        zed = df.withColumn("_z", zorder_value(by, bits))
     parts = zed.repartitionByRange(*([n_files] if n_files else []), F.col("_z"))
     (
         parts.sortWithinPartitions("_z")

@@ -106,3 +106,50 @@ def test_resolve_best_keeps_highest_quality(spark):
     assert out[2].cluster_id == out[1].cluster_id == out[3].cluster_id == 1
     assert out[9].keep and out[10].keep  # singletons always survive
     assert out[10].quality == -1  # NULL quality coalesced, still total order
+
+
+def test_dsir_sampled_topn_matches_exact_selection(spark):
+    """exact=False (approx-percentile boundary slice) must select the SAME
+    documents as the exact global rank, give them the same ranks, and mark
+    everything else rank=NULL/selected=false — with the global sort shrunk
+    to the candidate slice (plan shows the two-branch union)."""
+    from etdtransform_spark.operators.corpus import dsir_importance_weights
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % 23}" for j in range(1, 8)),
+         "t" if i % 9 == 0 else "s")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    tgt = F.col("src") == "t"
+    exact = dsir_importance_weights(df, target=tgt, n_buckets=64, top_n=25)
+    approx = dsir_importance_weights(
+        df, target=tgt, n_buckets=64, top_n=25, exact=False
+    )
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan  # boundary-slice path actually taken
+    ex = {r.doc_id: r for r in exact.collect()}
+    ap = {r.doc_id: r for r in approx.collect()}
+    assert set(ex) == set(ap)
+    assert {d for d, r in ex.items() if r.selected} == {
+        d for d, r in ap.items() if r.selected
+    }
+    for d, r in ap.items():
+        if r.selected:
+            assert r.rank == ex[d].rank
+        else:
+            assert r.rank is None or r.rank == ex[d].rank
+        assert r.logw == ex[d].logw
+
+
+def test_dsir_sampled_small_corpus_falls_back_exact(spark):
+    """top_n >= corpus size: every doc selected, ranks dense, no union."""
+    from etdtransform_spark.operators.corpus import dsir_importance_weights
+
+    rows = [(i, f"a b c w{i}", "t" if i == 0 else "s") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = dsir_importance_weights(
+        df, target=F.col("src") == "t", n_buckets=16, top_n=50, exact=False
+    ).collect()
+    assert all(r.selected for r in out)
+    assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))

@@ -68,6 +68,29 @@ def test_merge_across_batches_equals_single_build(spark):
     assert merged == {("a", "x"): 10, ("a", "y"): 2, ("a", "z"): 5}
 
 
+def test_max_err_covers_build_phase_decrements(spark):
+    """max_err folds the per-partition BUILD decrements (carried in the
+    state's err column) into the merge decrement, so in the non-exact
+    regime the reported bound alone covers the full undercount:
+    true - weight <= max_err for every surviving item."""
+    rows = [("a", "heavy1")] * 400 + [("a", "heavy2")] * 250
+    rows += [("a", f"noise{i}") for i in range(80) for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, item string").repartition(4)
+    state = mg_state_build(df, ["g"], "item", capacity=6)
+    # build-phase decrements must fire (80 distinct >> capacity 6) and be
+    # carried on exactly one row per (group, partition)
+    errs = [r.err for r in state.collect()]
+    assert sum(errs) > 0
+    got = {
+        (r.g, r.item): (r.weight, r.max_err)
+        for r in mg_state_merge([state], ["g"], capacity=6).collect()
+    }
+    for item, true in (("heavy1", 400), ("heavy2", 250)):
+        w, err = got[("a", item)]
+        assert w <= true
+        assert true - w <= err, (item, true, w, err)
+
+
 def test_null_items_excluded(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("a", None), ("a", "x")], "g string, item string"

@@ -86,3 +86,51 @@ def test_read_pruned_skips_files_and_stays_exact(spark, tmp_path):
     empty = read_pruned(spark, path, "k", 10_000_000, 20_000_000)
     assert empty.count() == 0
     assert empty.columns == ["k", "v"]
+
+
+def test_sampled_zorder_matches_layout_quality_without_windows(spark, tmp_path):
+    """The exact=False path must (a) contain NO window / single-partition
+    sort in its plan — broadcast quantile grid + codegen binary search
+    only — and (b) still bound per-file spread in both dimensions."""
+    from etdtransform_spark.sources.parquet import (
+        file_stats,
+        write_zordered,
+        zorder_value_sampled,
+    )
+
+    df = spark.range(40_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("x"),
+        (F.col("id") * 40503 % 100_000).alias("y"),
+    )
+    coded = zorder_value_sampled(df, ["x", "y"], bits=8)
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the broadcast grid is the only join; no shuffle exchange at all
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    zed = str(tmp_path / "zorder_sampled")
+    write_zordered(df, zed, ["x", "y"], n_files=16, exact=False)
+    z_stats = file_stats(zed, ["x", "y"])
+    assert len(z_stats) == 16
+    assert _spread(z_stats, "x", 0, 99_999) < 0.5
+    assert _spread(z_stats, "y", 0, 99_999) < 0.5
+
+
+def test_sampled_zorder_codes_are_rank_monotone(spark):
+    """Per-dimension codes from the sampled path must be monotone in the
+    underlying value (a bucketed CDF is order-preserving), and NULL must
+    land in the lowest bucket like the exact variant's NULLS FIRST."""
+    from etdtransform_spark.sources.parquet import zorder_value_sampled
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1000)] + [(None,)], "x double"
+    )
+    out = zorder_value_sampled(df, ["x"], bits=6).collect()
+    by_val = sorted(
+        [(r["x"], r["_z"]) for r in out if r["x"] is not None]
+    )
+    zs = [z for _, z in by_val]
+    assert all(a <= b for a, b in zip(zs, zs[1:]))
+    assert len(set(zs)) > 32  # buckets actually spread
+    null_z = [r["_z"] for r in out if r["x"] is None][0]
+    assert null_z == 0
