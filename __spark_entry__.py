@@ -7351,6 +7351,124 @@ GROUP BY 1, 2
 """
 
 
+# NULL-safe squared norm: DuckDB flattens the _EMB-gate subquery and may
+# reorder WHERE conjuncts, evaluating a bare list_dot_product BEFORE the
+# NULL-element gate (list_dot_product ERRORS on NULL elements). CASE pins
+# the evaluation order, making the guard self-contained.
+_SAFE_NORM_SQL = (
+    "CASE WHEN embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+    "THEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) END"
+)
+
+
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/eval decontamination
+    (operators/similarity.py:embedding_decontaminate): every train vector
+    (vec_id >= 5) scored against the broadcast eval set (vec_id < 5),
+    keeping only its best match via one map-side-combinable max(struct)
+    aggregate; contaminated = best cosine >= 0.25. The semantic
+    complement of the n-gram contamination_check — catches paraphrased
+    eval leakage exact n-grams miss."""
+    from etdtransform_spark.operators.similarity import embedding_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 5)
+    tr = emb.filter(F.col("vec_id") >= 5)
+    return embedding_decontaminate(tr, ev, threshold=0.25)
+
+
+_SQL_DECONTAM = f"""
+WITH ev AS (
+  SELECT vec_id AS eid, embedding FROM {_EMB}
+  WHERE vec_id < 5 AND ({_SAFE_NORM_SQL}) > 0
+), tr AS (
+  SELECT vec_id AS tid, embedding FROM {_EMB} WHERE vec_id >= 5
+), scored AS (
+  SELECT a.tid, b.eid,
+         floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS c
+  FROM (SELECT tid, embedding FROM tr
+        WHERE ({_SAFE_NORM_SQL}) > 0) a
+  JOIN ev b ON true
+), top AS (
+  SELECT tid, eid, c,
+         row_number() OVER (PARTITION BY tid ORDER BY c DESC, eid ASC) AS rn
+  FROM scored
+)
+SELECT tr.tid AS id, top.eid AS top_eval_id, top.c AS top_cosine,
+       coalesce(top.c >= 0.25, false) AS contaminated
+FROM tr LEFT JOIN top ON top.tid = tr.tid AND top.rn = 1
+"""
+
+
+def q_zorder_roundtrip_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED z-order path (sources/parquet.py:write_zordered
+    exact=False — broadcast approx-quantile cut arrays + F.aggregate-fold
+    binary search, no window anywhere): same layout-round-trip contract
+    as zorder_roundtrip, proving the 100 TB layout path is also a pure
+    layout change on real data. Oracle runs the same filter/aggregate on
+    the original table."""
+    import glob
+    import shutil
+    import uuid
+
+    from etdtransform_spark.sources.parquet import write_zordered
+
+    for old in glob.glob("/tmp/zorder_rts_*"):
+        shutil.rmtree(old, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    path = f"/tmp/zorder_rts_{uuid.uuid4().hex[:8]}"
+    write_zordered(
+        ev, path, by=["user_id", "event_id"], n_files=8, exact=False
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("user_id") % 10 == 7)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("sum_c"),
+        )
+    )
+
+
+_SQL_ZORDER_RTS = f"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS sum_c
+FROM {_EV} WHERE user_id % 10 = 7
+GROUP BY 1
+"""
+
+
+def q_dsir_weights_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED DSIR top-N path (operators/corpus.py:
+    dsir_importance_weights exact=False — approx-percentile boundary
+    slice, global sort shrunk to ~2·top_n rows): restricted to the
+    SELECTED rows, whose ranks are exact by construction, so the oracle
+    is the exact top-40 — a full-value driver check of the scale path."""
+    from etdtransform_spark.operators.corpus import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_importance_weights(
+        docs,
+        target=F.col("source") == "src18",
+        n_buckets=64,
+        top_n=40,
+        exact=False,
+    )
+    return out.filter(F.col("selected")).select(
+        "doc_id", "n_tokens", "logw", "rank"
+    )
+
+
+_SQL_DSIR_SAMPLED = f"""
+SELECT doc_id, n_tokens, logw, rank FROM ({_SQL_DSIR}) WHERE rank <= 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7561,6 +7679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_rule_chain": q_impute_rule_chain,
         "brand_supplier_revenue": q_brand_supplier_revenue,
         "hash_sample": q_hash_sample,
+        "embedding_decontaminate": q_embedding_decontaminate,
+        "zorder_roundtrip_sampled": q_zorder_roundtrip_sampled,
+        "dsir_weights_sampled": q_dsir_weights_sampled,
     }
 
 
@@ -7764,4 +7885,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_resolve_best": _sql_dedup_resolve_best(),
         "adc_topk": _SQL_ADC_TOPK,
         "mg_frequent_items": _SQL_MG_FREQ,
+        "embedding_decontaminate": _SQL_DECONTAM,
+        "zorder_roundtrip_sampled": _SQL_ZORDER_RTS,
+        "dsir_weights_sampled": _SQL_DSIR_SAMPLED,
     }

@@ -425,6 +425,69 @@ def simhash_near_dup(
     )
 
 
+def hamming_near_dup(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "fingerprint",
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs for an EXISTING fingerprint table (any 64-bit
+    hash: image pHash from ``multimodal.image_phash``, audio fingerprints,
+    pre-computed SimHash) — the banded pigeonhole equijoin of
+    :func:`simhash_near_dup` factored over caller-supplied signatures.
+    Two fingerprints within Hamming distance ``bands - 1`` must agree on
+    at least one of ``bands`` bit-bands, so with the default
+    ``max_hamming = bands - 1`` recall is EXACT; candidates verify with
+    one ``bit_count(xor)``. NULL fingerprints (undecodable media) are
+    dropped. Returns (id_a, id_b, hamming) with id_a < id_b. Never an
+    all-pairs join — the scale shape is explode(×bands) + hash equijoin."""
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"band candidate generation is only exact for max_hamming <= "
+            f"bands-1 ({bands - 1}); raise bands or lower max_hamming"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1 if width < 64 else -1
+    base = sigs.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("fp"), b * width)
+                .bitwiseAND(F.lit(mask).cast("bigint"))
+                .alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select("id", "fp", F.explode(band_arr).alias("bb")).select(
+        "id", "fp", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",

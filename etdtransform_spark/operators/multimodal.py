@@ -1148,6 +1148,141 @@ def decode_image_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+def decode_image_pixels(
+    payload: bytes | None,
+) -> tuple[str, int, int, int, bytearray] | None:
+    """Magic-sniffed dispatch over the four REAL pixel decoders:
+    (format, width, height, channels, row-major samples) from a
+    PNG/BMP/GIF/JPEG payload, None otherwise. The single entry point the
+    pixel-level operators (:func:`image_phash`) use so they are container-
+    agnostic — the same image encoded as PNG and BMP produces the same
+    pixel buffer, hence the same perceptual hash."""
+    p = payload
+    if p is None or len(p) < 8:
+        return None
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        d = png_decode_pixels(p)
+        fmt = "png"
+    elif p[:2] == b"BM":
+        d = bmp_decode_pixels(p)
+        fmt = "bmp"
+    elif p[:6] in (b"GIF87a", b"GIF89a"):
+        d = gif_decode_pixels(p)
+        fmt = "gif"
+    elif p[:2] == b"\xff\xd8":
+        d = jpeg_decode_pixels(p)
+        fmt = "jpeg"
+    else:
+        return None
+    if d is None:
+        return None
+    w, h, ch, samples = d
+    return fmt, w, h, ch, samples
+
+
+def phash64(payload: bytes | None, grid: int = 32, keep: int = 8):
+    """64-bit DCT perceptual hash of one image payload (the classic pHash
+    recipe): decode → luma → ``grid``×``grid`` area-average downsample →
+    orthonormal 2-D DCT-II → keep the ``keep``×``keep`` low-frequency
+    block → bit k = coefficient k > median. Deterministic (no smoothing
+    kernels, exact box averaging, double-precision DCT); robust to
+    re-encoding, resizing, and small pixel noise — the image twin of
+    SimHash for text. Returns (phash signed-int64, format, width, height)
+    or None when the payload doesn't decode."""
+    import numpy as np
+
+    d = decode_image_pixels(payload)
+    if d is None:
+        return None
+    fmt, w, h, ch, samples = d
+    if w < 1 or h < 1:
+        return None
+    arr = np.frombuffer(bytes(samples), dtype=np.uint8).astype(np.float64)
+    try:
+        arr = arr.reshape(h, w, ch)
+    except ValueError:
+        return None
+    if ch >= 3:
+        luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    else:
+        luma = arr[:, :, 0]
+    # exact area-average resample to grid x grid: every source pixel
+    # contributes to exactly one bin (reduceat over bin edges), so the
+    # downsample is sampling-grid-free and deterministic
+    re = np.minimum((np.arange(grid) * h) // grid, h - 1)
+    ce = np.minimum((np.arange(grid) * w) // grid, w - 1)
+    rows = np.add.reduceat(luma, re, axis=0)
+    cells = np.add.reduceat(rows, ce, axis=1)
+    r_cnt = np.diff(np.append(re, h))
+    c_cnt = np.diff(np.append(ce, w))
+    small = cells / np.outer(np.maximum(r_cnt, 1), np.maximum(c_cnt, 1))
+    # orthonormal DCT-II basis (type-II, norm='ortho')
+    k = np.arange(grid)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * grid))
+    scale = np.full(grid, np.sqrt(2.0 / grid))
+    scale[0] = np.sqrt(1.0 / grid)
+    dct_m = basis * scale[:, None]
+    coeffs = dct_m @ small @ dct_m.T
+    block = coeffs[:keep, :keep].ravel()
+    med = float(np.median(block))
+    bits = 0
+    for i, c in enumerate(block):
+        if c > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits, fmt, w, h
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual-hash fingerprints for an image corpus: one Arrow
+    ``mapInPandas`` stage calling :func:`phash64` per payload — the
+    multimodal analogue of :func:`..dedup.simhash` (text). Undecodable
+    payloads yield NULL phash (quarantine semantics, like
+    :func:`decode_image_metadata`). Returns (id, phash, format, width,
+    height); feed into ``dedup.hamming_near_dup`` for banded near-dup
+    pairs — re-encoded/lightly-edited copies of one image land within a
+    few Hamming bits while distinct images are ~32 bits apart.
+
+    100 TB shape: zero shuffles here (pure projection); the banded join
+    downstream is equijoin-only. Media rows are large — lower
+    ``spark.sql.files.maxPartitionBytes`` per the module scale note."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                phash64(bytes(b) if b is not None else None)
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "phash": pd.array(
+                        [o[0] if o else None for o in out], dtype="Int64"
+                    ),
+                    "format": [o[1] if o else None for o in out],
+                    "width": pd.array(
+                        [o[2] if o else None for o in out], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [o[3] if o else None for o in out], dtype="Int32"
+                    ),
+                }
+            )
+
+    sel = df.select(F.col(id_col), F.col(content_col))
+    id_type = dict(sel.dtypes)[id_col]
+    return sel.mapInPandas(
+        process,
+        schema=f"id {id_type}, phash long, format string, "
+        "width int, height int",
+    )
+
+
 def _fake_features(payload: bytes | None, dim: int) -> list[float] | None:
     """Deterministic stand-in for a real decode+embed: bytes of the sha256
     digest scaled to [0, 1). Stable across runs and engines. NULL payload

@@ -82,6 +82,79 @@ def cosine_topk(
     )
 
 
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "broadcast",
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Embedding-level train/eval decontamination: flag every training
+    item whose embedding cosine against ANY eval-set item reaches
+    ``threshold`` — the semantic complement of the n-gram contamination
+    check (corpus.py:contamination_check), catching paraphrased eval
+    leakage that exact n-grams miss (the eval-hygiene step behind e.g.
+    GPT-3/Llama decontamination reports).
+
+    ``strategy='broadcast'`` (default, EXACT): the eval set — small by
+    nature, it's a benchmark — broadcasts; each train row scores against
+    it and keeps only its best match via one map-side-combinable
+    max(struct) aggregate. No shuffle wider than the train key.
+    ``strategy='lsh'``: both sides bucket by sign prefix
+    (:func:`sign_prefix_bucket`) and score within buckets only — for the
+    rare huge-eval case; recall < 1 by construction (documented trade,
+    same as :func:`lsh_cosine_topk`).
+
+    Zero-norm / NULL / empty embeddings cannot claim similarity: they are
+    excluded from scoring on both sides (ANSI-safe — no 0/0) and such
+    train rows come back contaminated=false with NULL match columns.
+    Returns every train row as (id, top_eval_id, top_cosine,
+    contaminated) — cosine rounded to 6 digits, ties to the lowest eval
+    id, so the flag is deterministic and engine-portable."""
+    ev = eval_df.select(
+        F.col(id_col).alias("eid"),
+        F.col(vec_col).alias("ev"),
+        norm_expr(F.col(vec_col)).alias("_en"),
+    ).filter(F.col("_en") > 0)
+    tr = train.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("tv"),
+        norm_expr(F.col(vec_col)).alias("_tn"),
+    )
+    scoreable = tr.filter(F.col("_tn") > 0)
+    if strategy == "lsh":
+        evb = ev.withColumn("_b", sign_prefix_bucket(F.col("ev"), bucket_dims))
+        trb = scoreable.withColumn(
+            "_b", sign_prefix_bucket(F.col("tv"), bucket_dims)
+        )
+        pairs = trb.join(F.broadcast(evb), "_b")
+    else:
+        pairs = scoreable.crossJoin(F.broadcast(ev))
+    cos = qround(
+        dot_expr(F.col("tv"), F.col("ev")) / (F.col("_tn") * F.col("_en")), 6
+    )
+    top = (
+        pairs.select("id", F.col("eid"), cos.alias("_c"))
+        .groupBy("id")
+        .agg(F.max(F.struct(F.col("_c"), (-F.col("eid")).alias("_ne"))).alias("_m"))
+        .select(
+            "id",
+            (-F.col("_m._ne")).alias("top_eval_id"),
+            F.col("_m._c").alias("top_cosine"),
+        )
+    )
+    return tr.select("id").join(top, "id", "left").select(
+        "id",
+        "top_eval_id",
+        "top_cosine",
+        F.coalesce(F.col("top_cosine") >= threshold, F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
+
+
 def sign_prefix_bucket(vec: Column, n_dims: int) -> Column:
     """LSH bucket id from the signs of the first ``n_dims`` components —
     a deterministic stand-in for random-hyperplane LSH (hyperplanes = axis

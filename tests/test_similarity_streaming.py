@@ -367,3 +367,58 @@ def test_semantic_dedup_keeps_lowest_id_per_chain(spark):
     assert out[5].cluster_id == out[1].cluster_id
     assert out[6].cluster_id == out[1].cluster_id
     assert out[7].cluster_id == out[2].cluster_id
+
+
+def test_embedding_decontaminate_flags_planted_leak(spark):
+    """A train vector nearly parallel to an eval vector must flag; an
+    orthogonal one must not; zero-norm / NULL-vector train rows survive
+    with contaminated=false and NULL match columns (no ANSI divide)."""
+    from etdtransform_spark.operators.similarity import embedding_decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, [0.99, 0.1, 0.0, 0.0]),   # ~eval 0 -> contaminated
+            (11, [0.0, 0.0, 1.0, 0.0]),    # orthogonal -> clean
+            (12, [0.0, 0.0, 0.0, 0.0]),    # zero norm -> clean, NULL match
+            (13, None),                    # NULL vector -> clean, NULL match
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id: r for r in embedding_decontaminate(tr, ev, 0.9).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10].contaminated and out[10].top_eval_id == 0
+    assert not out[11].contaminated and out[11].top_cosine is not None
+    for i in (12, 13):
+        assert not out[i].contaminated
+        assert out[i].top_eval_id is None and out[i].top_cosine is None
+
+
+def test_embedding_decontaminate_lsh_strategy(spark):
+    """The LSH path must score only within sign-prefix buckets (equijoin,
+    no cartesian over the scored side) and still find a same-bucket
+    planted leak."""
+    from etdtransform_spark.operators.similarity import embedding_decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, [0.9, 1.1, 1.0, 1.0]),     # same orthant -> found
+            (11, [-1.0, -1.0, -1.0, -1.0]), # opposite orthant -> unscored
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.id: r
+        for r in embedding_decontaminate(
+            tr, ev, 0.9, strategy="lsh", bucket_dims=4
+        ).collect()
+    }
+    assert out[10].contaminated
+    # cosine(11, ev0) = -1: a bucketed join never even scores it
+    assert out[11].top_cosine is None and not out[11].contaminated
