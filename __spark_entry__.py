@@ -31,6 +31,8 @@ from etdtransform_spark.functions.hashing import (
 )
 from etdtransform_spark.functions.scalars import (
     dampdruk,
+    fold_case,
+    fold_case_sql,
     gevoelstemperatuur,
     hh_key,
     qround,
@@ -859,9 +861,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs)
 
 
-_SQL_DEDUP_EXACT = """
+# Whitespace-normalized + engine-portable case fold (scalars.fold_case
+# convention) — the shared exact-dedup key expression
+_FOLD_WS_NORM = fold_case_sql("trim(regexp_replace(text, '\\s+', ' ', 'g'))")
+_FOLD_TEXT = fold_case_sql("text")
+_FOLD_PRE = fold_case_sql("text[1:64]")
+_SQL_DEDUP_EXACT = f"""
 SELECT min(doc_id) AS canonical_id, count(*) AS n_docs
-FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS k FROM documents)
+FROM (SELECT doc_id, {_FOLD_WS_NORM} AS k FROM documents)
 GROUP BY k
 """
 
@@ -872,7 +879,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FP_EXPR = portable_hash64_sql(
-    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))", seed="fp"
+    fold_case_sql("trim(regexp_replace(text, '\\s+', ' ', 'g'))"), seed="fp"
 )
 _SQL_FINGERPRINT = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
 
@@ -2379,7 +2386,7 @@ def _sql_tfidf() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         unnest(list_filter(regexp_split_to_array({_FOLD_TEXT}, '[^a-z0-9]+'),
                             x -> x <> '')) AS term
   FROM documents
 ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2914,9 +2921,9 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(docs, max_dist=2, prefix_len=64)
 
 
-_SQL_EDIT_PAIRS = """
+_SQL_EDIT_PAIRS = f"""
 WITH p AS (
-  SELECT doc_id, rpad(lower(text[1:64]), 64, ' ') AS pre FROM documents
+  SELECT doc_id, rpad({_FOLD_PRE}, 64, ' ') AS pre FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.pre, b.pre) AS dist
@@ -3418,7 +3425,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etdtransform_spark.operators.corpus import leakage_safe_split
 
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.lower(F.col("text")))
+    w = Window.partitionBy(fold_case(F.col("text")))
     grouped = docs.withColumn("grp", F.min("doc_id").over(w))
     out = leakage_safe_split(grouped, group_col="grp")
     return out.select("doc_id", "grp", "split")
@@ -3427,7 +3434,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LS_HASH = portable_hash64_sql("grp::VARCHAR", seed="split")
 _SQL_LEAKAGE_SPLIT = f"""
 WITH g AS (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY lower(text)) AS grp
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY {_FOLD_TEXT}) AS grp
   FROM documents
 )
 SELECT doc_id, grp,
@@ -5683,10 +5690,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, min_df=5)
 
 
-_SQL_INVERTED_INDEX = """
+_SQL_INVERTED_INDEX = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         unnest(list_filter(regexp_split_to_array({_FOLD_TEXT}, '[^a-z0-9]+'),
                             x -> x <> '')) AS term
   FROM documents)
 SELECT term, count(*) AS df,
@@ -6101,7 +6108,7 @@ _SQL_TFIDF_COSINE = f"""
 WITH docs AS (SELECT * FROM documents WHERE doc_id < 1000),
 toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         unnest(list_filter(regexp_split_to_array({_FOLD_TEXT}, '[^a-z0-9]+'),
                             x -> x <> '')) AS term
   FROM docs
 ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -6888,9 +6895,9 @@ def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_duplication(docs)
 
 
-_SQL_CROSS_SOURCE_DUP = r"""
+_SQL_CROSS_SOURCE_DUP = fr"""
 WITH per AS (
-  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k,
+  SELECT {_FOLD_WS_NORM} AS k,
          source, count(*) AS c
   FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
 ), p AS (

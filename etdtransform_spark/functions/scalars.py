@@ -105,6 +105,27 @@ def qround_sql(expr: str, n: int) -> str:
     return f"floor(({expr}) * {m!r} + 0.5) / {m!r}"
 
 
+def fold_case(col: Column) -> Column:
+    """Engine-portable lowercase for oracle-compared text normalization.
+
+    Java (Spark) applies the FULL Unicode case mapping; DuckDB's utf8proc
+    applies the SIMPLE one. They disagree on exactly two things that can
+    reach a lowercased output: U+0130 'İ' (Java expands to ``i`` +
+    combining dot U+0307, utf8proc maps to bare ``i``) and the contextual
+    final-sigma rule (Java lowers word-final 'Σ' to 'ς', utf8proc always
+    to 'σ'). Convention declared here and mirrored by
+    :func:`fold_case_sql`: İ pre-maps to ``i`` and every ς post-folds to
+    σ (the same direction Unicode case folding takes), making the fold
+    identical on both engines for ALL input. Pure codegen (two
+    ``translate`` passes around ``lower``)."""
+    return F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
+
+
+def fold_case_sql(expr: str) -> str:
+    """DuckDB-side twin of :func:`fold_case` — identical convention."""
+    return f"replace(lower(replace({expr}, 'İ', 'i')), 'ς', 'σ')"
+
+
 def ts_micros(col: Column | str) -> Column:
     """Microseconds since epoch for TIMESTAMP **or** TIMESTAMP_NTZ columns.
 

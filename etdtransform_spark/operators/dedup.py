@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..functions.scalars import qround
+from ..functions.scalars import fold_case, qround
 
 from ..functions.hashing import portable_hash64, word_shingles
 from ..sources.parquet import widen
@@ -52,7 +52,7 @@ def exact_duplicates(
     df = widen(df)
     key = F.col(text_col)
     if normalize:
-        key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
+        key = fold_case(F.trim(F.regexp_replace(key, r"\s+", " ")))
     return (
         df.select(F.col(id_col), key.alias("_key"))
         .groupBy("_key")
@@ -710,7 +710,7 @@ def edit_distance_pairs(
     distinct collapses orientations and multi-segment matches.
     """
     pre = F.rpad(
-        F.lower(F.substring(F.col(text_col), 1, prefix_len)), prefix_len, " "
+        fold_case(F.substring(F.col(text_col), 1, prefix_len)), prefix_len, " "
     )
     # widen like every other CPU-heavy dedup operator: the banding explode
     # and Levenshtein verify must not serialize on a single-file scan
@@ -873,7 +873,7 @@ def cross_source_duplication(
     df = widen(df)
     key = F.col(text_col)
     if normalize:
-        key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
+        key = fold_case(F.trim(F.regexp_replace(key, r"\s+", " ")))
     per = (
         # NULL text is excluded explicitly (a NULL grouping key would count
         # all NULL-text documents as copies of one another). The duplicate

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from ..functions.scalars import qround
+from ..functions.scalars import fold_case, qround
 
 from ..functions.hashing import portable_hash64, tokens
 from ..sources.parquet import widen
@@ -241,10 +241,13 @@ def script_profile(df: DataFrame, id_col: str = "doc_id",
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", fast: bool = False) -> DataFrame:
-    """64-bit content fingerprint of whitespace-normalized lowercased text —
+    """64-bit content fingerprint of whitespace-normalized case-folded text —
     the exact-dedup key for massive corpora (hash join instead of string
-    compare)."""
-    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    compare). Case folds with the engine-portable convention
+    (scalars.fold_case: U+0130 pre-maps to i, final-sigma folds to
+    U+03C3) so the key is identical under Java's full and utf8proc's
+    simple Unicode case mappings."""
+    normalized = fold_case(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return widen(df).withColumn(
         "fingerprint", portable_hash64(normalized, seed="fp", fast=fast)
     )
@@ -275,7 +278,7 @@ def tfidf_top_terms(
         F.col(id_col).alias("_id"),
         F.explode(
             F.filter(
-                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                F.split(fold_case(F.col(text_col)), r"[^a-z0-9]+"),
                 lambda x: x != F.lit(""),
             )
         ).alias("term"),
@@ -321,7 +324,7 @@ def inverted_index(
         F.col(id_col).alias("_id"),
         F.explode(
             F.filter(
-                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                F.split(fold_case(F.col(text_col)), r"[^a-z0-9]+"),
                 lambda x: x != F.lit(""),
             )
         ).alias("term"),
@@ -378,7 +381,7 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("_id"),
         F.explode(
             F.filter(
-                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                F.split(fold_case(F.col(text_col)), r"[^a-z0-9]+"),
                 lambda x: x != F.lit(""),
             )
         ).alias("term"),
