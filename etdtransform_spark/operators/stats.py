@@ -392,8 +392,17 @@ def mad_outliers(
         ).alias("_mad")
     )
     joined = with_med.join(F.broadcast(mad), list(keys))
+    # MAD = 0 (every group member equal — any 1-row group) means no spread
+    # to score against: robust_z is NULL and the row can never flag.
+    # Explicit guard, not bare division: ANSI Spark throws DIVIDE_BY_ZERO
+    # where DuckDB's float x/0.0 yields NULL (caught by the 1-row fixture
+    # sweep) — the When mirrors the oracle's NULL exactly.
     score = qround(
-        (x - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")), digits
+        F.when(
+            F.col("_mad") != 0,
+            (x - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
+        ),
+        digits,
     )
     return (
         joined.withColumn("robust_z", score)
