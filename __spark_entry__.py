@@ -7489,6 +7489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
+        "mg_frequent_items": q_mg_frequent_items,
+        "embedding_decontaminate": q_embedding_decontaminate,
+        "zorder_roundtrip_sampled": q_zorder_roundtrip_sampled,
+        "dsir_weights_sampled": q_dsir_weights_sampled,
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue_share": q_promo_revenue_share,
         "top_supplier": q_top_supplier,
@@ -7535,13 +7539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "cross_source_dup": q_cross_source_dup,
         "per_source_cap": q_per_source_cap,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "dsir_weights": q_dsir_weights,
         "script_profile": q_script_profile,
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
-        "mg_frequent_items": q_mg_frequent_items,
         "sessionize": q_sessionize,
         "impute_linear_fill": q_impute_linear_fill,
         "range_join": q_range_join,
@@ -7686,9 +7689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_rule_chain": q_impute_rule_chain,
         "brand_supplier_revenue": q_brand_supplier_revenue,
         "hash_sample": q_hash_sample,
-        "embedding_decontaminate": q_embedding_decontaminate,
-        "zorder_roundtrip_sampled": q_zorder_roundtrip_sampled,
-        "dsir_weights_sampled": q_dsir_weights_sampled,
     }
 
 
