@@ -510,8 +510,10 @@ def dsir_importance_weights(
     they are not selected). If the sketch margin ever under-covers
     (candidates < top_n, possible only under extreme weight ties), the
     call falls back to the exact path. The doc-key-sized score table is
-    persisted across the threshold/candidate passes so the corpus-wide
-    scoring pipeline runs once."""
+    localCheckpoint-ed across the threshold/candidate passes so the
+    corpus-wide scoring pipeline runs once; checkpoint storage is released
+    by the ContextCleaner once the caller drops the result (a persist()
+    entry would outlive the call)."""
     from ..functions.scalars import qround
 
     if ngram < 1:
@@ -569,36 +571,38 @@ def dsir_importance_weights(
 
     w = Window.orderBy(F.col("logw").desc(), F.col(id_col).asc())
     if not exact:
-        scored = scored.persist()
-        try:
-            n_docs = scored.count()
-            if n_docs > top_n:
-                frac = min(1.0, 2.0 * top_n / n_docs)
-                thr_row = scored.agg(
-                    F.percentile_approx(
-                        "logw", F.lit(1.0 - frac), F.lit(accuracy)
-                    ).alias("_thr")
+        # localCheckpoint, not persist(): the threshold/candidate/rest
+        # passes read one materialization either way, but checkpoint
+        # storage is released by the ContextCleaner as soon as the caller
+        # drops the returned frame — a persist() entry lives in the
+        # CacheManager for the session (the old code only unpersisted on
+        # the exception path, leaking executor cache per call).
+        scored = scored.localCheckpoint(eager=True)
+        n_docs = scored.count()
+        if n_docs > top_n:
+            frac = min(1.0, 2.0 * top_n / n_docs)
+            thr_row = scored.agg(
+                F.percentile_approx(
+                    "logw", F.lit(1.0 - frac), F.lit(accuracy)
+                ).alias("_thr")
+            )
+            wc = scored.crossJoin(F.broadcast(thr_row))
+            cand = wc.filter(F.col("logw") >= F.col("_thr"))
+            if cand.count() >= top_n:
+                ranked = (
+                    cand.withColumn("rank", F.row_number().over(w))
+                    .withColumn("selected", F.col("rank") <= top_n)
+                    .drop("_thr")
                 )
-                wc = scored.crossJoin(F.broadcast(thr_row))
-                cand = wc.filter(F.col("logw") >= F.col("_thr"))
-                if cand.count() >= top_n:
-                    ranked = (
-                        cand.withColumn("rank", F.row_number().over(w))
-                        .withColumn("selected", F.col("rank") <= top_n)
-                        .drop("_thr")
-                    )
-                    rest = (
-                        wc.filter(F.col("logw") < F.col("_thr"))
-                        .withColumn("rank", F.lit(None).cast("int"))
-                        .withColumn("selected", F.lit(False))
-                        .drop("_thr")
-                    )
-                    return ranked.unionByName(rest)
-            # corpus no bigger than top_n, or sketch under-covered:
-            # the exact window below is small/unavoidable respectively
-        except Exception:
-            scored.unpersist()
-            raise
+                rest = (
+                    wc.filter(F.col("logw") < F.col("_thr"))
+                    .withColumn("rank", F.lit(None).cast("int"))
+                    .withColumn("selected", F.lit(False))
+                    .drop("_thr")
+                )
+                return ranked.unionByName(rest)
+        # corpus no bigger than top_n, or sketch under-covered:
+        # the exact window below is small/unavoidable respectively
     return scored.withColumn("rank", F.row_number().over(w)).withColumn(
         "selected", F.col("rank") <= top_n
     )

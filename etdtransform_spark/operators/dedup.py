@@ -41,6 +41,23 @@ def _persistent_rdd_jmap(sc) -> dict:
         return {}
 
 
+def _local_ckpt_rdd_id(df) -> int | None:
+    """RDD id of a ``localCheckpoint``-ed DataFrame's LogicalRDD root.
+
+    ``Dataset.localCheckpoint`` wraps the persisted internal-row RDD in a
+    ``LogicalRDD`` leaf; its ``rdd`` field is exactly the RDD registered in
+    the persistent-RDD registry, so releasing by THIS id can never touch an
+    RDD persisted concurrently by another job on the same SparkContext
+    (registry diffing could). Best-effort: None on any py4j surprise, in
+    which case the caller skips the release (storage accumulates for the
+    job's lifetime — the safe direction)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.rdd().id()
+    except Exception:
+        return None
+
+
 def exact_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -552,7 +569,6 @@ def connected_components(
         # NON-RECOVERABLE — losing an executor fails the job instead of
         # recomputing (a reliable `checkpoint()` dir is the HA option at
         # cluster scale).
-        pre_ids = set(_persistent_rdd_jmap(sc))
         new_labels = (
             adj.join(labels, adj.dst == labels.v)
             .groupBy("src")
@@ -560,6 +576,7 @@ def connected_components(
             .select(F.col("src").alias("v"), "label")
             .localCheckpoint(eager=False)
         )
+        new_rid = _local_ckpt_rdd_id(new_labels)
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
@@ -567,12 +584,16 @@ def connected_components(
         # PREVIOUS round's checkpointed labels are now superseded — release
         # them, or executor storage accumulates one node-sized dataset per
         # round (labels never reference older rounds once checkpointed).
-        post = _persistent_rdd_jmap(sc)
+        # Release by the id read off OUR dataset's LogicalRDD root, never by
+        # diffing the global persistent-RDD registry: a concurrent job on
+        # the same SparkContext persisting between snapshots would be
+        # misattributed and unpersisted — and localCheckpoint data is
+        # non-recoverable, so that would fail the foreign job.
         for rid in prev_ckpt_ids:
-            jrdd = post.get(rid)
+            jrdd = _persistent_rdd_jmap(sc).get(rid)
             if jrdd is not None:
                 jrdd.unpersist(False)
-        prev_ckpt_ids = set(post) - pre_ids
+        prev_ckpt_ids = {new_rid} if new_rid is not None else set()
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -251,12 +251,12 @@ def mg_state_build(
     Per-row and per-distinct-item Python loops are both gone — Python
     cost is O(batches + folds × groups); measured at 10 M rows the build
     runs at Arrow-transfer speed (~4 s on local[8], equal to an empty
-    pass-through mapInPandas). Each group's total build decrement is emitted in an ``err``
-    column (attached to one row per group, 0 elsewhere) so
-    :func:`mg_state_merge` can fold build-phase error into ``max_err``;
-    in the rare case a reduction empties a group entirely (all
-    capacity+1 counters tie), its error term has no row to ride on and is
-    dropped — max_err then understates by ≤ that one decrement."""
+    pass-through mapInPandas). Each group's total build decrement is
+    emitted on a dedicated weight-0 carrier row (``err`` column; state
+    rows carry 0) so :func:`mg_state_merge` folds build-phase error into
+    ``max_err`` and drops the carrier with its weight<=0 filter — this
+    holds even for NaN/NULL group keys (no dict round-trip of the group
+    tuple) and for groups a reduction empties entirely."""
     import pandas as pd
 
     key_list = list(keys)
@@ -332,8 +332,17 @@ def mg_state_build(
                 if not isinstance(keyvals, tuple):
                     keyvals = (keyvals,)
                 g, item = tuple(keyvals[:-1]), keyvals[-1]
-                e = errs.pop(g, 0)
-                rows.append((*g, item, int(w), e))
+                rows.append((*g, item, int(w), 0))
+        # Build-phase decrements ride on DEDICATED weight-0 rows emitted
+        # straight from the errs dict, never looked up by group tuple:
+        # NaN group keys don't round-trip through dict lookup (NaN hashing
+        # is per-object on modern CPython), which silently dropped those
+        # groups' error terms — and a reduction that empties a group
+        # entirely had no state row to carry its term at all. The merge
+        # sums `err` window-wide per group and then filters weight<=0, so
+        # a zero-weight carrier row folds into max_err and vanishes.
+        for g, e in errs.items():
+            rows.append((*g, "", 0, e))
         cols = [*key_list, "item", "weight", "err"]
         yield pd.DataFrame(rows, columns=cols)
 

@@ -849,20 +849,41 @@ def mp3_frame_table(
     if start is None:
         return None
     frames = []
-    t_num = 0  # elapsed samples (exact; ms computed per frame)
+    # Elapsed time accumulates as an exact rational sum of
+    # samples*1000/rate PER FRAME — MPEG streams may switch sample rate
+    # mid-file (e.g. MPEG1<->MPEG2 splices), so scaling a single global
+    # sample counter by the FIRST frame's rate would drift every frame
+    # after the switch. Within a constant-rate run the integer pair
+    # (run_t0_ms_num/den + run_samples) keeps the math exact without a
+    # per-frame Fraction allocation.
+    t_ms_num = 0  # elapsed ms * den, at the start of the current run
+    t_den = 1
+    run_samples = 0
+    run_rate = None
     pos = start
-    rate0 = None
     while pos + 4 <= n:
         h = _mp3_parse_header(p, pos)
         if h is None:
             break
         size, samples, rate, _ch = h
-        if rate0 is None:
-            rate0 = rate
         if pos + size > n:
             break  # truncated final frame
-        frames.append((int(t_num * 1000 // rate0), pos, size))
-        t_num += samples
+        if rate != run_rate:
+            if run_rate is not None:
+                # fold the finished run into the exact base: num/den + s*1000/r
+                t_ms_num = t_ms_num * run_rate + run_samples * 1000 * t_den
+                t_den = t_den * run_rate
+            run_rate = rate
+            run_samples = 0
+        frames.append(
+            (
+                int((t_ms_num * run_rate + run_samples * 1000 * t_den)
+                    // (t_den * run_rate)),
+                pos,
+                size,
+            )
+        )
+        run_samples += samples
         pos += size
     return frames or None
 
@@ -885,10 +906,13 @@ def audio_header_info(
         if frames:
             h = _mp3_parse_header(p, frames[0][1])
             assert h is not None
-            size, samples, rate, channels = h
-            last_ms = frames[-1][0]
-            # duration = last frame start + one frame's worth of samples
-            dur = last_ms + int(samples * 1000 // rate)
+            _size, _samples, rate, channels = h
+            # duration = last frame start + the LAST frame's own span
+            # (its header carries its own samples/rate — a mid-stream
+            # sample-rate switch would make the first frame's wrong)
+            h_last = _mp3_parse_header(p, frames[-1][1])
+            assert h_last is not None
+            dur = frames[-1][0] + int(h_last[1] * 1000 // h_last[2])
             return ("mp3", channels, rate, dur)
         return None
     pos = 12

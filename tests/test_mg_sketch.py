@@ -91,6 +91,29 @@ def test_max_err_covers_build_phase_decrements(spark):
         assert true - w <= err, (item, true, w, err)
 
 
+def test_null_group_key_err_carried(spark):
+    """Build decrements for a NULL-keyed group must reach max_err: the
+    carrier rows are emitted straight from the errs accumulator (never a
+    dict lookup of the pandas group tuple, where NaN keys don't
+    round-trip), so a NULL group behaves exactly like a named one."""
+    rows = [(None, "heavy")] * 300
+    rows += [(None, f"noise{i}") for i in range(60) for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, item string").repartition(2)
+    state = mg_state_build(df, ["g"], "item", capacity=6)
+    errs = [r.err for r in state.collect() if r.g is None]
+    assert sum(errs) > 0, "NULL-group build decrements were dropped"
+    got = {
+        r.item: (r.weight, r.max_err)
+        for r in mg_state_merge([state], ["g"], capacity=6).collect()
+        if r.g is None
+    }
+    w, err = got["heavy"]
+    assert w <= 300
+    assert 300 - w <= err, (w, err)
+    # the weight-0 carrier rows never surface in merged output
+    assert "" not in got
+
+
 def test_null_items_excluded(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("a", None), ("a", "x")], "g string, item string"

@@ -82,3 +82,30 @@ def test_audio_header_info_mono_flag():
 
 def test_audio_header_info_still_rejects_junk():
     assert audio_header_info(b"\x89PNG" + bytes(100)) is None
+
+
+# MPEG1 Layer III, 128 kbps, 48000 Hz (sr_idx=1): 144*128000//48000 = 384
+_V1L3_48K = bytes([0xFF, 0xFA, 0x94, 0x00]) + bytes(384 - 4)
+
+
+def test_mid_stream_sample_rate_switch_times_exact():
+    # 2 frames @44100 then 2 @48000 — each frame's start time must come
+    # from the rational sum of samples/rate per frame, not a global
+    # sample counter scaled by the FIRST frame's rate.
+    frames = mp3_frame_table(_FRAME * 2 + _V1L3_48K * 2)
+    assert frames is not None and len(frames) == 4
+    assert frames[0][0] == 0
+    assert frames[1][0] == 1152 * 1000 // 44100  # 26
+    assert frames[2][0] == 2304 * 1000 // 44100  # 52
+    # exact: 2304/44100 s + 1152/48000 s = 76.24 ms -> 76 (rate0 math said 78)
+    assert frames[3][0] == int((2304 * 1000 * 48000 + 1152 * 1000 * 44100)
+                               // (44100 * 48000))
+    assert frames[3][0] == 76
+    assert frames[2][1] == 834 and frames[2][2] == 384
+
+
+def test_duration_uses_last_frames_own_header():
+    fmt, ch, rate, dur = audio_header_info(_FRAME * 2 + _V1L3_48K * 2)
+    assert (fmt, ch, rate) == ("mp3", 2, 44100)
+    # last frame starts at 76 ms and spans 1152 samples @ ITS 48 kHz rate
+    assert dur == 76 + 1152 * 1000 // 48000
