@@ -900,3 +900,202 @@ def gini_coefficient(
         F.col("_n").cast("bigint").alias("n"),
         qround(F.when(F.col("_s") > 0, g), digits).alias("gini"),
     )
+
+
+def ks_2samp(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    sample_a,
+    sample_b,
+    keys: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per key segment — the
+    standard nonparametric drift detector between two data windows or
+    sources: D = max_x |F_a(x) - F_b(x)| over the pooled empirical CDFs.
+
+    Data-sized work is ONE (keys, value) count aggregate (map-side
+    combined); the ECDFs come from a cumulative window over that
+    DISTINCT-VALUE-sized table, partitioned by the segment keys — no
+    row-level sort, no single-partition window when segments exist. With
+    no keys the window degrades to one partition over distinct metric
+    values (<< rows for any real metric; range-prefix the cumsum if a
+    keyless metric is high-cardinality at 100 TB).
+
+    Returns (keys..., n_a, n_b, d_stat). Segments where either sample is
+    empty yield NULL d_stat (drift against nothing is undefined, not 1).
+    """
+    x = F.col(value_col).cast("double")
+    in_a = F.col(sample_col) == sample_a
+    in_b = F.col(sample_col) == sample_b
+    klist = list(keys)
+    counts = (
+        df.filter((in_a | in_b) & x.isNotNull())
+        .groupBy(*klist, x.alias("_v"))
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    wseg = Window.partitionBy(*klist)
+    wcum = wseg.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    na = F.sum("_ca").over(wseg).cast("double")
+    nb = F.sum("_cb").over(wseg).cast("double")
+    gap = F.abs(
+        F.sum("_ca").over(wcum) / na - F.sum("_cb").over(wcum) / nb
+    )
+    stepped = counts.select(
+        *klist,
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.when((na > 0) & (nb > 0), gap).alias("_gap"),
+    )
+    return stepped.groupBy(*klist).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        qround(F.max("_gap"), digits).alias("d_stat"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    sample_a,
+    sample_b,
+    keys: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per key segment with the
+    normal approximation z-score, tie-corrected — the rank-based
+    complement to :func:`ks_2samp` (location shift vs shape change).
+
+    Average pooled ranks come from the same distinct-value cumulative
+    window as the KS ECDF: for a value with pooled multiplicity c and
+    C values strictly below it, avg_rank = C + (c+1)/2, so
+    R_a = sum ca*avg_rank needs no per-row ranking. U_a = R_a -
+    n_a(n_a+1)/2; sigma carries the standard tie term sum(c^3-c).
+
+    Returns (keys..., n_a, n_b, u_stat, z). One-observation-total or
+    empty-sample segments yield NULL z instead of an ANSI divide abort.
+    """
+    x = F.col(value_col).cast("double")
+    in_a = F.col(sample_col) == sample_a
+    in_b = F.col(sample_col) == sample_b
+    klist = list(keys)
+    counts = (
+        df.filter((in_a | in_b) & x.isNotNull())
+        .groupBy(*klist, x.alias("_v"))
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    wseg = Window.partitionBy(*klist)
+    wcum = wseg.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    c = (F.col("_ca") + F.col("_cb")).cast("double")
+    below = F.sum(F.col("_ca") + F.col("_cb")).over(wcum).cast("double") - c
+    avg_rank = below + (c + 1.0) / 2.0
+    per_val = counts.select(
+        *klist,
+        F.col("_ca").cast("double").alias("_ca"),
+        F.col("_cb").cast("double").alias("_cb"),
+        (F.col("_ca") * avg_rank).alias("_ra"),
+        (c * c * c - c).alias("_tie"),
+    )
+    agged = per_val.groupBy(*klist).agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        F.sum("_ra").alias("_rsum"),
+        F.sum("_tie").alias("_tsum"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u = F.col("_rsum") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    var = (
+        na * nb / 12.0
+        * ((n + 1.0) - F.col("_tsum") / (n * (n - 1.0)))
+    )
+    z = F.when(
+        (na > 0) & (nb > 0) & (n > 1),
+        F.when(var > 0, (u - mu) / F.sqrt(var)),
+    )
+    return agged.select(
+        *klist,
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        qround(F.when((na > 0) & (nb > 0), u), digits).alias("u_stat"),
+        qround(z, digits).alias("z"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    sample_a,
+    sample_b,
+    keys: Sequence[str] = (),
+    n_bins: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index per key segment — the production ML
+    drift monitor: bin edges are the REFERENCE sample's exact quantiles
+    (sample_a), both samples are histogrammed on those edges, and
+    PSI = sum (p_a - p_b) * ln(p_a / p_b). Rule of thumb: <0.1 stable,
+    0.1-0.25 shifting, >0.25 drifted.
+
+    Two dictionary-sized shuffles: one exact-percentile aggregate on the
+    reference (edges per segment, broadcast back), one (keys, bin, sample)
+    count. Bin assignment is an in-row array fold over the interior-edge
+    list — no join per edge. Proportions carry +0.5 Laplace smoothing per
+    bin so an empty bin contributes a finite, deterministic term instead
+    of log(0).
+
+    Returns (keys..., n_a, n_b, psi).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    x = F.col(value_col).cast("double")
+    in_a = F.col(sample_col) == sample_a
+    in_b = F.col(sample_col) == sample_b
+    klist = list(keys)
+    base = df.filter((in_a | in_b) & x.isNotNull()).select(
+        *klist,
+        x.alias("_v"),
+        F.when(in_a, F.lit("a")).otherwise(F.lit("b")).alias("_s"),
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = base.filter(F.col("_s") == "a").groupBy(*klist).agg(
+        F.percentile("_v", F.array(*[F.lit(q) for q in qs])).alias("_edges")
+    )
+    joined = (
+        base.join(F.broadcast(edges), klist)
+        if klist
+        else base.crossJoin(F.broadcast(edges))
+    )
+    bin_idx = F.size(
+        F.filter(F.col("_edges"), lambda e: F.col("_v") > e)
+    ) + F.lit(1)
+    cells = joined.groupBy(*klist, bin_idx.alias("_bin")).agg(
+        F.sum(F.when(F.col("_s") == "a", 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_s") == "b", 1).otherwise(0)).alias("_cb"),
+    )
+    wseg = Window.partitionBy(*klist)
+    na = F.sum("_ca").over(wseg).cast("double")
+    nb = F.sum("_cb").over(wseg).cast("double")
+    pa = (F.col("_ca") + 0.5) / (na + 0.5 * n_bins)
+    pb = (F.col("_cb") + 0.5) / (nb + 0.5 * n_bins)
+    per_bin = cells.select(
+        *klist,
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.when((na > 0) & (nb > 0), (pa - pb) * F.log(pa / pb)).alias("_t"),
+    )
+    return per_bin.groupBy(*klist).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        qround(F.sum("_t"), digits).alias("psi"),
+    )
