@@ -7477,6 +7477,271 @@ SELECT doc_id, n_tokens, logw, rank FROM ({_SQL_DSIR}) WHERE rank <= 40
 
 
 # ---------------------------------------------------------------------------
+# round 6: drift-detection family (stats.ks_2samp / mann_whitney_u /
+# psi_drift / psi_time_drift, similarity.embedding_drift)
+# ---------------------------------------------------------------------------
+
+def q_ks_drift_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per user cohort
+    (operators/stats.py:ks_2samp): click vs view value distributions,
+    keyed by user_id % 4. ECDFs come from one distinct-value count
+    aggregate + a cohort-partitioned cumulative window — data-sized work
+    is a single map-side-combined groupBy."""
+    from etdtransform_spark.operators.stats import ks_2samp
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 4
+    )
+    return ks_2samp(ev, "value", "event_type", "click", "view", keys=["cohort"])
+
+
+_SQL_KS_DRIFT = f"""
+WITH base AS (
+  SELECT user_id % 4 AS cohort, value AS v, event_type AS s
+  FROM {_EV} WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), counts AS (
+  SELECT cohort, v,
+         sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN s = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT cohort,
+         sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+         sum(ca) OVER (PARTITION BY cohort) AS na,
+         sum(cb) OVER (PARTITION BY cohort) AS nb
+  FROM counts
+  WINDOW w AS (PARTITION BY cohort ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cohort::BIGINT AS cohort, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+       {qround_sql(
+           'max(CASE WHEN na > 0 AND nb > 0 THEN'
+           ' abs(cum_a / na::DOUBLE - cum_b / nb::DOUBLE) END)', 6)} AS d_stat
+FROM cum GROUP BY 1
+"""
+
+
+def q_mwu_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless Mann-Whitney U with tie-corrected z
+    (operators/stats.py:mann_whitney_u): purchase vs signup values over
+    the whole table — this is the RANGE-PARTITIONED PREFIX-SUM path
+    (approx-quantile buckets + broadcast offsets), never a
+    single-partition window over the distinct-value table."""
+    from etdtransform_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "purchase", "signup")
+
+
+_SQL_MWU_DRIFT = f"""
+WITH base AS (
+  SELECT value AS v, event_type AS s
+  FROM {_EV} WHERE event_type IN ('purchase', 'signup') AND value IS NOT NULL
+), counts AS (
+  SELECT v,
+         sum(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN s = 'signup' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM base GROUP BY 1
+), cum AS (
+  SELECT ca, cb, (ca + cb)::DOUBLE AS c,
+         (sum(ca + cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS ct
+  FROM counts
+), per_val AS (
+  SELECT ca::DOUBLE AS cad, cb::DOUBLE AS cbd,
+         ca::DOUBLE * ((ct - c) + (c + 1.0) / 2.0) AS ra,
+         c * c * c - c AS tie
+  FROM cum
+), agged AS (
+  SELECT sum(cad) AS na, sum(cbd) AS nb, sum(ra) AS rsum, sum(tie) AS tsum
+  FROM per_val
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       {qround_sql(
+           'CASE WHEN na > 0 AND nb > 0'
+           ' THEN rsum - na * (na + 1.0) / 2.0 END', 6)} AS u_stat,
+       {qround_sql(
+           'CASE WHEN na > 0 AND nb > 0 AND na + nb > 1'
+           ' AND na * nb / 12.0 * ((na + nb + 1.0)'
+           '   - tsum / ((na + nb) * (na + nb - 1.0))) > 0'
+           ' THEN (rsum - na * (na + 1.0) / 2.0 - na * nb / 2.0)'
+           ' / sqrt(na * nb / 12.0 * ((na + nb + 1.0)'
+           '   - tsum / ((na + nb) * (na + nb - 1.0)))) END', 6)} AS z
+FROM agged
+"""
+
+
+def q_psi_drift_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per language
+    (operators/stats.py:psi_drift): even vs odd doc_id halves of the
+    n_chars distribution, quintile edges from the even half. Full
+    1..n_bins Laplace spine; segments missing a reference half surface
+    with n_a = 0 and NULL psi; null-safe key joins."""
+    from etdtransform_spark.operators.stats import psi_drift
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .withColumn("half", F.col("doc_id") % 2)
+    )
+    return psi_drift(docs, "n_chars", "half", 0, 1, keys=["lang"], n_bins=5)
+
+
+_SQL_PSI_DRIFT = f"""
+WITH base AS (
+  SELECT lang, n_chars::DOUBLE AS v,
+         CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS s
+  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+), segs AS (
+  SELECT lang,
+         sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM base GROUP BY 1
+), edges AS (
+  SELECT lang, quantile_cont(v, [0.2, 0.4, 0.6, 0.8]) AS ed
+  FROM base WHERE s = 'a' GROUP BY 1
+), cells AS (
+  SELECT b.lang, len(list_filter(e.ed, x -> b.v > x)) + 1 AS bin,
+         sum(CASE WHEN b.s = 'a' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN b.s = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM base b JOIN edges e ON b.lang IS NOT DISTINCT FROM e.lang
+  GROUP BY 1, 2
+), spine AS (
+  SELECT segs.lang, segs.na, segs.nb, gs.g AS bin
+  FROM segs, generate_series(1, 5) gs(g)
+), full_bins AS (
+  SELECT sp.lang, sp.na, sp.nb,
+         coalesce(c.ca, 0)::DOUBLE AS ca, coalesce(c.cb, 0)::DOUBLE AS cb
+  FROM spine sp LEFT JOIN cells c
+    ON sp.lang IS NOT DISTINCT FROM c.lang AND sp.bin = c.bin
+), terms AS (
+  SELECT lang, na, nb,
+         CASE WHEN na > 0 AND nb > 0 THEN
+           ((ca + 0.5) / (na::DOUBLE + 2.5) - (cb + 0.5) / (nb::DOUBLE + 2.5))
+           * ln(((ca + 0.5) / (na::DOUBLE + 2.5))
+                / ((cb + 0.5) / (nb::DOUBLE + 2.5)))
+         END AS t
+  FROM full_bins
+)
+SELECT lang, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+       {qround_sql('sum(t)', 6)} AS psi
+FROM terms GROUP BY 1
+"""
+
+
+def q_psi_time_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed drift dashboard (operators/stats.py:psi_time_drift):
+    daily PSI of the event value distribution against the fixed
+    before-Jan-22 reference window. The reference is histogrammed ONCE
+    (broadcast n_bins counts), each day adds only its own count — no
+    reference-x-day blowup at scale."""
+    from etdtransform_spark.operators.stats import psi_time_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_time_drift(ev, "value", "ts", "2024-01-22 00:00:00")
+
+
+_SQL_PSI_TIME_DRIFT = f"""
+WITH pop AS (
+  SELECT ts, value AS v FROM {_EV} WHERE value IS NOT NULL
+), ref AS (
+  SELECT v FROM pop WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+), cur AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts, v
+  FROM pop WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+), edges AS (
+  SELECT quantile_cont(v, [0.2, 0.4, 0.6, 0.8]) AS ed FROM ref
+), rt AS (
+  SELECT count(*)::BIGINT AS na FROM ref
+), ref_cells AS (
+  SELECT len(list_filter(e.ed, x -> r.v > x)) + 1 AS bin, count(*) AS ca
+  FROM ref r, edges e GROUP BY 1
+), segb AS (
+  SELECT bucket_ts, count(*)::BIGINT AS nb FROM cur GROUP BY 1
+), cur_cells AS (
+  SELECT c.bucket_ts, len(list_filter(e.ed, x -> c.v > x)) + 1 AS bin,
+         count(*) AS cb
+  FROM cur c, edges e GROUP BY 1, 2
+), spine AS (
+  SELECT s.bucket_ts, rt.na, s.nb, gs.g AS bin
+  FROM segb s, rt, generate_series(1, 5) gs(g)
+), full_bins AS (
+  SELECT sp.bucket_ts, sp.na, sp.nb,
+         coalesce(rc.ca, 0)::DOUBLE AS ca, coalesce(cc.cb, 0)::DOUBLE AS cb
+  FROM spine sp
+  LEFT JOIN ref_cells rc ON sp.bin = rc.bin
+  LEFT JOIN cur_cells cc
+    ON cc.bucket_ts = sp.bucket_ts AND cc.bin = sp.bin
+), terms AS (
+  SELECT bucket_ts, na, nb,
+         CASE WHEN na > 0 AND nb > 0 THEN
+           ((ca + 0.5) / (na::DOUBLE + 2.5) - (cb + 0.5) / (nb::DOUBLE + 2.5))
+           * ln(((ca + 0.5) / (na::DOUBLE + 2.5))
+                / ((cb + 0.5) / (nb::DOUBLE + 2.5)))
+         END AS t
+  FROM full_bins
+)
+SELECT bucket_ts, max(na)::BIGINT AS n_ref, max(nb)::BIGINT AS n_cur,
+       {qround_sql('sum(t)', 6)} AS psi
+FROM terms GROUP BY 1
+"""
+
+
+def q_embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label (operators/similarity.py:
+    embedding_drift): centroid cosine + Euclidean shift between even and
+    odd vec_id halves. One posexplode + map-side-combined per-dim
+    aggregate; centroids re-assembled dictionary-sized; sequential-order
+    folds for cross-engine bit-reproducibility."""
+    from etdtransform_spark.operators.similarity import embedding_drift
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull())
+        .withColumn("half", F.col("vec_id") % 2)
+    )
+    return embedding_drift(emb, "embedding", "half", 0, 1, keys=["label"])
+
+
+_SQL_EMB_DRIFT = f"""
+WITH base AS (
+  SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS s, embedding
+  FROM {_EMB} WHERE vec_id IS NOT NULL
+), e AS (
+  SELECT label, s, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM base
+), per_dim AS (
+  SELECT label, s, dim, {qround_sql('avg(x)', 6)} AS m, count(*) AS n
+  FROM e GROUP BY 1, 2, 3
+), cents AS (
+  SELECT label, s, max(n)::BIGINT AS n, list(m ORDER BY dim) AS c
+  FROM per_dim GROUP BY 1, 2
+), a AS (SELECT label, n AS na, c AS ca FROM cents WHERE s = 'a'),
+b AS (SELECT label, n AS nb, c AS cb FROM cents WHERE s = 'b'),
+j AS (
+  SELECT coalesce(a.label, b.label) AS label, na, ca, nb, cb,
+         CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+              THEN list_transform(generate_series(1, len(ca)),
+                                  i -> ca[i] - cb[i]) END AS d
+  FROM a FULL OUTER JOIN b ON a.label IS NOT DISTINCT FROM b.label
+)
+SELECT label, coalesce(na, 0)::BIGINT AS n_a, coalesce(nb, 0)::BIGINT AS n_b,
+       {qround_sql(
+           'CASE WHEN na IS NOT NULL AND nb IS NOT NULL'
+           ' AND sqrt(list_dot_product(ca, ca)) > 0'
+           ' AND sqrt(list_dot_product(cb, cb)) > 0'
+           ' THEN list_dot_product(ca, cb)'
+           ' / (sqrt(list_dot_product(ca, ca))'
+           '    * sqrt(list_dot_product(cb, cb))) END', 6)} AS centroid_cos,
+       {qround_sql(
+           'CASE WHEN na IS NOT NULL AND nb IS NOT NULL'
+           ' THEN sqrt(list_dot_product(d, d)) END', 6)} AS centroid_shift
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -7489,62 +7754,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "mg_frequent_items": q_mg_frequent_items,
-        "embedding_decontaminate": q_embedding_decontaminate,
-        "zorder_roundtrip_sampled": q_zorder_roundtrip_sampled,
-        "dsir_weights_sampled": q_dsir_weights_sampled,
-        "customer_order_distribution": q_customer_order_distribution,
-        "promo_revenue_share": q_promo_revenue_share,
-        "top_supplier": q_top_supplier,
-        "parts_supplier_count": q_parts_supplier_count,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "excess_supply_suppliers": q_excess_supply_suppliers,
-        "rebalance_mixture": q_rebalance_mixture,
-        "weighted_median": q_weighted_median,
-        "heavy_hitters": q_heavy_hitters,
-        "entropy_divergence": q_entropy_divergence,
-        "pareto_frontier": q_pareto_frontier,
-        "period_over_period": q_period_over_period,
-        "cooccurrence": q_cooccurrence,
-        "touch_attribution": q_touch_attribution,
-        "inverted_index": q_inverted_index,
-        "incremental_agg": q_incremental_agg,
-        "pagerank": q_pagerank,
-        "welch_ttest": q_welch_ttest,
-        "chi_square": q_chi_square,
-        "hist_quantile": q_hist_quantile,
-        "triangle_count": q_triangle_count,
-        "longest_streak": q_longest_streak,
-        "streaming_hll_distinct": q_streaming_hll_distinct,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "dedup_resolve": q_dedup_resolve,
-        "winsorize": q_winsorize,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "session_paths": q_session_paths,
-        "autocorrelation": q_autocorrelation,
-        "cusum_changepoint": q_cusum_changepoint,
-        "pq_codes": q_pq_codes,
-        "pq_adc_topk": q_pq_adc_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "customer_hierarchy": q_customer_hierarchy,
-        "streaming_leaderboard": q_streaming_leaderboard,
-        "quantile_normalize": q_quantile_normalize,
-        "degree_days": q_degree_days,
-        "weather_normalize": q_weather_normalize,
-        "containment_pairs": q_containment_pairs,
-        "rolling_active_users": q_rolling_active_users,
-        "gini_sources": q_gini_sources,
-        "bigram_logprob": q_bigram_logprob,
-        "ngram_novelty": q_ngram_novelty,
-        "cross_source_dup": q_cross_source_dup,
-        "per_source_cap": q_per_source_cap,
+        "ks_drift_cohort": q_ks_drift_cohort,
+        "mwu_drift": q_mwu_drift,
+        "psi_drift_lang": q_psi_drift_lang,
+        "psi_time_drift_daily": q_psi_time_drift_daily,
+        "embedding_drift_labels": q_embedding_drift_labels,
+        "scan_filter_project": q_scan_filter_project,
+        "multi_join_revenue": q_multi_join_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_all": q_union_all,
+        "pricing_summary": q_pricing_summary,
+        "mincount_gated_agg": q_mincount_gated_agg,
+        "distinct": q_distinct,
+        "percentile_bounds": q_percentile_bounds,
+        "window_lag_diff": q_window_lag_diff,
+        "window_cumsum": q_window_cumsum,
+        "window_ffill": q_window_ffill,
+        "rolling_avg_gated": q_rolling_avg_gated,
+        "iso_week_stats": q_iso_week_stats,
+        "rank_topk_weeks": q_rank_topk_weeks,
+        "resample_15min": q_resample_15min,
+        "resample_hourly_multi": q_resample_hourly_multi,
+        "gap_groups": q_gap_groups,
+        "calculated_columns": q_calculated_columns,
+        "weather_keys": q_weather_keys,
+        "gevoelstemperatuur": q_gevoelstemperatuur,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "embedding_norms": q_embedding_norms,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "extreme_avg_period": q_extreme_avg_period,
+        "mark_coldest_period": q_mark_coldest_period,
+        "gelijktijdigheid": q_gelijktijdigheid,
+        "normalized_datetime": q_normalized_datetime,
+        "multimodal_features": q_multimodal_features,
+        "streaming_resample_15min": q_streaming_resample_15min,
+        "ivf_topk": q_ivf_topk,
+        "mark_peak_period": q_mark_peak_period,
+        "coldest_weeks_join": q_coldest_weeks_join,
+        "streaming_gap_detect": q_streaming_gap_detect,
+        "impute_rule_chain": q_impute_rule_chain,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
-        "dsir_weights": q_dsir_weights,
-        "script_profile": q_script_profile,
-        "dedup_resolve_best": q_dedup_resolve_best,
-        "adc_topk": q_adc_topk,
+        "brand_supplier_revenue": q_brand_supplier_revenue,
+        "hash_sample": q_hash_sample,
+        "impute_summary": q_impute_summary,
+        "bpe_token_counts": q_bpe_token_counts,
+        "kmeans_centroids": q_kmeans_centroids,
+        "semantic_dedup": q_semantic_dedup,
+        "stratified_sample": q_stratified_sample,
+        "streaming_dedup": q_streaming_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_join": q_asof_join,
+        "simhash_near_dup": q_simhash_near_dup,
+        "topk_revenue": q_topk_revenue,
+        "rollup_orders": q_rollup_orders,
+        "pivot_events": q_pivot_events,
+        "count_distinct": q_count_distinct,
+        "sliding_window": q_sliding_window,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_sessionize": q_streaming_sessionize,
+        "chunk_documents": q_chunk_documents,
+        "pack_documents": q_pack_documents,
+        "scrub_pii": q_scrub_pii,
+        "contamination": q_contamination,
+        "frame_sample": q_frame_sample,
+        "quantize_embeddings": q_quantize_embeddings,
+        "streaming_sliding": q_streaming_sliding,
+        "window_rank_family": q_window_rank_family,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "validate_columns": q_validate_columns,
+        "ols_regression": q_ols_regression,
+        "histogram": q_histogram,
+        "unpivot_events": q_unpivot_events,
+        "zscore_outliers": q_zscore_outliers,
+        "weighted_sample": q_weighted_sample,
+        "time_grid": q_time_grid,
+        "interpolate_gaps": q_interpolate_gaps,
+        "ewma": q_ewma,
+        "quantile_iqr": q_quantile_iqr,
+        "cube_events": q_cube_events,
+        "latest_snapshot": q_latest_snapshot,
+        "set_ops": q_set_ops,
+        "full_outer_activity": q_full_outer_activity,
+        "mad_outliers": q_mad_outliers,
+        "unigram_logprob": q_unigram_logprob,
+        "repetition_ratio": q_repetition_ratio,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "argmin_join": q_argmin_join,
+        "revenue_share": q_revenue_share,
+        "above_avg_customers": q_above_avg_customers,
         "sessionize": q_sessionize,
         "impute_linear_fill": q_impute_linear_fill,
         "range_join": q_range_join,
@@ -7595,100 +7905,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "product_type_profit": q_product_type_profit,
         "important_part_value": q_important_part_value,
-        "impute_summary": q_impute_summary,
-        "bpe_token_counts": q_bpe_token_counts,
-        "kmeans_centroids": q_kmeans_centroids,
-        "semantic_dedup": q_semantic_dedup,
-        "stratified_sample": q_stratified_sample,
-        "streaming_dedup": q_streaming_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "asof_join": q_asof_join,
-        "simhash_near_dup": q_simhash_near_dup,
-        "topk_revenue": q_topk_revenue,
-        "rollup_orders": q_rollup_orders,
-        "pivot_events": q_pivot_events,
-        "count_distinct": q_count_distinct,
-        "sliding_window": q_sliding_window,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "streaming_sessionize": q_streaming_sessionize,
-        "chunk_documents": q_chunk_documents,
-        "pack_documents": q_pack_documents,
-        "scrub_pii": q_scrub_pii,
-        "contamination": q_contamination,
-        "frame_sample": q_frame_sample,
-        "quantize_embeddings": q_quantize_embeddings,
-        "streaming_sliding": q_streaming_sliding,
-        "window_rank_family": q_window_rank_family,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "validate_columns": q_validate_columns,
-        "ols_regression": q_ols_regression,
-        "histogram": q_histogram,
-        "unpivot_events": q_unpivot_events,
-        "zscore_outliers": q_zscore_outliers,
-        "weighted_sample": q_weighted_sample,
-        "time_grid": q_time_grid,
-        "interpolate_gaps": q_interpolate_gaps,
-        "ewma": q_ewma,
-        "quantile_iqr": q_quantile_iqr,
-        "cube_events": q_cube_events,
-        "latest_snapshot": q_latest_snapshot,
-        "set_ops": q_set_ops,
-        "full_outer_activity": q_full_outer_activity,
-        "mad_outliers": q_mad_outliers,
-        "unigram_logprob": q_unigram_logprob,
-        "repetition_ratio": q_repetition_ratio,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "argmin_join": q_argmin_join,
-        "revenue_share": q_revenue_share,
-        "above_avg_customers": q_above_avg_customers,
-        "scan_filter_project": q_scan_filter_project,
-        "multi_join_revenue": q_multi_join_revenue,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "union_all": q_union_all,
-        "pricing_summary": q_pricing_summary,
-        "mincount_gated_agg": q_mincount_gated_agg,
-        "distinct": q_distinct,
-        "percentile_bounds": q_percentile_bounds,
-        "window_lag_diff": q_window_lag_diff,
-        "window_cumsum": q_window_cumsum,
-        "window_ffill": q_window_ffill,
-        "rolling_avg_gated": q_rolling_avg_gated,
-        "iso_week_stats": q_iso_week_stats,
-        "rank_topk_weeks": q_rank_topk_weeks,
-        "resample_15min": q_resample_15min,
-        "resample_hourly_multi": q_resample_hourly_multi,
-        "gap_groups": q_gap_groups,
-        "calculated_columns": q_calculated_columns,
-        "weather_keys": q_weather_keys,
-        "gevoelstemperatuur": q_gevoelstemperatuur,
-        "json_extract": q_json_extract,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "embedding_norms": q_embedding_norms,
-        "cosine_topk": q_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "extreme_avg_period": q_extreme_avg_period,
-        "mark_coldest_period": q_mark_coldest_period,
-        "gelijktijdigheid": q_gelijktijdigheid,
-        "normalized_datetime": q_normalized_datetime,
-        "multimodal_features": q_multimodal_features,
-        "streaming_resample_15min": q_streaming_resample_15min,
-        "ivf_topk": q_ivf_topk,
-        "mark_peak_period": q_mark_peak_period,
-        "coldest_weeks_join": q_coldest_weeks_join,
-        "streaming_gap_detect": q_streaming_gap_detect,
-        "impute_rule_chain": q_impute_rule_chain,
-        "brand_supplier_revenue": q_brand_supplier_revenue,
-        "hash_sample": q_hash_sample,
+        "dsir_weights": q_dsir_weights,
+        "script_profile": q_script_profile,
+        "dedup_resolve_best": q_dedup_resolve_best,
+        "adc_topk": q_adc_topk,
+        "mg_frequent_items": q_mg_frequent_items,
+        "embedding_decontaminate": q_embedding_decontaminate,
+        "zorder_roundtrip_sampled": q_zorder_roundtrip_sampled,
+        "dsir_weights_sampled": q_dsir_weights_sampled,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier": q_top_supplier,
+        "parts_supplier_count": q_parts_supplier_count,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "excess_supply_suppliers": q_excess_supply_suppliers,
+        "rebalance_mixture": q_rebalance_mixture,
+        "weighted_median": q_weighted_median,
+        "heavy_hitters": q_heavy_hitters,
+        "entropy_divergence": q_entropy_divergence,
+        "pareto_frontier": q_pareto_frontier,
+        "period_over_period": q_period_over_period,
+        "cooccurrence": q_cooccurrence,
+        "touch_attribution": q_touch_attribution,
+        "inverted_index": q_inverted_index,
+        "incremental_agg": q_incremental_agg,
+        "pagerank": q_pagerank,
+        "welch_ttest": q_welch_ttest,
+        "chi_square": q_chi_square,
+        "hist_quantile": q_hist_quantile,
+        "triangle_count": q_triangle_count,
+        "longest_streak": q_longest_streak,
+        "streaming_hll_distinct": q_streaming_hll_distinct,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "dedup_resolve": q_dedup_resolve,
+        "winsorize": q_winsorize,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "session_paths": q_session_paths,
+        "autocorrelation": q_autocorrelation,
+        "cusum_changepoint": q_cusum_changepoint,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "customer_hierarchy": q_customer_hierarchy,
+        "streaming_leaderboard": q_streaming_leaderboard,
+        "quantile_normalize": q_quantile_normalize,
+        "degree_days": q_degree_days,
+        "weather_normalize": q_weather_normalize,
+        "containment_pairs": q_containment_pairs,
+        "rolling_active_users": q_rolling_active_users,
+        "gini_sources": q_gini_sources,
+        "bigram_logprob": q_bigram_logprob,
+        "ngram_novelty": q_ngram_novelty,
+        "cross_source_dup": q_cross_source_dup,
+        "per_source_cap": q_per_source_cap,
     }
 
 
@@ -7895,4 +8165,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_decontaminate": _SQL_DECONTAM,
         "zorder_roundtrip_sampled": _SQL_ZORDER_RTS,
         "dsir_weights_sampled": _SQL_DSIR_SAMPLED,
+        # round 6: drift-detection family
+        "ks_drift_cohort": _SQL_KS_DRIFT,
+        "mwu_drift": _SQL_MWU_DRIFT,
+        "psi_drift_lang": _SQL_PSI_DRIFT,
+        "psi_time_drift_daily": _SQL_PSI_TIME_DRIFT,
+        "embedding_drift_labels": _SQL_EMB_DRIFT,
     }

@@ -577,6 +577,12 @@ def dsir_importance_weights(
         # drops the returned frame — a persist() entry lives in the
         # CacheManager for the session (the old code only unpersisted on
         # the exception path, leaking executor cache per call).
+        # NON-RECOVERABLE trade-off (same as dedup.connected_components):
+        # localCheckpoint truncates lineage, so losing an executor that
+        # held checkpoint blocks fails the job instead of recomputing.
+        # On a 100 TB selection run where executor churn is expected,
+        # prefer reliable checkpoint() (spark.sparkContext.setCheckpointDir
+        # to durable storage) — same release semantics, HA blocks.
         scored = scored.localCheckpoint(eager=True)
         n_docs = scored.count()
         if n_docs > top_n:

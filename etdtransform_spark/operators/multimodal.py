@@ -30,6 +30,8 @@ scanning media parquet so a batch of decoded frames fits executor memory.
 
 from __future__ import annotations
 
+import math
+
 import hashlib
 import sys
 from collections.abc import Iterator
@@ -873,6 +875,14 @@ def mp3_frame_table(
                 # fold the finished run into the exact base: num/den + s*1000/r
                 t_ms_num = t_ms_num * run_rate + run_samples * 1000 * t_den
                 t_den = t_den * run_rate
+                # MPEG rates share large factors (all multiples of 8000 or
+                # 11025): reduce by gcd each fold so an adversarial stream
+                # alternating rates per frame cannot grow the denominator
+                # (and the per-frame big-int cost) without bound
+                g = math.gcd(t_ms_num, t_den)
+                if g > 1:
+                    t_ms_num //= g
+                    t_den //= g
             run_rate = rate
             run_samples = 0
         frames.append(

@@ -1055,3 +1055,107 @@ def ivfpq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str,
+    sample_col: str,
+    sample_a,
+    sample_b,
+    keys: list[str] = (),
+    digits: int = 6,
+    mean_digits: int = 6,
+) -> DataFrame:
+    """Embedding-space drift per key segment: cosine similarity and
+    Euclidean distance between the two samples' centroid vectors — the
+    representation-drift complement to the scalar monitors
+    (stats.ks_2samp / psi_drift). A centroid cosine falling from ~1.0
+    flags a shifted embedding population (new domain, re-trained encoder,
+    corrupted batch) before any scalar metric moves.
+
+    Scale shape: posexplode to (keys, sample, dim, x) and ONE map-side
+    combined hash aggregate — the shuffle carries |segments| x 2 x n_dims
+    partial sums, never vectors. Centroids are re-assembled dictionary-
+    sized (collect_list + array_sort, the :func:`groupwise_embedding_mean`
+    pattern) and compared with sequential-order folds (dot_expr /
+    norm_expr) so the arithmetic is bit-reproducible cross-engine.
+    Per-dim means are qround'd before comparison for the same reason.
+
+    Segments present in only one sample surface with the other n = 0 and
+    NULL cosine/shift (drift against nothing is undefined); a full-outer
+    null-safe key join keeps NULL-keyed segments real, as in GROUP BY.
+
+    Returns (keys..., n_a, n_b, centroid_cos, centroid_shift).
+    """
+    klist = list(keys)
+    in_a = F.col(sample_col) == sample_a
+    in_b = F.col(sample_col) == sample_b
+    exploded = (
+        df.filter((in_a | in_b) & F.col(vec_col).isNotNull())
+        .select(
+            *klist,
+            F.when(in_a, F.lit("a")).otherwise(F.lit("b")).alias("_s"),
+            F.posexplode(F.col(vec_col)).alias("_dim", "_x"),
+        )
+    )
+    per_dim = exploded.groupBy(*klist, "_s", "_dim").agg(
+        qround(F.avg(F.col("_x").cast("double")), mean_digits).alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cents = per_dim.groupBy(*klist, "_s").agg(
+        F.max("_n").alias("_n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_dim", "_m"))),
+            lambda s: s["_m"],
+        ).alias("_c"),
+    )
+    # both sides share the cents lineage: uniquely-prefixed key copies
+    # sidestep Spark's ambiguous-self-join resolution
+    jk = klist if klist else ["_jk"]
+    a_side = cents.filter(F.col("_s") == "a").select(
+        *[F.col(k).alias(f"_ak_{k}") for k in klist],
+        *([] if klist else [F.lit(1).alias("_ak__jk")]),
+        F.col("_n").alias("_na"),
+        F.col("_c").alias("_ca"),
+    )
+    b_side = cents.filter(F.col("_s") == "b").select(
+        *[F.col(k).alias(f"_bk_{k}") for k in klist],
+        *([] if klist else [F.lit(1).alias("_bk__jk")]),
+        F.col("_n").alias("_nb"),
+        F.col("_c").alias("_cb"),
+    )
+    cond = None
+    for k in jk:
+        c = F.col(f"_ak_{k}").eqNullSafe(F.col(f"_bk_{k}"))
+        cond = c if cond is None else cond & c
+    joined = a_side.join(b_side, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_ak_{k}"), F.col(f"_bk_{k}")).alias(k)
+            for k in klist
+        ],
+        "_na", "_ca", "_nb", "_cb",
+    )
+    dot = dot_expr(F.col("_ca"), F.col("_cb"))
+    na_norm = norm_expr(F.col("_ca"))
+    nb_norm = norm_expr(F.col("_cb"))
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_ca"), F.col("_cb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    both = F.col("_na").isNotNull() & F.col("_nb").isNotNull()
+    return joined.select(
+        *klist,
+        F.coalesce(F.col("_na"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("_nb"), F.lit(0)).cast("bigint").alias("n_b"),
+        qround(
+            F.when(both & (na_norm > 0) & (nb_norm > 0), dot / (na_norm * nb_norm)),
+            digits,
+        ).alias("centroid_cos"),
+        qround(F.when(both, shift), digits).alias("centroid_shift"),
+    )

@@ -902,6 +902,83 @@ def gini_coefficient(
     )
 
 
+def _value_cumulatives(
+    counts: DataFrame,
+    klist: list[str],
+    prefix_buckets: int = 32,
+) -> DataFrame:
+    """Inclusive cumulative ``_ca``/``_cb`` by ``_v`` plus segment totals
+    ``_na``/``_nb`` over a distinct-value count table — the shared ECDF
+    substrate of :func:`ks_2samp` and :func:`mann_whitney_u`.
+
+    Keyed: one window partitioned by the segment keys (segments partition
+    the distinct-value table; no global sort). Keyless: a two-pass
+    range-partitioned prefix sum — ``percentile_approx`` boundaries bucket
+    the distinct values, each bucket cumulates under its own window, and
+    the per-bucket offsets (≤ ``prefix_buckets`` rows) are broadcast back —
+    so a keyless high-cardinality metric never degrades to a
+    single-partition window at 100 TB. Boundary accuracy only affects
+    bucket balance, never the result: offset + in-bucket prefix is the
+    exact global prefix for any bucketing that preserves value order.
+    """
+    if klist:
+        wseg = Window.partitionBy(*klist)
+        wcum = wseg.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+        return counts.select(
+            "*",
+            F.sum("_ca").over(wcum).alias("_cum_a"),
+            F.sum("_cb").over(wcum).alias("_cum_b"),
+            F.sum("_ca").over(wseg).alias("_na"),
+            F.sum("_cb").over(wseg).alias("_nb"),
+        )
+    qs = [i / prefix_buckets for i in range(1, prefix_buckets)]
+    bounds = counts.agg(
+        F.percentile_approx(
+            "_v", F.array(*[F.lit(q) for q in qs]), 10000
+        ).alias("_bd")
+    )
+    bucketed = counts.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt", F.size(F.filter(F.col("_bd"), lambda e: F.col("_v") > e))
+    )
+    wb = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bucketed = bucketed.select(
+        "*",
+        F.sum("_ca").over(wb).alias("_pca"),
+        F.sum("_cb").over(wb).alias("_pcb"),
+    )
+    totals = bucketed.groupBy("_bkt").agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+    )
+    woff = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ prefix_buckets rows — dictionary-sized by construction
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_ta").over(woff), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_tb").over(woff), F.lit(0)).alias("_ob"),
+        F.sum("_ta").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_na"),
+        F.sum("_tb").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_nb"),
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_cum_a", F.col("_oa") + F.col("_pca"))
+        .withColumn("_cum_b", F.col("_ob") + F.col("_pcb"))
+        .drop("_bd", "_bkt", "_pca", "_pcb", "_oa", "_ob")
+    )
+
+
 def ks_2samp(
     df: DataFrame,
     value_col: str,
@@ -910,18 +987,19 @@ def ks_2samp(
     sample_b,
     keys: Sequence[str] = (),
     digits: int = 6,
+    prefix_buckets: int = 32,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per key segment — the
     standard nonparametric drift detector between two data windows or
     sources: D = max_x |F_a(x) - F_b(x)| over the pooled empirical CDFs.
 
     Data-sized work is ONE (keys, value) count aggregate (map-side
-    combined); the ECDFs come from a cumulative window over that
-    DISTINCT-VALUE-sized table, partitioned by the segment keys — no
-    row-level sort, no single-partition window when segments exist. With
-    no keys the window degrades to one partition over distinct metric
-    values (<< rows for any real metric; range-prefix the cumsum if a
-    keyless metric is high-cardinality at 100 TB).
+    combined); the ECDFs come from cumulative sums over that
+    DISTINCT-VALUE-sized table via :func:`_value_cumulatives` — keyed
+    segments each cumulate under their own window partition, and the
+    keyless case uses the range-partitioned two-pass prefix sum, so no
+    path ever needs a single-partition window over a high-cardinality
+    metric.
 
     Returns (keys..., n_a, n_b, d_stat). Segments where either sample is
     empty yield NULL d_stat (drift against nothing is undefined, not 1).
@@ -938,14 +1016,11 @@ def ks_2samp(
             F.sum(F.when(in_b, 1).otherwise(0)).alias("_cb"),
         )
     )
-    wseg = Window.partitionBy(*klist)
-    wcum = wseg.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    na = F.sum("_ca").over(wseg).cast("double")
-    nb = F.sum("_cb").over(wseg).cast("double")
-    gap = F.abs(
-        F.sum("_ca").over(wcum) / na - F.sum("_cb").over(wcum) / nb
-    )
-    stepped = counts.select(
+    cum = _value_cumulatives(counts, klist, prefix_buckets)
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    gap = F.abs(F.col("_cum_a") / na - F.col("_cum_b") / nb)
+    stepped = cum.select(
         *klist,
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
@@ -966,16 +1041,19 @@ def mann_whitney_u(
     sample_b,
     keys: Sequence[str] = (),
     digits: int = 6,
+    prefix_buckets: int = 32,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) per key segment with the
     normal approximation z-score, tie-corrected — the rank-based
     complement to :func:`ks_2samp` (location shift vs shape change).
 
     Average pooled ranks come from the same distinct-value cumulative
-    window as the KS ECDF: for a value with pooled multiplicity c and
-    C values strictly below it, avg_rank = C + (c+1)/2, so
-    R_a = sum ca*avg_rank needs no per-row ranking. U_a = R_a -
-    n_a(n_a+1)/2; sigma carries the standard tie term sum(c^3-c).
+    substrate (:func:`_value_cumulatives`): for a value with pooled
+    multiplicity c and C values strictly below it, avg_rank = C + (c+1)/2,
+    so R_a = sum ca*avg_rank needs no per-row ranking; the keyless case
+    rides the range-partitioned prefix sum, never a single-partition
+    window. U_a = R_a - n_a(n_a+1)/2; sigma carries the standard tie term
+    sum(c^3-c).
 
     Returns (keys..., n_a, n_b, u_stat, z). One-observation-total or
     empty-sample segments yield NULL z instead of an ANSI divide abort.
@@ -992,16 +1070,15 @@ def mann_whitney_u(
             F.sum(F.when(in_b, 1).otherwise(0)).alias("_cb"),
         )
     )
-    wseg = Window.partitionBy(*klist)
-    wcum = wseg.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = _value_cumulatives(counts, klist, prefix_buckets)
     c = (F.col("_ca") + F.col("_cb")).cast("double")
-    below = F.sum(F.col("_ca") + F.col("_cb")).over(wcum).cast("double") - c
+    below = (F.col("_cum_a") + F.col("_cum_b")).cast("double") - c
     avg_rank = below + (c + 1.0) / 2.0
-    per_val = counts.select(
+    per_val = cum.select(
         *klist,
         F.col("_ca").cast("double").alias("_ca"),
         F.col("_cb").cast("double").alias("_cb"),
-        (F.col("_ca") * avg_rank).alias("_ra"),
+        (F.col("_ca").cast("double") * avg_rank).alias("_ra"),
         (c * c * c - c).alias("_tie"),
     )
     agged = per_val.groupBy(*klist).agg(
@@ -1031,6 +1108,29 @@ def mann_whitney_u(
     )
 
 
+def _null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``keys`` with GROUP-BY NULL semantics (NULL matches
+    NULL), dropping the right side's key columns. Plain ``join(on=keys)``
+    silently drops NULL-keyed segments — exactly the inconsistency a
+    drift operator must not have, since GROUP BY treats NULL as a real
+    segment. EqualNullSafe remains a hash-join key, so broadcast/equijoin
+    plans are preserved."""
+    renamed = right.select(
+        *[F.col(k).alias(f"_nsj_{k}") for k in keys],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_nsj_{k}"))
+        cond = c if cond is None else cond & c
+    return left.join(renamed, cond, how).drop(*[f"_nsj_{k}" for k in keys])
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str,
@@ -1050,9 +1150,13 @@ def psi_drift(
     Two dictionary-sized shuffles: one exact-percentile aggregate on the
     reference (edges per segment, broadcast back), one (keys, bin, sample)
     count. Bin assignment is an in-row array fold over the interior-edge
-    list — no join per edge. Proportions carry +0.5 Laplace smoothing per
-    bin so an empty bin contributes a finite, deterministic term instead
-    of log(0).
+    list — no join per edge. Every segment present in EITHER sample
+    appears in the output: segments with an empty reference get NULL psi
+    and n_a = 0 (drift against nothing is undefined). Each segment's
+    histogram is completed to the full 1..n_bins spine before smoothing,
+    so bins empty in both samples still contribute their +0.5 Laplace
+    term and the smoothed proportions sum to 1 exactly. Key joins are
+    null-safe (NULL is a real segment, as in GROUP BY).
 
     Returns (keys..., n_a, n_b, psi).
     """
@@ -1067,12 +1171,21 @@ def psi_drift(
         x.alias("_v"),
         F.when(in_a, F.lit("a")).otherwise(F.lit("b")).alias("_s"),
     )
+    segs = base.groupBy(*klist).agg(
+        F.sum(F.when(F.col("_s") == "a", 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_s") == "b", 1).otherwise(0)).alias("_nb"),
+        F.count(F.lit(1)).alias("_nrows"),
+    )
+    if not klist:
+        # a keyless global aggregate emits a row even over empty input;
+        # only a real (non-empty) population defines a drift segment
+        segs = segs.filter(F.col("_nrows") > 0)
     qs = [i / n_bins for i in range(1, n_bins)]
     edges = base.filter(F.col("_s") == "a").groupBy(*klist).agg(
         F.percentile("_v", F.array(*[F.lit(q) for q in qs])).alias("_edges")
     )
     joined = (
-        base.join(F.broadcast(edges), klist)
+        _null_safe_join(base, F.broadcast(edges), klist)
         if klist
         else base.crossJoin(F.broadcast(edges))
     )
@@ -1083,19 +1196,162 @@ def psi_drift(
         F.sum(F.when(F.col("_s") == "a", 1).otherwise(0)).alias("_ca"),
         F.sum(F.when(F.col("_s") == "b", 1).otherwise(0)).alias("_cb"),
     )
-    wseg = Window.partitionBy(*klist)
-    na = F.sum("_ca").over(wseg).cast("double")
-    nb = F.sum("_cb").over(wseg).cast("double")
-    pa = (F.col("_ca") + 0.5) / (na + 0.5 * n_bins)
-    pb = (F.col("_cb") + 0.5) / (nb + 0.5 * n_bins)
-    per_bin = cells.select(
+    spine = segs.select(
         *klist,
-        na.cast("bigint").alias("n_a"),
-        nb.cast("bigint").alias("n_b"),
+        "_na",
+        "_nb",
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("_bin"),
+    )
+    if klist:
+        cells_r = cells.select(
+            *[F.col(k).alias(f"_ck_{k}") for k in klist],
+            F.col("_bin").alias("_c_bin"),
+            "_ca",
+            "_cb",
+        )
+        cond = F.col("_bin") == F.col("_c_bin")
+        for k in klist:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+        full = spine.join(cells_r, cond, "left").drop(
+            "_c_bin", *[f"_ck_{k}" for k in klist]
+        )
+    else:
+        full = spine.join(cells, "_bin", "left")
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    pa = (F.coalesce(F.col("_ca"), F.lit(0)) + 0.5) / (na + 0.5 * n_bins)
+    pb = (F.coalesce(F.col("_cb"), F.lit(0)) + 0.5) / (nb + 0.5 * n_bins)
+    per_bin = full.select(
+        *klist,
+        F.col("_na").cast("bigint").alias("n_a"),
+        F.col("_nb").cast("bigint").alias("n_b"),
         F.when((na > 0) & (nb > 0), (pa - pb) * F.log(pa / pb)).alias("_t"),
     )
-    return per_bin.groupBy(*klist).agg(
+    out = per_bin.groupBy(*klist).agg(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
+        qround(F.sum("_t"), digits).alias("psi"),
+    )
+    if not klist:
+        # same rule as segs: the keyless global aggregate over an empty
+        # spine would fabricate a row; no population -> no segment
+        out = out.filter(F.col("n_a").isNotNull())
+    return out
+
+
+def psi_time_drift(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    ref_end,
+    bucket: str = "day",
+    keys: Sequence[str] = (),
+    n_bins: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Windowed drift monitoring: PSI of each time bucket's metric
+    distribution against the fixed reference window of all rows BEFORE
+    ``ref_end`` — the shape a production drift dashboard actually plots
+    (one PSI point per day/hour per segment).
+
+    Scale design: the reference is histogrammed ONCE per segment
+    (n_bins counts — dictionary-sized, broadcast), never replicated per
+    bucket; each bucket then needs only its own (keys, bucket, bin)
+    count. Data-sized work is two scans and one count aggregate each —
+    no reference-×-bucket blowup at 100 TB. Buckets come from
+    ``date_trunc(bucket, ts)``; segments/buckets with no reference rows
+    yield NULL psi with n_ref = 0, mirroring :func:`psi_drift`.
+
+    Returns (keys..., bucket_ts, n_ref, n_cur, psi).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    x = F.col(value_col).cast("double")
+    ts = F.col(ts_col)
+    klist = list(keys)
+    pop = df.filter(x.isNotNull() & ts.isNotNull())
+    ref = pop.filter(ts < F.lit(ref_end)).select(*klist, x.alias("_v"))
+    cur = pop.filter(ts >= F.lit(ref_end)).select(
+        *klist, x.alias("_v"), F.date_trunc(bucket, ts).alias("bucket_ts")
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = ref.groupBy(*klist).agg(
+        F.percentile("_v", F.array(*[F.lit(q) for q in qs])).alias("_edges")
+    )
+    bin_idx = F.size(
+        F.filter(F.col("_edges"), lambda e: F.col("_v") > e)
+    ) + F.lit(1)
+    if klist:
+        ref_binned = _null_safe_join(ref, F.broadcast(edges), klist)
+        cur_binned = _null_safe_join(cur, F.broadcast(edges), klist)
+    else:
+        ref_binned = ref.crossJoin(F.broadcast(edges))
+        cur_binned = cur.crossJoin(F.broadcast(edges))
+    # cell tables carry uniquely-prefixed key copies: Spark resolves
+    # same-named columns ambiguously across chained left joins, and a
+    # wrong-side drop silently NULLs the group key
+    ref_cells = ref_binned.groupBy(*klist, bin_idx.alias("_bin")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    ).select(
+        *[F.col(k).alias(f"_rk_{k}") for k in klist],
+        F.col("_bin").alias("_r_bin"),
+        "_ca",
+    )
+    cur_cells = cur_binned.groupBy(
+        *klist, "bucket_ts", bin_idx.alias("_bin")
+    ).agg(F.count(F.lit(1)).alias("_cb")).select(
+        *[F.col(k).alias(f"_ck_{k}") for k in klist],
+        F.col("bucket_ts").alias("_c_bts"),
+        F.col("_bin").alias("_c_bin"),
+        "_cb",
+    )
+    # output spine: every (segment, bucket) seen in the CURRENT stream ×
+    # the full bin range, with that segment's reference total attached
+    seg_buckets = cur.groupBy(*klist, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    ref_totals = ref.groupBy(*klist).agg(F.count(F.lit(1)).alias("_na"))
+    # keyless ref_totals is a global aggregate: always exactly one row
+    # (count 0 over an empty reference), so the crossJoin is total
+    seg_buckets = (
+        _null_safe_join(seg_buckets, F.broadcast(ref_totals), klist, "left")
+        if klist
+        else seg_buckets.crossJoin(F.broadcast(ref_totals))
+    )
+    spine = seg_buckets.select(
+        *klist,
+        "bucket_ts",
+        F.coalesce(F.col("_na"), F.lit(0)).alias("_na"),
+        "_nb",
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("_bin"),
+    )
+    rcond = F.col("_bin") == F.col("_r_bin")
+    for k in klist:
+        rcond = rcond & F.col(k).eqNullSafe(F.col(f"_rk_{k}"))
+    withref = spine.join(F.broadcast(ref_cells), rcond, "left").drop(
+        "_r_bin", *[f"_rk_{k}" for k in klist]
+    )
+    ccond = (F.col("_bin") == F.col("_c_bin")) & (
+        F.col("bucket_ts") == F.col("_c_bts")
+    )
+    for k in klist:
+        ccond = ccond & F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+    full = withref.join(cur_cells, ccond, "left").drop(
+        "_c_bin", "_c_bts", *[f"_ck_{k}" for k in klist]
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    pa = (F.coalesce(F.col("_ca"), F.lit(0)) + 0.5) / (na + 0.5 * n_bins)
+    pb = (F.coalesce(F.col("_cb"), F.lit(0)) + 0.5) / (nb + 0.5 * n_bins)
+    per_bin = full.select(
+        *klist,
+        "bucket_ts",
+        F.col("_na").cast("bigint").alias("n_ref"),
+        F.col("_nb").cast("bigint").alias("n_cur"),
+        F.when((na > 0) & (nb > 0), (pa - pb) * F.log(pa / pb)).alias("_t"),
+    )
+    return per_bin.groupBy(*klist, "bucket_ts").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
         qround(F.sum("_t"), digits).alias("psi"),
     )

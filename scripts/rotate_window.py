@@ -39,6 +39,7 @@ def main(correctness_files: list[str]) -> None:
     fn = dict(pairs)
 
     green: set[str] = set()
+    green_age: dict[str, int] = {}  # 0 = confirmed in the newest round
     red: list[str] = []
     for i, path in enumerate(correctness_files):
         rows = json.load(open(path))
@@ -51,11 +52,19 @@ def main(correctness_files: list[str]) -> None:
             )
             if ok:
                 green.add(name)
+                if name not in green_age:  # files are newest-first
+                    green_age[name] = i
             elif i == 0 and name not in red:
                 red.append(name)  # newest round's failures lead
     red = [n for n in red if n in fn and n not in green]
     unchecked = [n for n in names if n not in green and n not in red]
-    checked = [n for n in names if n in green]
+    # staleness rotation: among greens, the LONGEST-unconfirmed lead, so
+    # every query keeps getting re-driver-checked on a bounded cadence
+    # instead of r1-era greens never re-entering the window
+    checked = sorted(
+        (n for n in names if n in green),
+        key=lambda n: -green_age.get(n, 0),
+    )
     order = red + unchecked + checked
     assert sorted(order) == sorted(names)
 
