@@ -7741,6 +7741,76 @@ FROM j
 """
 
 
+def q_expectations_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL data-quality gate (operators/quality.py:
+    check_expectations, threshold_completeness + compliance params): the
+    production form of expectations — "at least 99.x% complete / y%
+    compliant", not "zero violations" — mixed with classic count checks.
+    All metrics still ride ONE aggregate pass; verdicts compare the
+    ROUNDED fraction so the gate is cross-engine deterministic; an empty
+    batch FAILS fractional gates (NULL metric) instead of passing
+    vacuously."""
+    from etdtransform_spark.operators.quality import check_expectations
+
+    ev = _t(spark, sf_dir, "events")
+    return check_expectations(
+        ev,
+        not_null=["event_id"],
+        min_rows=10,
+        threshold_completeness={"value": 0.95, "user_id": 0.99},
+        compliance={
+            "value_positive": ("value > 0", 0.5),
+            "known_type": (
+                "event_type IN ('click','view','purchase','signup','error')",
+                0.999,
+            ),
+        },
+    )
+
+
+_SQL_EXPECT_THRESH = f"""
+WITH m AS (
+  SELECT count(*)::DOUBLE AS n,
+         count(CASE WHEN event_id IS NULL THEN 1 END)::DOUBLE AS nn_id,
+         count(value)::DOUBLE AS c_val,
+         count(user_id)::DOUBLE AS c_uid,
+         sum(CASE WHEN value > 0 THEN 1 ELSE 0 END)::DOUBLE AS cp_pos,
+         sum(CASE WHEN event_type IN
+               ('click', 'view', 'purchase', 'signup', 'error')
+             THEN 1 ELSE 0 END)::DOUBLE AS cp_type
+  FROM {_EV}
+)
+SELECT 'not_null' AS check, 'event_id' AS target,
+       nn_id AS metric, nn_id = 0 AS passed FROM m
+UNION ALL
+SELECT 'completeness', 'value',
+       {qround_sql('CASE WHEN n > 0 THEN c_val / n END', 6)},
+       coalesce({qround_sql('CASE WHEN n > 0 THEN c_val / n END', 6)}
+                >= 0.95, false)
+FROM m
+UNION ALL
+SELECT 'completeness', 'user_id',
+       {qround_sql('CASE WHEN n > 0 THEN c_uid / n END', 6)},
+       coalesce({qround_sql('CASE WHEN n > 0 THEN c_uid / n END', 6)}
+                >= 0.99, false)
+FROM m
+UNION ALL
+SELECT 'compliance', 'value_positive',
+       {qround_sql('CASE WHEN n > 0 THEN cp_pos / n END', 6)},
+       coalesce({qround_sql('CASE WHEN n > 0 THEN cp_pos / n END', 6)}
+                >= 0.5, false)
+FROM m
+UNION ALL
+SELECT 'compliance', 'known_type',
+       {qround_sql('CASE WHEN n > 0 THEN cp_type / n END', 6)},
+       coalesce({qround_sql('CASE WHEN n > 0 THEN cp_type / n END', 6)}
+                >= 0.999, false)
+FROM m
+UNION ALL
+SELECT 'min_rows', '*', n, n >= 10 FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7759,6 +7829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_lang": q_psi_drift_lang,
         "psi_time_drift_daily": q_psi_time_drift_daily,
         "embedding_drift_labels": q_embedding_drift_labels,
+        "expectations_thresholds": q_expectations_thresholds,
         "scan_filter_project": q_scan_filter_project,
         "multi_join_revenue": q_multi_join_revenue,
         "semi_join": q_semi_join,
@@ -7803,9 +7874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mark_peak_period": q_mark_peak_period,
         "coldest_weeks_join": q_coldest_weeks_join,
         "streaming_gap_detect": q_streaming_gap_detect,
-        "impute_rule_chain": q_impute_rule_chain,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "impute_rule_chain": q_impute_rule_chain,
         "brand_supplier_revenue": q_brand_supplier_revenue,
         "hash_sample": q_hash_sample,
         "impute_summary": q_impute_summary,
@@ -8171,4 +8242,5 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift_lang": _SQL_PSI_DRIFT,
         "psi_time_drift_daily": _SQL_PSI_TIME_DRIFT,
         "embedding_drift_labels": _SQL_EMB_DRIFT,
+        "expectations_thresholds": _SQL_EXPECT_THRESH,
     }

@@ -16,10 +16,12 @@ schema churn as checks are added.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
 
 
 def check_expectations(
@@ -30,6 +32,9 @@ def check_expectations(
     accepted_values: dict[str, Sequence[str]] | None = None,
     min_rows: int | None = None,
     foreign_keys: Sequence[tuple[str, DataFrame, str]] = (),
+    threshold_completeness: Mapping[str, float] | None = None,
+    compliance: Mapping[str, tuple[str | Column, float]] | None = None,
+    digits: int = 6,
 ) -> DataFrame:
     """Evaluate the declared expectations and return the constraint report.
 
@@ -41,11 +46,25 @@ def check_expectations(
     uniqueness one). Exact distinct counts — at extreme group cardinality
     switch the caller to approx_count_distinct and a tolerance.
 
+    Two FRACTIONAL check families ride the same aggregate (production
+    gates are usually "at least 99.x%", not "zero violations"):
+    ``threshold_completeness`` maps column -> minimum non-null fraction,
+    and ``compliance`` maps a rule name -> (boolean SQL expression or
+    Column, minimum fraction of ALL rows satisfying it — NULL predicate
+    rows count as non-compliant, as in Deequ). For both, ``metric`` is
+    the observed fraction (rounded to ``digits`` so the verdict is
+    cross-engine deterministic) and ``passed`` compares it to the
+    threshold; an EMPTY table yields NULL metric and passed = false — an
+    empty batch proves nothing and must not greenlight a gate (unlike
+    the violation-count checks, whose 0-of-0 semantics pass vacuously).
+
     Returns (check, target, metric, passed), FK rows appended via union —
     the report row count equals the number of declared checks.
     """
     ranges = ranges or {}
     accepted_values = accepted_values or {}
+    threshold_completeness = threshold_completeness or {}
+    compliance = compliance or {}
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n_rows")]
     rows: list[tuple[str, str, str]] = []  # (check, target, agg alias)
 
@@ -86,7 +105,23 @@ def check_expectations(
         )
         rows.append(("accepted_values", c, a))
 
+    frac_rows: list[tuple[str, str, str, float]] = []
+    for c, thr in threshold_completeness.items():
+        a = f"_tc_{c}"
+        aggs.append(F.count(F.col(c)).alias(a))
+        frac_rows.append(("completeness", c, a, float(thr)))
+    for name, (pred, thr) in compliance.items():
+        a = f"_cp_{name}"
+        pred = F.expr(pred) if isinstance(pred, str) else pred
+        if not isinstance(pred, Column):
+            raise ValueError(
+                f"compliance rule {name!r}: predicate must be SQL or Column"
+            )
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(a))
+        frac_rows.append(("compliance", name, a, float(thr)))
+
     one = df.agg(*aggs)
+    n_rows = F.col("_n_rows").cast("double")
     reports = [
         F.struct(
             F.lit(check).alias("check"),
@@ -96,6 +131,16 @@ def check_expectations(
         )
         for check, target, alias in rows
     ]
+    for check, target, alias, thr in frac_rows:
+        frac = qround(F.when(n_rows > 0, F.col(alias) / n_rows), digits)
+        reports.append(
+            F.struct(
+                F.lit(check).alias("check"),
+                F.lit(target).alias("target"),
+                frac.alias("metric"),
+                F.coalesce(frac >= F.lit(thr), F.lit(False)).alias("passed"),
+            )
+        )
     if min_rows is not None:
         reports.append(
             F.struct(
