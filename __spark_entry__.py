@@ -7811,6 +7811,58 @@ SELECT 'min_rows', '*', n, n >= 10 FROM m
 """
 
 
+def q_streaming_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift dashboard (streaming/drift_stream.py): the frozen
+    reference artifact (exact-percentile edges + bin counts over events
+    before Jan 22) is computed batch-side; the STREAM maintains only
+    per-(day, bin) counts on those fixed edges (n_bins rows of state per
+    open window); PSI is a dictionary-sized roll-up over the sink. Oracle
+    is the SAME SQL as the batch psi_time_drift_daily — streaming is a
+    deployment mode, not a different answer."""
+    import uuid
+
+    from etdtransform_spark.streaming.drift_stream import (
+        psi_from_binned_counts,
+        streaming_metric_bins,
+    )
+
+    ref_end = "2024-01-22 00:00:00"
+    n_bins = 5
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("ts") < F.lit(ref_end))
+    edges = ref.agg(
+        F.percentile(
+            F.col("value").cast("double"),
+            F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)]),
+        ).alias("e")
+    ).collect()[0].e
+    if edges is None:
+        edges = [0.0] * (n_bins - 1)  # empty reference: bins still defined
+        ref_bins = spark.createDataFrame([], "bin int, n bigint")
+    else:
+        arr = F.array(*[F.lit(float(e)) for e in edges])
+        ref_bins = ref.groupBy(
+            (
+                F.size(F.filter(arr, lambda e: F.col("value") > e)) + F.lit(1)
+            ).alias("bin")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    stream = _stream_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & (F.col("ts") >= F.lit(ref_end))
+    )
+    bins = streaming_metric_bins(stream, "value", "ts", edges, window="1 day")
+    name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    q = (
+        bins.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = psi_from_binned_counts(spark.table(name), ref_bins, n_bins)
+    return out.select("bucket_ts", "n_ref", "n_cur", "psi")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7830,6 +7882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_time_drift_daily": q_psi_time_drift_daily,
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
+        "streaming_psi_daily": q_streaming_psi_daily,
         "scan_filter_project": q_scan_filter_project,
         "multi_join_revenue": q_multi_join_revenue,
         "semi_join": q_semi_join,
@@ -7873,9 +7926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "mark_peak_period": q_mark_peak_period,
         "coldest_weeks_join": q_coldest_weeks_join,
-        "streaming_gap_detect": q_streaming_gap_detect,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "streaming_gap_detect": q_streaming_gap_detect,
         "impute_rule_chain": q_impute_rule_chain,
         "brand_supplier_revenue": q_brand_supplier_revenue,
         "hash_sample": q_hash_sample,
@@ -8243,4 +8296,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_time_drift_daily": _SQL_PSI_TIME_DRIFT,
         "embedding_drift_labels": _SQL_EMB_DRIFT,
         "expectations_thresholds": _SQL_EXPECT_THRESH,
+        # streaming drift monitor vs the SAME batch SQL as psi_time_drift:
+        # the stream must reproduce the batch dashboard exactly
+        "streaming_psi_daily": _SQL_PSI_TIME_DRIFT,
     }
