@@ -24,8 +24,8 @@ ENTRY = "/root/repo/__spark_entry__.py"
 WINDOW = 50
 
 
-def main(correctness_files: list[str]) -> None:
-    src = open(ENTRY).read()
+def main(correctness_files: list[str], entry_path: str = ENTRY) -> None:
+    src = open(entry_path).read()
     m = re.search(
         r"def queries\(\) -> dict\[str, Callable\[\[SparkSession, str\], "
         r"DataFrame\]\]:\n    return \{\n(.*?)\n    \}\n",
@@ -56,13 +56,17 @@ def main(correctness_files: list[str]) -> None:
                     green_age[name] = i
             elif i == 0 and name not in red:
                 red.append(name)  # newest round's failures lead
-    red = [n for n in red if n in fn and n not in green]
-    unchecked = [n for n in names if n not in green and n not in red]
+    # a red in the NEWEST round is an active regression and must lead the
+    # window even if the query was green in some earlier round
+    red = [n for n in red if n in fn]
+    unchecked = [
+        n for n in names if n not in green and n not in red
+    ]
     # staleness rotation: among greens, the LONGEST-unconfirmed lead, so
     # every query keeps getting re-driver-checked on a bounded cadence
     # instead of r1-era greens never re-entering the window
     checked = sorted(
-        (n for n in names if n in green),
+        (n for n in names if n in green and n not in red),
         key=lambda n: -green_age.get(n, 0),
     )
     order = red + unchecked + checked
@@ -82,7 +86,7 @@ def main(correctness_files: list[str]) -> None:
             )
         lines.append(f'        "{n}": {fn[n]},')
     new_src = src[: m.start(1)] + "\n".join(lines) + src[m.end(1) :]
-    open(ENTRY, "w").write(new_src)
+    open(entry_path, "w").write(new_src)
     in_window = order[:WINDOW]
     print(f"window: {len([n for n in in_window if n in red])} red re-checks, "
           f"{len([n for n in in_window if n in unchecked])} first-checks")
