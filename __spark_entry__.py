@@ -7863,6 +7863,275 @@ def q_streaming_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket_ts", "n_ref", "n_cur", "psi")
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-equivalence-class k-anonymity / l-diversity audit
+    (operators/privacy.py:k_anonymity): quasi-identifiers (nation,
+    market segment), sensitive attribute = account-balance band. ONE
+    finest-grain aggregate; every coarser statistic derives from counts,
+    so the shuffle never carries rows. NULL balances map to a NULL
+    sensitive value, which counts as its own diversity value."""
+    from etdtransform_spark.operators.privacy import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "balance_band",
+        F.when(F.col("c_acctbal").isNull(), F.lit(None).cast("string"))
+        .when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 4500, F.lit("mid"))
+        .otherwise(F.lit("high")),
+    )
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], "balance_band")
+
+
+_SQL_K_ANON = f"""
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal IS NULL THEN NULL
+              WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 4500 THEN 'mid'
+              ELSE 'high' END AS sens
+  FROM customer
+), fine AS (
+  SELECT c_nationkey, c_mktsegment, sens, count(*)::BIGINT AS n
+  FROM base GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, sum(n)::BIGINT AS k,
+       (count(DISTINCT sens)
+        + max(CASE WHEN sens IS NULL THEN 1 ELSE 0 END))::BIGINT AS l_distinct,
+       {qround_sql('max(n) / sum(n)::DOUBLE', 6)} AS top_sensitive_share
+FROM fine GROUP BY 1, 2
+"""
+
+
+def q_reid_risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row re-identification risk report
+    (operators/privacy.py:reidentification_risk): finer QI set (nation,
+    segment, 500-unit balance band) so small classes exist; sensitive =
+    customer name. Two aggregates total — the class build and a
+    dictionary-sized rollup with rows-at-risk under k<2/5/10."""
+    from etdtransform_spark.operators.privacy import reidentification_risk
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "balance_band", F.floor(F.col("c_acctbal") / 500).cast("long")
+    )
+    return reidentification_risk(
+        cust,
+        ["c_nationkey", "c_mktsegment", "balance_band"],
+        "c_name",
+        k_thresholds=(2, 5, 10),
+    )
+
+
+_SQL_REID_RISK = f"""
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 500) AS BIGINT) AS band, c_name AS sens
+  FROM customer
+), fine AS (
+  SELECT c_nationkey, c_mktsegment, band, sens, count(*)::BIGINT AS n
+  FROM base GROUP BY 1, 2, 3, 4
+), classes AS (
+  SELECT c_nationkey, c_mktsegment, band, sum(n)::BIGINT AS k,
+         (count(DISTINCT sens)
+          + max(CASE WHEN sens IS NULL THEN 1 ELSE 0 END))::BIGINT AS l
+  FROM fine GROUP BY 1, 2, 3
+)
+SELECT sum(k)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+       min(k)::BIGINT AS min_k,
+       sum(CASE WHEN k < 2 THEN k ELSE 0 END)::BIGINT AS rows_at_risk_k2,
+       {qround_sql(
+           'sum(CASE WHEN k < 2 THEN k ELSE 0 END) / sum(k)::DOUBLE', 6
+       )} AS pct_at_risk_k2,
+       sum(CASE WHEN k < 5 THEN k ELSE 0 END)::BIGINT AS rows_at_risk_k5,
+       {qround_sql(
+           'sum(CASE WHEN k < 5 THEN k ELSE 0 END) / sum(k)::DOUBLE', 6
+       )} AS pct_at_risk_k5,
+       sum(CASE WHEN k < 10 THEN k ELSE 0 END)::BIGINT AS rows_at_risk_k10,
+       {qround_sql(
+           'sum(CASE WHEN k < 10 THEN k ELSE 0 END) / sum(k)::DOUBLE', 6
+       )} AS pct_at_risk_k10,
+       min(l)::BIGINT AS min_l
+FROM classes
+"""
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/bloom.py:bloom_semi_join):
+    events restricted to users with any purchase over 300, keys built as
+    a separate scan (the blocklist/cohort pattern). The Bloom bitmap is
+    a 1-row broadcast that prunes the probe stream BEFORE the join
+    shuffle; the confirm join makes the result exactly the plain
+    semi-join, which is what the oracle states."""
+    from etdtransform_spark.operators.bloom import bloom_semi_join
+
+    ev = _t(spark, sf_dir, "events")
+    keys = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        .select("user_id")
+    )
+    hits = bloom_semi_join(ev, keys, key_col="user_id", num_bits=1 << 16)
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        qround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_BLOOM_SEMI = f"""
+WITH hits AS (
+  SELECT * FROM {_EV}
+  WHERE user_id IN (SELECT user_id FROM {_EV}
+                    WHERE event_type = 'purchase' AND value > 300
+                      AND user_id IS NOT NULL)
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       {qround_sql('sum(value)', 2)} AS sum_value
+FROM hits GROUP BY 1
+"""
+
+
+# Deterministic crawl-URL synthesis shared by the Spark query and the
+# oracle: events has no URL column, so both engines derive the SAME raw
+# spellings from (event_id, user_id) and the contract tests the
+# NORMALIZER, not the synthesis. The variants cover every rule: scheme
+# case, www. label, default/cross-scheme/explicit ports, trailing slash,
+# unsorted + tracking query params, fragments.
+_URL_RE_SQL = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
+)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup (operators/urls.py:url_dedup): pure
+    Column regexp/array normalization (scheme+host lowercase, www./
+    default-port strip, fragment drop, tracking-param drop + byte-sort,
+    trailing-slash trim) then ONE hash aggregate — the shuffle carries
+    (canonical, counts), never page payloads."""
+    from etdtransform_spark.operators.urls import url_dedup
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    )
+    e3, u3, e4, e5 = (
+        F.col("event_id") % 3,
+        F.col("user_id") % 3,
+        F.col("event_id") % 4,
+        F.col("event_id") % 5,
+    )
+    url = F.concat(
+        F.when(e3 == 0, "http").when(e3 == 1, "HTTP").otherwise("https"),
+        F.lit("://"),
+        F.when(u3 == 0, "www.Example.COM")
+        .when(u3 == 1, "example.com")
+        .otherwise("Shop.test.ORG"),
+        F.when(e4 == 0, ":80")
+        .when(e4 == 1, ":443")
+        .when(e4 == 2, ":8080")
+        .otherwise(""),
+        F.lit("/p/"),
+        (F.col("user_id") % 50).cast("string"),
+        F.when(e5 == 0, "/")
+        .when(e5 == 1, "")
+        .when(e5 == 2, "?b=2&a=1")
+        .when(e5 == 3, "?a=1&utm_source=x&b=2")
+        .otherwise("#frag"),
+    )
+    return url_dedup(ev.select(url.alias("url")))
+
+
+_SQL_URL_DEDUP = f"""
+WITH raw AS (
+  SELECT (CASE WHEN event_id % 3 = 0 THEN 'http'
+               WHEN event_id % 3 = 1 THEN 'HTTP' ELSE 'https' END)
+      || '://'
+      || (CASE WHEN user_id % 3 = 0 THEN 'www.Example.COM'
+               WHEN user_id % 3 = 1 THEN 'example.com'
+               ELSE 'Shop.test.ORG' END)
+      || (CASE WHEN event_id % 4 = 0 THEN ':80'
+               WHEN event_id % 4 = 1 THEN ':443'
+               WHEN event_id % 4 = 2 THEN ':8080' ELSE '' END)
+      || '/p/' || (user_id % 50)::VARCHAR
+      || (CASE WHEN event_id % 5 = 0 THEN '/'
+               WHEN event_id % 5 = 1 THEN ''
+               WHEN event_id % 5 = 2 THEN '?b=2&a=1'
+               WHEN event_id % 5 = 3 THEN '?a=1&utm_source=x&b=2'
+               ELSE '#frag' END) AS url
+  FROM {_EV} WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+), p AS (
+  SELECT url,
+         lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_URL_RE_SQL}', 2)) AS hostport,
+         regexp_extract(url, '{_URL_RE_SQL}', 3) AS rawpath,
+         regexp_extract(url, '{_URL_RE_SQL}', 4) AS rawq
+  FROM raw WHERE regexp_matches(url, '{_URL_RE_SQL}')
+), n AS (
+  SELECT url, scheme,
+         regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+         list_sort(list_filter(
+             string_split(substr(rawq, 2, 1048576), '&'),
+             q -> q <> '' AND NOT regexp_matches(
+                 q, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))) AS params
+  FROM p
+), norm AS (
+  SELECT url,
+         scheme || '://' || host
+         || CASE WHEN port <> ''
+                  AND NOT (scheme = 'http' AND port = '80')
+                  AND NOT (scheme = 'https' AND port = '443')
+                 THEN ':' || port ELSE '' END
+         || path
+         || CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&')
+                 ELSE '' END AS norm_url
+  FROM n
+)
+SELECT norm_url, count(*)::BIGINT AS n_rows,
+       count(DISTINCT url)::BIGINT AS n_variants, min(url) AS first_url
+FROM norm GROUP BY 1
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over adjacent word pairs
+    (operators/text.py:pmi_collocations): one distinct-bigram groupBy is
+    the dominant shuffle; unigram counts are vocab-sized; totals ride in
+    as a broadcast 1-row aggregate. Tokenization is the corpus
+    whitespace convention shared with bigram_logprob."""
+    from etdtransform_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+_SQL_PMI = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), big AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT w1 AS w, count(*)::BIGINT AS n_w FROM (
+    SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(n_w)::DOUBLE FROM uni) AS ut,
+         (SELECT sum(n_pair)::DOUBLE FROM big) AS bt)
+SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+       {qround_sql(
+           'ln((n_pair / bt) / (u1.n_w / ut) / (u2.n_w / ut))', 6
+       )} AS pmi
+FROM big JOIN uni u1 ON big.w1 = u1.w JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN tot
+WHERE n_pair >= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7883,6 +8152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "reid_risk_summary": q_reid_risk_summary,
+        "bloom_semi_join": q_bloom_semi_join,
+        "url_dedup_canonical": q_url_dedup,
+        "pmi_collocations": q_pmi_collocations,
         "scan_filter_project": q_scan_filter_project,
         "multi_join_revenue": q_multi_join_revenue,
         "semi_join": q_semi_join,
@@ -8296,6 +8570,11 @@ def oracle_sql() -> dict[str, str]:
         "psi_time_drift_daily": _SQL_PSI_TIME_DRIFT,
         "embedding_drift_labels": _SQL_EMB_DRIFT,
         "expectations_thresholds": _SQL_EXPECT_THRESH,
+        "k_anonymity_audit": _SQL_K_ANON,
+        "reid_risk_summary": _SQL_REID_RISK,
+        "bloom_semi_join": _SQL_BLOOM_SEMI,
+        "url_dedup_canonical": _SQL_URL_DEDUP,
+        "pmi_collocations": _SQL_PMI,
         # streaming drift monitor vs the SAME batch SQL as psi_time_drift:
         # the stream must reproduce the batch dashboard exactly
         "streaming_psi_daily": _SQL_PSI_TIME_DRIFT,

@@ -424,3 +424,84 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent word pairs.
+
+    The classic corpus-linguistics signal for multiword expressions
+    ("new york", "machine learning"): PMI = ln(p(w1,w2) / (p(w1)p(w2)))
+    with bigram probabilities over the adjacent-pair total and unigram
+    probabilities over the token total. High-PMI pairs tokenize/filter
+    pipelines treat as units; low/negative PMI flags template boilerplate.
+    ``min_count`` drops rare pairs whose PMI estimate is noise (standard
+    Church & Hanks practice).
+
+    Tokenization is the corpus convention (whitespace split, empties
+    filtered) shared with ``bigram_logprob``'s contract. Plan shape at
+    scale: tokenize + adjacent-pair build are narrow maps; ONE
+    (w1, w2) groupBy is the dominant shuffle (distinct-bigram-sized);
+    unigram counts reuse a token groupBy (vocab-sized, Heaps-bounded);
+    totals ride in as a broadcast 1-row aggregate. The unigram join onto
+    the bigram table is vocab-sized on both sides — never row-sized.
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi) for pairs with
+    ``n_pair >= min_count``; pmi is qround'd for cross-engine stability.
+    """
+    toks_arr = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = widen(df).select(toks_arr.alias("_ts"))
+    unigrams = base.select(F.explode("_ts").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    pairs = (
+        base.select(
+            F.explode(
+                F.when(
+                    F.size("_ts") >= 2,
+                    F.zip_with(
+                        F.slice(F.col("_ts"), 1, F.size("_ts") - 1),
+                        F.slice(F.col("_ts"), 2, F.size("_ts") - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    totals = F.broadcast(
+        unigrams.agg(F.sum("n_w").cast("double").alias("_ut")).crossJoin(
+            F.broadcast(pairs.agg(F.sum("n_pair").cast("double").alias("_bt")))
+        )
+    )
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        pairs.filter(F.col("n_pair") >= int(min_count))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            qround(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("_bt"))
+                    / (F.col("n_w1").cast("double") / F.col("_ut"))
+                    / (F.col("n_w2").cast("double") / F.col("_ut"))
+                ),
+                digits,
+            ).alias("pmi"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""URL canonicalization and URL-level deduplication.
+
+Web-crawl corpora identify duplicate fetches by *canonical URL* before
+any content hashing: the same resource appears as ``HTTP://Example.com``,
+``http://example.com:80/``, ``http://www.example.com/?utm_source=feed``
+and so on. Canonicalizing first removes the bulk of crawl duplication
+with a narrow map — no shuffle at all until the final count — which is
+why every crawl pipeline (CommonCrawl digests, WARC dedup) runs it
+before the expensive near-dup passes in ``operators/dedup.py``.
+
+The normalizer is PURE Column arithmetic (regexp + array ops, JVM
+whole-stage codegen — no UDF) with a precisely documented rule set so an
+oracle can mirror it:
+
+1. scheme and host lowercase; a leading ``www.`` label is dropped
+2. default ports stripped (``:80`` for http, ``:443`` for https);
+   other explicit ports kept
+3. fragment (``#...``) dropped — fragments never reach the server
+4. query parameters: split on ``&``, empties and tracking parameters
+   (``utm_*``, ``fbclid``, ``gclid``) dropped, the rest byte-sorted and
+   re-joined (parameter order is not semantic per RFC 3986)
+5. path: trailing slashes trimmed; an empty path becomes ``/``
+6. non-URLs (no ``scheme://``) normalize to NULL — the quarantine
+   convention the ingestion gates in ``__spark_entry__`` use
+
+Sorting note: parameter sort is byte-lexicographic; Spark compares
+UTF-16 code units and DuckDB UTF-8 bytes, which agree on ASCII (URL
+query strings are %-escaped ASCII by construction in conforming URLs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
+_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of ``url`` per the module rule set (NULL if unparseable)."""
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != F.lit(""))
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    raw_path = F.regexp_replace(F.regexp_extract(url, _URL_RE, 3), r"/+$", "")
+    path = F.when(raw_path == F.lit(""), F.lit("/")).otherwise(raw_path)
+    raw_q = F.regexp_extract(url, _URL_RE, 4)  # includes leading '?' or ''
+    params = F.array_sort(
+        F.filter(
+            F.split(F.substring(raw_q, 2, 1 << 20), "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    built = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        query,
+    )
+    return F.when(url.rlike(_URL_RE), built)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Group rows by canonical URL; the crawl-dedup worklist.
+
+    Returns (norm_url, n_rows, n_variants, first_url): per canonical
+    URL, the row count, the number of distinct raw spellings, and the
+    byte-least raw spelling as the representative. Unparseable URLs
+    (NULL canonical) are excluded — they go to the quarantine path, not
+    the dedup ledger. ONE map + ONE hash aggregate at any scale; the
+    shuffle carries (canonical, counts), never page payloads.
+    """
+    return (
+        df.select(
+            normalize_url(F.col(url_col)).alias("norm_url"),
+            F.col(url_col).alias("_raw"),
+        )
+        .filter(F.col("norm_url").isNotNull())
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("_raw").cast("long").alias("n_variants"),
+            F.min("_raw").alias("first_url"),
+        )
+    )
