@@ -8145,63 +8145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "ks_drift_cohort": q_ks_drift_cohort,
-        "mwu_drift": q_mwu_drift,
-        "psi_drift_lang": q_psi_drift_lang,
-        "psi_time_drift_daily": q_psi_time_drift_daily,
-        "embedding_drift_labels": q_embedding_drift_labels,
-        "expectations_thresholds": q_expectations_thresholds,
-        "streaming_psi_daily": q_streaming_psi_daily,
-        "k_anonymity_audit": q_k_anonymity_audit,
-        "reid_risk_summary": q_reid_risk_summary,
-        "bloom_semi_join": q_bloom_semi_join,
-        "url_dedup_canonical": q_url_dedup,
-        "pmi_collocations": q_pmi_collocations,
-        "scan_filter_project": q_scan_filter_project,
-        "multi_join_revenue": q_multi_join_revenue,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "union_all": q_union_all,
-        "pricing_summary": q_pricing_summary,
-        "mincount_gated_agg": q_mincount_gated_agg,
-        "distinct": q_distinct,
-        "percentile_bounds": q_percentile_bounds,
-        "window_lag_diff": q_window_lag_diff,
-        "window_cumsum": q_window_cumsum,
-        "window_ffill": q_window_ffill,
-        "rolling_avg_gated": q_rolling_avg_gated,
-        "iso_week_stats": q_iso_week_stats,
-        "rank_topk_weeks": q_rank_topk_weeks,
-        "resample_15min": q_resample_15min,
-        "resample_hourly_multi": q_resample_hourly_multi,
-        "gap_groups": q_gap_groups,
-        "calculated_columns": q_calculated_columns,
-        "weather_keys": q_weather_keys,
-        "gevoelstemperatuur": q_gevoelstemperatuur,
-        "json_extract": q_json_extract,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "embedding_norms": q_embedding_norms,
-        "cosine_topk": q_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "extreme_avg_period": q_extreme_avg_period,
-        "mark_coldest_period": q_mark_coldest_period,
-        "gelijktijdigheid": q_gelijktijdigheid,
-        "normalized_datetime": q_normalized_datetime,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
         "ivf_topk": q_ivf_topk,
         "mark_peak_period": q_mark_peak_period,
         "coldest_weeks_join": q_coldest_weeks_join,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "streaming_gap_detect": q_streaming_gap_detect,
         "impute_rule_chain": q_impute_rule_chain,
         "brand_supplier_revenue": q_brand_supplier_revenue,
@@ -8247,6 +8195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "full_outer_activity": q_full_outer_activity,
         "mad_outliers": q_mad_outliers,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "unigram_logprob": q_unigram_logprob,
         "repetition_ratio": q_repetition_ratio,
         "edit_distance_pairs": q_edit_distance_pairs,
@@ -8357,6 +8307,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "cross_source_dup": q_cross_source_dup,
         "per_source_cap": q_per_source_cap,
+        "ks_drift_cohort": q_ks_drift_cohort,
+        "mwu_drift": q_mwu_drift,
+        "psi_drift_lang": q_psi_drift_lang,
+        "psi_time_drift_daily": q_psi_time_drift_daily,
+        "embedding_drift_labels": q_embedding_drift_labels,
+        "expectations_thresholds": q_expectations_thresholds,
+        "streaming_psi_daily": q_streaming_psi_daily,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "reid_risk_summary": q_reid_risk_summary,
+        "bloom_semi_join": q_bloom_semi_join,
+        "url_dedup_canonical": q_url_dedup,
+        "pmi_collocations": q_pmi_collocations,
+        "scan_filter_project": q_scan_filter_project,
+        "multi_join_revenue": q_multi_join_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_all": q_union_all,
+        "pricing_summary": q_pricing_summary,
+        "mincount_gated_agg": q_mincount_gated_agg,
+        "distinct": q_distinct,
+        "percentile_bounds": q_percentile_bounds,
+        "window_lag_diff": q_window_lag_diff,
+        "window_cumsum": q_window_cumsum,
+        "window_ffill": q_window_ffill,
+        "rolling_avg_gated": q_rolling_avg_gated,
+        "iso_week_stats": q_iso_week_stats,
+        "rank_topk_weeks": q_rank_topk_weeks,
+        "resample_15min": q_resample_15min,
+        "resample_hourly_multi": q_resample_hourly_multi,
+        "gap_groups": q_gap_groups,
+        "calculated_columns": q_calculated_columns,
+        "weather_keys": q_weather_keys,
+        "gevoelstemperatuur": q_gevoelstemperatuur,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "embedding_norms": q_embedding_norms,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "extreme_avg_period": q_extreme_avg_period,
+        "mark_coldest_period": q_mark_coldest_period,
+        "gelijktijdigheid": q_gelijktijdigheid,
+        "normalized_datetime": q_normalized_datetime,
     }
 
 

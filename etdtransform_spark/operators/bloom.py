@@ -149,9 +149,21 @@ def bloom_semi_join(
     # confirm join's Exchange (pinned by test_bloom_plan_prunes_before_
     # shuffle). A lineage break (localCheckpoint) would also work but
     # materializes the pruned stream; the barrier keeps it pipelined.
+    # Supported-version note: relies on two Spark behaviors validated on
+    # 4.1 and stable across 3.x/4.x — PushDownLeftSemiAntiJoin does not
+    # traverse Sample, and the Bernoulli sampler at fraction 1.0 keeps
+    # every row (acceptance x < 1.0, x in [0,1)). Both are pinned by
+    # test_bloom_plan_prunes_before_shuffle / test_bloom_barrier_row_parity.
     pruned = pruned.sample(False, 1.0, seed=0)
+    # Name-based, lineage-independent join resolution: if the caller derives
+    # keys_df from the probe DataFrame itself (the natural blocklist pattern),
+    # a DataFrame-indexed condition (pruned[probe_col] == keys[key_col]) hits
+    # Spark's ambiguous-self-join detection or mis-resolves via plan ids.
+    # Renaming the keys side to a unique alias sidesteps lineage entirely
+    # (same pattern as stats._null_safe_join).
+    confirm_key = "_bloom_confirm_key"
     return pruned.join(
-        keys.distinct(),
-        on=pruned[probe_col] == keys[key_col],
+        keys.distinct().withColumnRenamed(key_col, confirm_key),
+        on=F.col(probe_col) == F.col(confirm_key),
         how="left_semi",
     )

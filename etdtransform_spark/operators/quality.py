@@ -68,13 +68,23 @@ def check_expectations(
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n_rows")]
     rows: list[tuple[str, str, str]] = []  # (check, target, agg alias)
 
+    # Aggregate aliases are INDEX-based (_m_0, _m_1, ...), never interpolated
+    # from user-supplied column/rule names: a name containing a dot or
+    # backtick would break F.col(alias) resolution (struct-access parse) or
+    # collide with another alias. Display names appear only as struct
+    # literals in the report.
+    def _alias() -> str:
+        a = f"_m_{len(rows) + len(frac_rows)}"
+        return a
+
+    frac_rows: list[tuple[str, str, str, float]] = []
     for c in not_null:
-        a = f"_nn_{c}"
+        a = _alias()
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(a))
         rows.append(("not_null", c, a))
     for grp in unique:
         grp = list(grp)
-        a = "_uq_" + "_".join(grp)
+        a = _alias()
         nn = None
         for c in grp:
             e = F.col(c).isNotNull()
@@ -87,7 +97,7 @@ def check_expectations(
         )
         rows.append(("unique", ",".join(grp), a))
     for c, (lo, hi) in ranges.items():
-        a = f"_rg_{c}"
+        a = _alias()
         aggs.append(
             F.count(
                 F.when((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)), 1)
@@ -95,7 +105,7 @@ def check_expectations(
         )
         rows.append(("range", c, a))
     for c, vals in accepted_values.items():
-        a = f"_av_{c}"
+        a = _alias()
         aggs.append(
             F.count(
                 F.when(
@@ -105,13 +115,12 @@ def check_expectations(
         )
         rows.append(("accepted_values", c, a))
 
-    frac_rows: list[tuple[str, str, str, float]] = []
     for c, thr in threshold_completeness.items():
-        a = f"_tc_{c}"
+        a = _alias()
         aggs.append(F.count(F.col(c)).alias(a))
         frac_rows.append(("completeness", c, a, float(thr)))
     for name, (pred, thr) in compliance.items():
-        a = f"_cp_{name}"
+        a = _alias()
         pred = F.expr(pred) if isinstance(pred, str) else pred
         if not isinstance(pred, Column):
             raise ValueError(

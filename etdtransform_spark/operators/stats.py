@@ -932,14 +932,28 @@ def _value_cumulatives(
             F.sum("_cb").over(wseg).alias("_nb"),
         )
     qs = [i / prefix_buckets for i in range(1, prefix_buckets)]
-    bounds = counts.agg(
+    # Materialize the boundaries ONCE (driver-side, ≤ prefix_buckets-1
+    # scalars) and embed them as literals. The bucketed frame feeds TWO
+    # plan branches (in-bucket prefixes and per-bucket offset totals);
+    # exactness of offset + prefix requires both branches to see the SAME
+    # bucketing, and approx-quantile merge order is not deterministic
+    # across re-executions — literals make the shared bucketing provable
+    # instead of relying on exchange reuse.
+    bd_row = counts.agg(
         F.percentile_approx(
             "_v", F.array(*[F.lit(q) for q in qs]), 10000
         ).alias("_bd")
-    )
-    bucketed = counts.crossJoin(F.broadcast(bounds)).withColumn(
-        "_bkt", F.size(F.filter(F.col("_bd"), lambda e: F.col("_v") > e))
-    )
+    ).collect()[0]["_bd"]
+    if bd_row:
+        bkt = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bd_row]),
+                lambda e: F.col("_v") > e,
+            )
+        )
+    else:  # empty input: single bucket, window over zero rows
+        bkt = F.lit(0)
+    bucketed = counts.withColumn("_bkt", bkt)
     wb = (
         Window.partitionBy("_bkt")
         .orderBy("_v")
@@ -975,7 +989,7 @@ def _value_cumulatives(
         bucketed.join(F.broadcast(offsets), "_bkt")
         .withColumn("_cum_a", F.col("_oa") + F.col("_pca"))
         .withColumn("_cum_b", F.col("_ob") + F.col("_pcb"))
-        .drop("_bd", "_bkt", "_pca", "_pcb", "_oa", "_ob")
+        .drop("_bkt", "_pca", "_pcb", "_oa", "_ob")
     )
 
 

@@ -44,10 +44,13 @@ def main(correctness_files: list[str], entry_path: str = ENTRY) -> None:
     for i, path in enumerate(correctness_files):
         rows = json.load(open(path))
         for name, row in rows.items():
+            # require affirmative True for every match key: a driver row
+            # missing schema_match/hash_match (format change, partial check)
+            # must never count as green
             ok = (
-                row.get("rows_match")
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
                 and not row.get("err")
             )
             if ok:

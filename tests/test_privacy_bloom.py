@@ -151,3 +151,34 @@ def test_bloom_probe_col_differs(spark):
     keys = spark.createDataFrame([(2,)], "user long")
     got = bloom_semi_join(probe, keys, key_col="user", probe_col="uid").collect()
     assert [(r.uid, r.x) for r in got] == [(2, "b")]
+
+
+def test_bloom_self_derived_keys(spark):
+    """keys_df derived from the probe DataFrame itself — the natural
+    blocklist pattern. A DataFrame-indexed confirm-join condition would
+    trip Spark's ambiguous-self-join detection here; the unique-alias
+    rename makes resolution name-based and lineage-independent."""
+    probe = spark.range(0, 500).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+    )
+    keys = probe.filter(F.col("payload") < 10).select("k")  # shares lineage
+    got = bloom_semi_join(probe, keys, "k", num_bits=1 << 12)
+    want = probe.join(
+        keys.distinct().withColumnRenamed("k", "_w"),
+        on=F.col("k") == F.col("_w"),
+        how="left_semi",
+    )
+    assert got.count() == want.count() == 100  # k in 0..9 -> 10 per key
+
+
+def test_bloom_barrier_row_parity(spark):
+    """The Sample(fraction=1.0) optimizer barrier must be row-preserving:
+    Bernoulli acceptance x < 1.0 over x in [0,1) keeps every row. Pinned
+    on Spark 4.x (validated on 4.1); if a Spark upgrade changes the
+    sampler or lets PushDownLeftSemiAntiJoin traverse Sample, this count
+    parity (and the plan test above) will catch it."""
+    probe = spark.range(0, 10_000).select((F.col("id") % 991).alias("k"))
+    keys = spark.range(0, 991, 7).select(F.col("id").alias("k"))
+    got = bloom_semi_join(probe, keys, "k", num_bits=1 << 14).count()
+    want = probe.join(keys, "k", "left_semi").count()
+    assert got == want

@@ -74,3 +74,21 @@ def test_mixed_report_single_pass(spark):
 def test_bad_compliance_predicate_raises(spark):
     with pytest.raises(ValueError):
         check_expectations(_df(spark), compliance={"x": (123, 0.5)})
+
+
+def test_hostile_rule_names_resolve(spark):
+    """Rule/display names containing dots, backticks, or duplicates must
+    not break alias resolution (aliases are index-based; names are report
+    literals only)."""
+    rep = check_expectations(
+        _df(spark),
+        compliance={
+            "rule.with.dots": ("v > 0", 0.5),
+            "rule`with`ticks": ("v < 100", 0.5),
+            "_m_0": ("v IS NOT NULL", 0.5),  # would collide with an alias
+        },
+    )
+    out = {r.target: r for r in rep.collect()}
+    assert math.isclose(out["rule.with.dots"].metric, 3 / 5)
+    assert math.isclose(out["rule`with`ticks"].metric, 4 / 5)
+    assert math.isclose(out["_m_0"].metric, 4 / 5)

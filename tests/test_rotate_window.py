@@ -66,3 +66,23 @@ def test_staleness_rotation(tmp_path):
         "mid_green",       # r2
         "new_green",       # freshest confirmation (r3) -> last
     ]
+
+
+def test_missing_match_keys_not_green(tmp_path):
+    """A driver row missing schema_match/hash_match (format change, partial
+    check) must count as unchecked, never green."""
+    entry = tmp_path / "entry.py"
+    entry.write_text(ENTRY_TEMPLATE)
+    (tmp_path / "r1.json").write_text(json.dumps({
+        # rows_match only — half-checked row: NOT green
+        "old_green": {"rows_match": True, "err": None},
+        # fully affirmed -> green
+        "new_green": _row(True),
+    }))
+    mod = _load()
+    mod.main([str(tmp_path / "r1.json")], entry_path=str(entry))
+    order = re.findall(r'"([a-z_]+)": q_', entry.read_text())
+    # old_green's half-checked row leaves it in the never-checked bucket
+    # (ahead of the confirmed green), not in the green tail
+    assert order.index("old_green") < order.index("new_green")
+    assert order[-1] == "new_green"
