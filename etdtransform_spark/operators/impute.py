@@ -322,10 +322,19 @@ def impute_and_normalize(
     project_id_column: str = "ProjectIdBSV",
     thresholds: dict[str, dict[str, float]] | None = None,
     avg_diffs: DataFrame | None = None,
+    normalize_columns: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full imputation: join project averages, impute every cumulative
     column's Diff, rebuild the cumulative columns from imputed diffs, and
     compute per-(project, house, column) gap statistics.
+
+    ``normalize_columns`` is the set of cumulative columns rebuilt in the
+    normalization stage; it defaults to ``cumulative_columns`` plus every
+    OTHER registry cumulative column present with its Diff — the reference's
+    normalization loop iterates the full etdmap list, not the imputed one
+    (aggregate.py:163,200-211), so non-imputed extras like Gasgebruik are
+    also rebuilt from their raw diffs (verified value-for-value by
+    tests/test_reference_parity.py).
 
     Returns ``(imputed_df, gap_stats_df)``. The whole per-column pipeline is
     one lazy plan with a single exchange (see module docstring).
@@ -335,6 +344,16 @@ def impute_and_normalize(
         cumulative_columns = [c for c in IMPUTE_CUMULATIVE_COLUMNS if c in df.columns]
     if thresholds is None:
         thresholds = THRESHOLDS
+    if normalize_columns is None:
+        from ..config import CUMULATIVE_COLUMNS
+
+        normalize_columns = list(cumulative_columns) + [
+            c
+            for c in CUMULATIVE_COLUMNS
+            if c not in cumulative_columns
+            and c in df.columns
+            and diff_col(c) in df.columns
+        ]
     diff_columns = get_diff_columns(cumulative_columns)
 
     if avg_diffs is None:
@@ -353,7 +372,7 @@ def impute_and_normalize(
     house_w = Window.partitionBy("HuisIdBSV").orderBy("ReadingDate")
     cum_frame = house_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     norm_cols: dict[str, Column] = {}
-    for cum_col in cumulative_columns:
+    for cum_col in normalize_columns:
         d = diff_col(cum_col)
         norm_cols[original_col(cum_col)] = F.col(cum_col)
         # pandas cumsum leaves NaN at NA positions (but keeps accumulating
@@ -365,7 +384,7 @@ def impute_and_normalize(
     check_cols = {
         check_col(c): (F.col(c) - F.col(original_col(c)))
         - F.lag(F.col(c) - F.col(original_col(c))).over(house_w)
-        for c in cumulative_columns
+        for c in normalize_columns
     }
     df = df.withColumns(check_cols)
 
@@ -392,7 +411,10 @@ def imputation_gap_stats(
     for cum_col in cumulative_columns:
         d, it = diff_col(cum_col), impute_type_col(cum_col)
         cvg, gl = f"_cvg_{cum_col}", f"_gap_length_{cum_col}"
-        diff_total = F.sum(F.col(d))
+        # pandas .sum() over an all-NA group is 0.0, not NA
+        # (vectorized_impute.py:168 diff_column_total) — parity-pinned by
+        # tests/test_reference_parity.py on an all-NA household column
+        diff_total = F.coalesce(F.sum(F.col(d)), F.lit(0.0))
         minmax = F.max(F.col(cum_col)) - F.min(F.col(cum_col))
         methods = F.array_sort(
             F.array_distinct(F.collect_list(F.col(it)))
@@ -405,13 +427,15 @@ def imputation_gap_stats(
                 (diff_total - minmax).alias("deviation"),
                 F.count(F.col(gl)).alias("missing"),
                 methods.alias("methods"),
-                # gate on gap membership (cvg non-null): threshold-clamped
-                # rows OUTSIDE gaps also carry an impute_type, and counting
-                # them here would inflate `imputed` and push `imputed_na`
-                # (gap rows left NA) negative
-                F.count(F.when(F.col(cvg).isNotNull(), F.col(it))).alias(
-                    "imputed"
-                ),
+                # reference semantics (vectorized_impute.py:176): every row
+                # with an impute_type counts as imputed — threshold clamps
+                # OUTSIDE gaps included (they did replace a value)
+                F.count(F.col(it)).alias("imputed"),
+                # ...but imputed_na ("gap rows left NA") stays gap-gated:
+                # the reference subtracts ALL imputes from the gap-row count
+                # (impute.py:177-178) and goes NEGATIVE when clamps fire
+                # outside gaps — a documented §2.10 defect disposition; the
+                # exact reconciliation is asserted by test_reference_parity
                 (
                     F.count(F.col(cvg))
                     - F.count(F.when(F.col(cvg).isNotNull(), F.col(it)))
@@ -440,7 +464,10 @@ def imputation_summaries(
     # decides); per-project total below IS dimension-sized and stays hinted
     total_house = df.groupBy("HuisIdBSV").agg(F.count(F.lit(1)).alias("total_records"))
     summary_house = (
-        gap_stats.join(total_house, "HuisIdBSV")
+        # the reference's house summary selects gap stats WITHOUT deviation
+        # (impute.py:672-685) — parity-pinned column set
+        gap_stats.drop("deviation")
+        .join(total_house, "HuisIdBSV")
         .withColumn("percentage_imputed", F.col("imputed") / F.col("total_records") * 100)
     )
     total_project = df.groupBy(project_id_column).agg(

@@ -70,6 +70,16 @@ def run_pipeline(
         c for c in IMPUTE_CUMULATIVE_COLUMNS if c in household_df.columns
     ]
     diff_cols = get_diff_columns(cum_cols)
+    # the project-mean-of-diffs stage averages EVERY registry diff column
+    # present, not just the imputed ones (reference aggregate.py:163 uses the
+    # full etdmap cumulative list)
+    from ..config import CUMULATIVE_COLUMNS
+
+    all_diff_cols = diff_cols + [
+        get_diff_columns([c])[0]
+        for c in CUMULATIVE_COLUMNS
+        if c not in cum_cols and get_diff_columns([c])[0] in household_df.columns
+    ]
     ivs = intervals or INTERVALS
     written: dict[str, str] = {}
 
@@ -125,7 +135,7 @@ def run_pipeline(
     materialize(
         "household_aggregated_diff", "household_aggregated_diff",
         lambda: imputed.groupBy("ProjectIdBSV", "ReadingDate").agg(
-            *[F.avg(c).alias(c) for c in diff_cols]
+            *[F.avg(c).alias(c) for c in all_diff_cols]
         ),
     )
 

@@ -169,9 +169,25 @@ def combine_household_files(
     ``input_file_name`` (one glob scan, no driver-side loop) and the project
     id joined from the (broadcast) index. Households with Meenemen=false are
     excluded (aggregate.py:95-99).
+
+    Mapped files are written by etdmap's pandas/pyarrow stage, whose default
+    timestamp encoding is TIMESTAMP(NANOS) — illegal for a bare Spark scan.
+    One representative footer is sniffed (the mapping stage writes every
+    household with the same schema) and the ``read_table`` nanos repair is
+    applied to the whole glob scan.
     """
+    import glob as globmod
+
     glob = os.path.join(mapped_folder, pattern)
-    raw = spark.read.parquet(glob).withColumn(
+    matches = sorted(globmod.glob(glob))
+    ns_cols = _nanos_timestamp_columns(matches[0]) if matches else []
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(glob)
+    for c in ns_cols:
+        if raw.schema[c].dataType.typeName() in ("long", "bigint"):
+            raw = raw.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    raw = raw.withColumn(
         "HuisIdBSV",
         F.regexp_extract(F.input_file_name(), r"household_(\d+)_table\.parquet", 1).cast(
             "long"

@@ -221,9 +221,12 @@ def test_validate_household_columns_flags(spark):
     assert out[3].zero_diff_sum  # diff sums to 0 -> warning flag, not invalid
 
 
-def test_gap_stats_threshold_outside_gap_not_counted_as_gap_imputed(spark):
-    """A non-gap row clamped by the threshold rule must not inflate the gap
-    stats: imputed counts gap rows only, imputed_na never goes negative."""
+def test_gap_stats_threshold_outside_gap_semantics(spark):
+    """A non-gap row clamped by the threshold rule counts as imputed (it DID
+    replace a value — reference vectorized_impute.py:176 counts every
+    impute_type row), but imputed_na stays gap-gated so it never goes
+    negative (the reference's negative imputed_na is a documented §2.10
+    defect; the exact reconciliation is pinned by test_reference_parity)."""
     import datetime as dt
 
     from etdtransform_spark.operators.impute import impute_and_normalize
@@ -248,5 +251,5 @@ def test_gap_stats_threshold_outside_gap_not_counted_as_gap_imputed(spark):
     )
     s = gap_stats.collect()[0]
     assert s.missing == 3
-    assert s.imputed == 3          # the gap rows only, not the clamped row
+    assert s.imputed == 4          # 3 gap rows + the clamped non-gap row
     assert s.imputed_na == 0       # never negative

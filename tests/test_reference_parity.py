@@ -1,0 +1,166 @@
+"""Reference-differential parity: run the ACTUAL reference pipeline from
+/root/reference (via the minimal etdmap/ibis shims in tests/ref_parity/)
+and etdtransform_spark's run_pipeline on one synthetic mapped folder, then
+diff every dataset family value-for-value.
+
+This reproduces the reference's own golden-test paradigm
+(tests/test_total_imputation_workflow.py:24-152 runs the whole pandas
+chain end-to-end and compares the produced family files) — but instead of
+comparing against frozen snapshots, it compares the reference's LIVE
+output against the Spark engine's, so the correctness signal is no longer
+builder-authored on both sides.
+
+Parity contract (every divergence is a documented SURVEY §2.10
+disposition, asserted EXACTLY — not skipped):
+
+- reference artifact columns (index/level_0 reset_index churn; the
+  leftover imputation temp columns comparable_to_impute_mask /
+  diff_avg_sum / cum_diff_sum that the reference's drop_temp_cols logs as
+  "leftover columns to remove from the code") are absent on the Spark side;
+- household_default: the Spark side materializes it AFTER the
+  Dataleverancier index join (the reference writes it before, then joins —
+  both sides' downstream tables carry the column identically);
+- imputed_na: the reference subtracts ALL imputed rows from the gap-row
+  count and goes NEGATIVE when threshold clamps fire outside gaps
+  (impute defect); Spark keeps it gap-gated. Reconciliation asserted:
+  ref.imputed_na == spark.imputed_na - (#rows with impute_type set whose
+  OldDiff was present, i.e. clamped outside a gap);
+- bitwise_methods: the reference re-encodes the already-IntFlag method
+  values as 1<<(value-1) with silent int64 wraparound
+  (vectorized_impute.py:43-55: NO_END_VALUE=64 -> 1<<63 overflows);
+  Spark bit_ors the IntFlag values directly. Both encodings are asserted
+  against the shared, value-compared ``methods`` sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ref_parity.compare import (
+    FAMILIES,
+    canonicalize,
+    diff_family,
+    load_reference,
+    load_spark,
+)
+from ref_parity.fixture import write_mapped_folder
+from ref_parity.runner import run_reference_pipeline, run_spark_pipeline
+
+STATS_FAMILIES = {
+    "impute_gap_stats",
+    "impute_summary_household",
+    "impute_summary_project",
+}
+
+
+@pytest.fixture(scope="module")
+def parity_out(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ref_parity")
+    mapped = str(base / "mapped")
+    ref_out = str(base / "ref_out")
+    spark_out = str(base / "spark_out")
+    write_mapped_folder(mapped)
+    run_reference_pipeline(mapped, ref_out)
+    written = run_spark_pipeline(spark, mapped, spark_out)
+    return ref_out, written
+
+
+@pytest.mark.parametrize("family", [f for f in FAMILIES if f not in STATS_FAMILIES])
+def test_family_parity(spark, parity_out, family):
+    ref_out, written = parity_out
+    ref = load_reference(ref_out, family)
+    got = load_spark(spark, written, family)
+    allow_got = {"Dataleverancier"} if family == "household_default" else set()
+    problems = diff_family(ref, got, allow_got_only=allow_got)
+    assert not problems, f"{family}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("family", sorted(STATS_FAMILIES))
+def test_stats_family_parity_modulo_dispositions(spark, parity_out, family):
+    ref_out, written = parity_out
+    ref = load_reference(ref_out, family)
+    got = load_spark(spark, written, family)
+    problems = diff_family(
+        ref.drop(columns=["imputed_na", "bitwise_methods"]),
+        got.drop(columns=["imputed_na", "bitwise_methods"]),
+    )
+    assert not problems, f"{family}: " + "; ".join(problems)
+
+
+def _clamped_outside_gaps(spark, written) -> pd.DataFrame:
+    """Per (project, house, diff column): rows whose value was REPLACED by
+    the threshold clamp outside any gap (impute_type set, OldDiff present)."""
+    imputed = load_spark(spark, written, "household_imputed")
+    frames = []
+    for c in imputed.columns:
+        if not c.endswith("Diff_impute_type"):
+            continue
+        d = c.replace("Diff_impute_type", "Diff")
+        old = c.replace("Diff_impute_type", "OldDiff")
+        m = imputed[c].notna() & imputed[old].notna()
+        g = (
+            imputed.loc[m]
+            .groupby(["ProjectIdBSV", "HuisIdBSV"])
+            .size()
+            .rename("outside")
+            .reset_index()
+        )
+        g["column"] = d
+        frames.append(g)
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_imputed_na_reconciliation(spark, parity_out):
+    ref_out, written = parity_out
+    ref = canonicalize(load_reference(ref_out, "impute_gap_stats"))
+    got = canonicalize(load_spark(spark, written, "impute_gap_stats"))
+    outside = _clamped_outside_gaps(spark, written)
+    keys = ["ProjectIdBSV", "HuisIdBSV", "column"]
+    merged = ref[keys + ["imputed_na"]].merge(
+        got[keys + ["imputed_na"]], on=keys, suffixes=("_ref", "_spark")
+    ).merge(outside, on=keys, how="left")
+    merged["outside"] = merged["outside"].fillna(0).astype("int64")
+    # the reference's imputed_na is exactly the Spark (gap-gated) value
+    # minus the clamped-outside-gap rows — negative iff any such row exists
+    mismatch = merged[
+        merged["imputed_na_ref"] != merged["imputed_na_spark"] - merged["outside"]
+    ]
+    assert mismatch.empty, mismatch.to_string()
+    # the fixture really exercises the divergence (else this test is vacuous)
+    assert (merged["outside"] > 0).any()
+    assert (merged["imputed_na_ref"] < 0).any()
+
+
+def _ref_bitwise(methods: tuple[int, ...]) -> int:
+    """Reference methods_to_bitwise (vectorized_impute.py:43-55) with numpy
+    int64 two's-complement wraparound."""
+    v = 0
+    for m in methods:
+        if m > 0:
+            v |= 1 << (m - 1)
+    wrapped = v & 0xFFFFFFFFFFFFFFFF  # two's-complement int64 wrap
+    return wrapped - 2**64 if wrapped >= 2**63 else wrapped
+
+
+def test_bitwise_methods_encodings(spark, parity_out):
+    """Both engines' bitmasks must be exact functions of the (parity-
+    compared) methods sets: Spark = OR of the IntFlag values, reference =
+    OR of 1<<(value-1) wrapped to int64."""
+    ref_out, written = parity_out
+    ref = canonicalize(load_reference(ref_out, "impute_gap_stats"))
+    got = canonicalize(load_spark(spark, written, "impute_gap_stats"))
+    keys = ["ProjectIdBSV", "HuisIdBSV", "column"]
+    m = ref[keys + ["methods", "bitwise_methods"]].merge(
+        got[keys + ["methods", "bitwise_methods"]], on=keys, suffixes=("_ref", "_spark")
+    )
+    assert (m["methods_ref"] == m["methods_spark"]).all()
+    spark_expect = m["methods_spark"].map(
+        lambda ms: int(np.bitwise_or.reduce([0, *ms]))
+    )
+    ref_expect = m["methods_ref"].map(_ref_bitwise)
+    assert (m["bitwise_methods_spark"].astype("int64") == spark_expect).all()
+    assert (m["bitwise_methods_ref"].astype("int64") == ref_expect).all()
+    # the wraparound branch is actually exercised (NO_END_VALUE=64 present)
+    assert (m["bitwise_methods_ref"] < 0).any()
