@@ -1057,6 +1057,61 @@ FROM r
 """
 
 
+def q_fasttext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring (fastText/CCNet-style
+    model-based quality filter): word uni+bigrams -> portable 64-bucket
+    hash -> sequential mean-of-weights fold -> sigmoid. Deterministic
+    weights derived per bucket (b*2654435761 % 1000 scaled to [-0.5, 0.5))
+    so the DuckDB oracle computes the identical model arithmetically."""
+    from etdtransform_spark.operators.classify import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    n_features = 64
+    weights = {
+        b: ((b * 2654435761) % 1000) / 1000.0 - 0.5 for b in range(n_features)
+    }
+    scored = hashed_linear_score(
+        docs, "text", weights, n_features, ngram_sizes=(1, 2)
+    )
+    return scored.select("doc_id", qround(F.col("score"), 6).alias("score"))
+
+
+_SQL_FASTTEXT_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), grams AS (
+  -- unigrams + positional bigrams; a 1-token doc yields its token as the
+  -- single "bigram" (greatest(len-1, 1)), matching positional_word_grams
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN
+           list_concat(t, list_transform(
+             generate_series(1, greatest(len(t) - 1, 1)),
+             i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+         END AS g
+  FROM toks
+), buckets AS (
+  SELECT doc_id,
+         list_transform(g, x ->
+           ('0x' || substr(md5('0|' || x), 1, 15))::BIGINT % 64) AS b
+  FROM grams
+), logits AS (
+  -- sequential fold == Spark F.aggregate: 0.0 + w1 + w2 + ... (adding the
+  -- 0.0 init is exact, so list_reduce's w1-as-init bracketing matches)
+  SELECT doc_id,
+         CASE WHEN len(b) > 0 THEN
+           list_reduce(
+             list_transform(b, k -> ((k * 2654435761) % 1000)::DOUBLE / 1000 - 0.5),
+             (a, x) -> a + x) / len(b)
+         END AS logit
+  FROM buckets
+)
+SELECT doc_id,
+       floor((CASE WHEN logit IS NOT NULL THEN 1.0 / (1.0 + exp(-logit)) END)
+             * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM logits
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -8133,6 +8188,219 @@ WHERE n_pair >= 5
 
 
 # ---------------------------------------------------------------------------
+# model-evaluation statistics (operators/evaluation.py): reliability
+# diagram + ECE for the classifier scores, Cohen's kappa for annotator /
+# LLM-judge label agreement — the companion stage to classify.py
+# ---------------------------------------------------------------------------
+
+def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (score, label) frame from events: pseudo-score in
+    [0, 1] from event_id, NULL where value is NULL (exercises the
+    evidence filter on the nulls corpus); label = purchase indicator."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.when(
+            F.col("value").isNotNull(),
+            F.pmod(F.col("event_id"), F.lit(97)).cast("double") / 96.0,
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+
+
+_SQL_SCORED_EVENTS = f"""
+SELECT CASE WHEN value IS NOT NULL THEN (event_id % 97)::DOUBLE / 96 END AS score,
+       (event_type = 'purchase')::INT AS label
+FROM {_EV}
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/evaluation.py:calibration_bins):
+    one hash aggregate; shuffle carries at most n_bins partials per task."""
+    from etdtransform_spark.operators.evaluation import calibration_bins
+
+    return calibration_bins(
+        _scored_events(spark, sf_dir), "score", "label", n_bins=10
+    )
+
+
+_SQL_CALIBRATION_BINS = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+b AS (
+  SELECT least(floor(score * 10), 9)::BIGINT AS bin, score, label
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+)
+SELECT bin, count(*)::BIGINT AS n,
+       {qround_sql('avg(score)', 6)} AS avg_score,
+       {qround_sql('avg(label::DOUBLE)', 6)} AS pos_rate
+FROM b GROUP BY bin
+"""
+
+
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error
+    (operators/evaluation.py:expected_calibration_error): dictionary-sized
+    rollup over the bin table; empty batch -> n=0 with NULL ece (fail
+    closed, same convention as the fractional expectation gates)."""
+    from etdtransform_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(
+        _scored_events(spark, sf_dir), "score", "label", n_bins=10
+    )
+
+
+_SQL_CALIBRATION_ECE = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+b AS (
+  SELECT least(floor(score * 10), 9)::BIGINT AS bin, score, label
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+), bins AS (
+  SELECT bin, count(*)::BIGINT AS n, avg(score) AS avg_score,
+         avg(label::DOUBLE) AS pos_rate
+  FROM b GROUP BY bin
+)
+SELECT coalesce(sum(n), 0)::BIGINT AS n,
+       {qround_sql(
+           'CASE WHEN coalesce(sum(n), 0) > 0 THEN '
+           'sum(n * abs(avg_score - pos_rate)) / sum(n) END', 6
+       )} AS ece,
+       {qround_sql('max(abs(avg_score - pos_rate))', 6)} AS mce
+FROM bins
+"""
+
+
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic synthetic labelers
+    (operators/evaluation.py:cohens_kappa): labeler A = event_type (NULL
+    where value is NULL -> complete-case exclusion exercised on the nulls
+    corpus), labeler B agrees on event_id % 4 == 0 and otherwise answers
+    a 3-char truncation. ONE data-sized contingency aggregate; marginals
+    and the chance term derive from the cell table."""
+    from etdtransform_spark.operators.evaluation import cohens_kappa
+
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.when(F.col("value").isNotNull(), F.col("event_type")).alias("a"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(4)) == 0, F.col("event_type")
+        ).otherwise(F.substring(F.col("event_type"), 1, 3)).alias("b"),
+    )
+    return cohens_kappa(labeled, "a", "b")
+
+
+_SQL_ANNOTATOR_KAPPA = f"""
+WITH lab AS (
+  SELECT CASE WHEN value IS NOT NULL THEN event_type END AS a,
+         CASE WHEN event_id % 4 = 0 THEN event_type
+              ELSE substr(event_type, 1, 3) END AS b
+  FROM {_EV}
+), cells AS (
+  SELECT a, b, count(*)::BIGINT AS n FROM lab
+  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b
+), am AS (SELECT a AS cls, sum(n) AS na FROM cells GROUP BY a),
+bm AS (SELECT b AS cls, sum(n) AS nb FROM cells GROUP BY b),
+tot AS (
+  SELECT (SELECT sum(n) FROM cells) AS nn,
+         (SELECT sum(n) FROM cells WHERE a = b) AS agree,
+         (SELECT sum(na::DOUBLE * nb) FROM am JOIN bm USING (cls)) AS pe_num
+)
+SELECT coalesce(nn, 0)::BIGINT AS n,
+       {qround_sql(
+           'CASE WHEN nn > 0 THEN coalesce(agree, 0)::DOUBLE / nn END', 6
+       )} AS po,
+       {qround_sql('CASE WHEN nn > 0 THEN pe_num / (nn::DOUBLE * nn) END', 6)} AS pe,
+       {qround_sql(
+           'CASE WHEN nn > 0 AND pe_num / (nn::DOUBLE * nn) < 1.0 THEN '
+           '(coalesce(agree, 0)::DOUBLE / nn - pe_num / (nn::DOUBLE * nn))'
+           ' / (1.0 - pe_num / (nn::DOUBLE * nn)) END', 6
+       )} AS kappa
+FROM tot
+"""
+
+
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected AUC via the rank statistic
+    (operators/evaluation.py:auc_roc) — rides the SAME distinct-value
+    cumulative substrate as ks_2samp / mann_whitney_u, so the keyless
+    case exercises the range-partitioned prefix sum again."""
+    from etdtransform_spark.operators.evaluation import auc_roc
+
+    return auc_roc(_scored_events(spark, sf_dir), "score", "label")
+
+
+_SQL_AUC_ROC = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+counts AS (
+  SELECT score AS v,
+         sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT ca, cb, (ca + cb)::DOUBLE AS c,
+         (sum(ca + cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS ct
+  FROM counts
+), per_val AS (
+  SELECT ca::DOUBLE AS cad, cb::DOUBLE AS cbd,
+         ca::DOUBLE * ((ct - c) + (c + 1.0) / 2.0) AS ra
+  FROM cum
+), agged AS (
+  SELECT sum(cad) AS np, sum(cbd) AS nn, sum(ra) AS rsum FROM per_val
+)
+SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       {qround_sql(
+           'CASE WHEN np > 0 AND nn > 0'
+           ' THEN (rsum - np * (np + 1.0) / 2.0) / (np * nn) END', 6)} AS auc
+FROM agged
+"""
+
+
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold confusion summary
+    (operators/evaluation.py:binary_classification_report): ONE aggregate
+    pass; undefined ratios surface as NULL, never 0 or 1."""
+    from etdtransform_spark.operators.evaluation import (
+        binary_classification_report,
+    )
+
+    return binary_classification_report(
+        _scored_events(spark, sf_dir), "score", "label", threshold=0.3
+    )
+
+
+_SQL_CLASSIFICATION_REPORT = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+b AS (
+  SELECT (score >= 0.3) AS pred, (label <> 0) AS pos
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+), c AS (
+  SELECT count(CASE WHEN pred AND pos THEN 1 END)::BIGINT AS tp,
+         count(CASE WHEN pred AND NOT pos THEN 1 END)::BIGINT AS fp,
+         count(CASE WHEN NOT pred AND NOT pos THEN 1 END)::BIGINT AS tn,
+         count(CASE WHEN NOT pred AND pos THEN 1 END)::BIGINT AS fn
+  FROM b
+)
+SELECT tp, fp, tn, fn,
+       {qround_sql(
+           'CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END', 6)} AS precision,
+       {qround_sql(
+           'CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END', 6)} AS recall,
+       {qround_sql(
+           'CASE WHEN tp + fp > 0 AND tp + fn > 0 THEN '
+           ' CASE WHEN tp > 0 THEN '
+           '  2.0 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))'
+           '  / (tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn))'
+           ' ELSE 0.0 END END', 6)} AS f1,
+       {qround_sql(
+           'CASE WHEN tp + fp + tn + fn > 0 THEN '
+           '(tp + tn)::DOUBLE / (tp + fp + tn + fn) END', 6)} AS accuracy
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -8145,6 +8413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
+        "fasttext_quality_score": q_fasttext_quality_score,  # new r7: never-checked leads
+        "calibration_bins": q_calibration_bins,
+        "calibration_ece": q_calibration_ece,
+        "annotator_kappa": q_annotator_kappa,
+        "auc_roc": q_auc_roc,
+        "classification_report": q_classification_report,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
         "ivf_topk": q_ivf_topk,
@@ -8394,6 +8668,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "text_quality": _SQL_QUALITY,
         "token_counts": _SQL_TOKEN_COUNTS,
+        "fasttext_quality_score": _SQL_FASTTEXT_QUALITY,
+        "calibration_bins": _SQL_CALIBRATION_BINS,
+        "calibration_ece": _SQL_CALIBRATION_ECE,
+        "annotator_kappa": _SQL_ANNOTATOR_KAPPA,
+        "auc_roc": _SQL_AUC_ROC,
+        "classification_report": _SQL_CLASSIFICATION_REPORT,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,

@@ -1,0 +1,262 @@
+"""Model-evaluation statistics for labeled / scored data.
+
+The companion stage to ``operators/classify.py``: once a pipeline scores
+documents with a model (quality filter, topic router, toxicity gate), it
+needs to know whether the scores can be TRUSTED — calibration against
+observed labels — and, when labels come from multiple annotators or
+LLM judges, whether the labels themselves agree. Both are standard
+training-data-pipeline measurements (reliability diagrams / expected
+calibration error; Cohen's kappa for inter-annotator agreement) and both
+reduce to ONE hash aggregate at any scale: the shuffle carries bin or
+contingency-cell counts, never rows.
+
+No reference counterpart (the reference is an energy ETL); part of the
+beyond-reference LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins: per equal-width score bin over [0, 1],
+    the row count, mean predicted score, and observed positive rate.
+
+    ``label_col`` is boolean or 0/1 numeric. Rows with a NULL score or
+    label are excluded (they carry no calibration evidence). A score of
+    exactly 1.0 lands in the top bin (least(floor(s*n), n-1) — the
+    standard half-open binning with a closed top). Returns one row per
+    NON-EMPTY bin: (bin, n, avg_score, pos_rate) — a full spine would
+    fabricate 0-evidence rows; callers that need one can left-join a
+    sequence.
+
+    One hash aggregate; at 100 TB the shuffle carries at most ``n_bins``
+    partial rows per map task (map-side combine).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    binned = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("bigint").alias("bin"),
+        s.alias("_s"),
+        y.alias("_y"),
+    )
+    rnd = (lambda c: c) if digits is None else (lambda c: qround(c, digits))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        rnd(F.avg("_s")).alias("avg_score"),
+        rnd(F.avg("_y")).alias("pos_rate"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row ECE summary: sum over bins of (n_b / N) * |avg_score_b -
+    pos_rate_b|, plus the maximum per-bin gap (MCE) and N.
+
+    Empty input yields one row with n = 0 and NULL ece/mce — an unscored
+    batch proves nothing (same fail-closed convention as the fractional
+    expectation gates in ``operators/quality.py``).
+    """
+    bins = calibration_bins(df, score_col, label_col, n_bins, digits=None)
+    gap = F.abs(F.col("avg_score") - F.col("pos_rate"))
+    out = bins.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.sum(F.col("n") * gap).alias("_wgap"),
+        F.max(gap).alias("_maxgap"),
+    )
+    return out.select(
+        "n",
+        qround(
+            F.when(F.col("n") > 0, F.col("_wgap") / F.col("n")), digits
+        ).alias("ece"),
+        qround(F.col("_maxgap"), digits).alias("mce"),
+    )
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: list[str] | tuple[str, ...] = (),
+    digits: int = 6,
+    prefix_buckets: int = 32,
+) -> DataFrame:
+    """Area under the ROC curve, exactly, via the rank statistic:
+    AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg) with average ranks
+    for tied scores (the standard tie-corrected estimator; equals the
+    Mann-Whitney U normalization).
+
+    Rides the SAME distinct-value cumulative substrate as
+    ``stats.ks_2samp`` / ``stats.mann_whitney_u``
+    (:func:`~..operators.stats._value_cumulatives`): per distinct score
+    the positive/negative multiplicities aggregate once, avg pooled rank
+    is derived from the cumulative — no per-row global ranking; keyless
+    inputs use the range-partitioned prefix sum, never a single-partition
+    window. Returns (keys..., n_pos, n_neg, auc); one-class segments
+    yield NULL auc.
+    """
+    from .stats import _value_cumulatives
+
+    x = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    klist = list(keys)
+    counts = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*klist, x.alias("_v"))
+        .agg(
+            F.sum(F.when(y != 0, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    cum = _value_cumulatives(counts, klist, prefix_buckets)
+    c = (F.col("_ca") + F.col("_cb")).cast("double")
+    below = (F.col("_cum_a") + F.col("_cum_b")).cast("double") - c
+    avg_rank = below + (c + 1.0) / 2.0
+    agged = cum.select(
+        *klist,
+        F.col("_ca").cast("double").alias("_ca"),
+        (F.col("_ca").cast("double") * avg_rank).alias("_ra"),
+        F.col("_cb").cast("double").alias("_cb"),
+    ).groupBy(*klist).agg(
+        F.sum("_ca").alias("_np"),
+        F.sum("_cb").alias("_nn"),
+        F.sum("_ra").alias("_rsum"),
+    )
+    np_, nn = F.col("_np"), F.col("_nn")
+    auc = F.when(
+        (np_ > 0) & (nn > 0),
+        (F.col("_rsum") - np_ * (np_ + 1.0) / 2.0) / (np_ * nn),
+    )
+    return agged.select(
+        *klist,
+        np_.cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+        qround(auc, digits).alias("auc"),
+    )
+
+
+def binary_classification_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row confusion summary at a decision threshold: tp/fp/tn/fn
+    counts plus precision, recall, f1, accuracy (NULL, not 0, when a
+    denominator is empty — no predicted positives means precision is
+    undefined, not perfect or zero).
+
+    Rows with NULL score or label are excluded. ONE aggregate pass.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    pred = s >= F.lit(float(threshold))
+    pos = y != 0
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    agg = base.agg(
+        F.count(F.when(pred & pos, 1)).cast("bigint").alias("tp"),
+        F.count(F.when(pred & ~pos, 1)).cast("bigint").alias("fp"),
+        F.count(F.when(~pred & ~pos, 1)).cast("bigint").alias("tn"),
+        F.count(F.when(~pred & pos, 1)).cast("bigint").alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c).cast("double") for c in ("tp", "fp", "tn", "fn"))
+    n = tp + fp + tn + fn
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        (tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+        2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+        / (tp / (tp + fp) + tp / (tp + fn)),
+    ).otherwise(
+        F.when((tp + fp > 0) & (tp + fn > 0), F.lit(0.0))
+    )
+    accuracy = F.when(n > 0, (tp + tn) / n)
+    return agg.select(
+        "tp", "fp", "tn", "fn",
+        qround(precision, digits).alias("precision"),
+        qround(recall, digits).alias("recall"),
+        qround(f1, digits).alias("f1"),
+        qround(accuracy, digits).alias("accuracy"),
+    )
+
+
+def confusion_counts(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Contingency table between two label columns: (a, b, n).
+
+    NULL labels are kept as their own row/column (an annotator abstaining
+    IS information); callers wanting complete-case analysis filter first.
+    """
+    return df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row Cohen's kappa between two annotators/models.
+
+    kappa = (p_o - p_e) / (1 - p_e) with p_o the observed agreement rate
+    and p_e the chance agreement (sum over classes of the annotators'
+    marginal proportions multiplied). Rows where EITHER label is NULL are
+    excluded (complete-case, the standard kappa convention). Returns
+    (n, po, pe, kappa); kappa is NULL when p_e == 1 (both annotators
+    constant — agreement is undefined, not perfect) or n == 0.
+
+    Plan shape: one finest-grain (a, b) count aggregate; marginals and
+    the chance term derive from that dictionary-sized table, so the only
+    data-sized pass is the contingency build (map-side combined).
+    """
+    cells = confusion_counts(
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()),
+        a_col,
+        b_col,
+    )
+    # marginals per class from the cell table (class-domain-sized)
+    a_marg = cells.groupBy(F.col("a").alias("cls")).agg(
+        F.sum("n").alias("_na")
+    )
+    b_marg = cells.groupBy(F.col("b").alias("cls")).agg(
+        F.sum("n").alias("_nb")
+    )
+    totals = cells.agg(
+        F.sum("n").alias("_n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))).alias("_agree"),
+    )
+    chance = (
+        a_marg.join(b_marg, "cls", "inner")
+        .agg(F.sum(F.col("_na").cast("double") * F.col("_nb")).alias("_pe_num"))
+    )
+    out = totals.crossJoin(F.broadcast(chance))  # two 1-row frames
+    n = F.coalesce(F.col("_n"), F.lit(0)).cast("bigint")
+    # zero agreeing rows -> sum(when(...)) is NULL, but p_o is genuinely 0
+    po = F.coalesce(F.col("_agree"), F.lit(0)).cast("double") / F.col("_n")
+    pe = F.col("_pe_num") / (F.col("_n").cast("double") * F.col("_n"))
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return out.select(
+        n.alias("n"),
+        qround(F.when(n > 0, po), digits).alias("po"),
+        qround(F.when(n > 0, pe), digits).alias("pe"),
+        qround(F.when(n > 0, kappa), digits).alias("kappa"),
+    )

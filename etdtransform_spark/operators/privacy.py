@@ -50,6 +50,11 @@ def k_anonymity(
       sensitive value in the class (only with ``sensitive_col``).
       This is the statistic behind *probabilistic* l-diversity: a class
       where 95% of rows share one diagnosis is leaky even if l >= 2.
+      A NULL sensitive value is a candidate mode here, same as in
+      ``l_distinct``: "sensitive value unrecorded" is itself leaky
+      information (an attacker learning 95% of a class has no recorded
+      diagnosis has learned something), so the max ranges over the NULL
+      group too rather than silently skipping it.
 
     One hash aggregate; the per-class mode share is computed from a
     (QI, sensitive) pre-aggregate so the row-level scan is aggregated at
