@@ -8320,6 +8320,71 @@ FROM tot
 """
 
 
+def q_streaming_quality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model-quality monitor (streaming/quality_stream.py): the
+    frozen hashed-weight model scores the event stream's props text as a
+    STATELESS projection; the only stateful operator is one tumbling-day
+    window holding a single (n, avg, pass-rate) row per open window.
+    Oracle is the equivalent batch SQL — streaming is a deployment mode,
+    not a different answer."""
+    import uuid
+
+    from etdtransform_spark.streaming.quality_stream import (
+        streaming_quality_monitor,
+    )
+
+    n_features = 64
+    weights = {
+        b: ((b * 2654435761) % 1000) / 1000.0 - 0.5 for b in range(n_features)
+    }
+    stream = _stream_events(spark, sf_dir)
+    mon = streaming_quality_monitor(
+        stream, "props", "ts", weights, n_features, threshold=0.5
+    )
+    name = f"stream_quality_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("bucket_ts", "n", "avg_score", "pass_rate")
+
+
+_SQL_STREAMING_QUALITY = f"""
+WITH toks AS (
+  SELECT ts, list_filter(regexp_split_to_array(props, '\\s+'), x -> x <> '') AS t
+  FROM {_EV}
+), grams AS (
+  SELECT ts,
+         CASE WHEN len(t) > 0 THEN
+           list_concat(t, list_transform(
+             generate_series(1, greatest(len(t) - 1, 1)),
+             i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+         END AS g
+  FROM toks
+), scores AS (
+  SELECT ts,
+         CASE WHEN len(g) > 0 THEN 1.0 / (1.0 + exp(-(
+           list_reduce(
+             list_transform(g, x ->
+               (((('0x' || substr(md5('0|' || x), 1, 15))::BIGINT % 64)
+                 * 2654435761) % 1000)::DOUBLE / 1000 - 0.5),
+             (a, x) -> a + x) / len(g))))
+         END AS score
+  FROM grams
+)
+SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+       count(*)::BIGINT AS n,
+       {qround_sql('avg(score)', 6)} AS avg_score,
+       {qround_sql('avg((score >= 0.5)::INT::DOUBLE)', 6)} AS pass_rate
+FROM scores WHERE score IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-corrected AUC via the rank statistic
     (operators/evaluation.py:auc_roc) — rides the SAME distinct-value
@@ -8419,6 +8484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_kappa": q_annotator_kappa,
         "auc_roc": q_auc_roc,
         "classification_report": q_classification_report,
+        "streaming_quality_daily": q_streaming_quality_daily,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
         "ivf_topk": q_ivf_topk,
@@ -8674,6 +8740,7 @@ def oracle_sql() -> dict[str, str]:
         "annotator_kappa": _SQL_ANNOTATOR_KAPPA,
         "auc_roc": _SQL_AUC_ROC,
         "classification_report": _SQL_CLASSIFICATION_REPORT,
+        "streaming_quality_daily": _SQL_STREAMING_QUALITY,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,

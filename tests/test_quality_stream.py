@@ -1,0 +1,85 @@
+"""The streaming quality monitor (streaming/quality_stream.py) must
+reproduce the equivalent batch aggregation exactly: same scores, same
+windows, same pass rates — streaming is a deployment mode, not a
+different answer."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from etdtransform_spark.operators.classify import hashed_linear_score
+from etdtransform_spark.streaming.quality_stream import (
+    streaming_quality_monitor,
+)
+
+N = 64
+WEIGHTS = {b: ((b * 2654435761) % 1000) / 1000.0 - 0.5 for b in range(N)}
+
+
+def _fixture(tmp_path):
+    base = dt.datetime(2024, 3, 1)
+    texts = [
+        "good clean prose", "bad", "", None, "more sample text here",
+        "repeated repeated words", "a b c d e", "one", "two tokens",
+    ]
+    rows = []
+    for day in range(3):
+        for i, t in enumerate(texts):
+            rows.append((base + dt.timedelta(days=day, minutes=7 * i), t))
+    src = tmp_path / "qstream_src"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["ts", "txt"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(src / "b0.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    return src, rows
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    src, rows = _fixture(tmp_path)
+    df = spark.createDataFrame(rows, "ts timestamp, txt string")
+    scored = hashed_linear_score(df, "txt", WEIGHTS, N, score_col="s")
+    batch = {
+        r.bucket_ts: r
+        for r in scored.filter(F.col("s").isNotNull())
+        .groupBy(F.window("ts", "1 day").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("s").alias("avg_score"),
+            F.avg((F.col("s") >= 0.5).cast("double")).alias("pass_rate"),
+        )
+        .select(F.col("_w.start").alias("bucket_ts"), "n", "avg_score", "pass_rate")
+        .collect()
+    }
+
+    stream = spark.readStream.schema("ts timestamp, txt string").parquet(str(src))
+    mon = streaming_quality_monitor(
+        stream, "txt", "ts", WEIGHTS, N, threshold=0.5, digits=12
+    )
+    name = f"qmon_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.bucket_ts: r for r in spark.table(name).collect()}
+    assert set(got) == set(batch) and len(got) == 3
+    for k in batch:
+        assert got[k].n == batch[k].n
+        # stream side is qround(12), batch side raw
+        assert abs(got[k].avg_score - batch[k].avg_score) < 1e-11
+        assert abs(got[k].pass_rate - batch[k].pass_rate) < 1e-11
+    # every day scored 7 of 9 rows (NULL + empty excluded)
+    assert all(r.n == 7 for r in got.values())
