@@ -8385,6 +8385,85 @@ GROUP BY 1
 """
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-preference strengths after 3 MM rounds
+    (operators/preference.py:bradley_terry_strengths): comparisons
+    synthesized deterministically from events (small ids win 2 of 3);
+    the pair table is the only data-sized shuffle, each MM round is
+    item-domain-sized. Oracle unrolls the 3 rounds as CTEs."""
+    from etdtransform_spark.operators.preference import (
+        bradley_terry_strengths,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(5))
+    b = F.pmod(F.expr("event_id div 7"), F.lit(5))
+    comp = ev.select(
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) < 2, F.least(a, b))
+        .otherwise(F.greatest(a, b))
+        .alias("winner"),
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) < 2, F.greatest(a, b))
+        .otherwise(F.least(a, b))
+        .alias("loser"),
+    ).filter(F.col("winner") != F.col("loser"))
+    return bradley_terry_strengths(comp, iterations=3)
+
+
+def _bt_round_sql(prev: str, cur: str) -> str:
+    """One Bradley-Terry MM round as CTE fragments (DuckDB)."""
+    return f"""
+d_{cur} AS (
+  SELECT item, sum(d) AS denom FROM (
+    SELECT ia AS item, n_total::DOUBLE / (sa.strength + sb.strength) AS d
+    FROM pairs JOIN {prev} sa ON sa.item = pairs.ia
+               JOIN {prev} sb ON sb.item = pairs.ib
+    UNION ALL
+    SELECT ib AS item, n_total::DOUBLE / (sa.strength + sb.strength) AS d
+    FROM pairs JOIN {prev} sa ON sa.item = pairs.ia
+               JOIN {prev} sb ON sb.item = pairs.ib
+  ) GROUP BY item
+), r_{cur} AS (
+  SELECT i.item,
+         CASE WHEN denom > 0 THEN i.wins::DOUBLE / denom ELSE 0.0 END AS raw
+  FROM items i JOIN d_{cur} USING (item)
+), t_{cur} AS (SELECT sum(raw) AS t, count(*) AS k FROM r_{cur}),
+{cur} AS (
+  SELECT item,
+         CASE WHEN t > 0 THEN raw * k / t ELSE 0.0 END AS strength
+  FROM r_{cur} CROSS JOIN t_{cur}
+)"""
+
+
+_SQL_BRADLEY_TERRY = f"""
+WITH comp AS (
+  SELECT CASE WHEN event_id % 3 < 2 THEN least(event_id % 5, (event_id // 7) % 5)
+              ELSE greatest(event_id % 5, (event_id // 7) % 5) END AS w,
+         CASE WHEN event_id % 3 < 2 THEN greatest(event_id % 5, (event_id // 7) % 5)
+              ELSE least(event_id % 5, (event_id // 7) % 5) END AS l
+  FROM {_EV}
+  WHERE event_id % 5 <> (event_id // 7) % 5
+), pairs AS (
+  SELECT least(w, l) AS ia, greatest(w, l) AS ib,
+         count(*)::BIGINT AS n_total,
+         count(CASE WHEN w = least(w, l) THEN 1 END)::BIGINT AS wins_a
+  FROM comp GROUP BY 1, 2
+), items AS (
+  SELECT item, sum(n)::BIGINT AS n_comparisons, sum(wn)::BIGINT AS wins
+  FROM (
+    SELECT ia AS item, n_total AS n, wins_a AS wn FROM pairs
+    UNION ALL
+    SELECT ib AS item, n_total AS n, n_total - wins_a AS wn FROM pairs
+  ) GROUP BY item
+), s0 AS (SELECT item, 1.0::DOUBLE AS strength FROM items),
+{_bt_round_sql('s0', 's1')},
+{_bt_round_sql('s1', 's2')},
+{_bt_round_sql('s2', 's3')}
+SELECT i.item, i.n_comparisons, i.wins,
+       {qround_sql('s3.strength', 6)} AS strength
+FROM items i JOIN s3 USING (item)
+"""
+
+
 def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-corrected AUC via the rank statistic
     (operators/evaluation.py:auc_roc) — rides the SAME distinct-value
@@ -8485,6 +8564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_roc": q_auc_roc,
         "classification_report": q_classification_report,
         "streaming_quality_daily": q_streaming_quality_daily,
+        "bradley_terry": q_bradley_terry,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
         "ivf_topk": q_ivf_topk,
@@ -8741,6 +8821,7 @@ def oracle_sql() -> dict[str, str]:
         "auc_roc": _SQL_AUC_ROC,
         "classification_report": _SQL_CLASSIFICATION_REPORT,
         "streaming_quality_daily": _SQL_STREAMING_QUALITY,
+        "bradley_terry": _SQL_BRADLEY_TERRY,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,

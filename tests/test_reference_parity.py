@@ -34,11 +34,18 @@ disposition, asserted EXACTLY — not skipped):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
 
-from ref_parity.compare import (
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/etdtransform"),
+    reason="reference checkout not present in this environment",
+)
+
+from ref_parity.compare import (  # noqa: E402
     FAMILIES,
     canonicalize,
     diff_family,
