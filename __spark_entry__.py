@@ -8557,7 +8557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "fasttext_quality_score": q_fasttext_quality_score,  # new r7: never-checked leads
+        "fasttext_quality_score": q_fasttext_quality_score,
         "calibration_bins": q_calibration_bins,
         "calibration_ece": q_calibration_ece,
         "annotator_kappa": q_annotator_kappa,
@@ -8607,6 +8607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "weighted_sample": q_weighted_sample,
         "time_grid": q_time_grid,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
         "quantile_iqr": q_quantile_iqr,
@@ -8615,8 +8617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "full_outer_activity": q_full_outer_activity,
         "mad_outliers": q_mad_outliers,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "unigram_logprob": q_unigram_logprob,
         "repetition_ratio": q_repetition_ratio,
         "edit_distance_pairs": q_edit_distance_pairs,

@@ -92,8 +92,13 @@ def hashed_linear_score(
 
     ``weights``: dict bucket->weight (literal-map path when small enough)
     or a DataFrame with columns (bucket, weight) (broadcast-join path;
-    requires ``id_col`` to restore row identity). Buckets absent from the
-    model weigh 0.0 — the standard hashed-model convention.
+    requires ``id_col`` to restore row identity — it must be a UNIQUE,
+    NON-NULL row identifier, or rows merge/drop in the re-aggregation;
+    the literal-map path has no such requirement). Buckets absent from
+    the model weigh 0.0 — the standard hashed-model convention. A model
+    row is one weight per bucket: exact duplicate rows are dropped, but
+    CONFLICTING duplicates are malformed input (the join would multiply
+    matches), so they raise.
     """
     buckets = feature_buckets(
         F.col(text_col), n_features, ngram_sizes=ngram_sizes, fast=fast
@@ -130,6 +135,17 @@ def hashed_linear_score(
         )
     if id_col is None:
         raise ValueError("the weights-DataFrame path requires id_col")
+    # one weight per bucket: exact duplicates (concatenated model exports)
+    # collapse; conflicting duplicates would silently multiply join matches
+    # and corrupt both the sum and the count, so they fail loudly
+    weights = weights.select("bucket", "weight").distinct()
+    dup = (
+        weights.groupBy("bucket").count().filter(F.col("count") > 1).limit(1)
+    ).collect()
+    if dup:
+        raise ValueError(
+            f"weights DataFrame has conflicting rows for bucket {dup[0][0]}"
+        )
     # scale path: explode buckets, broadcast the (dictionary-sized) model,
     # re-aggregate one partial per row — fold order is irrelevant to the
     # THEORETICAL value but floating sums may differ from the literal path

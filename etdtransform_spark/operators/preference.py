@@ -131,10 +131,16 @@ def bradley_terry_strengths(
         # checkpoints keep the plan one layer deep — the same fix as
         # pagerank / connected_components)
         strengths = strengths.localCheckpoint(eager=True)
+    # release the pair-table cache: materialize the item-domain-sized
+    # output lineage first (localCheckpoint) so the unpersist cannot force
+    # a recompute of the data-sized pair aggregate at collection time —
+    # without this every call leaks cached partitions for the session
+    # lifetime (the harness runs this across 8 corpora in one session)
     out = items.join(strengths, "item").select(
         "item",
         "n_comparisons",
         "wins",
         qround(F.col("strength"), digits).alias("strength"),
-    )
+    ).localCheckpoint(eager=True)
+    pairs.unpersist()
     return out

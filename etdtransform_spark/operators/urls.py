@@ -54,9 +54,15 @@ def normalize_url(url: Column) -> Column:
     fewer than 5 fields and the match guard (size == 5) costs no second
     regex execution. (Previously: 4 ``regexp_extract`` + 1 ``rlike`` = 5
     executions of the same regex per row — the #3 bench query's dominant
-    cost, VERDICT r6 "What's wrong" #3.) Caveat: an unparseable input that
-    already CONTAINS ``\\x01`` could mis-split, but such a string is not a
-    URL and both engines would quarantine it anyway.
+    cost, VERDICT r6 "What's wrong" #3.)
+
+    Inputs already containing the ``\\x01`` sentinel are quarantined to
+    NULL outright (a cheap ``contains``, no regex): without the explicit
+    guard, a NON-URL with four sentinel bytes would pass through
+    ``regexp_replace`` unchanged, split into exactly 5 fields, and
+    fabricate a canonical URL. A control byte is never legal in a
+    conforming URL (RFC 3986 requires %-escaping), so NULL is the correct
+    disposition in both directions.
     """
     parsed = F.split(
         F.regexp_replace(
@@ -66,9 +72,12 @@ def normalize_url(url: Column) -> Column:
         -1,
     )
     # let-bind the parsed array (one regex + split per row, not per field)
-    return F.transform(
-        F.array(parsed), lambda p: F.when(F.size(p) == 5, _build_from(p))
-    )[0]
+    return F.when(
+        ~url.contains(_SEP),
+        F.transform(
+            F.array(parsed), lambda p: F.when(F.size(p) == 5, _build_from(p))
+        )[0],
+    )
 
 
 def _build_from(p: Column) -> Column:

@@ -69,11 +69,24 @@ def read_table(
     session state, not just this read."""
     if pin_utc:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ns_cols = _nanos_timestamp_columns(path)
+    return _read_with_nanos_repair(spark, path, path)
+
+
+def _read_with_nanos_repair(
+    spark: SparkSession, sniff_path: str, read_path: str
+) -> DataFrame:
+    """Shared nanos-repair scan: footer-sniff ``sniff_path`` (one
+    representative file/dir — footer inspection needs a LOCAL path, which
+    is the only deployment this repo's test/driver environments use), set
+    the runtime conf (required or the scan raises PARQUET_TYPE_ILLEGAL;
+    session-global and deliberately left set — the repo rule is that
+    every nanos-capable read goes through this helper, never a bare
+    ``spark.read.parquet``), scan ``read_path`` (may be a glob), repair.
+    """
+    ns_cols = _nanos_timestamp_columns(sniff_path)
     if ns_cols:
-        # Runtime-settable; required or the scan raises PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(read_path)
     for c in ns_cols:
         # apply the repair only when Spark actually surfaced raw long
         # nanoseconds: INT96 timestamps (Spark's default writer output)
@@ -179,14 +192,10 @@ def combine_household_files(
     import glob as globmod
 
     glob = os.path.join(mapped_folder, pattern)
+    # the mapping stage writes every household with the same schema, so
+    # ONE representative footer decides the repair for the whole glob scan
     matches = sorted(globmod.glob(glob))
-    ns_cols = _nanos_timestamp_columns(matches[0]) if matches else []
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(glob)
-    for c in ns_cols:
-        if raw.schema[c].dataType.typeName() in ("long", "bigint"):
-            raw = raw.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    raw = _read_with_nanos_repair(spark, matches[0] if matches else glob, glob)
     raw = raw.withColumn(
         "HuisIdBSV",
         F.regexp_extract(F.input_file_name(), r"household_(\d+)_table\.parquet", 1).cast(

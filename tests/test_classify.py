@@ -79,6 +79,24 @@ def test_weight_df_path_equals_literal_path(spark):
             assert b[k] == pytest.approx(a[k], abs=1e-12)
 
 
+def test_weight_df_duplicates(spark):
+    df = spark.createDataFrame([(1, "alpha beta")], "id bigint, text string")
+    # exact duplicate rows collapse (concatenated model exports)
+    dup_ok = spark.createDataFrame(
+        [(k, v) for k, v in WEIGHTS.items()] + [(0, WEIGHTS[0])],
+        "bucket bigint, weight double",
+    )
+    lit = hashed_linear_score(df, "text", WEIGHTS, N).collect()[0].score
+    got = hashed_linear_score(df, "text", dup_ok, N, id_col="id").collect()[0].score
+    assert got == pytest.approx(lit, abs=1e-12)
+    # conflicting duplicates are malformed input and fail loudly
+    bad = spark.createDataFrame(
+        [(7, 0.1), (7, 0.2)], "bucket bigint, weight double"
+    )
+    with pytest.raises(ValueError, match="conflicting"):
+        hashed_linear_score(df, "text", bad, N, id_col="id")
+
+
 def test_missing_buckets_weigh_zero(spark):
     df = spark.createDataFrame([(1, "alpha beta")], "id bigint, text string")
     out = hashed_linear_score(df, "text", {}, N, bias=0.7).collect()[0]

@@ -58,6 +58,8 @@ def test_url_dedup_groups_variants(spark):
             ("http://b.com/y",),
             ("garbage",),
             (None,),
+            ("a\x01b\x01c\x01d\x01e",),   # sentinel-bearing non-URL: must
+            ("http://ho\x01st/p",),        # quarantine, never fabricate
         ],
         "url string",
     )
@@ -65,7 +67,7 @@ def test_url_dedup_groups_variants(spark):
            for r in url_dedup(df).collect()}
     assert got["http://a.com/x"] == (3, 3, "HTTP://www.A.com:80/x?utm_source=t")
     assert got["http://b.com/y"] == (1, 1, "http://b.com/y")
-    assert len(got) == 2  # garbage + NULL quarantined
+    assert len(got) == 2  # garbage + NULL + sentinel inputs quarantined
 
 
 def test_pmi_hand_computed(spark):
