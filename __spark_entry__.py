@@ -8385,6 +8385,55 @@ GROUP BY 1
 """
 
 
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha, nominal
+    (operators/evaluation.py:krippendorff_alpha): items = user cohorts,
+    ratings = event types (NULL where value is NULL — missing ratings
+    are the operator's native case); single-rating items drop from both
+    D_o and the margins. ONE finest-grain aggregate; every rollup is
+    item-/category-domain-sized."""
+    from etdtransform_spark.operators.evaluation import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    rated = ev.select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("item"),
+        F.when(F.col("value").isNotNull(), F.col("event_type")).alias("label"),
+    )
+    return krippendorff_alpha(rated, "item", "label")
+
+
+_SQL_KRIPPENDORFF = f"""
+WITH base AS (
+  SELECT user_id % 50 AS u,
+         CASE WHEN value IS NOT NULL THEN event_type END AS c
+  FROM {_EV}
+), fine AS (
+  SELECT u, c, count(*)::DOUBLE AS nuc FROM base
+  WHERE u IS NOT NULL AND c IS NOT NULL GROUP BY u, c
+), per_item AS (
+  SELECT u, sum(nuc) AS m, sum(nuc * nuc) AS sq
+  FROM fine GROUP BY u HAVING sum(nuc) >= 2
+), obs AS (
+  SELECT count(*)::BIGINT AS n_items, sum(m) AS n,
+         sum((m * m - sq) / (m - 1.0)) AS do_num
+  FROM per_item
+), marg AS (
+  SELECT sum(nc * nc) AS snc FROM (
+    SELECT sum(nuc) AS nc
+    FROM fine JOIN per_item USING (u) GROUP BY c)
+)
+SELECT n_items, coalesce(n, 0)::BIGINT AS n_ratings,
+       {qround_sql('CASE WHEN n > 0 THEN do_num / n END', 6)} AS d_o,
+       {qround_sql(
+           'CASE WHEN n > 1 THEN (n * n - snc) / (n * (n - 1.0)) END', 6)} AS d_e,
+       {qround_sql(
+           'CASE WHEN n > 1 AND (n * n - snc) / (n * (n - 1.0)) > 0'
+           ' THEN 1.0 - (do_num / n) / ((n * n - snc) / (n * (n - 1.0))) END',
+           6)} AS alpha
+FROM obs CROSS JOIN marg
+"""
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry pairwise-preference strengths after 3 MM rounds
     (operators/preference.py:bradley_terry_strengths): comparisons
@@ -8565,6 +8614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report": q_classification_report,
         "streaming_quality_daily": q_streaming_quality_daily,
         "bradley_terry": q_bradley_terry,
+        "krippendorff_alpha": q_krippendorff_alpha,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
         "ivf_topk": q_ivf_topk,
@@ -8822,6 +8872,7 @@ def oracle_sql() -> dict[str, str]:
         "classification_report": _SQL_CLASSIFICATION_REPORT,
         "streaming_quality_daily": _SQL_STREAMING_QUALITY,
         "bradley_terry": _SQL_BRADLEY_TERRY,
+        "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,

@@ -196,6 +196,79 @@ def binary_classification_report(
     )
 
 
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row Krippendorff's alpha (nominal) over (item, label) ratings.
+
+    The multi-annotator generalization of :func:`cohens_kappa` — rater
+    identity is irrelevant for nominal data and MISSING ratings are
+    handled natively: items with fewer than 2 ratings carry no
+    (dis)agreement information and are dropped from both the observed
+    disagreement and the margins (the standard treatment).
+
+        D_o = (1/n) * sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1)
+        D_e = (n^2 - sum_c n_c^2) / (n * (n - 1))
+        alpha = 1 - D_o / D_e
+
+    with m_u = ratings on item u, n_uc = count of category c on item u,
+    n_c = total count of category c, n = total ratings (over the kept
+    items). Returns (n_items, n_ratings, d_o, d_e, alpha); alpha is NULL
+    when D_e = 0 (every rating is the same category — no chance baseline)
+    or no item has 2+ ratings.
+
+    Plan shape: ONE finest-grain (item, label) count aggregate; the
+    per-item and per-category rollups both derive from it (item- and
+    category-domain-sized), joined as two 1-row frames at the end.
+    """
+    base = df.filter(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    fine = base.groupBy(
+        F.col(item_col).alias("_u"), F.col(label_col).alias("_c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_nuc"))
+    per_item = (
+        fine.groupBy("_u")
+        .agg(
+            F.sum("_nuc").alias("_m"),
+            F.sum(F.col("_nuc") * F.col("_nuc")).alias("_sq"),
+        )
+        .filter(F.col("_m") >= 2)
+    )
+    obs = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_m").alias("_n"),
+        F.sum(
+            (F.col("_m") * F.col("_m") - F.col("_sq")) / (F.col("_m") - 1.0)
+        ).alias("_do_num"),
+    )
+    # margins over the SAME kept items (an item dropped from D_o must not
+    # inflate D_e either)
+    margins = (
+        fine.join(per_item.select("_u"), "_u", "left_semi")
+        .groupBy("_c")
+        .agg(F.sum("_nuc").alias("_nc"))
+        .agg(F.sum(F.col("_nc") * F.col("_nc")).alias("_sum_nc_sq"))
+    )
+    out = obs.crossJoin(F.broadcast(margins))  # two 1-row frames
+    n = F.col("_n")
+    d_o = F.when(n > 0, F.col("_do_num") / n)
+    d_e = F.when(
+        n > 1, (n * n - F.col("_sum_nc_sq")) / (n * (n - 1.0))
+    )
+    alpha = F.when(d_e > 0, F.lit(1.0) - d_o / d_e)
+    return out.select(
+        "n_items",
+        F.coalesce(n, F.lit(0.0)).cast("bigint").alias("n_ratings"),
+        qround(d_o, digits).alias("d_o"),
+        qround(d_e, digits).alias("d_e"),
+        qround(alpha, digits).alias("alpha"),
+    )
+
+
 def confusion_counts(
     df: DataFrame, a_col: str, b_col: str
 ) -> DataFrame:

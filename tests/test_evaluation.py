@@ -185,6 +185,60 @@ def test_classification_report_undefined_ratios_null(spark):
     assert r.recall == 0.0 and r.f1 is None
 
 
+def _py_kripp(ratings):
+    """Independent nominal-alpha reimplementation (textbook formulas)."""
+    from collections import Counter, defaultdict
+
+    per = defaultdict(list)
+    for u, c in ratings:
+        per[u].append(c)
+    per = {u: v for u, v in per.items() if len(v) >= 2}
+    n = sum(len(v) for v in per.values())
+    if n <= 1:
+        return None
+    d_o = sum(
+        (len(v) ** 2 - sum(k * k for k in Counter(v).values())) / (len(v) - 1)
+        for v in per.values()
+    ) / n
+    marg = Counter(c for v in per.values() for c in v)
+    d_e = (n * n - sum(k * k for k in marg.values())) / (n * (n - 1))
+    return None if d_e == 0 else 1 - d_o / d_e
+
+
+def test_krippendorff_matches_reimplementation(spark):
+    from etdtransform_spark.operators.evaluation import krippendorff_alpha
+
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b"),
+            (4, "a"), (4, "a"), (4, "b"), (5, "c"), (5, "c"),
+            (6, "a"),            # single rating: dropped from D_o AND margins
+            (7, None), (None, "a")]
+    df = spark.createDataFrame(rows, "item int, label string")
+    r = krippendorff_alpha(df, "item", "label").collect()[0]
+    clean = [(u, c) for u, c in rows if u is not None and c is not None]
+    assert (r.n_items, r.n_ratings) == (5, 11)
+    assert r.alpha == pytest.approx(_py_kripp(clean), abs=1e-6)
+
+
+def test_krippendorff_degenerate(spark):
+    from etdtransform_spark.operators.evaluation import krippendorff_alpha
+
+    # one category everywhere: no chance baseline -> alpha NULL, d_o/d_e 0
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (2, "x")], "item int, label string"
+    )
+    r = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert r.d_o == 0.0 and r.d_e == 0.0 and r.alpha is None
+    # perfect multi-category agreement -> alpha 1
+    df2 = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (2, "y")], "item int, label string"
+    )
+    assert krippendorff_alpha(df2, "item", "label").collect()[0].alpha == 1.0
+    # nothing rateable
+    df3 = spark.createDataFrame([(1, "x")], "item int, label string")
+    r3 = krippendorff_alpha(df3, "item", "label").collect()[0]
+    assert r3.n_items == 0 and r3.alpha is None
+
+
 def test_calibration_single_aggregate_plan(spark):
     df = spark.range(100).select(
         (F.col("id") / 100.0).alias("score"), (F.col("id") % 2).alias("label")
