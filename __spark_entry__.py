@@ -8227,7 +8227,7 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CALIBRATION_BINS = f"""
 WITH s AS ({_SQL_SCORED_EVENTS}),
 b AS (
-  SELECT least(floor(score * 10), 9)::BIGINT AS bin, score, label
+  SELECT greatest(least(floor(score * 10), 9), 0)::BIGINT AS bin, score, label
   FROM s WHERE score IS NOT NULL AND label IS NOT NULL
 )
 SELECT bin, count(*)::BIGINT AS n,
@@ -8254,7 +8254,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CALIBRATION_ECE = f"""
 WITH s AS ({_SQL_SCORED_EVENTS}),
 b AS (
-  SELECT least(floor(score * 10), 9)::BIGINT AS bin, score, label
+  SELECT greatest(least(floor(score * 10), 9), 0)::BIGINT AS bin, score, label
   FROM s WHERE score IS NOT NULL AND label IS NOT NULL
 ), bins AS (
   SELECT bin, count(*)::BIGINT AS n, avg(score) AS avg_score,
@@ -8593,6 +8593,128 @@ FROM c
 """
 
 
+def _multiclass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multiclass (pred, true) labels over events: true =
+    event_type (NULL where value is NULL -> complete-case exclusion
+    exercised on the nulls corpus); pred agrees on event_id % 3 == 0 and
+    otherwise answers a 4-char truncation — so the union class domain
+    contains never-predicted and zero-support classes, exercising the
+    full-outer class spine."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(3)) == 0, F.col("event_type")
+        ).otherwise(F.substring(F.col("event_type"), 1, 4)).alias("pred"),
+        F.when(F.col("value").isNotNull(), F.col("event_type")).alias("truth"),
+    )
+
+
+_SQL_MULTICLASS_EVENTS = f"""
+SELECT CASE WHEN event_id % 3 = 0 THEN event_type
+            ELSE substr(event_type, 1, 4) END AS pred,
+       CASE WHEN value IS NOT NULL THEN event_type END AS truth
+FROM {_EV}
+"""
+
+
+def q_classification_report_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class multiclass precision/recall/F1 long table
+    (operators/evaluation.py:classification_report_multi): the only
+    data-sized pass is the confusion_counts contingency build; per-class
+    rollups + one class-domain-sized full outer join."""
+    from etdtransform_spark.operators.evaluation import (
+        classification_report_multi,
+    )
+
+    return classification_report_multi(
+        _multiclass_events(spark, sf_dir), "pred", "truth"
+    )
+
+
+_SQL_CLASSIFICATION_REPORT_MULTI = f"""
+WITH lab AS ({_SQL_MULTICLASS_EVENTS}),
+cells AS (
+  SELECT pred AS a, truth AS b, count(*)::BIGINT AS n FROM lab
+  WHERE pred IS NOT NULL AND truth IS NOT NULL GROUP BY 1, 2
+), pm AS (
+  SELECT a AS cls, sum(n) AS prd,
+         coalesce(sum(CASE WHEN a = b THEN n END), 0) AS tp
+  FROM cells GROUP BY a
+), tm AS (SELECT b AS cls, sum(n) AS sup FROM cells GROUP BY b),
+per AS (
+  SELECT cls, coalesce(sup, 0)::DOUBLE AS sup,
+         coalesce(prd, 0)::DOUBLE AS prd, coalesce(tp, 0)::DOUBLE AS tp
+  FROM pm FULL OUTER JOIN tm USING (cls)
+)
+SELECT cls AS class, sup::BIGINT AS support, prd::BIGINT AS predicted,
+       tp::BIGINT AS tp,
+       {qround_sql('CASE WHEN prd > 0 THEN tp / prd END', 6)} AS precision,
+       {qround_sql('CASE WHEN sup > 0 THEN tp / sup END', 6)} AS recall,
+       {qround_sql(
+           'CASE WHEN prd > 0 AND sup > 0 THEN '
+           ' CASE WHEN tp > 0 THEN '
+           '  2.0 * (tp / prd) * (tp / sup) / (tp / prd + tp / sup)'
+           ' ELSE 0.0 END END', 6)} AS f1
+FROM per
+"""
+
+
+def q_classification_summary_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro/micro/weighted multiclass averages
+    (operators/evaluation.py:classification_summary_multi): same single
+    data-sized contingency pass; macro zero-fills undefined per-class
+    ratios (sklearn zero_division=0 convention)."""
+    from etdtransform_spark.operators.evaluation import (
+        classification_summary_multi,
+    )
+
+    return classification_summary_multi(
+        _multiclass_events(spark, sf_dir), "pred", "truth"
+    )
+
+
+_SQL_CLASSIFICATION_SUMMARY_MULTI = f"""
+WITH lab AS ({_SQL_MULTICLASS_EVENTS}),
+cells AS (
+  SELECT pred AS a, truth AS b, count(*)::BIGINT AS n FROM lab
+  WHERE pred IS NOT NULL AND truth IS NOT NULL GROUP BY 1, 2
+), pm AS (
+  SELECT a AS cls, sum(n) AS prd,
+         coalesce(sum(CASE WHEN a = b THEN n END), 0) AS tp
+  FROM cells GROUP BY a
+), tm AS (SELECT b AS cls, sum(n) AS sup FROM cells GROUP BY b),
+per AS (
+  SELECT cls, coalesce(sup, 0)::DOUBLE AS sup,
+         coalesce(prd, 0)::DOUBLE AS prd, coalesce(tp, 0)::DOUBLE AS tp
+  FROM pm FULL OUTER JOIN tm USING (cls)
+), z AS (
+  SELECT sup, tp,
+         coalesce(CASE WHEN prd > 0 THEN tp / prd END, 0.0) AS p0,
+         coalesce(CASE WHEN sup > 0 THEN tp / sup END, 0.0) AS r0,
+         coalesce(CASE WHEN prd > 0 AND sup > 0 THEN
+            CASE WHEN tp > 0 THEN
+              2.0 * (tp / prd) * (tp / sup) / (tp / prd + tp / sup)
+            ELSE 0.0 END END, 0.0) AS f0
+  FROM per
+), agg AS (
+  SELECT coalesce(sum(sup), 0) AS n, count(*)::BIGINT AS n_classes,
+         sum(tp) AS tps, avg(p0) AS mp, avg(r0) AS mr, avg(f0) AS mf,
+         sum(p0 * sup) AS wp, sum(r0 * sup) AS wr, sum(f0 * sup) AS wf
+  FROM z
+)
+SELECT n::BIGINT AS n, n_classes,
+       {qround_sql('CASE WHEN n > 0 THEN tps / n END', 6)} AS accuracy,
+       {qround_sql('CASE WHEN n > 0 THEN tps / n END', 6)} AS micro_f1,
+       {qround_sql('CASE WHEN n > 0 THEN mp END', 6)} AS macro_precision,
+       {qround_sql('CASE WHEN n > 0 THEN mr END', 6)} AS macro_recall,
+       {qround_sql('CASE WHEN n > 0 THEN mf END', 6)} AS macro_f1,
+       {qround_sql('CASE WHEN n > 0 THEN wp / n END', 6)} AS weighted_precision,
+       {qround_sql('CASE WHEN n > 0 THEN wr / n END', 6)} AS weighted_recall,
+       {qround_sql('CASE WHEN n > 0 THEN wf / n END', 6)} AS weighted_f1
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8606,59 +8728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "fasttext_quality_score": q_fasttext_quality_score,
-        "calibration_bins": q_calibration_bins,
-        "calibration_ece": q_calibration_ece,
-        "annotator_kappa": q_annotator_kappa,
-        "auc_roc": q_auc_roc,
-        "classification_report": q_classification_report,
-        "streaming_quality_daily": q_streaming_quality_daily,
-        "bradley_terry": q_bradley_terry,
-        "krippendorff_alpha": q_krippendorff_alpha,
-        "multimodal_features": q_multimodal_features,
-        "streaming_resample_15min": q_streaming_resample_15min,
-        "ivf_topk": q_ivf_topk,
-        "mark_peak_period": q_mark_peak_period,
-        "coldest_weeks_join": q_coldest_weeks_join,
-        "streaming_gap_detect": q_streaming_gap_detect,
-        "impute_rule_chain": q_impute_rule_chain,
-        "brand_supplier_revenue": q_brand_supplier_revenue,
-        "hash_sample": q_hash_sample,
-        "impute_summary": q_impute_summary,
-        "bpe_token_counts": q_bpe_token_counts,
-        "kmeans_centroids": q_kmeans_centroids,
-        "semantic_dedup": q_semantic_dedup,
-        "stratified_sample": q_stratified_sample,
-        "streaming_dedup": q_streaming_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "asof_join": q_asof_join,
-        "simhash_near_dup": q_simhash_near_dup,
-        "topk_revenue": q_topk_revenue,
-        "rollup_orders": q_rollup_orders,
-        "pivot_events": q_pivot_events,
-        "count_distinct": q_count_distinct,
-        "sliding_window": q_sliding_window,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "streaming_sessionize": q_streaming_sessionize,
-        "chunk_documents": q_chunk_documents,
-        "pack_documents": q_pack_documents,
-        "scrub_pii": q_scrub_pii,
-        "contamination": q_contamination,
-        "frame_sample": q_frame_sample,
-        "quantize_embeddings": q_quantize_embeddings,
-        "streaming_sliding": q_streaming_sliding,
-        "window_rank_family": q_window_rank_family,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "validate_columns": q_validate_columns,
-        "ols_regression": q_ols_regression,
-        "histogram": q_histogram,
-        "unpivot_events": q_unpivot_events,
-        "zscore_outliers": q_zscore_outliers,
-        "weighted_sample": q_weighted_sample,
         "time_grid": q_time_grid,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
         "quantile_iqr": q_quantile_iqr,
@@ -8708,6 +8778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "rolling_median": q_rolling_median,
         "seasonal_residuals": q_seasonal_residuals,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "load_duration_curve": q_load_duration_curve,
         "topk_per_group": q_topk_per_group,
         "corr_matrix": q_corr_matrix,
@@ -8827,6 +8899,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mark_coldest_period": q_mark_coldest_period,
         "gelijktijdigheid": q_gelijktijdigheid,
         "normalized_datetime": q_normalized_datetime,
+        "fasttext_quality_score": q_fasttext_quality_score,
+        "calibration_bins": q_calibration_bins,
+        "calibration_ece": q_calibration_ece,
+        "annotator_kappa": q_annotator_kappa,
+        "auc_roc": q_auc_roc,
+        "classification_report": q_classification_report,
+        "classification_report_multi": q_classification_report_multi,
+        "classification_summary_multi": q_classification_summary_multi,
+        "streaming_quality_daily": q_streaming_quality_daily,
+        "bradley_terry": q_bradley_terry,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "multimodal_features": q_multimodal_features,
+        "streaming_resample_15min": q_streaming_resample_15min,
+        "ivf_topk": q_ivf_topk,
+        "mark_peak_period": q_mark_peak_period,
+        "coldest_weeks_join": q_coldest_weeks_join,
+        "streaming_gap_detect": q_streaming_gap_detect,
+        "impute_rule_chain": q_impute_rule_chain,
+        "brand_supplier_revenue": q_brand_supplier_revenue,
+        "hash_sample": q_hash_sample,
+        "impute_summary": q_impute_summary,
+        "bpe_token_counts": q_bpe_token_counts,
+        "kmeans_centroids": q_kmeans_centroids,
+        "semantic_dedup": q_semantic_dedup,
+        "stratified_sample": q_stratified_sample,
+        "streaming_dedup": q_streaming_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_join": q_asof_join,
+        "simhash_near_dup": q_simhash_near_dup,
+        "topk_revenue": q_topk_revenue,
+        "rollup_orders": q_rollup_orders,
+        "pivot_events": q_pivot_events,
+        "count_distinct": q_count_distinct,
+        "sliding_window": q_sliding_window,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_sessionize": q_streaming_sessionize,
+        "chunk_documents": q_chunk_documents,
+        "pack_documents": q_pack_documents,
+        "scrub_pii": q_scrub_pii,
+        "contamination": q_contamination,
+        "frame_sample": q_frame_sample,
+        "quantize_embeddings": q_quantize_embeddings,
+        "streaming_sliding": q_streaming_sliding,
+        "window_rank_family": q_window_rank_family,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "validate_columns": q_validate_columns,
+        "ols_regression": q_ols_regression,
+        "histogram": q_histogram,
+        "unpivot_events": q_unpivot_events,
+        "zscore_outliers": q_zscore_outliers,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -8870,6 +8994,8 @@ def oracle_sql() -> dict[str, str]:
         "annotator_kappa": _SQL_ANNOTATOR_KAPPA,
         "auc_roc": _SQL_AUC_ROC,
         "classification_report": _SQL_CLASSIFICATION_REPORT,
+        "classification_report_multi": _SQL_CLASSIFICATION_REPORT_MULTI,
+        "classification_summary_multi": _SQL_CLASSIFICATION_SUMMARY_MULTI,
         "streaming_quality_daily": _SQL_STREAMING_QUALITY,
         "bradley_terry": _SQL_BRADLEY_TERRY,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,

@@ -161,7 +161,13 @@ def bloom_semi_join(
     # Spark's ambiguous-self-join detection or mis-resolves via plan ids.
     # Renaming the keys side to a unique alias sidesteps lineage entirely
     # (same pattern as stats._null_safe_join).
+    # Collision-free alias: a probe that already carries a column with the
+    # default alias (nothing stops a caller from round-tripping the output
+    # of a prior confirm join) would make the name-based condition
+    # ambiguous at analysis — suffix until the name is free.
     confirm_key = "_bloom_confirm_key"
+    while confirm_key in pruned.columns:
+        confirm_key += "_"
     return pruned.join(
         keys.distinct().withColumnRenamed(key_col, confirm_key),
         on=F.col(probe_col) == F.col(confirm_key),

@@ -93,12 +93,14 @@ def hashed_linear_score(
     ``weights``: dict bucket->weight (literal-map path when small enough)
     or a DataFrame with columns (bucket, weight) (broadcast-join path;
     requires ``id_col`` to restore row identity — it must be a UNIQUE,
-    NON-NULL row identifier, or rows merge/drop in the re-aggregation;
-    the literal-map path has no such requirement). Buckets absent from
-    the model weigh 0.0 — the standard hashed-model convention. A model
-    row is one weight per bucket: exact duplicate rows are dropped, but
-    CONFLICTING duplicates are malformed input (the join would multiply
-    matches), so they raise.
+    NON-NULL row identifier; the literal-map path has no such
+    requirement). Buckets absent from the model weigh 0.0 — the standard
+    hashed-model convention. A model row is one weight per bucket: exact
+    duplicate rows collapse, but CONFLICTING duplicates are malformed
+    input (the join would multiply matches), so they raise — both that
+    check and the id_col-uniqueness check run INSIDE the plan
+    (``raise_error`` expressions surfacing at action time), keeping the
+    operator fully lazy.
     """
     buckets = feature_buckets(
         F.col(text_col), n_features, ngram_sizes=ngram_sizes, fast=fast
@@ -137,15 +139,38 @@ def hashed_linear_score(
         raise ValueError("the weights-DataFrame path requires id_col")
     # one weight per bucket: exact duplicates (concatenated model exports)
     # collapse; conflicting duplicates would silently multiply join matches
-    # and corrupt both the sum and the count, so they fail loudly
-    weights = weights.select("bucket", "weight").distinct()
-    dup = (
-        weights.groupBy("bucket").count().filter(F.col("count") > 1).limit(1)
-    ).collect()
-    if dup:
-        raise ValueError(
-            f"weights DataFrame has conflicting rows for bucket {dup[0][0]}"
+    # and corrupt both the sum and the count, so they fail loudly — IN the
+    # plan (raise_error inside the weight expression, which cannot be
+    # pruned because the join reads it), not via an eager collect() that
+    # would add a blocking Spark job to an otherwise lazy operator. NULL
+    # counts as a distinct (malformed) weight value.
+    weights = (
+        weights.select("bucket", "weight")
+        .groupBy("bucket")
+        .agg(
+            (
+                F.count_distinct("weight")
+                + F.max(F.col("weight").isNull().cast("bigint"))
+            ).alias("_nw"),
+            F.min("weight").alias("_w"),
         )
+        .select(
+            "bucket",
+            F.when(F.col("_nw") == 1, F.col("_w"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "hashed_linear_score: weights DataFrame has "
+                            "conflicting rows for bucket "
+                        ),
+                        F.col("bucket").cast("string"),
+                    )
+                )
+            )
+            .alias("weight"),
+        )
+    )
     # scale path: explode buckets, broadcast the (dictionary-sized) model,
     # re-aggregate one partial per row — fold order is irrelevant to the
     # THEORETICAL value but floating sums may differ from the literal path
@@ -160,13 +185,34 @@ def hashed_linear_score(
         .agg(
             F.count("_bucket").alias("_n"),
             F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_s"),
+            F.count("_pos").alias("_np"),
+            F.max("_pos").alias("_mp"),
         )
+        # id_col uniqueness guard, also in the plan: a duplicated id would
+        # silently merge partial sums here. For a unique id the exploded
+        # positions are exactly 0..len-1, so count(_pos) == max(_pos)+1;
+        # a duplicate with any non-empty bucket array breaks the identity
+        # (n+m > max(n,m)). Only all-empty/NULL-text duplicates slip
+        # through, and those merge to a NULL score — no corruption.
         .select(
             F.col(id_col).alias("_score_id"),
             F.when(
+                F.coalesce(F.col("_mp") + 1, F.lit(0)) != F.col("_np"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "hashed_linear_score: duplicated or NULL "
+                            f"id_col value in {id_col!r}: "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+            )
+            .when(
                 F.col("_n") > 0,
                 _sigmoid(F.lit(float(bias)) + F.col("_s") / F.col("_n")),
-            ).alias(score_col),
+            )
+            .alias(score_col),
         )
     )
     return df.join(

@@ -35,7 +35,11 @@ def calibration_bins(
     ``label_col`` is boolean or 0/1 numeric. Rows with a NULL score or
     label are excluded (they carry no calibration evidence). A score of
     exactly 1.0 lands in the top bin (least(floor(s*n), n-1) — the
-    standard half-open binning with a closed top). Returns one row per
+    standard half-open binning with a closed top), and out-of-range
+    scores are clamped to the edge bins (greatest(0, …)): the function
+    accepts arbitrary score columns, so a raw logit or a mildly
+    out-of-range calibrated score must not fabricate negative or
+    off-spine bin ids. Returns one row per
     NON-EMPTY bin: (bin, n, avg_score, pos_rate) — a full spine would
     fabricate 0-evidence rows; callers that need one can left-join a
     sequence.
@@ -46,7 +50,9 @@ def calibration_bins(
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     binned = df.filter(s.isNotNull() & y.isNotNull()).select(
-        F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("bigint").alias("bin"),
+        F.greatest(F.least(F.floor(s * n_bins), F.lit(n_bins - 1)), F.lit(0))
+        .cast("bigint")
+        .alias("bin"),
         s.alias("_s"),
         y.alias("_y"),
     )
@@ -108,7 +114,10 @@ def auc_roc(
     is derived from the cumulative — no per-row global ranking; keyless
     inputs use the range-partitioned prefix sum, never a single-partition
     window. Returns (keys..., n_pos, n_neg, auc); one-class segments
-    yield NULL auc.
+    yield NULL auc. Keyless calls are EAGER at build time (one
+    boundary-collection job; upstream executes twice) and not
+    streaming-safe — see the eagerness note on
+    ``stats._value_cumulatives``.
     """
     from .stats import _value_cumulatives
 
@@ -332,4 +341,121 @@ def cohens_kappa(
         qround(F.when(n > 0, po), digits).alias("po"),
         qround(F.when(n > 0, pe), digits).alias("pe"),
         qround(F.when(n > 0, kappa), digits).alias("kappa"),
+    )
+
+
+def classification_report_multi(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-class precision/recall/F1 long table for multiclass
+    single-label predictions — the multiclass sibling of
+    :func:`binary_classification_report`.
+
+    One row per class in the UNION of predicted and true label domains:
+    (class, support, predicted, tp, precision, recall, f1).
+    Rows where either label is NULL are excluded (complete-case).
+    Undefined ratios are NULL, not 0: a never-predicted class has no
+    precision and a zero-support class has no recall; F1 is 0.0 when both
+    ratios are defined but tp = 0, NULL when either is undefined.
+
+    Plan shape: the only data-sized pass is the ``confusion_counts``
+    contingency build (map-side combined); the per-class rollups are two
+    aggregates over the cell table and one class-domain-sized full outer
+    join. At 100 TB the shuffle carries |pred classes| x |true classes|
+    cell partials per map task, never rows.
+    """
+    cells = confusion_counts(
+        df.filter(F.col(pred_col).isNotNull() & F.col(label_col).isNotNull()),
+        pred_col,
+        label_col,
+    )
+    pred_m = cells.groupBy(F.col("a").alias("cls")).agg(
+        F.sum("n").alias("_pred"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))), F.lit(0)
+        ).alias("_tp"),
+    )
+    true_m = cells.groupBy(F.col("b").alias("cls")).agg(
+        F.sum("n").alias("_sup")
+    )
+    per = pred_m.join(true_m, "cls", "full_outer")
+    tp = F.coalesce(F.col("_tp"), F.lit(0)).cast("double")
+    pred_n = F.coalesce(F.col("_pred"), F.lit(0)).cast("double")
+    sup = F.coalesce(F.col("_sup"), F.lit(0)).cast("double")
+    precision = F.when(pred_n > 0, tp / pred_n)
+    recall = F.when(sup > 0, tp / sup)
+    f1 = F.when(
+        (pred_n > 0) & (sup > 0) & (tp > 0),
+        2.0 * (tp / pred_n) * (tp / sup) / (tp / pred_n + tp / sup),
+    ).otherwise(F.when((pred_n > 0) & (sup > 0), F.lit(0.0)))
+    rnd = (lambda c: c) if digits is None else (lambda c: qround(c, digits))
+    return per.select(
+        F.col("cls").alias("class"),
+        sup.cast("bigint").alias("support"),
+        pred_n.cast("bigint").alias("predicted"),
+        tp.cast("bigint").alias("tp"),
+        rnd(precision).alias("precision"),
+        rnd(recall).alias("recall"),
+        rnd(f1).alias("f1"),
+    )
+
+
+def classification_summary_multi(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row macro/micro/weighted averages over the per-class table of
+    :func:`classification_report_multi`.
+
+    - micro: pooled counts — for single-label multiclass, micro
+      precision = recall = F1 = accuracy (= sum tp / n), reported as
+      ``accuracy``/``micro_f1``.
+    - macro: unweighted mean over ALL classes in the union domain, with
+      undefined per-class ratios ZERO-FILLED first (the sklearn
+      ``zero_division=0`` convention) — a never-predicted class drags
+      the macro down rather than silently dropping out of the mean.
+    - weighted: support-weighted mean of the zero-filled ratios
+      (zero-support classes contribute nothing by construction).
+
+    Empty input yields n = 0 with NULL metrics (fail closed). Same plan
+    shape as the per-class table: one data-sized contingency aggregate,
+    then class-domain-sized arithmetic.
+    """
+    per = classification_report_multi(df, pred_col, label_col, digits=None)
+    p0 = F.coalesce(F.col("precision"), F.lit(0.0))
+    r0 = F.coalesce(F.col("recall"), F.lit(0.0))
+    f0 = F.coalesce(F.col("f1"), F.lit(0.0))
+    agg = per.agg(
+        F.coalesce(F.sum("support"), F.lit(0)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("tp").alias("_tp"),
+        F.avg(p0).alias("_map"),
+        F.avg(r0).alias("_mar"),
+        F.avg(f0).alias("_maf"),
+        F.sum(p0 * F.col("support")).alias("_wp"),
+        F.sum(r0 * F.col("support")).alias("_wr"),
+        F.sum(f0 * F.col("support")).alias("_wf"),
+    )
+    n = F.col("n").cast("double")
+    acc = F.when(n > 0, F.col("_tp").cast("double") / n)
+    return agg.select(
+        "n",
+        "n_classes",
+        qround(acc, digits).alias("accuracy"),
+        qround(acc, digits).alias("micro_f1"),
+        qround(F.when(n > 0, F.col("_map")), digits).alias("macro_precision"),
+        qround(F.when(n > 0, F.col("_mar")), digits).alias("macro_recall"),
+        qround(F.when(n > 0, F.col("_maf")), digits).alias("macro_f1"),
+        qround(F.when(n > 0, F.col("_wp") / n), digits).alias(
+            "weighted_precision"
+        ),
+        qround(F.when(n > 0, F.col("_wr") / n), digits).alias(
+            "weighted_recall"
+        ),
+        qround(F.when(n > 0, F.col("_wf") / n), digits).alias("weighted_f1"),
     )

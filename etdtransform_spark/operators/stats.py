@@ -920,6 +920,17 @@ def _value_cumulatives(
     single-partition window at 100 TB. Boundary accuracy only affects
     bucket balance, never the result: offset + in-bucket prefix is the
     exact global prefix for any bucketing that preserves value order.
+
+    EAGERNESS NOTE (keyless path only): materializing the boundaries as
+    literals runs one Spark job at DataFrame-BUILD time (collecting
+    ≤ ``prefix_buckets``−1 scalars), so the upstream plan executes twice
+    overall (boundary pass + the caller's action) and keyless
+    ks_2samp / mann_whitney_u / auc_roc are not lazily composable or
+    streaming-safe. This is deliberate: the bucketed frame feeds two plan
+    branches, and approx-quantile merge order is not deterministic across
+    re-executions, so literal boundaries are what make offset + prefix
+    provably consistent. Callers that need one-pass behavior should cache
+    the input or use the keyed path.
     """
     if klist:
         wseg = Window.partitionBy(*klist)
@@ -1017,6 +1028,10 @@ def ks_2samp(
 
     Returns (keys..., n_a, n_b, d_stat). Segments where either sample is
     empty yield NULL d_stat (drift against nothing is undefined, not 1).
+
+    Keyless calls are EAGER at build time (one boundary-collection job;
+    upstream executes twice) and not streaming-safe — see the eagerness
+    note on :func:`_value_cumulatives`.
     """
     x = F.col(value_col).cast("double")
     in_a = F.col(sample_col) == sample_a
@@ -1071,6 +1086,10 @@ def mann_whitney_u(
 
     Returns (keys..., n_a, n_b, u_stat, z). One-observation-total or
     empty-sample segments yield NULL z instead of an ANSI divide abort.
+
+    Keyless calls are EAGER at build time (one boundary-collection job;
+    upstream executes twice) and not streaming-safe — see the eagerness
+    note on :func:`_value_cumulatives`.
     """
     x = F.col(value_col).cast("double")
     in_a = F.col(sample_col) == sample_a

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -195,6 +196,20 @@ def combine_household_files(
     # the mapping stage writes every household with the same schema, so
     # ONE representative footer decides the repair for the whole glob scan
     matches = sorted(globmod.glob(glob))
+    if not matches and "://" in mapped_folder:
+        # The footer sniff is local-filesystem only: on an HDFS/S3 URI the
+        # glob is empty, pyarrow can't open the URI, the repair silently
+        # no-ops, and the scan would later fail with a bare
+        # PARQUET_TYPE_ILLEGAL. Point the failure at the deployment
+        # assumption instead: copy one representative file locally or
+        # pre-repair the footers.
+        warnings.warn(
+            f"combine_household_files: nanos-footer sniff found no LOCAL "
+            f"files for {glob!r}; the TIMESTAMP(NANOS) repair cannot be "
+            f"applied to a non-local mapped_folder. If the scan fails with "
+            f"PARQUET_TYPE_ILLEGAL, stage one representative file locally.",
+            stacklevel=2,
+        )
     raw = _read_with_nanos_repair(spark, matches[0] if matches else glob, glob)
     raw = raw.withColumn(
         "HuisIdBSV",

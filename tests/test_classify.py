@@ -89,12 +89,37 @@ def test_weight_df_duplicates(spark):
     lit = hashed_linear_score(df, "text", WEIGHTS, N).collect()[0].score
     got = hashed_linear_score(df, "text", dup_ok, N, id_col="id").collect()[0].score
     assert got == pytest.approx(lit, abs=1e-12)
-    # conflicting duplicates are malformed input and fail loudly
+    # conflicting duplicates are malformed input and fail loudly — at
+    # ACTION time (raise_error inside the plan; the build stays lazy)
     bad = spark.createDataFrame(
         [(7, 0.1), (7, 0.2)], "bucket bigint, weight double"
     )
-    with pytest.raises(ValueError, match="conflicting"):
-        hashed_linear_score(df, "text", bad, N, id_col="id")
+    lazy = hashed_linear_score(df, "text", bad, N, id_col="id")
+    with pytest.raises(Exception, match="conflicting"):
+        lazy.collect()
+    # NULL weight alongside a real one is also a conflict, not a silent min
+    bad_null = spark.createDataFrame(
+        [(7, 0.1), (7, None)], "bucket bigint, weight double"
+    )
+    with pytest.raises(Exception, match="conflicting"):
+        hashed_linear_score(df, "text", bad_null, N, id_col="id").collect()
+
+
+def test_weight_df_duplicate_id_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "gamma delta")], "id bigint, text string"
+    )
+    w = spark.createDataFrame(
+        [(k, v) for k, v in WEIGHTS.items()], "bucket bigint, weight double"
+    )
+    with pytest.raises(Exception, match="duplicated or NULL"):
+        hashed_linear_score(df, "text", w, N, id_col="id").collect()
+    # all-empty-text duplicates merge to a NULL score (documented carve-out)
+    df2 = spark.createDataFrame(
+        [(1, ""), (1, None)], "id bigint, text string"
+    )
+    rows = hashed_linear_score(df2, "text", w, N, id_col="id").collect()
+    assert [r.score for r in rows] == [None, None]
 
 
 def test_missing_buckets_weigh_zero(spark):

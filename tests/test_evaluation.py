@@ -34,6 +34,17 @@ def test_calibration_bins_hand_computed(spark):
     assert out[5].n == 1 and out[5].pos_rate == 0.0
 
 
+def test_calibration_bins_out_of_range_clamped(spark):
+    # arbitrary score columns (raw logits, slightly out-of-range calibrated
+    # scores) clamp to the edge bins instead of fabricating bin ids
+    rows = [(-0.3, 0), (-2.0, 1), (1.7, 1), (0.5, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.bin: r for r in calibration_bins(df, "score", "label").collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0].n == 2 and out[0].pos_rate == pytest.approx(0.5)
+    assert out[9].n == 1 and out[9].avg_score == pytest.approx(1.7)
+
+
 def test_ece_mce_hand_computed(spark):
     # bin 0: 2 rows, gap |.065-.5|=.435 ; bin 9: 2 rows gap |.975-1|=.025
     rows = [(0.05, 0), (0.08, 1), (0.95, 1), (1.00, 1)]
@@ -248,3 +259,112 @@ def test_calibration_single_aggregate_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1  # exactly the one bin aggregate
+
+
+def test_classification_report_multi_hand_computed(spark):
+    from etdtransform_spark.operators.evaluation import (
+        classification_report_multi,
+        classification_summary_multi,
+    )
+
+    # pred, true — class domain union {a, b, c, d}; d never predicted,
+    # c never true
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),       # pred a: tp 2 / 3
+        ("b", "b"), ("b", "d"),                   # pred b: tp 1 / 2
+        ("c", "a"),                               # pred c: tp 0 / 1
+        (None, "a"), ("a", None),                 # excluded
+    ]
+    df = spark.createDataFrame(rows, "pred string, label string")
+    per = {
+        r["class"]: r
+        for r in classification_report_multi(df, "pred", "label").collect()
+    }
+    assert set(per) == {"a", "b", "c", "d"}
+    # class a: support 3 (a,a,b->a? no: true a rows = a,a, c->a = 3)
+    assert per["a"].support == 3 and per["a"].predicted == 3
+    assert per["a"].tp == 2
+    assert per["a"].precision == pytest.approx(2 / 3)
+    assert per["a"].recall == pytest.approx(2 / 3)
+    assert per["a"].f1 == pytest.approx(2 / 3)
+    # class b: support 2, predicted 2, tp 1
+    assert per["b"].precision == pytest.approx(0.5)
+    assert per["b"].recall == pytest.approx(0.5)
+    # class c: predicted 1 tp 0, support 0 -> recall NULL, f1 NULL
+    assert per["c"].precision == 0.0 and per["c"].recall is None
+    assert per["c"].f1 is None
+    # class d: support 1, never predicted -> precision NULL, recall 0
+    assert per["d"].predicted == 0 and per["d"].precision is None
+    assert per["d"].recall == 0.0 and per["d"].f1 is None
+
+    s = classification_summary_multi(df, "pred", "label").collect()[0]
+    assert s.n == 6 and s.n_classes == 4
+    assert s.accuracy == pytest.approx(3 / 6)
+    assert s.micro_f1 == s.accuracy
+    # macro zero-fills: p = (2/3 + .5 + 0 + 0)/4, r = (2/3 + .5 + 0 + 0)/4
+    assert s.macro_precision == pytest.approx((2 / 3 + 0.5) / 4, abs=1e-6)
+    assert s.macro_recall == pytest.approx((2 / 3 + 0.5) / 4, abs=1e-6)
+    assert s.macro_f1 == pytest.approx((2 / 3 + 0.5) / 4, abs=1e-6)
+    # weighted by support (a:3, b:2, c:0, d:1)
+    assert s.weighted_recall == pytest.approx(
+        (3 * 2 / 3 + 2 * 0.5 + 0 + 1 * 0.0) / 6, abs=1e-6
+    )
+
+
+def test_classification_report_multi_empty_and_perfect(spark):
+    from etdtransform_spark.operators.evaluation import (
+        classification_report_multi,
+        classification_summary_multi,
+    )
+
+    empty = spark.createDataFrame([], "pred string, label string")
+    assert classification_report_multi(empty, "pred", "label").count() == 0
+    s = classification_summary_multi(empty, "pred", "label").collect()[0]
+    assert s.n == 0 and s.accuracy is None and s.macro_f1 is None
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("y", "y")], "pred string, label string"
+    )
+    s = classification_summary_multi(perfect, "pred", "label").collect()[0]
+    assert s.accuracy == 1.0 and s.macro_f1 == 1.0 and s.weighted_f1 == 1.0
+
+
+def test_classification_report_multi_vs_sklearn_style(spark):
+    """Pin against an independent pure-python reimplementation on a
+    pseudo-random multiclass fixture (deterministic LCG)."""
+    from collections import Counter
+
+    from etdtransform_spark.operators.evaluation import (
+        classification_report_multi,
+    )
+
+    state, rows = 1234567, []
+    classes = ["c0", "c1", "c2", "c3"]
+    for _ in range(500):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        t = classes[state % 4]
+        state = (1103515245 * state + 12345) % (1 << 31)
+        p = classes[(state >> 3) % 4] if state % 5 else t
+        rows.append((p, t))
+    df = spark.createDataFrame(rows, "pred string, label string")
+    got = {
+        r["class"]: r
+        for r in classification_report_multi(df, "pred", "label").collect()
+    }
+    pred_c = Counter(p for p, _ in rows)
+    true_c = Counter(t for _, t in rows)
+    tp_c = Counter(p for p, t in rows if p == t)
+    for c in classes:
+        assert got[c].support == true_c[c]
+        assert got[c].predicted == pred_c[c]
+        assert got[c].tp == tp_c[c]
+        want_p = tp_c[c] / pred_c[c] if pred_c[c] else None
+        want_r = tp_c[c] / true_c[c] if true_c[c] else None
+        if want_p is None:
+            assert got[c].precision is None
+        else:
+            assert got[c].precision == pytest.approx(want_p, abs=1e-6)
+        if want_r is None:
+            assert got[c].recall is None
+        else:
+            assert got[c].recall == pytest.approx(want_r, abs=1e-6)

@@ -88,6 +88,18 @@ def test_bloom_semi_join_exact(spark):
     )
 
 
+def test_bloom_alias_collision_on_probe(spark):
+    # a probe already carrying the default confirm-key alias (e.g. a
+    # round-tripped prior output) must not make the join ambiguous
+    probe = spark.range(0, 100).select(
+        (F.col("id") % 7).alias("k"), F.lit("x").alias("_bloom_confirm_key")
+    )
+    keys = spark.createDataFrame([(3,), (5,)], "k long")
+    got = bloom_semi_join(probe, keys, "k", num_bits=1 << 12)
+    assert got.columns == ["k", "_bloom_confirm_key"]
+    assert got.count() == probe.filter(F.col("k").isin(3, 5)).count()
+
+
 def test_bloom_prune_no_false_negatives_and_bounded_fp(spark):
     probe = spark.range(0, 2000).select(F.col("id").alias("k"))
     keys = spark.range(0, 2000, 10).select(F.col("id").alias("k"))  # 200 keys
