@@ -8320,6 +8320,100 @@ FROM tot
 """
 
 
+def q_streaming_elo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Elo online preference rating
+    (streaming/preference_stream.py:streaming_elo): order-dependent
+    GLOBAL-state sequential fold — within a micro-batch comparisons fold
+    in (event-time, event_id) order, so the single-batch availableNow run
+    over the time-sorted source is bit-identical to the batch sequential
+    fold, which the oracle expresses as a DuckDB list_reduce over the
+    ordered comparison list (state = one 15-slot vector: 5 ratings +
+    5 game counts + 5 win counts). Comparisons synthesized like
+    position_bias (position-1 winner 2 of 3)."""
+    import uuid
+
+    from etdtransform_spark.streaming.preference_stream import streaming_elo
+
+    stream = _stream_events(spark, sf_dir)
+    first = F.pmod(F.col("event_id"), F.lit(5))
+    second = F.pmod(F.expr("event_id div 7"), F.lit(5))
+    win = F.when(F.pmod(F.col("event_id"), F.lit(3)) < 2, first).otherwise(
+        second
+    )
+    comp = stream.select(
+        F.col("ts"),
+        F.col("event_id"),
+        win.alias("w"),
+        (first + second - win).alias("l"),
+    ).filter(first != second)
+    elo = streaming_elo(comp, "w", "l", "ts", order_col="event_id")
+    name = f"stream_elo_{uuid.uuid4().hex[:8]}"
+    q = (
+        elo.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    # final snapshot: every batch re-emits the full state, so the newest
+    # seq group is complete (single-source availableNow = one batch here)
+    top = out.agg(F.max("seq")).collect()[0][0]
+    return out.filter(F.col("seq") == F.coalesce(F.lit(top), F.lit(0))).select(
+        F.col("item").cast("bigint").alias("item"),
+        "n_games",
+        "wins",
+        qround(F.col("rating"), 2).alias("rating"),
+    )
+
+
+_SQL_STREAMING_ELO = f"""
+WITH comp AS (
+  SELECT ts, event_id,
+         CASE WHEN event_id % 3 < 2 THEN event_id % 5
+              ELSE (event_id // 7) % 5 END AS w,
+         (event_id % 5) + ((event_id // 7) % 5)
+           - CASE WHEN event_id % 3 < 2 THEN event_id % 5
+                  ELSE (event_id // 7) % 5 END AS l
+  FROM {_EV}
+  WHERE event_id % 5 <> (event_id // 7) % 5
+), enc AS (
+  SELECT list([w::DOUBLE, l::DOUBLE] ORDER BY ts, event_id) AS cs FROM comp
+), folded AS (
+  SELECT list_reduce(
+    list_prepend(
+      [1000.0,1000.0,1000.0,1000.0,1000.0,0,0,0,0,0,0,0,0,0,0]::DOUBLE[],
+      coalesce(cs, []::DOUBLE[][])),
+    (acc, x) -> CASE WHEN len(x) = 2 THEN
+       list_transform([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14], i ->
+         CASE
+           WHEN i < 5 AND i = x[1]::INT THEN
+             acc[i+1] + 32.0 * (1.0 - 1.0/(1.0
+               + pow(10.0, (acc[x[2]::INT + 1] - acc[x[1]::INT + 1]) / 400.0)))
+           WHEN i < 5 AND i = x[2]::INT THEN
+             acc[i+1] - 32.0 * (1.0 - 1.0/(1.0
+               + pow(10.0, (acc[x[2]::INT + 1] - acc[x[1]::INT + 1]) / 400.0)))
+           WHEN i >= 5 AND i < 10
+                AND (i - 5 = x[1]::INT OR i - 5 = x[2]::INT)
+             THEN acc[i+1] + 1.0
+           WHEN i >= 10 AND i - 10 = x[1]::INT THEN acc[i+1] + 1.0
+           ELSE acc[i+1]
+         END)
+      ELSE x END
+  ) AS st
+  FROM enc
+), item_dom AS (
+  SELECT DISTINCT w AS item FROM comp UNION SELECT DISTINCT l FROM comp
+)
+SELECT item::BIGINT AS item,
+       st[item::INT + 6]::BIGINT AS n_games,
+       st[item::INT + 11]::BIGINT AS wins,
+       {qround_sql('st[item::INT + 1]', 2)} AS rating
+FROM item_dom, folded
+"""
+
+
 def q_streaming_quality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming model-quality monitor (streaming/quality_stream.py): the
     frozen hashed-weight model scores the event stream's props text as a
@@ -8510,6 +8604,91 @@ WITH comp AS (
 SELECT i.item, i.n_comparisons, i.wins,
        {qround_sql('s3.strength', 6)} AS strength
 FROM items i JOIN s3 USING (item)
+"""
+
+
+def q_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-bias audit for pairwise-preference data
+    (operators/preference.py:position_bias_audit): per presentation
+    position, observed vs Bradley-Terry-expected win rate with a
+    binomial z. Judge is PLANTED biased — picks position 1 on
+    event_id % 3 < 2 (2/3) regardless of who is shown, while the item
+    assignment is position-symmetric, so expected ~= 0.5 and z >> 0.
+    ONE data-sized audit pass (two broadcast strength joins folding into
+    a 4-number aggregate) on top of the 3-round MM fit; oracle reuses
+    the bradley_terry CTE prefix."""
+    from etdtransform_spark.operators.preference import position_bias_audit
+
+    ev = _t(spark, sf_dir, "events")
+    first = F.pmod(F.col("event_id"), F.lit(5))
+    second = F.pmod(F.expr("event_id div 7"), F.lit(5))
+    comp = ev.select(
+        first.alias("shown_first"),
+        second.alias("shown_second"),
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) < 2, first)
+        .otherwise(second)
+        .alias("win_item"),
+    )
+    return position_bias_audit(
+        comp, "shown_first", "shown_second", "win_item", iterations=3
+    )
+
+
+_SQL_POSITION_BIAS = f"""
+WITH base AS (
+  SELECT event_id % 5 AS f, (event_id // 7) % 5 AS s,
+         CASE WHEN event_id % 3 < 2 THEN event_id % 5
+              ELSE (event_id // 7) % 5 END AS w
+  FROM {_EV}
+  WHERE event_id % 5 <> (event_id // 7) % 5
+), pairs AS (
+  SELECT least(w, f + s - w) AS ia, greatest(w, f + s - w) AS ib,
+         count(*)::BIGINT AS n_total,
+         count(CASE WHEN w = least(w, f + s - w) THEN 1 END)::BIGINT AS wins_a
+  FROM base GROUP BY 1, 2
+), items AS (
+  SELECT item, sum(n)::BIGINT AS n_comparisons, sum(wn)::BIGINT AS wins
+  FROM (
+    SELECT ia AS item, n_total AS n, wins_a AS wn FROM pairs
+    UNION ALL
+    SELECT ib AS item, n_total AS n, n_total - wins_a AS wn FROM pairs
+  ) GROUP BY item
+), s0 AS (SELECT item, 1.0::DOUBLE AS strength FROM items),
+{_bt_round_sql('s0', 's1')},
+{_bt_round_sql('s1', 's2')},
+{_bt_round_sql('s2', 's3')},
+joined AS (
+  SELECT b.w, b.f, sa.strength AS sf, sb.strength AS ss
+  FROM base b JOIN s3 sa ON sa.item = b.f JOIN s3 sb ON sb.item = b.s
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         count(CASE WHEN w = f THEN 1 END)::BIGINT AS w1,
+         sum(CASE WHEN sf + ss > 0 THEN sf / (sf + ss) ELSE 0.5 END) AS e1,
+         sum(CASE WHEN sf + ss > 0
+                  THEN (sf / (sf + ss)) * (1.0 - sf / (sf + ss))
+                  ELSE 0.25 END) AS v
+  FROM joined
+)
+SELECT 1::BIGINT AS position, n, w1 AS wins,
+       {qround_sql('CASE WHEN n > 0 THEN w1::DOUBLE / n END', 6)} AS win_rate,
+       {qround_sql('CASE WHEN n > 0 THEN e1 / n END', 6)} AS expected_rate,
+       {qround_sql(
+           'CASE WHEN v > 0 THEN (w1::DOUBLE - e1) / sqrt(v) END', 6
+       )} AS z
+FROM agg
+UNION ALL
+SELECT 2::BIGINT AS position, n, (n - w1)::BIGINT AS wins,
+       {qround_sql(
+           'CASE WHEN n > 0 THEN (n::DOUBLE - w1::DOUBLE) / n::DOUBLE END', 6
+       )} AS win_rate,
+       {qround_sql(
+           'CASE WHEN n > 0 THEN (n::DOUBLE - e1) / n::DOUBLE END', 6
+       )} AS expected_rate,
+       {qround_sql(
+           'CASE WHEN v > 0 THEN '
+           '((n::DOUBLE - w1::DOUBLE) - (n::DOUBLE - e1)) / sqrt(v) END', 6
+       )} AS z
+FROM agg
 """
 
 
@@ -8908,7 +9087,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report_multi": q_classification_report_multi,
         "classification_summary_multi": q_classification_summary_multi,
         "streaming_quality_daily": q_streaming_quality_daily,
+        "streaming_elo": q_streaming_elo,
         "bradley_terry": q_bradley_terry,
+        "position_bias": q_position_bias,
         "krippendorff_alpha": q_krippendorff_alpha,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
@@ -8997,7 +9178,9 @@ def oracle_sql() -> dict[str, str]:
         "classification_report_multi": _SQL_CLASSIFICATION_REPORT_MULTI,
         "classification_summary_multi": _SQL_CLASSIFICATION_SUMMARY_MULTI,
         "streaming_quality_daily": _SQL_STREAMING_QUALITY,
+        "streaming_elo": _SQL_STREAMING_ELO,
         "bradley_terry": _SQL_BRADLEY_TERRY,
+        "position_bias": _SQL_POSITION_BIAS,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

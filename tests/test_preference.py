@@ -79,3 +79,109 @@ def test_pair_counts(spark):
     out = {(r.item_a, r.item_b): (r.n_total, r.wins_a)
            for r in pair_counts(df).collect()}
     assert out == {("x", "y"): (3, 2), ("x", "z"): (1, 0)}
+
+
+def _py_position_bias(rows, strengths):
+    """Independent reimplementation: rows = (first, second, winner)."""
+    import math
+
+    n = w1 = e1 = v = 0.0
+    for f, s, w in rows:
+        if f is None or s is None or w is None or f == s or w not in (f, s):
+            continue
+        if f not in strengths or s not in strengths:
+            continue
+        tot = strengths[f] + strengths[s]
+        p = strengths[f] / tot if tot > 0 else 0.5
+        n += 1
+        w1 += 1 if w == f else 0
+        e1 += p
+        v += p * (1 - p)
+    z1 = (w1 - e1) / math.sqrt(v) if v > 0 else None
+    return n, w1, e1, v, z1
+
+
+def test_position_bias_planted_biased_judge(spark):
+    from etdtransform_spark.operators.preference import position_bias_audit
+
+    # 3 items of EQUAL true strength, judge picks position 1 in 75% of
+    # votes regardless of who is shown: expected ~0.5, observed 0.75
+    items = ["A", "B", "C"]
+    rows = []
+    k = 0
+    for rep in range(40):
+        for i in range(3):
+            for j in range(3):
+                if i == j:
+                    continue
+                f, s = items[i], items[j]
+                rows.append((f, s, f if k % 4 != 0 else s))
+                k += 1
+    df = spark.createDataFrame(rows, "first string, second string, winner string")
+    out = {r.position: r for r in position_bias_audit(df, iterations=15).collect()}
+    assert out[1].n == out[2].n == len(rows)
+    assert out[1].wins + out[2].wins == len(rows)
+    assert out[1].win_rate == pytest.approx(0.75)
+    # symmetric presentation -> fitted strengths near-equal -> expected ~.5
+    assert out[1].expected_rate == pytest.approx(0.5, abs=0.02)
+    assert out[1].z > 5  # planted bias detected decisively
+    assert out[2].z == pytest.approx(-out[1].z, abs=1e-6)
+
+    # pin against the independent reimplementation using the SAME fitted
+    # strengths the operator fits
+    comp = [(w, s if w == f else f) for f, s, w in rows]
+    fitted = _py_bt(comp, 15)
+    n, w1, e1, v, z1 = _py_position_bias(rows, fitted)
+    assert out[1].wins == w1
+    assert out[1].expected_rate == pytest.approx(e1 / n, abs=1e-5)
+    assert out[1].z == pytest.approx(z1, abs=1e-3)
+
+
+def test_position_bias_unbiased_judge(spark):
+    from etdtransform_spark.operators.preference import position_bias_audit
+
+    # strength-driven outcomes, alternating presentation order: no bias
+    rows = []
+    for rep in range(30):
+        for f, s in [("A", "B"), ("B", "A")]:
+            # A beats B 3 of 4 regardless of position
+            rows.append((f, s, "A" if rep % 4 != 0 else "B"))
+    df = spark.createDataFrame(rows, "first string, second string, winner string")
+    out = {r.position: r for r in position_bias_audit(df, iterations=20).collect()}
+    assert abs(out[1].z) < 1.5
+    assert out[1].win_rate == pytest.approx(0.5)
+
+
+def test_position_bias_supplied_strengths_and_exclusions(spark):
+    from etdtransform_spark.operators.preference import position_bias_audit
+
+    rows = [
+        ("A", "B", "A"), ("B", "A", "A"),
+        ("A", "C", "A"),              # C absent from strengths -> excluded
+        ("A", "A", "A"),              # self -> excluded
+        ("A", "B", "C"),              # winner not a side -> excluded
+        (None, "B", "B"),             # NULL -> excluded
+    ]
+    df = spark.createDataFrame(rows, "first string, second string, winner string")
+    st = spark.createDataFrame([("A", 1.5), ("B", 0.5)], "item string, strength double")
+    out = {r.position: r for r in position_bias_audit(df, strengths=st).collect()}
+    assert out[1].n == 2 and out[1].wins == 1
+    # p(first wins) = 1.5/2 = .75 then .25 -> e1 = 1.0, v = 2*.1875 = .375
+    assert out[1].expected_rate == pytest.approx(0.5)
+    assert out[1].z == pytest.approx(0.0, abs=1e-9)
+
+
+def test_position_bias_zero_strength_pair_and_empty(spark):
+    from etdtransform_spark.operators.preference import position_bias_audit
+
+    df = spark.createDataFrame(
+        [("A", "B", "A")], "first string, second string, winner string"
+    )
+    st = spark.createDataFrame([("A", 0.0), ("B", 0.0)], "item string, strength double")
+    out = {r.position: r for r in position_bias_audit(df, strengths=st).collect()}
+    # both at the MLE boundary -> uninformative p = .5
+    assert out[1].expected_rate == pytest.approx(0.5)
+
+    empty = spark.createDataFrame([], "first string, second string, winner string")
+    out = {r.position: r for r in position_bias_audit(empty, strengths=st).collect()}
+    assert out[1].n == 0 and out[1].win_rate is None and out[1].z is None
