@@ -8692,6 +8692,113 @@ FROM agg
 """
 
 
+def q_transitivity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-cycle audit (operators/preference.py:
+    transitivity_violations): majority direction per pair, directed
+    3-cycle rate over complete untied triples. Data-sized work = the ONE
+    pair aggregate; the triple join runs on the item-domain-bounded
+    direction table (7 items here)."""
+    from etdtransform_spark.operators.preference import (
+        transitivity_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(7))
+    b = F.pmod(F.expr("event_id div 11"), F.lit(7))
+    win = F.when(F.pmod(F.col("event_id"), F.lit(16)) < 9, a).otherwise(b)
+    comp = ev.select(
+        win.alias("winner"), (a + b - win).alias("loser")
+    ).filter(a != b)
+    return transitivity_violations(comp)
+
+
+_SQL_TRANSITIVITY = f"""
+WITH comp AS (
+  SELECT CASE WHEN event_id % 16 < 9 THEN event_id % 7
+              ELSE (event_id // 11) % 7 END AS w,
+         (event_id % 7) + ((event_id // 11) % 7)
+           - CASE WHEN event_id % 16 < 9 THEN event_id % 7
+                  ELSE (event_id // 11) % 7 END AS l
+  FROM {_EV}
+  WHERE event_id % 7 <> (event_id // 11) % 7
+), pairs AS (
+  SELECT least(w, l) AS ia, greatest(w, l) AS ib,
+         count(*)::BIGINT AS n_total,
+         count(CASE WHEN w = least(w, l) THEN 1 END)::BIGINT AS wins_a
+  FROM comp GROUP BY 1, 2
+), edges AS (
+  SELECT ia, ib, CASE WHEN wins_a * 2 > n_total THEN 1
+                      WHEN wins_a * 2 < n_total THEN 0 END AS d
+  FROM pairs
+), e AS (SELECT * FROM edges WHERE d IS NOT NULL),
+tri AS (
+  SELECT e1.d AS d1, e2.d AS d2, e3.d AS d3
+  FROM e e1
+  JOIN e e2 ON e2.ia = e1.ib
+  JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib
+), agg AS (
+  SELECT count(*)::BIGINT AS n_triples,
+         count(CASE WHEN (d1 = 1 AND d2 = 1 AND d3 = 0)
+                      OR (d1 = 0 AND d2 = 0 AND d3 = 1)
+                    THEN 1 END)::BIGINT AS n_cyclic
+  FROM tri
+)
+SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_pairs,
+       (SELECT count(*) FROM edges WHERE d IS NULL)::BIGINT AS n_tied_pairs,
+       n_triples, n_cyclic,
+       {qround_sql(
+           'CASE WHEN n_triples > 0 THEN n_cyclic::DOUBLE / n_triples END', 6
+       )} AS violation_rate
+FROM agg
+"""
+
+
+def q_annotator_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-annotator leniency vs leave-one-out consensus
+    (operators/evaluation.py:annotator_bias): annotator user_id % 5,
+    item event_id % 499, label = parity signal with annotator 0 PLANTED
+    lenient (always 1) — its bias/z must surface positive. One item
+    rollup + one item-keyed join + one annotator-domain aggregate."""
+    from etdtransform_spark.operators.evaluation import annotator_bias
+
+    ev = _t(spark, sf_dir, "events")
+    an = F.pmod(F.col("user_id"), F.lit(5))
+    item = F.pmod(F.col("event_id"), F.lit(499))
+    y = F.when(an == 0, F.lit(1)).otherwise(
+        (F.pmod(F.col("event_id"), F.lit(3)) == 0).cast("int")
+    )
+    rated = ev.select(
+        an.alias("annotator_id"), item.alias("item_id"), y.alias("label")
+    )
+    return annotator_bias(rated, "annotator_id", "item_id", "label")
+
+
+_SQL_ANNOTATOR_BIAS = f"""
+WITH base AS (
+  SELECT user_id % 5 AS an, event_id % 499 AS it,
+         (CASE WHEN user_id % 5 = 0 THEN 1
+               ELSE (event_id % 3 = 0)::INT END)::DOUBLE AS y
+  FROM {_EV}
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+), stats AS (
+  SELECT it, sum(y) AS sy, count(*) AS cy FROM base GROUP BY it
+), rated AS (
+  SELECT an, y, (sy - y) / (cy - 1)::DOUBLE AS p
+  FROM base JOIN stats USING (it) WHERE cy >= 2
+), per AS (
+  SELECT an AS annotator, count(*)::BIGINT AS n, avg(y) AS own,
+         avg(p) AS cons, sum(y - p) AS bsum, sum(p * (1.0 - p)) AS v
+  FROM rated GROUP BY an
+)
+SELECT annotator, n,
+       {qround_sql('own', 6)} AS pos_rate,
+       {qround_sql('cons', 6)} AS consensus_rate,
+       {qround_sql('own - cons', 6)} AS bias,
+       {qround_sql('CASE WHEN v > 0 THEN bsum / sqrt(v) END', 6)} AS z
+FROM per
+"""
+
+
 def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-corrected AUC via the rank statistic
     (operators/evaluation.py:auc_roc) — rides the SAME distinct-value
@@ -9090,6 +9197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_elo": q_streaming_elo,
         "bradley_terry": q_bradley_terry,
         "position_bias": q_position_bias,
+        "transitivity_violations": q_transitivity_violations,
+        "annotator_bias": q_annotator_bias,
         "krippendorff_alpha": q_krippendorff_alpha,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
@@ -9181,6 +9290,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_elo": _SQL_STREAMING_ELO,
         "bradley_terry": _SQL_BRADLEY_TERRY,
         "position_bias": _SQL_POSITION_BIAS,
+        "transitivity_violations": _SQL_TRANSITIVITY,
+        "annotator_bias": _SQL_ANNOTATOR_BIAS,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -459,3 +459,64 @@ def classification_summary_multi(
         ),
         qround(F.when(n > 0, F.col("_wf") / n), digits).alias("weighted_f1"),
     )
+
+
+def annotator_bias(
+    df: DataFrame,
+    annotator_col: str,
+    item_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-annotator leniency/severity audit against a leave-one-out
+    consensus: for each rating, the consensus is the mean of the OTHER
+    annotators' labels on the same item; an annotator's bias is their
+    mean label minus their mean consensus, with a binomial z
+    (z = Σ(y − p) / sqrt(Σ p(1−p)), p = the rating's LOO consensus) —
+    the per-annotator drill-down that :func:`cohens_kappa` /
+    :func:`krippendorff_alpha` aggregate away.
+
+    ``label_col`` is boolean or 0/1 numeric (the binomial variance model
+    assumes it). Complete-case on all three columns; ratings on items
+    with fewer than 2 ratings have no one to disagree with and are
+    excluded (same treatment as krippendorff_alpha's single-rating
+    items). Returns one row per annotator:
+    (annotator, n, pos_rate, consensus_rate, bias, z); z is NULL when
+    the variance is 0 (every consensus unanimous) or n = 0.
+
+    Plan shape: one (item) rollup aggregate + one item-keyed join of the
+    ratings against it — two data-sized passes over the ratings table,
+    both map-side-combinable/shuffled by item, then an annotator-domain
+    aggregate. No per-annotator loops, no crossJoin of raters.
+    """
+    a = F.col(annotator_col)
+    u = F.col(item_col)
+    y = F.col(label_col).cast("double")
+    base = df.filter(a.isNotNull() & u.isNotNull() & y.isNotNull()).select(
+        a.alias("_an"), u.alias("_it"), y.alias("_y")
+    )
+    item_stats = base.groupBy("_it").agg(
+        F.sum("_y").alias("_sy"), F.count(F.lit(1)).alias("_cy")
+    )
+    rated = base.join(item_stats, "_it").filter(F.col("_cy") >= 2)
+    p = (F.col("_sy") - F.col("_y")) / (F.col("_cy") - F.lit(1)).cast(
+        "double"
+    )
+    per = rated.groupBy(F.col("_an").alias("annotator")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("_y").alias("_own"),
+        F.avg(p).alias("_cons"),
+        F.sum(F.col("_y") - p).alias("_bsum"),
+        F.sum(p * (F.lit(1.0) - p)).alias("_v"),
+    )
+    return per.select(
+        "annotator",
+        "n",
+        qround(F.col("_own"), digits).alias("pos_rate"),
+        qround(F.col("_cons"), digits).alias("consensus_rate"),
+        qround(F.col("_own") - F.col("_cons"), digits).alias("bias"),
+        qround(
+            F.when(F.col("_v") > 0, F.col("_bsum") / F.sqrt(F.col("_v"))),
+            digits,
+        ).alias("z"),
+    )

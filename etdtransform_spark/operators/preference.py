@@ -266,3 +266,95 @@ def position_bias_audit(
         ).alias("z"),
     )
     return pos1.unionByName(pos2)
+
+
+def transitivity_violations(
+    df: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    digits: int = 6,
+) -> DataFrame:
+    """One-row audit of preference-cycle rate: among item triples where
+    all three pairs have an untied MAJORITY direction, the fraction that
+    form a cycle (a ≻ b ≻ c ≻ a) — the standard consistency check on
+    pairwise-judgment data before fitting any ranking model (a high rate
+    means the comparisons don't admit a total order and Bradley-Terry
+    strengths will wash out real signal).
+
+    Majority direction per pair = strictly more wins (ties carry no
+    direction and exclude every triple containing that pair — reported
+    as ``n_tied_pairs``). A 3-node tournament is cyclic iff every node
+    has out-degree 1, i.e. the (a<b<c)-ordered direction flags read
+    (a→b, b→c, c→a) or (b→a, c→b, a→c).
+
+    Returns (n_pairs, n_tied_pairs, n_triples, n_cyclic, violation_rate)
+    with NULL rate when no complete triple exists.
+
+    Scale shape: the data-sized work is the ONE pair_counts aggregate;
+    the direction table is item-domain²-bounded and the triple
+    enumeration is a self-join chain on it (sum-of-squared-degrees
+    work) — a dictionary-scale audit by construction, like the other
+    tournament statistics. Not intended for item domains where |items|³
+    is itself data-sized; sample items first in that regime.
+    """
+    pairs = pair_counts(df, winner_col, loser_col)
+    # direction: 1 = item_a beats item_b on majority, 0 = loses; ties drop
+    edges = pairs.select(
+        "item_a",
+        "item_b",
+        F.when(F.col("wins_a") * 2 > F.col("n_total"), 1)
+        .when(F.col("wins_a") * 2 < F.col("n_total"), 0)
+        .alias("_d"),
+    )
+    tied = edges.filter(F.col("_d").isNull())
+    e = edges.filter(F.col("_d").isNotNull())
+    e1 = e.select(
+        F.col("item_a").alias("_ta"),
+        F.col("item_b").alias("_tb"),
+        F.col("_d").alias("_d1"),
+    )
+    e2 = e.select(
+        F.col("item_a").alias("_tb2"),
+        F.col("item_b").alias("_tc"),
+        F.col("_d").alias("_d2"),
+    )
+    e3 = e.select(
+        F.col("item_a").alias("_ta3"),
+        F.col("item_b").alias("_tc3"),
+        F.col("_d").alias("_d3"),
+    )
+    triples = (
+        e1.join(e2, F.col("_tb") == F.col("_tb2"))
+        .join(
+            e3,
+            (F.col("_ta") == F.col("_ta3")) & (F.col("_tc") == F.col("_tc3")),
+        )
+    )
+    cyc = (
+        (F.col("_d1") == 1) & (F.col("_d2") == 1) & (F.col("_d3") == 0)
+    ) | ((F.col("_d1") == 0) & (F.col("_d2") == 0) & (F.col("_d3") == 1))
+    agg = triples.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+        F.count(F.when(cyc, 1)).cast("bigint").alias("n_cyclic"),
+    )
+    counts = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).crossJoin(
+        F.broadcast(
+            tied.agg(F.count(F.lit(1)).cast("bigint").alias("n_tied_pairs"))
+        )
+    )
+    out = counts.crossJoin(F.broadcast(agg))  # three 1-row frames
+    return out.select(
+        "n_pairs",
+        "n_tied_pairs",
+        "n_triples",
+        "n_cyclic",
+        qround(
+            F.when(
+                F.col("n_triples") > 0,
+                F.col("n_cyclic").cast("double") / F.col("n_triples"),
+            ),
+            digits,
+        ).alias("violation_rate"),
+    )

@@ -55,14 +55,22 @@ def main() -> None:
 
     spark = get_spark()
     qs = entry.queries()
+    # session warmup: JVM/codegen/scan setup must not be billed to the
+    # first query's small-sf reading (it deflates that exponent)
+    for d in (SMALL, BIG):
+        spark.read.parquet(f"{d}/events.parquet").count()
     results = {}
     for name in QUERIES:
         fn = qs[name]
         times = {}
         for label, sf_dir in (("small", SMALL), ("big", BIG)):
-            t0 = time.monotonic()
-            n = fn(spark, sf_dir).count()
-            times[label] = (time.monotonic() - t0, n)
+            best, n = None, 0
+            for _ in range(2):  # best-of-2: hypervisor-steal compensation
+                t0 = time.monotonic()
+                n = fn(spark, sf_dir).count()
+                el = time.monotonic() - t0
+                best = el if best is None else min(best, el)
+            times[label] = (best, n)
         t_s, n_s = times["small"]
         t_b, n_b = times["big"]
         exp = math.log(t_b / t_s) / math.log(RATIO)

@@ -368,3 +368,78 @@ def test_classification_report_multi_vs_sklearn_style(spark):
             assert got[c].recall is None
         else:
             assert got[c].recall == pytest.approx(want_r, abs=1e-6)
+
+
+def test_annotator_bias_planted_lenient(spark):
+    from etdtransform_spark.operators.evaluation import annotator_bias
+
+    # 3 mostly-honest annotators label item parity (a3 flips every 5th
+    # item so the LOO consensus is not degenerate); annotator L says 1
+    # always — the planted lenient rater
+    rows = []
+    for item in range(30):
+        truth = item % 2
+        rows.append(("a1", item, truth))
+        rows.append(("a2", item, truth))
+        rows.append(("a3", item, 1 - truth if item % 5 == 0 else truth))
+        rows.append(("L", item, 1))
+    df = spark.createDataFrame(rows, "an string, item int, y int")
+    out = {r.annotator: r for r in annotator_bias(df, "an", "item", "y").collect()}
+    assert out["L"].pos_rate == 1.0
+    assert out["L"].bias > 0.4 and out["L"].z > 5
+    for an in ("a1", "a2"):
+        assert out[an].bias < 0 and out[an].z < 0
+
+
+def test_annotator_bias_matches_reimplementation(spark):
+    from etdtransform_spark.operators.evaluation import annotator_bias
+
+    rows, state = [], 7
+    for item in range(40):
+        for an in range(4):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            rows.append((f"a{an}", item, (state >> 5) % 2))
+    df = spark.createDataFrame(rows, "an string, item int, y int")
+    got = {r.annotator: r for r in annotator_bias(df, "an", "item", "y").collect()}
+    # independent python twin
+    import math
+    from collections import defaultdict
+
+    sy, cy = defaultdict(float), defaultdict(int)
+    for an, it, y in rows:
+        sy[it] += y
+        cy[it] += 1
+    acc = defaultdict(lambda: [0, 0.0, 0.0, 0.0, 0.0])  # n, own, cons, bsum, v
+    for an, it, y in rows:
+        if cy[it] < 2:
+            continue
+        p = (sy[it] - y) / (cy[it] - 1)
+        a = acc[an]
+        a[0] += 1
+        a[1] += y
+        a[2] += p
+        a[3] += y - p
+        a[4] += p * (1 - p)
+    for an, (n, own, cons, bsum, v) in acc.items():
+        assert got[an].n == n
+        assert got[an].pos_rate == pytest.approx(own / n, abs=1e-6)
+        assert got[an].consensus_rate == pytest.approx(cons / n, abs=1e-6)
+        want_z = bsum / math.sqrt(v) if v > 0 else None
+        if want_z is None:
+            assert got[an].z is None
+        else:
+            assert got[an].z == pytest.approx(want_z, abs=1e-5)
+
+
+def test_annotator_bias_single_rating_items_excluded(spark):
+    from etdtransform_spark.operators.evaluation import annotator_bias
+
+    rows = [("a", 1, 1), ("b", 1, 0), ("a", 2, 1)]  # item 2 singly rated
+    df = spark.createDataFrame(rows, "an string, item int, y int")
+    out = {r.annotator: r for r in annotator_bias(df, "an", "item", "y").collect()}
+    assert out["a"].n == 1 and out["b"].n == 1
+    # a's only kept rating: y=1, consensus=0 -> bias 1, but v=0 -> z NULL
+    assert out["a"].bias == pytest.approx(1.0) and out["a"].z is None
+
+    empty = spark.createDataFrame([], "an string, item int, y int")
+    assert annotator_bias(empty, "an", "item", "y").count() == 0

@@ -185,3 +185,89 @@ def test_position_bias_zero_strength_pair_and_empty(spark):
     empty = spark.createDataFrame([], "first string, second string, winner string")
     out = {r.position: r for r in position_bias_audit(empty, strengths=st).collect()}
     assert out[1].n == 0 and out[1].win_rate is None and out[1].z is None
+
+
+def test_transitivity_violations_planted_cycle(spark):
+    from etdtransform_spark.operators.preference import (
+        transitivity_violations,
+    )
+
+    # majority cycle A>B, B>C, C>A plus a transitive triple A>B, B>D, A>D
+    rows = (
+        [("A", "B")] * 3 + [("B", "A")]        # A>B majority
+        + [("B", "C")] * 3                     # B>C
+        + [("C", "A")] * 2                     # C>A  -> cycle ABC
+        + [("B", "D")] * 2 + [("A", "D")] * 2  # transitive ABD
+        + [("C", "D"), ("D", "C")]             # tied pair: kills triples with CD
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    r = transitivity_violations(df).collect()[0]
+    assert r.n_pairs == 6 and r.n_tied_pairs == 1
+    # complete untied triples: ABC (cyclic), ABD (transitive); ACD/BCD
+    # contain the tied CD pair
+    assert r.n_triples == 2 and r.n_cyclic == 1
+    assert r.violation_rate == pytest.approx(0.5)
+
+
+def test_transitivity_violations_fully_transitive_and_empty(spark):
+    from etdtransform_spark.operators.preference import (
+        transitivity_violations,
+    )
+
+    rows = [("A", "B")] * 2 + [("B", "C")] * 2 + [("A", "C")] * 2
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    r = transitivity_violations(df).collect()[0]
+    assert (r.n_triples, r.n_cyclic) == (1, 0) and r.violation_rate == 0.0
+
+    empty = spark.createDataFrame([], "winner string, loser string")
+    r = transitivity_violations(empty).collect()[0]
+    assert r.n_pairs == 0 and r.n_triples == 0 and r.violation_rate is None
+
+
+def test_transitivity_violations_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from etdtransform_spark.operators.preference import (
+        transitivity_violations,
+    )
+
+    # deterministic pseudo-random tournament over 6 items
+    items = list("ABCDEF")
+    rows, state = [], 99
+    for _ in range(300):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        i, j = state % 6, (state >> 7) % 6
+        if i == j:
+            continue
+        state2 = (state >> 3) % 3
+        w, l = (i, j) if state2 else (j, i)
+        rows.append((items[w], items[l]))
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    r = transitivity_violations(df).collect()[0]
+    # brute force
+    from collections import Counter
+
+    cnt = Counter()
+    for w, l in rows:
+        cnt[(min(w, l), max(w, l), w == min(w, l))] += 1
+    direction = {}
+    tied = 0
+    pairs = {(a, b) for a, b, _ in cnt}
+    for a, b in pairs:
+        wa, wb = cnt[(a, b, True)], cnt[(a, b, False)]
+        if wa > wb:
+            direction[(a, b)] = 1
+        elif wb > wa:
+            direction[(a, b)] = 0
+        else:
+            tied += 1
+    n_tri = n_cyc = 0
+    for a, b, c in combinations(sorted(items), 3):
+        if ((a, b) in direction and (b, c) in direction
+                and (a, c) in direction):
+            n_tri += 1
+            d1, d2, d3 = direction[(a, b)], direction[(b, c)], direction[(a, c)]
+            if (d1, d2, d3) in ((1, 1, 0), (0, 0, 1)):
+                n_cyc += 1
+    assert r.n_pairs == len(pairs) and r.n_tied_pairs == tied
+    assert (r.n_triples, r.n_cyclic) == (n_tri, n_cyc)
