@@ -3585,6 +3585,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, k=8, iters=5, threshold=0.4)
 
 
+def q_semantic_dedup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with SAMPLED centroid fitting
+    (operators/similarity.py:semantic_dedup fit_sample_mod) — the 100 TB
+    recipe measured in PLANS.md "Scale-stress r8": k scaled up so
+    clusters stay small (cheap pair join) while Lloyd runs on the
+    deterministic ~1/10 arithmetic sample unioned with the k lowest ids;
+    the final assignment and the pair join still cover every vector.
+    Oracle = the same sampled-Lloyd unroll (fitids/edf CTEs)."""
+    from etdtransform_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=16, iters=5, threshold=0.4, fit_sample_mod=10
+    )
+
+
 def q_validate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based twin of the reference's per-household loop
     validate_household_column (impute.py:262-326, unused there): one
@@ -6540,16 +6556,23 @@ FROM docw JOIN wtok USING (w) GROUP BY doc_id""")
     return "".join(parts)
 
 
-def _sql_kmeans_prefix() -> str:
+def _sql_kmeans_prefix(k: int = 8, iters: int = 5,
+                       fit_mod: int | None = None) -> str:
     """Shared DuckDB replica of the Lloyd loop in
-    operators/similarity.py:_kmeans_fit/_kmeans_assign (k=8, iters=5),
-    unrolled over exploded (vec_id, dim, x) rows: init = the 8 lowest
-    vec_ids (cluster_id = rank-1), assignment = argmin of squared L2 with
+    operators/similarity.py:_kmeans_fit/_kmeans_assign, unrolled over
+    exploded (vec_id, dim, x) rows: init = the k lowest vec_ids
+    (cluster_id = rank-1), assignment = argmin of squared L2 with
     lowest-cluster tie-break (row_number over (d2, cluster_id) ==
     array_position-of-min), empty clusters keep their previous centroid
-    (LEFT JOIN + coalesce).  Ends with CTE ``a6`` = the final
-    (vec_id, cluster_id) assignment."""
-    iters = 5
+    (LEFT JOIN + coalesce).  Ends with CTE ``a{iters+1}`` = the final
+    (vec_id, cluster_id) assignment.
+
+    ``fit_mod``: mirror of semantic_dedup's fit_sample_mod — the Lloyd
+    ITERATIONS (assignment + centroid averages) run only on the
+    deterministic arithmetic sample unioned with the k lowest ids
+    (``edf``); the FINAL assignment still covers every vector. With
+    fit_mod=None, edf = ed and the SQL is the historical full-fit
+    replica."""
     parts = [f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {_EMB}
@@ -6559,14 +6582,25 @@ WITH emb AS (
         FROM emb)
 ), c0 AS (
   SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster_id, vec_id
-  FROM emb ORDER BY vec_id LIMIT 8
+  FROM emb ORDER BY vec_id LIMIT {k}
 ), cd0 AS (
   SELECT c0.cluster_id, ed.dim, ed.x AS cx FROM c0 JOIN ed USING (vec_id)
 )"""]
+    if fit_mod:
+        parts.append(f""", fitids AS (
+  SELECT vec_id FROM emb
+  WHERE ((vec_id % 100003) * 2654435761) % {fit_mod} = 0
+  UNION
+  SELECT vec_id FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k})
+), edf AS (SELECT ed.* FROM ed JOIN fitids USING (vec_id))""")
+    else:
+        parts.append(", edf AS (SELECT * FROM ed)")
     for i in range(1, iters + 2):
+        src_tbl = "ed" if i == iters + 1 else "edf"
         parts.append(f""", d{i} AS MATERIALIZED (
-  SELECT ed.vec_id, cd.cluster_id, sum((ed.x - cd.cx) * (ed.x - cd.cx)) AS d2
-  FROM ed JOIN cd{i - 1} cd USING (dim) GROUP BY 1, 2
+  SELECT {src_tbl}.vec_id, cd.cluster_id,
+         sum(({src_tbl}.x - cd.cx) * ({src_tbl}.x - cd.cx)) AS d2
+  FROM {src_tbl} JOIN cd{i - 1} cd USING (dim) GROUP BY 1, 2
 ), a{i} AS MATERIALIZED (
   SELECT vec_id, cluster_id FROM (
     SELECT vec_id, cluster_id,
@@ -6577,8 +6611,8 @@ WITH emb AS (
             parts.append(f""", cd{i} AS MATERIALIZED (
   SELECT p.cluster_id, p.dim, coalesce(n.cx, p.cx) AS cx
   FROM cd{i - 1} p LEFT JOIN (
-    SELECT a.cluster_id, ed.dim, avg(ed.x) AS cx
-    FROM a{i} a JOIN ed USING (vec_id) GROUP BY 1, 2) n
+    SELECT a.cluster_id, edf.dim, avg(edf.x) AS cx
+    FROM a{i} a JOIN edf USING (vec_id) GROUP BY 1, 2) n
   USING (cluster_id, dim)
 )""")
     return "".join(parts)
@@ -6592,25 +6626,29 @@ def _sql_kmeans() -> str:
     )
 
 
-def _sql_semantic_dedup() -> str:
+def _sql_semantic_dedup(k: int = 8, iters: int = 5,
+                        fit_mod: int | None = None) -> str:
     """semantic_dedup oracle: within-cluster cosine pairs on the final
     assignment (list_dot_product ≡ the Spark zip_with fold's accumulation
     order), drop ids that have a >=-threshold neighbor with a lower id in
-    their cluster.  Output is (vec_id, cluster_id, keep) — float-free."""
+    their cluster.  Output is (vec_id, cluster_id, keep) — float-free.
+    Parametrized over the shared Lloyd prefix (k / iters / sampled fit)."""
     cos = (
         "list_dot_product(ea.v, eb.v)"
         " / (sqrt(list_dot_product(ea.v, ea.v))"
         " * sqrt(list_dot_product(eb.v, eb.v)))"
     )
-    return _sql_kmeans_prefix() + f""", pr AS MATERIALIZED (
+    fin = f"a{iters + 1}"
+    return _sql_kmeans_prefix(k, iters, fit_mod) + f""", pr AS MATERIALIZED (
   SELECT DISTINCT y.vec_id AS id_b
-  FROM a6 x JOIN a6 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  FROM {fin} x
+  JOIN {fin} y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
   JOIN emb ea ON ea.vec_id = x.vec_id
   JOIN emb eb ON eb.vec_id = y.vec_id
   WHERE floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
 )
 SELECT a.vec_id, a.cluster_id, pr.id_b IS NULL AS keep
-FROM a6 a LEFT JOIN pr ON pr.id_b = a.vec_id"""
+FROM {fin} a LEFT JOIN pr ON pr.id_b = a.vec_id"""
 
 
 def q_customer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9213,6 +9251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "kmeans_centroids": q_kmeans_centroids,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_sampled": q_semantic_dedup_sampled,
         "stratified_sample": q_stratified_sample,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -9448,6 +9487,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _sql_bpe(),
         "kmeans_centroids": _sql_kmeans(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "semantic_dedup_sampled": _sql_semantic_dedup(16, 5, 10),
         # round 3: previously unit-only operators promoted to contracts
         "salted_agg": _SQL_SALTED_AGG,
         "salted_join": _SQL_SALTED_JOIN,

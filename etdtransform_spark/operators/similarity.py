@@ -559,17 +559,39 @@ def _kmeans_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _kmeans_assign(base: DataFrame, cent_rows) -> DataFrame:
-    """Nearest-centroid assignment against a LITERAL centroid model: the
-    model is k x d doubles — small enough to inline as an array-of-arrays
-    literal, so assignment is a pure projection in whole-stage codegen:
+def _kmeans_assign(
+    base: DataFrame, cent_rows, model_via: str | None = None
+) -> DataFrame:
+    """Nearest-centroid assignment against the k x d centroid model:
     per row, distance to each centroid (zip_with fold) and argmin via
     array_position of the min (first occurrence = lowest cluster id, the
     same tie-break as min(struct(d2, cluster_id))). No per-iteration
-    groupBy-by-row-id, no join-back shuffle."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent_rows]
-    )
+    groupBy-by-row-id, no join-back shuffle.
+
+    Model delivery is size-dispatched: a small model inlines as an
+    array-of-arrays LITERAL (pure whole-stage-codegen projection); a
+    large one (k·d > 2048 doubles) rides a broadcast 1-row frame instead
+    — Catalyst spends seconds PER JOB code-generating a multi-thousand-
+    literal expression (measured: ~30 s of driver time across the Lloyd
+    jobs at k=80, d=64, invariant to fit-sample size; PLANS.md
+    "Scale-stress r8"), while the broadcast column is one constant in
+    the generated code. The arithmetic — zip_with fold, array_min,
+    array_position tie-break — is identical either way. ``model_via``
+    forces "literal" or "broadcast" (unit-test parity pin); None
+    dispatches on size."""
+    k_times_d = sum(len(c) for _cid, c in cent_rows)
+    if model_via == "broadcast" or (model_via is None and k_times_d > 2048):
+        spark = base.sparkSession
+        cent_df = spark.createDataFrame(
+            [([[float(x) for x in c] for _cid, c in cent_rows],)],
+            "_cents array<array<double>>",
+        )
+        cent_lit = F.col("_cents")
+        base = base.crossJoin(F.broadcast(cent_df))  # 1-row model frame
+    else:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent_rows]
+        )
     d2s = F.transform(
         cent_lit,
         lambda c: F.aggregate(
@@ -664,6 +686,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning —
     cluster the embedding corpus with k-means, then compare pairs ONLY
@@ -681,11 +704,42 @@ def semantic_dedup(
     (no shuffle); the pair join shuffles on cluster_id; AQE's skew-join
     splits a degenerate hot cluster.
 
+    ``fit_sample_mod``: cap the LLOYD cost at scale. Keeping clusters
+    constant-sized means k grows with n, and full-corpus Lloyd is
+    O(n·k·d) per iteration — measured at 10x sf it overtakes the pair
+    join (46 s fit vs 3.7 s pairs at k=80 on 20k vectors; PLANS.md
+    "Scale-stress r8"). With ``fit_sample_mod = m``, centroids are
+    fitted on the deterministic ~1/m subset
+    ((id % 100003) * 2654435761) % m == 0 — portable arithmetic, no
+    RNG, no hash function — ALWAYS unioned with the k lowest ids (so
+    the fit set is never empty and the seeding is identical to the
+    unsampled path); the FINAL assignment and the pair join still cover
+    the full corpus. Requires an integer ``id_col``. Sampled centroids
+    differ from full-fit centroids, but exact duplicates always share a
+    cluster under ANY centroid model, so the dedup guarantee that
+    matters is sample-invariant (pinned by unit test).
+
     Returns (``id_col``, cluster_id, keep) — discrete columns only, so
     the oracle compare is float-free.
     """
     base = _kmeans_base(corpus, id_col, vec_col).persist()
-    cent = _kmeans_fit(base, k, iters)
+    if fit_sample_mod is not None and fit_sample_mod > 1:
+        low_ids = [
+            r["_vid"]
+            for r in base.orderBy("_vid").limit(k).select("_vid").collect()
+        ]
+        pred = (
+            F.pmod(
+                F.pmod(F.col("_vid"), F.lit(100003)) * F.lit(2654435761),
+                F.lit(int(fit_sample_mod)),
+            )
+            == 0
+        )
+        fit_base = base.filter(pred | F.col("_vid").isin(low_ids)).persist()
+        cent = _kmeans_fit(fit_base, k, iters)
+        fit_base.unpersist()
+    else:
+        cent = _kmeans_fit(base, k, iters)
     if not cent:
         base.unpersist()
         return corpus.sparkSession.createDataFrame(

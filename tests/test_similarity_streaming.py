@@ -422,3 +422,58 @@ def test_embedding_decontaminate_lsh_strategy(spark):
     assert out[10].contaminated
     # cosine(11, ev0) = -1: a bucketed join never even scores it
     assert out[11].top_cosine is None and not out[11].contaminated
+
+
+def test_kmeans_assign_broadcast_model_parity(spark):
+    """The broadcast-1-row-frame model path (k*d > 2048 dispatch) must be
+    bit-identical to the literal path — same zip_with fold, same argmin
+    tie-break."""
+    from etdtransform_spark.operators.similarity import (
+        _kmeans_assign,
+        _kmeans_base,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11 for j in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _kmeans_base(df, "vec_id", "embedding")
+    cent = [(c, [float((c + j) % 5) for j in range(16)]) for c in range(6)]
+    lit = {
+        r._vid: (r.cluster_id, r.d2)
+        for r in _kmeans_assign(base, cent, model_via="literal").collect()
+    }
+    bc = {
+        r._vid: (r.cluster_id, r.d2)
+        for r in _kmeans_assign(base, cent, model_via="broadcast").collect()
+    }
+    assert lit == bc  # bit-identical incl. float d2
+
+
+def test_semantic_dedup_sampled_fit_exact_dup_invariant(spark):
+    """Exact duplicates share a cluster under ANY centroid model, so the
+    sampled-fit path must flag them identically to the full fit; the
+    sampled keep-set stays deterministic across reruns."""
+    from etdtransform_spark.operators.similarity import semantic_dedup
+
+    # one period of the pattern grid: the 17 head vectors are pairwise
+    # below cosine 0.9990 (max cross cosine 0.99896), so at threshold
+    # 0.9995 the ONLY near-dups are the planted exact copies
+    rows = []
+    for i in range(17):
+        v = [float((i * 13 + j * 5) % 17) / 17 for j in range(8)]
+        rows.append((i, v))
+        rows.append((i + 100, v))  # exact duplicate, higher id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {r.vec_id: r.keep for r in semantic_dedup(
+        df, k=4, iters=3, threshold=0.9995).collect()}
+    samp = {r.vec_id: r.keep for r in semantic_dedup(
+        df, k=4, iters=3, threshold=0.9995, fit_sample_mod=7).collect()}
+    samp2 = {r.vec_id: r.keep for r in semantic_dedup(
+        df, k=4, iters=3, threshold=0.9995, fit_sample_mod=7).collect()}
+    assert samp == samp2  # deterministic
+    for i in range(17):
+        # the exact duplicate (higher id) is dropped under BOTH fits
+        assert full[i + 100] is False and samp[i + 100] is False
+        assert full[i] is True and samp[i] is True
