@@ -8452,6 +8452,77 @@ FROM item_dom, folded
 """
 
 
+def q_streaming_position_bias_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming position-bias monitor
+    (streaming/preference_stream.py:streaming_position_bias): FROZEN
+    Bradley-Terry strengths score the judgment stream statelessly (a
+    literal map, like the quality monitor's weight map); one tumbling-day
+    window holds a single (n, wins, Σp, Σp(1−p)) row. Judge is the same
+    planted position-1-biased synthesis as position_bias, so every
+    window's z reads positive. Oracle = the equivalent batch SQL."""
+    import uuid
+
+    from etdtransform_spark.streaming.preference_stream import (
+        streaming_position_bias,
+    )
+
+    strengths = {0: 1.3, 1: 1.1, 2: 1.0, 3: 0.9, 4: 0.7}
+    stream = _stream_events(spark, sf_dir)
+    first = F.pmod(F.col("event_id"), F.lit(5))
+    second = F.pmod(F.expr("event_id div 7"), F.lit(5))
+    win = F.when(F.pmod(F.col("event_id"), F.lit(3)) < 2, first).otherwise(
+        second
+    )
+    comp = stream.select(
+        F.col("ts"),
+        first.alias("shown_first"),
+        second.alias("shown_second"),
+        win.alias("win_item"),
+    ).filter(first != second)
+    mon = streaming_position_bias(
+        comp, "shown_first", "shown_second", "win_item", "ts", strengths
+    )
+    name = f"stream_pbias_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "bucket_ts", "n", "wins", "win_rate", "expected_rate", "z"
+    )
+
+
+_SQL_STREAMING_POSITION_BIAS = f"""
+WITH comp AS (
+  SELECT ts, event_id % 5 AS f, (event_id // 7) % 5 AS s,
+         CASE WHEN event_id % 3 < 2 THEN event_id % 5
+              ELSE (event_id // 7) % 5 END AS w
+  FROM {_EV}
+  WHERE event_id % 5 <> (event_id // 7) % 5
+), scored AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+         (w = f)::INT::DOUBLE AS w1,
+         (CASE f WHEN 0 THEN 1.3 WHEN 1 THEN 1.1 WHEN 2 THEN 1.0 WHEN 3 THEN 0.9 WHEN 4 THEN 0.7 END)::DOUBLE / ((CASE f WHEN 0 THEN 1.3 WHEN 1 THEN 1.1 WHEN 2 THEN 1.0 WHEN 3 THEN 0.9 WHEN 4 THEN 0.7 END)::DOUBLE + (CASE s WHEN 0 THEN 1.3 WHEN 1 THEN 1.1 WHEN 2 THEN 1.0 WHEN 3 THEN 0.9 WHEN 4 THEN 0.7 END)::DOUBLE) AS p
+  FROM comp
+), agg AS (
+  SELECT bucket_ts, count(*)::BIGINT AS n, sum(w1) AS wins,
+         sum(p) AS e1, sum(p * (1.0 - p)) AS v
+  FROM scored GROUP BY bucket_ts
+)
+SELECT bucket_ts, n, wins::BIGINT AS wins,
+       {qround_sql('wins / n', 6)} AS win_rate,
+       {qround_sql('e1 / n', 6)} AS expected_rate,
+       {qround_sql('CASE WHEN v > 0 THEN (wins - e1) / sqrt(v) END', 6)} AS z
+FROM agg
+"""
+
+
 def q_streaming_quality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming model-quality monitor (streaming/quality_stream.py): the
     frozen hashed-weight model scores the event stream's props text as a
@@ -9233,6 +9304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_summary_multi": q_classification_summary_multi,
         "streaming_quality_daily": q_streaming_quality_daily,
         "streaming_elo": q_streaming_elo,
+        "streaming_position_bias_daily": q_streaming_position_bias_daily,
         "bradley_terry": q_bradley_terry,
         "position_bias": q_position_bias,
         "transitivity_violations": q_transitivity_violations,
@@ -9327,6 +9399,7 @@ def oracle_sql() -> dict[str, str]:
         "classification_summary_multi": _SQL_CLASSIFICATION_SUMMARY_MULTI,
         "streaming_quality_daily": _SQL_STREAMING_QUALITY,
         "streaming_elo": _SQL_STREAMING_ELO,
+        "streaming_position_bias_daily": _SQL_STREAMING_POSITION_BIAS,
         "bradley_terry": _SQL_BRADLEY_TERRY,
         "position_bias": _SQL_POSITION_BIAS,
         "transitivity_violations": _SQL_TRANSITIVITY,

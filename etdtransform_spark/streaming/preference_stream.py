@@ -149,3 +149,79 @@ def streaming_elo(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_position_bias(
+    stream_df: DataFrame,
+    first_col: str,
+    second_col: str,
+    winner_col: str,
+    ts_col: str,
+    strengths: dict,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    digits: int = 6,
+) -> DataFrame:
+    """Windowed position-bias monitor over a live judgment stream — the
+    streaming deployment of ``operators/preference.py:
+    position_bias_audit``: the strengths are FROZEN offline (a fitted
+    Bradley-Terry model, dictionary-sized, inlined as a literal map), so
+    per-comparison scoring is a STATELESS projection; the only stateful
+    operator is one watermarked tumbling window holding a single
+    (n, wins, Σp, Σp(1−p)) row per open window. A drifting judge (new
+    position bias after a prompt or model change) surfaces as the
+    window z moving away from 0.
+
+    Emits one row per window for POSITION 1 (position 2 is the exact
+    mirror): (bucket_ts, n, wins, win_rate, expected_rate, z). Same
+    evidence rules as the batch audit: NULL sides, self-pairs, winners
+    that are neither side, and items absent from the frozen model carry
+    nothing. Both strengths 0 → the uninformative p = 0.5.
+    """
+    from ..functions.scalars import qround
+
+    f, s, w = F.col(first_col), F.col(second_col), F.col(winner_col)
+    pairs = []
+    for kk in sorted(strengths):
+        pairs += [F.lit(kk), F.lit(float(strengths[kk]))]
+    smap = F.create_map(*pairs)
+    sf_, ss = smap.getItem(f), smap.getItem(s)
+    tot = sf_ + ss
+    p = F.when(tot > 0, sf_ / tot).otherwise(F.lit(0.5))
+    base = (
+        stream_df.filter(
+            f.isNotNull()
+            & s.isNotNull()
+            & w.isNotNull()
+            & (f != s)
+            & ((w == f) | (w == s))
+            & sf_.isNotNull()
+            & ss.isNotNull()
+        )
+        .select(
+            F.col(ts_col).alias("_ts"),
+            (w == f).cast("double").alias("_w1"),
+            p.alias("_p"),
+        )
+        .withWatermark("_ts", watermark)
+    )
+    agg = base.groupBy(F.window(F.col("_ts"), window).alias("_win")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_w1").alias("_wins"),
+        F.sum("_p").alias("_e1"),
+        F.sum(F.col("_p") * (F.lit(1.0) - F.col("_p"))).alias("_v"),
+    )
+    return agg.select(
+        F.col("_win.start").alias("bucket_ts"),
+        "n",
+        F.col("_wins").cast("bigint").alias("wins"),
+        qround(F.col("_wins") / F.col("n"), digits).alias("win_rate"),
+        qround(F.col("_e1") / F.col("n"), digits).alias("expected_rate"),
+        qround(
+            F.when(
+                F.col("_v") > 0,
+                (F.col("_wins") - F.col("_e1")) / F.sqrt(F.col("_v")),
+            ),
+            digits,
+        ).alias("z"),
+    )

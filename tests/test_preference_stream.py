@@ -11,6 +11,7 @@ import uuid
 
 import pandas as pd
 import pyarrow as pa
+import pytest
 import pyarrow.parquet as pq
 
 from etdtransform_spark.streaming.preference_stream import (
@@ -118,3 +119,72 @@ def test_exclusions_skip_without_seq(spark, tmp_path):
     st = {}
     _elo_fold(st, [("A", "B"), ("B", "A")], 32.0, 1000.0)
     assert got["A"].rating == st["A"][0] and got["B"].rating == st["B"][0]
+
+
+def test_streaming_position_bias_equals_batch(spark, tmp_path):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.streaming.preference_stream import (
+        streaming_position_bias,
+    )
+
+    st = {"A": 1.5, "B": 1.0, "C": 0.5}
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    i = 0
+    for day in range(3):
+        for f, s in [("A", "B"), ("B", "A"), ("A", "C"), ("C", "B")] * 5:
+            # judge favors position 1 on 3 of 4 votes regardless of item
+            w = f if i % 4 != 0 else s
+            rows.append((base + dt.timedelta(days=day, minutes=i % 300), f, s, w))
+            i += 1
+        # excluded rows: self, NULL, unknown item, winner not a side
+        rows.append((base + dt.timedelta(days=day), "A", "A", "A"))
+        rows.append((base + dt.timedelta(days=day), None, "B", "B"))
+        rows.append((base + dt.timedelta(days=day), "A", "Z", "A"))
+        rows.append((base + dt.timedelta(days=day), "A", "B", "C"))
+    src = tmp_path / "pbstream"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["ts", "f", "s", "w"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(src / "a.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, f string, s string, w string"
+    ).parquet(str(src))
+    mon = streaming_position_bias(stream, "f", "s", "w", "ts", st, digits=9)
+    name = f"pb_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.bucket_ts: r for r in spark.table(name).collect()}
+    assert len(got) == 3
+    # batch twin in python
+    import math
+
+    per_day = {}
+    for ts, f, s, w in rows:
+        if (f is None or s is None or w is None or f == s
+                or w not in (f, s) or f not in st or s not in st):
+            continue
+        d = ts.date()
+        p = st[f] / (st[f] + st[s])
+        n, w1, e1, v = per_day.get(d, (0, 0, 0.0, 0.0))
+        per_day[d] = (n + 1, w1 + (w == f), e1 + p, v + p * (1 - p))
+    for key, r in got.items():
+        n, w1, e1, v = per_day[key.date()]
+        assert r.n == n == 20 and r.wins == w1
+        assert r.win_rate == pytest.approx(w1 / n, abs=1e-9)
+        assert r.expected_rate == pytest.approx(e1 / n, abs=1e-9)
+        assert r.z == pytest.approx((w1 - e1) / math.sqrt(v), abs=1e-6)
+        assert r.z > 1.5  # planted position-1 bias visible per window
