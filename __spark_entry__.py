@@ -8267,6 +8267,7 @@ WITH s AS ({_SQL_SCORED_EVENTS}),
 b AS (
   SELECT greatest(least(floor(score * 10), 9), 0)::BIGINT AS bin, score, label
   FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+    AND NOT isnan(score) AND NOT isnan(label::DOUBLE)
 )
 SELECT bin, count(*)::BIGINT AS n,
        {qround_sql('avg(score)', 6)} AS avg_score,
@@ -8294,6 +8295,7 @@ WITH s AS ({_SQL_SCORED_EVENTS}),
 b AS (
   SELECT greatest(least(floor(score * 10), 9), 0)::BIGINT AS bin, score, label
   FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+    AND NOT isnan(score) AND NOT isnan(label::DOUBLE)
 ), bins AS (
   SELECT bin, count(*)::BIGINT AS n, avg(score) AS avg_score,
          avg(label::DOUBLE) AS pos_rate
@@ -8358,6 +8360,37 @@ FROM tot
 """
 
 
+def _pref_judgments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared deterministic pairwise-judgment synthesis for the
+    position-bias / streaming-Elo / streaming-position-bias contracts:
+    items event_id % 5 vs (event_id div 7) % 5, judge PLANTED biased —
+    picks the item shown first on event_id % 3 < 2 (2/3) regardless of
+    who is shown. One definition, three consumers; the SQL twin is
+    _SQL_PREF_COMP."""
+    ev = _t(spark, sf_dir, "events")
+    first = F.pmod(F.col("event_id"), F.lit(5))
+    second = F.pmod(F.expr("event_id div 7"), F.lit(5))
+    win = F.when(F.pmod(F.col("event_id"), F.lit(3)) < 2, first).otherwise(
+        second
+    )
+    return ev.select(
+        F.col("ts"),
+        F.col("event_id"),
+        first.alias("shown_first"),
+        second.alias("shown_second"),
+        win.alias("win_item"),
+    ).filter(first != second)
+
+
+_SQL_PREF_COMP = f"""
+SELECT ts, event_id, event_id % 5 AS f, (event_id // 7) % 5 AS s,
+       CASE WHEN event_id % 3 < 2 THEN event_id % 5
+            ELSE (event_id // 7) % 5 END AS w
+FROM {_EV}
+WHERE event_id % 5 <> (event_id // 7) % 5
+"""
+
+
 def q_streaming_elo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Elo online preference rating
     (streaming/preference_stream.py:streaming_elo): order-dependent
@@ -8378,6 +8411,8 @@ def q_streaming_elo(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = F.when(F.pmod(F.col("event_id"), F.lit(3)) < 2, first).otherwise(
         second
     )
+    # same judge synthesis as _pref_judgments, applied to the STREAM
+    # source (the batch helper reads through read_table, not readStream)
     comp = stream.select(
         F.col("ts"),
         F.col("event_id"),
@@ -8407,16 +8442,8 @@ def q_streaming_elo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_STREAMING_ELO = f"""
-WITH comp AS (
-  SELECT ts, event_id,
-         CASE WHEN event_id % 3 < 2 THEN event_id % 5
-              ELSE (event_id // 7) % 5 END AS w,
-         (event_id % 5) + ((event_id // 7) % 5)
-           - CASE WHEN event_id % 3 < 2 THEN event_id % 5
-                  ELSE (event_id // 7) % 5 END AS l
-  FROM {_EV}
-  WHERE event_id % 5 <> (event_id // 7) % 5
-), enc AS (
+WITH c0_ AS ({_SQL_PREF_COMP}),
+comp AS (SELECT ts, event_id, w, f + s - w AS l FROM c0_), enc AS (
   SELECT list([w::DOUBLE, l::DOUBLE] ORDER BY ts, event_id) AS cs FROM comp
 ), folded AS (
   SELECT list_reduce(
@@ -8499,13 +8526,7 @@ def q_streaming_position_bias_daily(
 
 
 _SQL_STREAMING_POSITION_BIAS = f"""
-WITH comp AS (
-  SELECT ts, event_id % 5 AS f, (event_id // 7) % 5 AS s,
-         CASE WHEN event_id % 3 < 2 THEN event_id % 5
-              ELSE (event_id // 7) % 5 END AS w
-  FROM {_EV}
-  WHERE event_id % 5 <> (event_id // 7) % 5
-), scored AS (
+WITH comp AS ({_SQL_PREF_COMP}), scored AS (
   SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
          (w = f)::INT::DOUBLE AS w1,
          (CASE f WHEN 0 THEN 1.3 WHEN 1 THEN 1.1 WHEN 2 THEN 1.0 WHEN 3 THEN 0.9 WHEN 4 THEN 0.7 END)::DOUBLE / ((CASE f WHEN 0 THEN 1.3 WHEN 1 THEN 1.1 WHEN 2 THEN 1.0 WHEN 3 THEN 0.9 WHEN 4 THEN 0.7 END)::DOUBLE + (CASE s WHEN 0 THEN 1.3 WHEN 1 THEN 1.1 WHEN 2 THEN 1.0 WHEN 3 THEN 0.9 WHEN 4 THEN 0.7 END)::DOUBLE) AS p
@@ -8728,29 +8749,17 @@ def q_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bradley_terry CTE prefix."""
     from etdtransform_spark.operators.preference import position_bias_audit
 
-    ev = _t(spark, sf_dir, "events")
-    first = F.pmod(F.col("event_id"), F.lit(5))
-    second = F.pmod(F.expr("event_id div 7"), F.lit(5))
-    comp = ev.select(
-        first.alias("shown_first"),
-        second.alias("shown_second"),
-        F.when(F.pmod(F.col("event_id"), F.lit(3)) < 2, first)
-        .otherwise(second)
-        .alias("win_item"),
-    )
     return position_bias_audit(
-        comp, "shown_first", "shown_second", "win_item", iterations=3
+        _pref_judgments(spark, sf_dir),
+        "shown_first",
+        "shown_second",
+        "win_item",
+        iterations=3,
     )
 
 
 _SQL_POSITION_BIAS = f"""
-WITH base AS (
-  SELECT event_id % 5 AS f, (event_id // 7) % 5 AS s,
-         CASE WHEN event_id % 3 < 2 THEN event_id % 5
-              ELSE (event_id // 7) % 5 END AS w
-  FROM {_EV}
-  WHERE event_id % 5 <> (event_id // 7) % 5
-), pairs AS (
+WITH base AS ({_SQL_PREF_COMP}), pairs AS (
   SELECT least(w, f + s - w) AS ia, greatest(w, f + s - w) AS ib,
          count(*)::BIGINT AS n_total,
          count(CASE WHEN w = least(w, f + s - w) THEN 1 END)::BIGINT AS wins_a
@@ -9011,6 +9020,22 @@ SELECT CASE WHEN event_id % 3 = 0 THEN event_type
 FROM {_EV}
 """
 
+# shared per-class spine (cells -> pm/tm rollups -> full-outer class
+# domain); both multiclass oracles compose it so the spine cannot drift
+_SQL_MULTICLASS_PER = """cells AS (
+  SELECT pred AS a, truth AS b, count(*)::BIGINT AS n FROM lab
+  WHERE pred IS NOT NULL AND truth IS NOT NULL GROUP BY 1, 2
+), pm AS (
+  SELECT a AS cls, sum(n) AS prd,
+         coalesce(sum(CASE WHEN a = b THEN n END), 0) AS tp
+  FROM cells GROUP BY a
+), tm AS (SELECT b AS cls, sum(n) AS sup FROM cells GROUP BY b),
+per AS (
+  SELECT cls, coalesce(sup, 0)::DOUBLE AS sup,
+         coalesce(prd, 0)::DOUBLE AS prd, coalesce(tp, 0)::DOUBLE AS tp
+  FROM pm FULL OUTER JOIN tm USING (cls)
+)"""
+
 
 def q_classification_report_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class multiclass precision/recall/F1 long table
@@ -9028,19 +9053,7 @@ def q_classification_report_multi(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _SQL_CLASSIFICATION_REPORT_MULTI = f"""
 WITH lab AS ({_SQL_MULTICLASS_EVENTS}),
-cells AS (
-  SELECT pred AS a, truth AS b, count(*)::BIGINT AS n FROM lab
-  WHERE pred IS NOT NULL AND truth IS NOT NULL GROUP BY 1, 2
-), pm AS (
-  SELECT a AS cls, sum(n) AS prd,
-         coalesce(sum(CASE WHEN a = b THEN n END), 0) AS tp
-  FROM cells GROUP BY a
-), tm AS (SELECT b AS cls, sum(n) AS sup FROM cells GROUP BY b),
-per AS (
-  SELECT cls, coalesce(sup, 0)::DOUBLE AS sup,
-         coalesce(prd, 0)::DOUBLE AS prd, coalesce(tp, 0)::DOUBLE AS tp
-  FROM pm FULL OUTER JOIN tm USING (cls)
-)
+{_SQL_MULTICLASS_PER}
 SELECT cls AS class, sup::BIGINT AS support, prd::BIGINT AS predicted,
        tp::BIGINT AS tp,
        {qround_sql('CASE WHEN prd > 0 THEN tp / prd END', 6)} AS precision,
@@ -9070,19 +9083,7 @@ def q_classification_summary_multi(spark: SparkSession, sf_dir: str) -> DataFram
 
 _SQL_CLASSIFICATION_SUMMARY_MULTI = f"""
 WITH lab AS ({_SQL_MULTICLASS_EVENTS}),
-cells AS (
-  SELECT pred AS a, truth AS b, count(*)::BIGINT AS n FROM lab
-  WHERE pred IS NOT NULL AND truth IS NOT NULL GROUP BY 1, 2
-), pm AS (
-  SELECT a AS cls, sum(n) AS prd,
-         coalesce(sum(CASE WHEN a = b THEN n END), 0) AS tp
-  FROM cells GROUP BY a
-), tm AS (SELECT b AS cls, sum(n) AS sup FROM cells GROUP BY b),
-per AS (
-  SELECT cls, coalesce(sup, 0)::DOUBLE AS sup,
-         coalesce(prd, 0)::DOUBLE AS prd, coalesce(tp, 0)::DOUBLE AS tp
-  FROM pm FULL OUTER JOIN tm USING (cls)
-), z AS (
+{_SQL_MULTICLASS_PER}, z AS (
   SELECT sup, tp,
          coalesce(CASE WHEN prd > 0 THEN tp / prd END, 0.0) AS p0,
          coalesce(CASE WHEN sup > 0 THEN tp / sup END, 0.0) AS r0,

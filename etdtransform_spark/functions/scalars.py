@@ -74,7 +74,7 @@ def switch_multiplier(interval: str) -> float:
     return SWITCH_MULTIPLIER[interval]
 
 
-def qround(col: Column, n: int) -> Column:
+def qround(col: Column, n: int | None) -> Column:
     """Cross-engine deterministic rounding: ``floor(x * 10^n + 0.5) / 10^n``.
 
     ``round()`` semantics on doubles differ between engines (Spark uses exact
@@ -92,6 +92,12 @@ def qround(col: Column, n: int) -> Column:
     conditional -1 turns truncation into floor for negative fractions."""
     if isinstance(col, str):
         col = F.col(col)
+    if n is None:
+        # raw passthrough: operators expose digits=None for full-precision
+        # composition (e.g. a summary built on an unrounded per-class
+        # table) — accepting it here keeps that contract uniform instead
+        # of per-operator rounding shims
+        return col
     m = float(10**n)
     y = col * F.lit(m) + F.lit(0.5)
     trunc = y - (y % F.lit(1.0))

@@ -187,17 +187,24 @@ def hashed_linear_score(
             F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_s"),
             F.count("_pos").alias("_np"),
             F.max("_pos").alias("_mp"),
+            F.count(F.lit(1)).alias("_nr"),
         )
         # id_col uniqueness guard, also in the plan: a duplicated id would
-        # silently merge partial sums here. For a unique id the exploded
-        # positions are exactly 0..len-1, so count(_pos) == max(_pos)+1;
-        # a duplicate with any non-empty bucket array breaks the identity
-        # (n+m > max(n,m)). Only all-empty/NULL-text duplicates slip
-        # through, and those merge to a NULL score — no corruption.
+        # silently merge partial sums here. Two identities together cover
+        # every duplicate shape: (a) for a unique id the exploded
+        # positions are exactly 0..len-1, so count(_pos) == max(_pos)+1 —
+        # duplicates with non-empty bucket arrays break it
+        # (n+m > max(n,m)); (b) total exploded rows must equal
+        # greatest(count(_pos), 1) — a NULL/empty-text row explodes to
+        # ONE all-NULL row with no position, so any duplicate involving
+        # an unscorable row (incl. two unscorable rows) breaks THIS
+        # identity even though (a) cannot see it. NULL ids are caught on
+        # the join's LEFT side below (this group gets pruned here).
         .select(
             F.col(id_col).alias("_score_id"),
             F.when(
-                F.coalesce(F.col("_mp") + 1, F.lit(0)) != F.col("_np"),
+                (F.coalesce(F.col("_mp") + 1, F.lit(0)) != F.col("_np"))
+                | (F.col("_nr") != F.greatest(F.col("_np"), F.lit(1))),
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -215,8 +222,22 @@ def hashed_linear_score(
             .alias(score_col),
         )
     )
-    return df.join(
-        scored, F.col(id_col) == F.col("_score_id"), "left"
+    # The NULL-id check must live on the LEFT side: the equality join
+    # condition is null-rejecting, so Catalyst infers _score_id IS NOT
+    # NULL and prunes the NULL-id group below the aggregate — a raise
+    # branch there never evaluates (observed on 4.1.2).
+    joined = df.join(scored, F.col(id_col) == F.col("_score_id"), "left")
+    return joined.withColumn(
+        score_col,
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"hashed_linear_score: duplicated or NULL id_col "
+                    f"value in {id_col!r}: NULL"
+                )
+            ),
+        ).otherwise(F.col(score_col)),
     ).drop("_score_id")
 
 

@@ -49,18 +49,21 @@ def calibration_bins(
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    binned = df.filter(s.isNotNull() & y.isNotNull()).select(
+    # NaN carries no calibration evidence either — and diverges from the
+    # DuckDB oracle's binning (Spark floor(NaN)=0 vs DuckDB NaN-is-largest)
+    binned = df.filter(
+        s.isNotNull() & y.isNotNull() & ~F.isnan(s) & ~F.isnan(y)
+    ).select(
         F.greatest(F.least(F.floor(s * n_bins), F.lit(n_bins - 1)), F.lit(0))
         .cast("bigint")
         .alias("bin"),
         s.alias("_s"),
         y.alias("_y"),
     )
-    rnd = (lambda c: c) if digits is None else (lambda c: qround(c, digits))
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        rnd(F.avg("_s")).alias("avg_score"),
-        rnd(F.avg("_y")).alias("pos_rate"),
+        qround(F.avg("_s"), digits).alias("avg_score"),
+        qround(F.avg("_y"), digits).alias("pos_rate"),
     )
 
 
@@ -391,15 +394,14 @@ def classification_report_multi(
         (pred_n > 0) & (sup > 0) & (tp > 0),
         2.0 * (tp / pred_n) * (tp / sup) / (tp / pred_n + tp / sup),
     ).otherwise(F.when((pred_n > 0) & (sup > 0), F.lit(0.0)))
-    rnd = (lambda c: c) if digits is None else (lambda c: qround(c, digits))
     return per.select(
         F.col("cls").alias("class"),
         sup.cast("bigint").alias("support"),
         pred_n.cast("bigint").alias("predicted"),
         tp.cast("bigint").alias("tp"),
-        rnd(precision).alias("precision"),
-        rnd(recall).alias("recall"),
-        rnd(f1).alias("f1"),
+        qround(precision, digits).alias("precision"),
+        qround(recall, digits).alias("recall"),
+        qround(f1, digits).alias("f1"),
     )
 
 

@@ -136,12 +136,11 @@ def bradley_terry_strengths(
     # a recompute of the data-sized pair aggregate at collection time —
     # without this every call leaks cached partitions for the session
     # lifetime (the harness runs this across 8 corpora in one session)
-    rnd = (lambda c: c) if digits is None else (lambda c: qround(c, digits))
     out = items.join(strengths, "item").select(
         "item",
         "n_comparisons",
         "wins",
-        rnd(F.col("strength")).alias("strength"),
+        qround(F.col("strength"), digits).alias("strength"),
     ).localCheckpoint(eager=True)
     pairs.unpersist()
     return out

@@ -638,14 +638,24 @@ def _kmeans_init_farthest(base: DataFrame, k: int):
     return cent
 
 
-def _kmeans_fit(base: DataFrame, k: int, iters: int, init: str = "lowest_ids"):
+def _kmeans_fit(
+    base: DataFrame,
+    k: int,
+    iters: int,
+    init: str = "lowest_ids",
+    seed_cent=None,
+):
     """Lloyd iterations over a (persisted) ``_kmeans_base`` frame; returns
     the fitted [(cluster_id, centroid)] model. ``init='lowest_ids'`` (the
     oracle-parity default: k lowest-id vectors) or ``'kmeanspp'``
     (deterministic farthest-first D²-argmax seeding). Only the k x d
     centroid table returns to the driver between iterations (the MLlib
-    model-sync pattern)."""
-    if init == "kmeanspp":
+    model-sync pattern). ``seed_cent`` injects an already-collected
+    [(cluster_id, centroid)] seed — callers that collected the seed rows
+    for another purpose skip the duplicate TopK job."""
+    if seed_cent is not None:
+        cent = list(seed_cent)
+    elif init == "kmeanspp":
         cent = _kmeans_init_farthest(base, k)
     elif init == "lowest_ids":
         cent = [
@@ -724,9 +734,12 @@ def semantic_dedup(
     """
     base = _kmeans_base(corpus, id_col, vec_col).persist()
     if fit_sample_mod is not None and fit_sample_mod > 1:
-        low_ids = [
-            r["_vid"]
-            for r in base.orderBy("_vid").limit(k).select("_vid").collect()
+        # ONE TopK job: the k lowest rows both seed the fit (identical to
+        # the unsampled path's lowest_ids init) and anchor the fit set
+        low = base.orderBy("_vid").limit(k).collect()
+        low_ids = [r["_vid"] for r in low]
+        seed = [
+            (int(i), [float(x) for x in r["_v"]]) for i, r in enumerate(low)
         ]
         pred = (
             F.pmod(
@@ -736,7 +749,7 @@ def semantic_dedup(
             == 0
         )
         fit_base = base.filter(pred | F.col("_vid").isin(low_ids)).persist()
-        cent = _kmeans_fit(fit_base, k, iters)
+        cent = _kmeans_fit(fit_base, k, iters, seed_cent=seed)
         fit_base.unpersist()
     else:
         cent = _kmeans_fit(base, k, iters)

@@ -106,13 +106,15 @@ def streaming_elo(
 
         st: dict = {}
         seq = 0
-        if state.exists:
+        had_state = state.exists
+        if had_state:
             items, ratings, games, wins, seq = state.get
             st = {
                 it: (r, g, w)
                 for it, r, g, w in zip(items, ratings, games, wins)
             }
         batch = pd.concat(list(pdf_iter), ignore_index=True)
+        applied = 0
         if len(batch):
             batch = batch.sort_values(
                 ["_ts", "_ord"], kind="mergesort"
@@ -121,7 +123,14 @@ def streaming_elo(
                 (None if pd.isna(w) else w, None if pd.isna(l) else l)
                 for w, l in zip(batch["_w"], batch["_l"])
             ]
-            seq += _elo_fold(st, pairs, k, init)
+            applied = _elo_fold(st, pairs, k, init)
+            seq += applied
+        if applied == 0 and had_state:
+            # nothing folded: state (and seq) are unchanged, and
+            # re-emitting the full snapshot under the SAME seq would
+            # duplicate every item in an update-mode sink's
+            # "seq = max(seq)" view — emit nothing instead
+            return
         items = sorted(st)
         state.update(
             (

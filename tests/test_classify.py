@@ -114,12 +114,32 @@ def test_weight_df_duplicate_id_raises(spark):
     )
     with pytest.raises(Exception, match="duplicated or NULL"):
         hashed_linear_score(df, "text", w, N, id_col="id").collect()
-    # all-empty-text duplicates merge to a NULL score (documented carve-out)
+    # mixed duplicate (one scorable + one unscorable row) raises too —
+    # the row-count identity catches what the positional identity can't
+    df_mixed = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "")], "id bigint, text string"
+    )
+    with pytest.raises(Exception, match="duplicated or NULL"):
+        hashed_linear_score(df_mixed, "text", w, N, id_col="id").collect()
+    # two unscorable duplicates raise as well
     df2 = spark.createDataFrame(
         [(1, ""), (1, None)], "id bigint, text string"
     )
-    rows = hashed_linear_score(df2, "text", w, N, id_col="id").collect()
-    assert [r.score for r in rows] == [None, None]
+    with pytest.raises(Exception, match="duplicated or NULL"):
+        hashed_linear_score(df2, "text", w, N, id_col="id").collect()
+    # a NULL id is invalid outright (the restore join would drop it)
+    df_null = spark.createDataFrame(
+        [(None, "alpha beta")], "id bigint, text string"
+    )
+    with pytest.raises(Exception, match="duplicated or NULL"):
+        hashed_linear_score(df_null, "text", w, N, id_col="id").collect()
+    # unique ids with unscorable text still score NULL without raising
+    ok = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "alpha beta")], "id bigint, text string"
+    )
+    got = {r.id: r.score for r in hashed_linear_score(
+        ok, "text", w, N, id_col="id").collect()}
+    assert got[1] is None and got[2] is None and got[3] is not None
 
 
 def test_missing_buckets_weigh_zero(spark):

@@ -188,3 +188,41 @@ def test_streaming_position_bias_equals_batch(spark, tmp_path):
         assert r.expected_rate == pytest.approx(e1 / n, abs=1e-9)
         assert r.z == pytest.approx((w1 - e1) / math.sqrt(v), abs=1e-6)
         assert r.z > 1.5  # planted position-1 bias visible per window
+
+
+def test_zero_applied_batch_emits_nothing(spark, tmp_path):
+    """A micro-batch with rows but no VALID comparison must not re-emit
+    the snapshot under an unchanged seq (it would duplicate every item
+    in the consumer's seq = max(seq) view)."""
+    src = tmp_path / "elo5"
+    src.mkdir()
+    _write(src / "b1.parquet", _rows([("A", "B"), ("B", "C")]))
+    bad = [(dt.datetime(2024, 5, 2), 50, "A", "A"),
+           (dt.datetime(2024, 5, 2), 51, None, "B")]
+    _write(src / "b2.parquet", bad)
+    import uuid
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    elo = streaming_elo(stream, "w", "l", "ts", order_col="eid")
+    name = f"elo_{uuid.uuid4().hex[:8]}"
+    q = (
+        elo.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    top = max(r.seq for r in rows)
+    assert top == 2
+    snap = [r for r in rows if r.seq == top]
+    # RAW row check: exactly one row per item at the top seq — the
+    # zero-applied batch must not have re-emitted the snapshot
+    assert sorted(r.item for r in snap) == ["A", "B", "C"]
+    st = {}
+    _elo_fold(st, [("A", "B"), ("B", "C")], 32.0, 1000.0)
+    for r in snap:
+        assert r.rating == st[r.item][0]
