@@ -9124,6 +9124,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
+        "classification_report_multi": q_classification_report_multi,
+        "classification_summary_multi": q_classification_summary_multi,
+        "streaming_elo": q_streaming_elo,
+        "streaming_position_bias_daily": q_streaming_position_bias_daily,
+        "position_bias": q_position_bias,
+        "transitivity_violations": q_transitivity_violations,
+        "annotator_bias": q_annotator_bias,
+        "semantic_dedup_sampled": q_semantic_dedup_sampled,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
@@ -9166,6 +9174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "expectations_report": q_expectations_report,
         "time_to_conversion": q_time_to_conversion,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "vocab_growth": q_vocab_growth,
         "duplicate_spans": q_duplicate_spans,
         "streaming_stateful_agg": q_streaming_stateful_agg,
@@ -9174,8 +9184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "rolling_median": q_rolling_median,
         "seasonal_residuals": q_seasonal_residuals,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "load_duration_curve": q_load_duration_curve,
         "topk_per_group": q_topk_per_group,
         "corr_matrix": q_corr_matrix,
@@ -9301,15 +9309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_kappa": q_annotator_kappa,
         "auc_roc": q_auc_roc,
         "classification_report": q_classification_report,
-        "classification_report_multi": q_classification_report_multi,
-        "classification_summary_multi": q_classification_summary_multi,
         "streaming_quality_daily": q_streaming_quality_daily,
-        "streaming_elo": q_streaming_elo,
-        "streaming_position_bias_daily": q_streaming_position_bias_daily,
         "bradley_terry": q_bradley_terry,
-        "position_bias": q_position_bias,
-        "transitivity_violations": q_transitivity_violations,
-        "annotator_bias": q_annotator_bias,
         "krippendorff_alpha": q_krippendorff_alpha,
         "multimodal_features": q_multimodal_features,
         "streaming_resample_15min": q_streaming_resample_15min,
@@ -9324,7 +9325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "kmeans_centroids": q_kmeans_centroids,
         "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_sampled": q_semantic_dedup_sampled,
         "stratified_sample": q_stratified_sample,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
