@@ -8871,6 +8871,105 @@ FROM agg
 """
 
 
+def _fair_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cohort-scored events for the fairness contracts: cohort =
+    user_id % 4, same pseudo-score/label as _scored_events. SQL twin is
+    _SQL_FAIR_GROUPS (the per-cohort confusion-count spine)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.pmod(F.col("user_id"), F.lit(4)).alias("cohort"),
+        F.when(
+            F.col("value").isNotNull(),
+            F.pmod(F.col("event_id"), F.lit(97)).cast("double") / 96,
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+
+
+_SQL_FAIR_GROUPS = f"""
+s AS (
+  SELECT user_id % 4 AS cohort,
+         CASE WHEN value IS NOT NULL
+              THEN (event_id % 97)::DOUBLE / 96 END AS score,
+         (event_type = 'purchase')::INT AS label
+  FROM {_EV}
+), b AS (
+  SELECT cohort, (score >= 0.3) AS pred, (label <> 0) AS pos
+  FROM s
+  WHERE score IS NOT NULL AND label IS NOT NULL AND cohort IS NOT NULL
+), g AS (
+  SELECT cohort, count(*)::BIGINT AS n,
+         count(CASE WHEN pos THEN 1 END)::BIGINT AS npos,
+         count(CASE WHEN pred THEN 1 END)::BIGINT AS npred,
+         count(CASE WHEN pred AND pos THEN 1 END)::BIGINT AS tp,
+         count(CASE WHEN pred AND NOT pos THEN 1 END)::BIGINT AS fp
+  FROM b GROUP BY 1
+), rates AS (
+  SELECT cohort, n,
+         npos::DOUBLE / n AS base_rate,
+         npred::DOUBLE / n AS pred_pos_rate,
+         CASE WHEN npos > 0 THEN tp::DOUBLE / npos END AS tpr,
+         CASE WHEN n - npos > 0 THEN fp::DOUBLE / (n - npos) END AS fpr,
+         CASE WHEN npred > 0 THEN tp::DOUBLE / npred::DOUBLE END
+           AS prec
+  FROM g
+)"""
+
+
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort classifier-behavior audit
+    (operators/evaluation.py:fairness_audit): demographic parity /
+    equalized-odds table in ONE hash aggregate (four counts per group)."""
+    from etdtransform_spark.operators.evaluation import fairness_audit
+
+    return fairness_audit(
+        _fair_scored(spark, sf_dir), "score", "label", "cohort",
+        threshold=0.3,
+    )
+
+
+_SQL_FAIRNESS_AUDIT = f"""
+WITH {_SQL_FAIR_GROUPS}
+SELECT cohort AS "group", n,
+       {qround_sql('base_rate', 6)} AS base_rate,
+       {qround_sql('pred_pos_rate', 6)} AS pred_pos_rate,
+       {qround_sql('tpr', 6)} AS tpr,
+       {qround_sql('fpr', 6)} AS fpr,
+       {qround_sql('prec', 6)} AS precision
+FROM rates
+"""
+
+
+def q_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-gap fairness summary (operators/evaluation.py:fairness_gaps):
+    max−min per rate over groups where the rate is DEFINED; NULL gap
+    below 2 defining groups. Group-domain rollup on the same single
+    data pass."""
+    from etdtransform_spark.operators.evaluation import fairness_gaps
+
+    return fairness_gaps(
+        _fair_scored(spark, sf_dir), "score", "label", "cohort",
+        threshold=0.3,
+    )
+
+
+_SQL_FAIRNESS_GAPS = f"""
+WITH {_SQL_FAIR_GROUPS}
+SELECT count(*)::BIGINT AS n_groups,
+       {qround_sql(
+           'CASE WHEN count(pred_pos_rate) >= 2 '
+           'THEN max(pred_pos_rate) - min(pred_pos_rate) END', 6
+       )} AS demographic_parity_gap,
+       {qround_sql(
+           'CASE WHEN count(tpr) >= 2 THEN max(tpr) - min(tpr) END', 6
+       )} AS equal_opportunity_gap,
+       {qround_sql(
+           'CASE WHEN count(fpr) >= 2 THEN max(fpr) - min(fpr) END', 6
+       )} AS fpr_gap
+FROM rates
+"""
+
+
 def q_annotator_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-annotator leniency vs leave-one-out consensus
     (operators/evaluation.py:annotator_bias): annotator user_id % 5,
@@ -9131,6 +9230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_bias": q_position_bias,
         "transitivity_violations": q_transitivity_violations,
         "annotator_bias": q_annotator_bias,
+        "fairness_audit": q_fairness_audit,
+        "fairness_gaps": q_fairness_gaps,
         "semantic_dedup_sampled": q_semantic_dedup_sampled,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
@@ -9405,6 +9506,8 @@ def oracle_sql() -> dict[str, str]:
         "position_bias": _SQL_POSITION_BIAS,
         "transitivity_violations": _SQL_TRANSITIVITY,
         "annotator_bias": _SQL_ANNOTATOR_BIAS,
+        "fairness_audit": _SQL_FAIRNESS_AUDIT,
+        "fairness_gaps": _SQL_FAIRNESS_GAPS,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -522,3 +522,106 @@ def annotator_bias(
             digits,
         ).alias("z"),
     )
+
+
+def fairness_audit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    threshold: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group classifier-behavior audit at a decision threshold — the
+    standard pre-deployment fairness table (demographic parity reads off
+    ``pred_pos_rate``, equalized odds off ``tpr``/``fpr``): one row per
+    group value with
+
+        (group, n, base_rate, pred_pos_rate, tpr, fpr, precision)
+
+    Rows with NULL score, label, or group are excluded (an unattributed
+    row audits nothing); undefined ratios are NULL, never 0 — a group
+    with no positives has no TPR, the same convention as
+    :func:`binary_classification_report`. NaN scores are excluded like
+    NULLs (same rationale as :func:`calibration_bins`).
+
+    ONE hash aggregate: the shuffle carries four counts per group
+    (map-side combined); every rate derives from the group-domain table.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    pred = s >= F.lit(float(threshold))
+    pos = y != 0
+    base = df.filter(
+        s.isNotNull()
+        & y.isNotNull()
+        & ~F.isnan(s)
+        & F.col(group_col).isNotNull()
+    )
+    g = base.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(pos, 1)).cast("bigint").alias("_npos"),
+        F.count(F.when(pred, 1)).cast("bigint").alias("_npred"),
+        F.count(F.when(pred & pos, 1)).cast("bigint").alias("_tp"),
+        F.count(F.when(pred & ~pos, 1)).cast("bigint").alias("_fp"),
+    )
+    n = F.col("n").cast("double")
+    npos = F.col("_npos").cast("double")
+    nneg = n - npos
+    return g.select(
+        "group",
+        "n",
+        qround(npos / n, digits).alias("base_rate"),
+        qround(F.col("_npred").cast("double") / n, digits).alias(
+            "pred_pos_rate"
+        ),
+        qround(
+            F.when(npos > 0, F.col("_tp").cast("double") / npos), digits
+        ).alias("tpr"),
+        qround(
+            F.when(nneg > 0, F.col("_fp").cast("double") / nneg), digits
+        ).alias("fpr"),
+        qround(
+            F.when(
+                F.col("_npred") > 0,
+                F.col("_tp").cast("double") / F.col("_npred").cast("double"),
+            ),
+            digits,
+        ).alias("precision"),
+    )
+
+
+def fairness_gaps(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    threshold: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row max-gap summary over :func:`fairness_audit`:
+    (n_groups, demographic_parity_gap, equal_opportunity_gap, fpr_gap)
+    where each gap is max−min of the per-group rate over groups where
+    the rate is DEFINED (a group with no positives cannot witness a TPR
+    gap). NULL gap when fewer than 2 groups define the rate. Group-
+    domain-sized arithmetic on top of the audit's single data pass.
+    """
+    per = fairness_audit(
+        df, score_col, label_col, group_col, threshold, digits=None
+    )
+    def gap(c):
+        return F.when(
+            F.count(F.col(c)) >= 2, F.max(F.col(c)) - F.min(F.col(c))
+        )
+    out = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        gap("pred_pos_rate").alias("_dp"),
+        gap("tpr").alias("_eo"),
+        gap("fpr").alias("_fg"),
+    )
+    return out.select(
+        "n_groups",
+        qround(F.col("_dp"), digits).alias("demographic_parity_gap"),
+        qround(F.col("_eo"), digits).alias("equal_opportunity_gap"),
+        qround(F.col("_fg"), digits).alias("fpr_gap"),
+    )

@@ -443,3 +443,57 @@ def test_annotator_bias_single_rating_items_excluded(spark):
 
     empty = spark.createDataFrame([], "an string, item int, y int")
     assert annotator_bias(empty, "an", "item", "y").count() == 0
+
+
+def test_fairness_audit_hand_computed(spark):
+    from etdtransform_spark.operators.evaluation import (
+        fairness_audit,
+        fairness_gaps,
+    )
+
+    rows = [
+        # group A: 2 pos, 2 neg; predicted pos: both pos + one neg
+        ("A", 0.9, 1), ("A", 0.8, 1), ("A", 0.7, 0), ("A", 0.1, 0),
+        # group B: 1 pos, 3 neg; predicted pos: none
+        ("B", 0.2, 1), ("B", 0.1, 0), ("B", 0.3, 0), ("B", 0.4, 0),
+        # excluded rows
+        (None, 0.9, 1), ("A", None, 1), ("A", 0.5, None),
+        ("A", float("nan"), 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    out = {r.group: r for r in fairness_audit(
+        df, "score", "label", "g", threshold=0.5).collect()}
+    assert out["A"].n == 4 and out["B"].n == 4
+    assert out["A"].base_rate == pytest.approx(0.5)
+    assert out["A"].pred_pos_rate == pytest.approx(0.75)
+    assert out["A"].tpr == 1.0 and out["A"].fpr == pytest.approx(0.5)
+    assert out["A"].precision == pytest.approx(2 / 3)
+    assert out["B"].pred_pos_rate == 0.0 and out["B"].tpr == 0.0
+    assert out["B"].fpr == 0.0 and out["B"].precision is None
+
+    gaps = fairness_gaps(df, "score", "label", "g", threshold=0.5).collect()[0]
+    assert gaps.n_groups == 2
+    assert gaps.demographic_parity_gap == pytest.approx(0.75)
+    assert gaps.equal_opportunity_gap == pytest.approx(1.0)
+    assert gaps.fpr_gap == pytest.approx(0.5)
+
+
+def test_fairness_audit_undefined_rates_and_empty(spark):
+    from etdtransform_spark.operators.evaluation import (
+        fairness_audit,
+        fairness_gaps,
+    )
+
+    # group C all-negative -> tpr NULL; only ONE group defines tpr -> gap NULL
+    rows = [("C", 0.9, 0), ("C", 0.1, 0), ("D", 0.9, 1), ("D", 0.1, 1)]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    out = {r.group: r for r in fairness_audit(df, "score", "label", "g").collect()}
+    assert out["C"].tpr is None and out["D"].fpr is None
+    gaps = fairness_gaps(df, "score", "label", "g").collect()[0]
+    assert gaps.equal_opportunity_gap is None and gaps.fpr_gap is None
+    assert gaps.demographic_parity_gap == pytest.approx(0.0)
+
+    empty = spark.createDataFrame([], "g string, score double, label int")
+    assert fairness_audit(empty, "score", "label", "g").count() == 0
+    g0 = fairness_gaps(empty, "score", "label", "g").collect()[0]
+    assert g0.n_groups == 0 and g0.demographic_parity_gap is None
