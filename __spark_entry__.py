@@ -9273,10 +9273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
-        "expectations_report": q_expectations_report,
-        "time_to_conversion": q_time_to_conversion,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "expectations_report": q_expectations_report,
+        "time_to_conversion": q_time_to_conversion,
         "vocab_growth": q_vocab_growth,
         "duplicate_spans": q_duplicate_spans,
         "streaming_stateful_agg": q_streaming_stateful_agg,
