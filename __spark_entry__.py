@@ -8970,6 +8970,49 @@ FROM rates
 """
 
 
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-noise estimate
+    (operators/evaluation.py:label_noise_estimate): per-class mean-score
+    thresholds + cross-threshold suspicion counts; two data-sized
+    aggregates joined through a broadcast 1-row threshold frame."""
+    from etdtransform_spark.operators.evaluation import label_noise_estimate
+
+    return label_noise_estimate(
+        _scored_events(spark, sf_dir), "score", "label"
+    )
+
+
+_SQL_LABEL_NOISE = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+b AS (
+  SELECT score AS sc, (label <> 0) AS pos
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+), thr AS (
+  SELECT avg(CASE WHEN pos THEN sc END) AS tp,
+         avg(CASE WHEN NOT pos THEN sc END) AS tn
+  FROM b
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         count(CASE WHEN pos THEN 1 END)::BIGINT AS n_pos,
+         count(CASE WHEN NOT pos THEN 1 END)::BIGINT AS n_neg,
+         max(tp) AS t_pos, max(tn) AS t_neg,
+         count(CASE WHEN NOT pos AND sc >= tp THEN 1 END)::BIGINT AS fn,
+         count(CASE WHEN pos AND sc <= tn THEN 1 END)::BIGINT AS fp
+  FROM b CROSS JOIN thr
+)
+SELECT n, n_pos, n_neg,
+       {qround_sql('t_pos', 6)} AS t_pos,
+       {qround_sql('t_neg', 6)} AS t_neg,
+       CASE WHEN t_pos IS NOT NULL THEN fn END AS suspected_fn,
+       CASE WHEN t_neg IS NOT NULL THEN fp END AS suspected_fp,
+       {qround_sql(
+           'CASE WHEN n > 0 AND t_pos IS NOT NULL AND t_neg IS NOT NULL '
+           'THEN (fn + fp)::DOUBLE / n::DOUBLE END', 6
+       )} AS noise_rate
+FROM agg
+"""
+
+
 def q_annotator_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-annotator leniency vs leave-one-out consensus
     (operators/evaluation.py:annotator_bias): annotator user_id % 5,
@@ -9232,6 +9275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_bias": q_annotator_bias,
         "fairness_audit": q_fairness_audit,
         "fairness_gaps": q_fairness_gaps,
+        "label_noise": q_label_noise,
         "semantic_dedup_sampled": q_semantic_dedup_sampled,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
@@ -9508,6 +9552,7 @@ def oracle_sql() -> dict[str, str]:
         "annotator_bias": _SQL_ANNOTATOR_BIAS,
         "fairness_audit": _SQL_FAIRNESS_AUDIT,
         "fairness_gaps": _SQL_FAIRNESS_GAPS,
+        "label_noise": _SQL_LABEL_NOISE,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -625,3 +625,74 @@ def fairness_gaps(
         qround(F.col("_eo"), digits).alias("equal_opportunity_gap"),
         qround(F.col("_fg"), digits).alias("fpr_gap"),
     )
+
+
+def label_noise_estimate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Confident-learning-style label-noise estimate for binary labels
+    (Northcutt et al. 2021, "Confident Learning", simplified to one
+    score column): the per-class confidence threshold is the MEAN model
+    score among rows carrying that label (t_pos = avg score | label=1;
+    t_neg likewise), and a row is a suspected mislabel when the model is
+    confidently on the other side of its own class mean —
+
+        suspected_fn: label = 0 AND score >= t_pos   (missed positive)
+        suspected_fp: label = 1 AND score <= t_neg   (spurious positive)
+
+    Returns ONE row: (n, n_pos, n_neg, t_pos, t_neg, suspected_fn,
+    suspected_fp, noise_rate) with noise_rate = (fn+fp)/n. A one-class
+    input has no opposing threshold, so the corresponding suspicion
+    count is NULL (not 0 — absence of a threshold is not evidence of
+    cleanliness) and noise_rate is NULL. NULL/NaN scores and NULL labels
+    are excluded.
+
+    Plan shape: TWO data-sized aggregates over the same filtered scan —
+    the class-mean pass and the counting pass joined through a broadcast
+    1-row threshold frame (lazy; no driver collect). At 100 TB both
+    shuffles carry a handful of partials per map task.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull() & ~F.isnan(s)).select(
+        s.alias("_s"), (y != 0).alias("_pos")
+    )
+    thr = base.agg(
+        F.avg(F.when(F.col("_pos"), F.col("_s"))).alias("_tp"),
+        F.avg(F.when(~F.col("_pos"), F.col("_s"))).alias("_tn"),
+    )
+    joined = base.crossJoin(F.broadcast(thr))  # 1-row threshold frame
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("_pos"), 1)).cast("bigint").alias("n_pos"),
+        F.count(F.when(~F.col("_pos"), 1)).cast("bigint").alias("n_neg"),
+        F.max("_tp").alias("_t_pos"),
+        F.max("_tn").alias("_t_neg"),
+        F.count(
+            F.when(~F.col("_pos") & (F.col("_s") >= F.col("_tp")), 1)
+        ).alias("_fn"),
+        F.count(
+            F.when(F.col("_pos") & (F.col("_s") <= F.col("_tn")), 1)
+        ).alias("_fp"),
+    )
+    fn = F.when(F.col("_t_pos").isNotNull(), F.col("_fn").cast("bigint"))
+    fp = F.when(F.col("_t_neg").isNotNull(), F.col("_fp").cast("bigint"))
+    rate = F.when(
+        (F.col("n") > 0)
+        & F.col("_t_pos").isNotNull()
+        & F.col("_t_neg").isNotNull(),
+        (F.col("_fn") + F.col("_fp")).cast("double") / F.col("n").cast("double"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        "n_neg",
+        qround(F.col("_t_pos"), digits).alias("t_pos"),
+        qround(F.col("_t_neg"), digits).alias("t_neg"),
+        fn.alias("suspected_fn"),
+        fp.alias("suspected_fp"),
+        qround(rate, digits).alias("noise_rate"),
+    )

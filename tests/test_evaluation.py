@@ -497,3 +497,37 @@ def test_fairness_audit_undefined_rates_and_empty(spark):
     assert fairness_audit(empty, "score", "label", "g").count() == 0
     g0 = fairness_gaps(empty, "score", "label", "g").collect()[0]
     assert g0.n_groups == 0 and g0.demographic_parity_gap is None
+
+
+def test_label_noise_planted_flips(spark):
+    from etdtransform_spark.operators.evaluation import label_noise_estimate
+
+    rows = (
+        [(0.9, 1)] * 8 + [(0.1, 0)] * 8     # clean, well-separated
+        + [(0.9, 0)] * 2                     # positives mislabeled negative
+        + [(0.1, 1)]                         # negative mislabeled positive
+    )
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = label_noise_estimate(df, "score", "label").collect()[0]
+    assert (r.n, r.n_pos, r.n_neg) == (19, 9, 10)
+    # t_pos = (8*.9 + .1)/9, t_neg = (8*.1 + 2*.9)/10
+    assert r.t_pos == pytest.approx(7.3 / 9, abs=1e-6)
+    assert r.t_neg == pytest.approx(2.6 / 10, abs=1e-6)
+    # the 2 flipped positives sit above t_pos; the flipped negative below t_neg
+    assert r.suspected_fn == 2 and r.suspected_fp == 1
+    assert r.noise_rate == pytest.approx(3 / 19, abs=1e-6)
+
+
+def test_label_noise_one_class_and_empty(spark):
+    from etdtransform_spark.operators.evaluation import label_noise_estimate
+
+    one = spark.createDataFrame([(0.9, 1), (0.8, 1)], "score double, label int")
+    r = label_noise_estimate(one, "score", "label").collect()[0]
+    # no negative threshold -> fp suspicion undefined, not 0
+    assert r.n_neg == 0 and r.t_neg is None
+    assert r.suspected_fp is None and r.noise_rate is None
+    assert r.suspected_fn == 0  # t_pos exists; no negatives to suspect
+
+    empty = spark.createDataFrame([], "score double, label int")
+    r = label_noise_estimate(empty, "score", "label").collect()[0]
+    assert r.n == 0 and r.noise_rate is None and r.suspected_fn is None
