@@ -9316,9 +9316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
-        "transition_matrix": q_transition_matrix,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "transition_matrix": q_transition_matrix,
         "expectations_report": q_expectations_report,
         "time_to_conversion": q_time_to_conversion,
         "vocab_growth": q_vocab_growth,
