@@ -29,6 +29,7 @@ sys.path.insert(0, "/root/repo")
 SMALL = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 BIG = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 RATIO = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+ONLY = sys.argv[4].split(",") if len(sys.argv) > 4 else None
 
 QUERIES = [
     "semantic_dedup",
@@ -60,7 +61,7 @@ def main() -> None:
     for d in (SMALL, BIG):
         spark.read.parquet(f"{d}/events.parquet").count()
     results = {}
-    for name in QUERIES:
+    for name in ONLY or QUERIES:
         fn = qs[name]
         times = {}
         for label, sf_dir in (("small", SMALL), ("big", BIG)):
