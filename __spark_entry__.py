@@ -8544,6 +8544,82 @@ FROM agg
 """
 
 
+def q_streaming_cls_monitor_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming model-performance monitor
+    (streaming/quality_stream.py:streaming_classification_monitor):
+    per tumbling day, confusion counts + accuracy/precision/recall of
+    the pseudo-scored events against their labels — the only state is
+    FOUR counts per open window. Oracle = the equivalent batch SQL."""
+    import uuid
+
+    from etdtransform_spark.streaming.quality_stream import (
+        streaming_classification_monitor,
+    )
+
+    stream = _stream_events(spark, sf_dir)
+    scored = stream.select(
+        F.col("ts"),
+        F.when(
+            F.col("value").isNotNull(),
+            F.pmod(F.col("event_id"), F.lit(97)).cast("double") / 96,
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    mon = streaming_classification_monitor(
+        scored, "score", "label", "ts", threshold=0.3
+    )
+    name = f"stream_clsmon_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "bucket_ts", "n", "tp", "fp", "tn", "fn",
+        "accuracy", "precision", "recall",
+    )
+
+
+_SQL_STREAMING_CLS_MONITOR = f"""
+WITH s AS (
+  SELECT ts,
+         CASE WHEN value IS NOT NULL
+              THEN (event_id % 97)::DOUBLE / 96 END AS score,
+         (event_type = 'purchase')::INT AS label
+  FROM {_EV}
+), b AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+         (score >= 0.3) AS pred, (label <> 0) AS pos
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+), c AS (
+  SELECT bucket_ts,
+         count(CASE WHEN pred AND pos THEN 1 END)::BIGINT AS tp,
+         count(CASE WHEN pred AND NOT pos THEN 1 END)::BIGINT AS fp,
+         count(CASE WHEN NOT pred AND NOT pos THEN 1 END)::BIGINT AS tn,
+         count(CASE WHEN NOT pred AND pos THEN 1 END)::BIGINT AS fn
+  FROM b GROUP BY 1
+)
+SELECT bucket_ts, (tp + fp + tn + fn)::BIGINT AS n, tp, fp, tn, fn,
+       {qround_sql(
+           'CASE WHEN tp + fp + tn + fn > 0 THEN '
+           '(tp::DOUBLE + tn::DOUBLE) / '
+           '(tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE) END', 6
+       )} AS accuracy,
+       {qround_sql(
+           'CASE WHEN tp + fp > 0 THEN tp::DOUBLE / '
+           '(tp::DOUBLE + fp::DOUBLE) END', 6)} AS precision,
+       {qround_sql(
+           'CASE WHEN tp + fn > 0 THEN tp::DOUBLE / '
+           '(tp::DOUBLE + fn::DOUBLE) END', 6)} AS recall
+FROM c
+"""
+
+
 def q_streaming_quality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming model-quality monitor (streaming/quality_stream.py): the
     frozen hashed-weight model scores the event stream's props text as a
@@ -9270,6 +9346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_summary_multi": q_classification_summary_multi,
         "streaming_elo": q_streaming_elo,
         "streaming_position_bias_daily": q_streaming_position_bias_daily,
+        "streaming_cls_monitor_daily": q_streaming_cls_monitor_daily,
         "position_bias": q_position_bias,
         "transitivity_violations": q_transitivity_violations,
         "annotator_bias": q_annotator_bias,
@@ -9546,6 +9623,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_quality_daily": _SQL_STREAMING_QUALITY,
         "streaming_elo": _SQL_STREAMING_ELO,
         "streaming_position_bias_daily": _SQL_STREAMING_POSITION_BIAS,
+        "streaming_cls_monitor_daily": _SQL_STREAMING_CLS_MONITOR,
         "bradley_terry": _SQL_BRADLEY_TERRY,
         "position_bias": _SQL_POSITION_BIAS,
         "transitivity_violations": _SQL_TRANSITIVITY,

@@ -61,3 +61,59 @@ def streaming_quality_monitor(
         )
         .select(F.col("_w.start").alias("bucket_ts"), "n", "avg_score", "pass_rate")
     )
+
+
+def streaming_classification_monitor(
+    stream_df: DataFrame,
+    score_col: str,
+    label_col: str,
+    ts_col: str,
+    threshold: float = 0.5,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    digits: int = 6,
+) -> DataFrame:
+    """Windowed model-performance monitor — the streaming deployment of
+    ``operators/evaluation.py:binary_classification_report``: as delayed
+    ground-truth labels join the scored stream (human review, user
+    feedback), each tumbling window accumulates its confusion counts and
+    the derived rates, so a post-deploy accuracy regression surfaces as
+    the window series bending. Stateless scoring comparison; the only
+    stateful operator is one watermarked window holding FOUR counts per
+    open window.
+
+    Emits (bucket_ts, n, tp, fp, tn, fn, accuracy, precision, recall)
+    per window; NULL score/label rows carry no evidence, undefined
+    ratios are NULL (no predicted positives means precision is
+    undefined, not 0 or 1 — the batch twin's convention exactly).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    pred = s >= F.lit(float(threshold))
+    pos = y != 0
+    base = stream_df.filter(
+        s.isNotNull() & y.isNotNull() & ~F.isnan(s)
+    ).withWatermark(ts_col, watermark)
+    agg = base.groupBy(F.window(F.col(ts_col), window).alias("_w")).agg(
+        F.count(F.when(pred & pos, 1)).cast("bigint").alias("tp"),
+        F.count(F.when(pred & ~pos, 1)).cast("bigint").alias("fp"),
+        F.count(F.when(~pred & ~pos, 1)).cast("bigint").alias("tn"),
+        F.count(F.when(~pred & pos, 1)).cast("bigint").alias("fn"),
+    )
+    tp, fp, tn, fn = (
+        F.col(c).cast("double") for c in ("tp", "fp", "tn", "fn")
+    )
+    n = tp + fp + tn + fn
+    return agg.select(
+        F.col("_w.start").alias("bucket_ts"),
+        (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")).alias("n"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        qround(F.when(n > 0, (tp + tn) / n), digits).alias("accuracy"),
+        qround(F.when(tp + fp > 0, tp / (tp + fp)), digits).alias(
+            "precision"
+        ),
+        qround(F.when(tp + fn > 0, tp / (tp + fn)), digits).alias("recall"),
+    )

@@ -10,6 +10,7 @@ import uuid
 
 import pandas as pd
 import pyarrow as pa
+import pytest
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
@@ -83,3 +84,55 @@ def test_streaming_equals_batch(spark, tmp_path):
         assert abs(got[k].pass_rate - batch[k].pass_rate) < 1e-11
     # every day scored 7 of 9 rows (NULL + empty excluded)
     assert all(r.n == 7 for r in got.values())
+
+
+def test_streaming_classification_monitor_equals_batch(spark, tmp_path):
+    import math
+
+    from etdtransform_spark.streaming.quality_stream import (
+        streaming_classification_monitor,
+    )
+
+    base = dt.datetime(2024, 7, 1)
+    rows = []
+    i = 0
+    for day in range(3):
+        for score, label in [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0),
+                             (0.7, 1), (None, 1), (0.6, None),
+                             (float("nan"), 0)]:
+            rows.append((base + dt.timedelta(days=day, minutes=13 * i),
+                         score, label))
+            i += 1
+    src = tmp_path / "clsmon"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["ts", "score", "label"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(src / "a.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, score double, label double"
+    ).parquet(str(src))
+    mon = streaming_classification_monitor(
+        stream, "score", "label", "ts", threshold=0.5, digits=9
+    )
+    name = f"clsmon_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.bucket_ts: r for r in spark.table(name).collect()}
+    assert len(got) == 3
+    for r in got.values():
+        # per day: 5 complete cases -> tp 2 (0.9,0.7), fp 1 (0.8),
+        # tn 1 (0.1), fn 1 (0.4); NULL/NaN excluded
+        assert (r.tp, r.fp, r.tn, r.fn) == (2, 1, 1, 1) and r.n == 5
+        assert r.accuracy == pytest.approx(0.6, abs=1e-9)
+        assert r.precision == pytest.approx(2 / 3, abs=1e-9)
+        assert r.recall == pytest.approx(2 / 3, abs=1e-9)
