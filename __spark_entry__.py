@@ -9392,9 +9392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "overlap_join": q_overlap_join,
         "cumulative_distinct": q_cumulative_distinct,
-        "group_mode": q_group_mode,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
         "expectations_report": q_expectations_report,
         "time_to_conversion": q_time_to_conversion,
