@@ -9046,6 +9046,67 @@ FROM rates
 """
 
 
+def q_top_label_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass top-label reliability bins
+    (operators/evaluation.py:top_label_calibration): 4-class
+    deterministic probability vectors synthesized from events (modular
+    numerators normalized in identical IEEE order both engines);
+    argmax = first occurrence (array_position ≡ list_position). ONE hash
+    aggregate."""
+    from etdtransform_spark.operators.evaluation import (
+        top_label_calibration,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    ns = [
+        (F.pmod(F.col("event_id"), F.lit(p)) + 1).cast("double")
+        for p in (7, 11, 13, 17)
+    ]
+    tot = ns[0] + ns[1] + ns[2] + ns[3]
+    probs = F.array(*[x / tot for x in ns])
+    labeled = ev.select(
+        probs.alias("probs"),
+        F.pmod(F.col("event_id"), F.lit(4)).alias("label"),
+    )
+    return top_label_calibration(labeled, "probs", "label")
+
+
+_SQL_TOP_LABEL_CALIBRATION = f"""
+WITH base AS (
+  SELECT [
+      (event_id % 7 + 1)::DOUBLE
+        / ((event_id % 7 + 1)::DOUBLE + (event_id % 11 + 1)::DOUBLE
+           + (event_id % 13 + 1)::DOUBLE + (event_id % 17 + 1)::DOUBLE),
+      (event_id % 11 + 1)::DOUBLE
+        / ((event_id % 7 + 1)::DOUBLE + (event_id % 11 + 1)::DOUBLE
+           + (event_id % 13 + 1)::DOUBLE + (event_id % 17 + 1)::DOUBLE),
+      (event_id % 13 + 1)::DOUBLE
+        / ((event_id % 7 + 1)::DOUBLE + (event_id % 11 + 1)::DOUBLE
+           + (event_id % 13 + 1)::DOUBLE + (event_id % 17 + 1)::DOUBLE),
+      (event_id % 17 + 1)::DOUBLE
+        / ((event_id % 7 + 1)::DOUBLE + (event_id % 11 + 1)::DOUBLE
+           + (event_id % 13 + 1)::DOUBLE + (event_id % 17 + 1)::DOUBLE)
+    ] AS probs,
+    (event_id % 4)::BIGINT AS label
+  FROM {_EV}
+  WHERE event_id IS NOT NULL
+), scored AS (
+  SELECT list_max(probs) AS c,
+         (list_position(probs, list_max(probs)) - 1)::BIGINT AS pred,
+         label
+  FROM base
+), binned AS (
+  SELECT greatest(least(floor(c * 10), 9), 0)::BIGINT AS bin, c,
+         (pred = label)::INT::DOUBLE AS hit
+  FROM scored
+)
+SELECT bin, count(*)::BIGINT AS n,
+       {qround_sql('avg(c)', 6)} AS avg_conf,
+       {qround_sql('avg(hit)', 6)} AS accuracy
+FROM binned GROUP BY bin
+"""
+
+
 def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confident-learning label-noise estimate
     (operators/evaluation.py:label_noise_estimate): per-class mean-score
@@ -9353,6 +9414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fairness_audit": q_fairness_audit,
         "fairness_gaps": q_fairness_gaps,
         "label_noise": q_label_noise,
+        "top_label_calibration": q_top_label_calibration,
         "semantic_dedup_sampled": q_semantic_dedup_sampled,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
@@ -9631,6 +9693,7 @@ def oracle_sql() -> dict[str, str]:
         "fairness_audit": _SQL_FAIRNESS_AUDIT,
         "fairness_gaps": _SQL_FAIRNESS_GAPS,
         "label_noise": _SQL_LABEL_NOISE,
+        "top_label_calibration": _SQL_TOP_LABEL_CALIBRATION,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

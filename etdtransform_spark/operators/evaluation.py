@@ -696,3 +696,61 @@ def label_noise_estimate(
         fp.alias("suspected_fp"),
         qround(rate, digits).alias("noise_rate"),
     )
+
+
+def top_label_calibration(
+    df: DataFrame,
+    probs_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Multiclass top-label reliability bins (Guo et al. 2017's
+    confidence-calibration measurement): per equal-width bin of the
+    TOP predicted probability, the row count, mean confidence, and
+    accuracy of the argmax prediction — the multiclass sibling of
+    :func:`calibration_bins` (whose binary score IS its top-label
+    confidence up to relabeling).
+
+    ``probs_col`` is an array<numeric> over class indexes 0..k−1;
+    ``label_col`` the true class index. pred = first argmax (lowest
+    index wins ties — ``array_position`` of the max, identical to the
+    oracle's ``list_position``). Rows with NULL label, NULL/empty probs,
+    or a NULL/NaN max confidence are excluded; out-of-range confidences
+    clamp to the edge bins like :func:`calibration_bins`. Returns one
+    row per non-empty bin: (bin, n, avg_conf, accuracy) — a perfectly
+    calibrated model reads avg_conf ≈ accuracy per bin.
+
+    ONE hash aggregate; the shuffle carries ≤ ``n_bins`` partials per
+    map task.
+    """
+    probs = F.transform(F.col(probs_col), lambda x: x.cast("double"))
+    y = F.col(label_col).cast("bigint")
+    base = df.select(
+        probs.alias("_p"), y.alias("_y")
+    ).filter(
+        F.col("_y").isNotNull()
+        & F.col("_p").isNotNull()
+        & (F.size("_p") > 0)
+    ).select(
+        F.array_max(F.col("_p")).alias("_c"),
+        (F.array_position(F.col("_p"), F.array_max(F.col("_p"))) - 1)
+        .cast("bigint")
+        .alias("_pred"),
+        "_y",
+    ).filter(F.col("_c").isNotNull() & ~F.isnan(F.col("_c")))
+    binned = base.select(
+        F.greatest(
+            F.least(F.floor(F.col("_c") * n_bins), F.lit(n_bins - 1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "_c",
+        (F.col("_pred") == F.col("_y")).cast("double").alias("_hit"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        qround(F.avg("_c"), digits).alias("avg_conf"),
+        qround(F.avg("_hit"), digits).alias("accuracy"),
+    )

@@ -531,3 +531,29 @@ def test_label_noise_one_class_and_empty(spark):
     empty = spark.createDataFrame([], "score double, label int")
     r = label_noise_estimate(empty, "score", "label").collect()[0]
     assert r.n == 0 and r.noise_rate is None and r.suspected_fn is None
+
+
+def test_top_label_calibration_hand_computed(spark):
+    from etdtransform_spark.operators.evaluation import top_label_calibration
+
+    rows = [
+        ([0.7, 0.2, 0.1], 0),   # conf .7 bin 7, correct
+        ([0.7, 0.2, 0.1], 1),   # conf .7 bin 7, wrong
+        ([0.1, 0.2, 0.7], 2),   # conf .7 bin 7, correct
+        ([0.55, 0.45, 0.0], 1), # conf .55 bin 5, wrong
+        ([0.5, 0.5, 0.0], 0),   # tie -> lowest index pred 0, bin 5, correct
+        (None, 0), ([], 1), ([0.9, 0.1, 0.0], None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "probs array<double>, label int")
+    out = {r.bin: r for r in top_label_calibration(df, "probs", "label").collect()}
+    assert set(out) == {7, 5}
+    assert out[7].n == 3 and out[7].accuracy == pytest.approx(2 / 3)
+    assert out[7].avg_conf == pytest.approx(0.7)
+    assert out[5].n == 2 and out[5].accuracy == pytest.approx(0.5)
+    # perfectly confident & correct -> bin 9 via 1.0-closes-top clamp
+    sure = spark.createDataFrame([([1.0, 0.0], 0)], "probs array<double>, label int")
+    r = top_label_calibration(sure, "probs", "label").collect()[0]
+    assert r.bin == 9 and r.accuracy == 1.0
+
+    empty = spark.createDataFrame([], "probs array<double>, label int")
+    assert top_label_calibration(empty, "probs", "label").count() == 0
