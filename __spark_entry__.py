@@ -9453,9 +9453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "snapshot_diff": q_snapshot_diff,
         "overlap_join": q_overlap_join,
-        "cumulative_distinct": q_cumulative_distinct,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
         "expectations_report": q_expectations_report,
