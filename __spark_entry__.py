@@ -9403,58 +9403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "classification_report_multi": q_classification_report_multi,
-        "classification_summary_multi": q_classification_summary_multi,
-        "streaming_elo": q_streaming_elo,
-        "streaming_position_bias_daily": q_streaming_position_bias_daily,
-        "streaming_cls_monitor_daily": q_streaming_cls_monitor_daily,
-        "position_bias": q_position_bias,
-        "transitivity_violations": q_transitivity_violations,
-        "annotator_bias": q_annotator_bias,
-        "fairness_audit": q_fairness_audit,
-        "fairness_gaps": q_fairness_gaps,
-        "label_noise": q_label_noise,
-        "top_label_calibration": q_top_label_calibration,
-        "semantic_dedup_sampled": q_semantic_dedup_sampled,
-        "time_grid": q_time_grid,
-        "interpolate_gaps": q_interpolate_gaps,
-        "ewma": q_ewma,
-        "quantile_iqr": q_quantile_iqr,
-        "cube_events": q_cube_events,
-        "latest_snapshot": q_latest_snapshot,
-        "set_ops": q_set_ops,
-        "full_outer_activity": q_full_outer_activity,
-        "mad_outliers": q_mad_outliers,
-        "unigram_logprob": q_unigram_logprob,
-        "repetition_ratio": q_repetition_ratio,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "argmin_join": q_argmin_join,
-        "revenue_share": q_revenue_share,
-        "above_avg_customers": q_above_avg_customers,
-        "sessionize": q_sessionize,
-        "impute_linear_fill": q_impute_linear_fill,
-        "range_join": q_range_join,
-        "salted_agg": q_salted_agg,
-        "salted_join": q_salted_join,
-        "hll_intersection": q_hll_intersection,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "zorder_roundtrip": q_zorder_roundtrip,
-        "dim_grid": q_dim_grid,
-        "union_evolved": q_union_evolved,
-        "rolling_time_window": q_rolling_time_window,
-        "impute_date_stats": q_impute_date_stats,
-        "leakage_split": q_leakage_split,
-        "priority_shipping": q_priority_shipping,
-        "profile_table": q_profile_table,
-        "grouping_sets": q_grouping_sets,
-        "streaming_enrich": q_streaming_enrich,
-        "streaming_interval_join": q_streaming_interval_join,
-        "merge_intervals": q_merge_intervals,
-        "scd2_history": q_scd2_history,
-        "snapshot_diff": q_snapshot_diff,
-        "overlap_join": q_overlap_join,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -9505,6 +9453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "period_over_period": q_period_over_period,
         "cooccurrence": q_cooccurrence,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "touch_attribution": q_touch_attribution,
         "inverted_index": q_inverted_index,
         "incremental_agg": q_incremental_agg,
@@ -9637,6 +9587,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_events": q_unpivot_events,
         "zscore_outliers": q_zscore_outliers,
         "weighted_sample": q_weighted_sample,
+        "classification_report_multi": q_classification_report_multi,
+        "classification_summary_multi": q_classification_summary_multi,
+        "streaming_elo": q_streaming_elo,
+        "streaming_position_bias_daily": q_streaming_position_bias_daily,
+        "streaming_cls_monitor_daily": q_streaming_cls_monitor_daily,
+        "position_bias": q_position_bias,
+        "transitivity_violations": q_transitivity_violations,
+        "annotator_bias": q_annotator_bias,
+        "fairness_audit": q_fairness_audit,
+        "fairness_gaps": q_fairness_gaps,
+        "label_noise": q_label_noise,
+        "top_label_calibration": q_top_label_calibration,
+        "semantic_dedup_sampled": q_semantic_dedup_sampled,
+        "time_grid": q_time_grid,
+        "interpolate_gaps": q_interpolate_gaps,
+        "ewma": q_ewma,
+        "quantile_iqr": q_quantile_iqr,
+        "cube_events": q_cube_events,
+        "latest_snapshot": q_latest_snapshot,
+        "set_ops": q_set_ops,
+        "full_outer_activity": q_full_outer_activity,
+        "mad_outliers": q_mad_outliers,
+        "unigram_logprob": q_unigram_logprob,
+        "repetition_ratio": q_repetition_ratio,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "argmin_join": q_argmin_join,
+        "revenue_share": q_revenue_share,
+        "above_avg_customers": q_above_avg_customers,
+        "sessionize": q_sessionize,
+        "impute_linear_fill": q_impute_linear_fill,
+        "range_join": q_range_join,
+        "salted_agg": q_salted_agg,
+        "salted_join": q_salted_join,
+        "hll_intersection": q_hll_intersection,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "zorder_roundtrip": q_zorder_roundtrip,
+        "dim_grid": q_dim_grid,
+        "union_evolved": q_union_evolved,
+        "rolling_time_window": q_rolling_time_window,
+        "impute_date_stats": q_impute_date_stats,
+        "leakage_split": q_leakage_split,
+        "priority_shipping": q_priority_shipping,
+        "profile_table": q_profile_table,
+        "grouping_sets": q_grouping_sets,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_interval_join": q_streaming_interval_join,
+        "merge_intervals": q_merge_intervals,
+        "scd2_history": q_scd2_history,
+        "snapshot_diff": q_snapshot_diff,
+        "overlap_join": q_overlap_join,
     }
 
 
