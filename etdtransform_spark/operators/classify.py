@@ -142,15 +142,17 @@ def hashed_linear_score(
     # and corrupt both the sum and the count, so they fail loudly — IN the
     # plan (raise_error inside the weight expression, which cannot be
     # pruned because the join reads it), not via an eager collect() that
-    # would add a blocking Spark job to an otherwise lazy operator. NULL
-    # counts as a distinct (malformed) weight value.
+    # would add a blocking Spark job to an otherwise lazy operator. Any
+    # NULL weight is malformed and raises — including a bucket whose ONLY
+    # row is NULL (count_distinct skips NULLs, so the indicator is
+    # weighted 2 to keep a lone NULL from reading as one clean value).
     weights = (
         weights.select("bucket", "weight")
         .groupBy("bucket")
         .agg(
             (
                 F.count_distinct("weight")
-                + F.max(F.col("weight").isNull().cast("bigint"))
+                + F.max(F.col("weight").isNull().cast("bigint")) * 2
             ).alias("_nw"),
             F.min("weight").alias("_w"),
         )

@@ -542,8 +542,10 @@ def fairness_audit(
     Rows with NULL score, label, or group are excluded (an unattributed
     row audits nothing); undefined ratios are NULL, never 0 — a group
     with no positives has no TPR, the same convention as
-    :func:`binary_classification_report`. NaN scores are excluded like
-    NULLs (same rationale as :func:`calibration_bins`).
+    :func:`binary_classification_report`. NaN scores AND NaN labels are
+    excluded like NULLs (same rationale as :func:`calibration_bins`;
+    under Spark NaN semantics a NaN label would otherwise satisfy
+    ``label != 0`` and silently count as a positive).
 
     ONE hash aggregate: the shuffle carries four counts per group
     (map-side combined); every rate derives from the group-domain table.
@@ -556,6 +558,7 @@ def fairness_audit(
         s.isNotNull()
         & y.isNotNull()
         & ~F.isnan(s)
+        & ~F.isnan(y)
         & F.col(group_col).isNotNull()
     )
     g = base.groupBy(F.col(group_col).alias("group")).agg(
@@ -647,8 +650,9 @@ def label_noise_estimate(
     suspected_fp, noise_rate) with noise_rate = (fn+fp)/n. A one-class
     input has no opposing threshold, so the corresponding suspicion
     count is NULL (not 0 — absence of a threshold is not evidence of
-    cleanliness) and noise_rate is NULL. NULL/NaN scores and NULL labels
-    are excluded.
+    cleanliness) and noise_rate is NULL. NULL/NaN scores and NULL/NaN
+    labels are excluded (a NaN label would otherwise read as a positive
+    under Spark NaN comparison semantics).
 
     Plan shape: TWO data-sized aggregates over the same filtered scan —
     the class-mean pass and the counting pass joined through a broadcast
@@ -657,9 +661,9 @@ def label_noise_estimate(
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    base = df.filter(s.isNotNull() & y.isNotNull() & ~F.isnan(s)).select(
-        s.alias("_s"), (y != 0).alias("_pos")
-    )
+    base = df.filter(
+        s.isNotNull() & y.isNotNull() & ~F.isnan(s) & ~F.isnan(y)
+    ).select(s.alias("_s"), (y != 0).alias("_pos"))
     thr = base.agg(
         F.avg(F.when(F.col("_pos"), F.col("_s"))).alias("_tp"),
         F.avg(F.when(~F.col("_pos"), F.col("_s"))).alias("_tn"),
@@ -753,4 +757,298 @@ def top_label_calibration(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         qround(F.avg("_c"), digits).alias("avg_conf"),
         qround(F.avg("_hit"), digits).alias("accuracy"),
+    )
+
+
+def roc_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: list[str] | tuple[str, ...] = (),
+    digits: int = 6,
+    prefix_buckets: int = 32,
+) -> DataFrame:
+    """The full ROC curve as a table — one row per DISTINCT score value,
+    read as the decision threshold ``pred = score >= threshold``:
+    (keys..., threshold, tp, fp, tpr, fpr). :func:`auc_roc` gives the
+    scalar; this is what an eval pipeline actually plots, and the
+    threshold-picker's input (choose the operating point, then freeze it
+    into :func:`binary_classification_report` / :func:`fairness_audit`).
+
+    Same substrate as the scalar: distinct-value cumulative counts
+    (``stats._value_cumulatives``) — tp at threshold v is the suffix
+    count of positives (n_pos − cum_pos(v) + count_at(v)), so the whole
+    curve costs ONE distinct-value aggregate plus the keyed window /
+    keyless range-partitioned prefix sum; the output is
+    distinct-score-sized, never row-sized. NULL/NaN scores and labels
+    are excluded (a NaN score cannot be thresholded; a NaN label would
+    count as positive under Spark NaN semantics); one-class segments
+    give NULL tpr or fpr, never 0/0 = 0. Keyless calls are EAGER at
+    build time — see the eagerness note on ``stats._value_cumulatives``.
+    """
+    cum, klist = _curve_cumulatives(
+        df, score_col, label_col, keys, prefix_buckets
+    )
+    tp = (F.col("_na") - F.col("_cum_a") + F.col("_ca")).cast("bigint")
+    fp = (F.col("_nb") - F.col("_cum_b") + F.col("_cb")).cast("bigint")
+    return cum.select(
+        *klist,
+        F.col("_v").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        qround(
+            F.when(
+                F.col("_na") > 0,
+                tp.cast("double") / F.col("_na").cast("double"),
+            ),
+            digits,
+        ).alias("tpr"),
+        qround(
+            F.when(
+                F.col("_nb") > 0,
+                fp.cast("double") / F.col("_nb").cast("double"),
+            ),
+            digits,
+        ).alias("fpr"),
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: list[str] | tuple[str, ...] = (),
+    digits: int = 6,
+    prefix_buckets: int = 32,
+) -> DataFrame:
+    """Precision-recall curve as a table — one row per distinct score
+    threshold: (keys..., threshold, tp, fp, precision, recall). The PR
+    sibling of :func:`roc_curve` on the identical cumulative substrate
+    (same cost, same exclusions, same keyless-eagerness caveat).
+    Precision is always defined on an attained threshold (tp + fp ≥ 1 —
+    at least the rows AT the threshold score are predicted positive);
+    recall is NULL when the segment has no positives."""
+    cum, klist = _curve_cumulatives(
+        df, score_col, label_col, keys, prefix_buckets
+    )
+    tp = (F.col("_na") - F.col("_cum_a") + F.col("_ca")).cast("bigint")
+    fp = (F.col("_nb") - F.col("_cum_b") + F.col("_cb")).cast("bigint")
+    return cum.select(
+        *klist,
+        F.col("_v").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        qround(
+            tp.cast("double") / (tp + fp).cast("double"), digits
+        ).alias("precision"),
+        qround(
+            F.when(
+                F.col("_na") > 0,
+                tp.cast("double") / F.col("_na").cast("double"),
+            ),
+            digits,
+        ).alias("recall"),
+    )
+
+
+def _curve_cumulatives(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys,
+    prefix_buckets: int,
+):
+    """Shared distinct-score cumulative table for the curve operators:
+    per (keys..., score) the positive/negative multiplicities with
+    inclusive cumulatives and segment totals, NULL/NaN excluded on both
+    columns."""
+    from .stats import _value_cumulatives
+
+    x = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    klist = list(keys)
+    counts = (
+        df.filter(
+            x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+        )
+        .groupBy(*klist, x.alias("_v"))
+        .agg(
+            F.sum(F.when(y != 0, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    return _value_cumulatives(counts, klist, prefix_buckets), klist
+
+
+def fairness_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Threshold-FREE fairness: per-group AUC — does the model rank a
+    random positive above a random negative equally well in every
+    cohort? Complements :func:`fairness_audit`, whose rates are all
+    pinned to one decision threshold (a model can pass the thresholded
+    audit and still rank one group's positives systematically worse —
+    or vice versa). Returns (group, n_pos, n_neg, auc), one row per
+    non-NULL group; a one-class group has NULL auc (no ranking evidence,
+    the :func:`auc_roc` convention).
+
+    Exactly :func:`auc_roc` keyed by the group — the keyed (windowed)
+    cumulative path, so no extra machinery and no keyless eagerness:
+    group segments partition the distinct-score table. NULL/NaN scores
+    and labels are excluded, matching :func:`fairness_audit`.
+    """
+    x = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(
+        x.isNotNull()
+        & y.isNotNull()
+        & ~F.isnan(x)
+        & ~F.isnan(y)
+        & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("group"), x.alias("_s"), y.alias("_y"))
+    return auc_roc(base, "_s", "_y", keys=["group"], digits=digits)
+
+
+def fairness_auc_gap(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row max−min summary over :func:`fairness_auc`:
+    (n_groups, n_defined, auc_gap) where the gap spans groups whose AUC
+    is DEFINED (both classes present) and is NULL below 2 defining
+    groups — the same conventions as :func:`fairness_gaps`, making the
+    pair the thresholded + threshold-free fairness gate. Group-domain
+    arithmetic on top of the audit's windowed pass."""
+    per = fairness_auc(df, score_col, label_col, group_col, digits=None)
+    out = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.count(F.col("auc")).cast("bigint").alias("n_defined"),
+        F.when(
+            F.count(F.col("auc")) >= 2, F.max("auc") - F.min("auc")
+        ).alias("_gap"),
+    )
+    return out.select(
+        "n_groups",
+        "n_defined",
+        qround(F.col("_gap"), digits).alias("auc_gap"),
+    )
+
+
+def regression_report(
+    df: DataFrame,
+    pred_col: str,
+    target_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row regression-quality summary for continuous predictions —
+    the reward-model / scalar-judge QA sibling of
+    :func:`binary_classification_report`:
+
+        (n, mae, rmse, r2, mean_pred, mean_target)
+
+    r2 uses the computational identity 1 − Σe² / (Σy² − (Σy)²/n) and is
+    NULL when the target is constant (zero variance ranks nothing —
+    undefined, not 0 or 1) or n = 0; mae/rmse are NULL only on empty
+    input. NULL/NaN rows on either column are excluded (same convention
+    as the classification family).
+
+    ONE hash aggregate: the shuffle carries six partials per map task
+    (n, Σ|e|, Σe², Σy, Σy², Σŷ) — nothing row-sized survives the map
+    side at any scale.
+    """
+    p = F.col(pred_col).cast("double")
+    y = F.col(target_col).cast("double")
+    e = p - y
+    base = df.filter(
+        p.isNotNull() & y.isNotNull() & ~F.isnan(p) & ~F.isnan(y)
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(e)).alias("_sae"),
+        F.sum(e * e).alias("_sse"),
+        F.sum(y).alias("_sy"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(p).alias("_sp"),
+    )
+    n = F.col("n").cast("double")
+    ss_tot = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    return agg.select(
+        "n",
+        qround(F.when(F.col("n") > 0, F.col("_sae") / n), digits).alias(
+            "mae"
+        ),
+        qround(
+            F.when(F.col("n") > 0, F.sqrt(F.col("_sse") / n)), digits
+        ).alias("rmse"),
+        qround(
+            F.when(
+                (F.col("n") > 0) & (ss_tot > 0),
+                F.lit(1.0) - F.col("_sse") / ss_tot,
+            ),
+            digits,
+        ).alias("r2"),
+        qround(F.when(F.col("n") > 0, F.col("_sp") / n), digits).alias(
+            "mean_pred"
+        ),
+        qround(F.when(F.col("n") > 0, F.col("_sy") / n), digits).alias(
+            "mean_target"
+        ),
+    )
+
+
+def regression_calibration_deciles(
+    df: DataFrame,
+    pred_col: str,
+    target_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Calibration-by-decile for continuous predictions: rank-bin the
+    predictions into ``n_bins`` quantile bins (exact ``F.percentile``
+    boundaries — prediction deciles, NOT fixed-width score bins, since a
+    regression target has no [0,1] spine) and report, per non-empty bin,
+
+        (bin, n, avg_pred, avg_target, bias)      bias = avg_pred − avg_target
+
+    — a monotone-increasing avg_target with small per-bin bias is what a
+    calibrated reward model looks like; a flat avg_target says the
+    scores don't rank. NULL/NaN rows excluded on both columns.
+
+    Plan shape: one aggregate computes the ≤ n_bins−1 boundary scalars
+    into a 1-ROW frame that rides a broadcast crossJoin into the binning
+    projection (the :func:`label_noise_estimate` pattern — lazy, no
+    driver collect); bin = count of boundaries strictly below the
+    prediction, so ties at a boundary land deterministically in the
+    lower bin on any engine. Then ONE data-sized hash aggregate over
+    ≤ n_bins groups. Exact percentile is a distributed sort-based
+    aggregate — at 100 TB switch to approx boundaries if the prediction
+    column has unbounded cardinality; the bin SEMANTICS tolerate any
+    order-preserving boundary choice.
+    """
+    p = F.col(pred_col).cast("double")
+    y = F.col(target_col).cast("double")
+    base = df.filter(
+        p.isNotNull() & y.isNotNull() & ~F.isnan(p) & ~F.isnan(y)
+    ).select(p.alias("_p"), y.alias("_y"))
+    qs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    bounds = base.agg(F.percentile("_p", qs).alias("_bd"))
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        F.size(
+            F.filter(F.col("_bd"), lambda b: F.col("_p") > b)
+        ).cast("bigint").alias("bin"),
+        "_p",
+        "_y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        qround(F.avg("_p"), digits).alias("avg_pred"),
+        qround(F.avg("_y"), digits).alias("avg_target"),
+        qround(F.avg("_p") - F.avg("_y"), digits).alias("bias"),
     )

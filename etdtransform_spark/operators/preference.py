@@ -272,6 +272,7 @@ def transitivity_violations(
     winner_col: str = "winner",
     loser_col: str = "loser",
     digits: int = 6,
+    max_items: int | None = None,
 ) -> DataFrame:
     """One-row audit of preference-cycle rate: among item triples where
     all three pairs have an untied MAJORITY direction, the fraction that
@@ -289,14 +290,48 @@ def transitivity_violations(
     Returns (n_pairs, n_tied_pairs, n_triples, n_cyclic, violation_rate)
     with NULL rate when no complete triple exists.
 
-    Scale shape: the data-sized work is the ONE pair_counts aggregate;
-    the direction table is item-domain²-bounded and the triple
-    enumeration is a self-join chain on it (sum-of-squared-degrees
-    work) — a dictionary-scale audit by construction, like the other
-    tournament statistics. Not intended for item domains where |items|³
-    is itself data-sized; sample items first in that regime.
+    Scale shape: the data-sized work is the ONE pair_counts aggregate —
+    the pairs frame is cached so the five plan references (three
+    triple-join sides, the tied count, the pair count) read the
+    item-domain²-bounded cache instead of gambling on Catalyst exchange
+    reuse re-running the data-sized shuffle per reference; the direction
+    table is item-domain²-bounded and the triple enumeration is a
+    self-join chain on it (sum-of-squared-degrees work) — a
+    dictionary-scale audit by construction, like the other tournament
+    statistics. Not intended for item domains where |items|³ is itself
+    data-sized — ``max_items`` makes that bound STRUCTURAL: when set,
+    the audit restricts to a deterministic hash-ranked sample of at most
+    ``max_items`` items (both sides of every comparison must fall in the
+    sample), so the triple enumeration is ≤ max_items³ regardless of the
+    true item domain. Every output count then describes the sampled
+    sub-tournament, whose violation rate estimates the full rate (each
+    triple of sampled items is a triple of the full tournament); the
+    sample is portable (hash-ranked, no RNG) and stable across reruns
+    and engines.
     """
-    pairs = pair_counts(df, winner_col, loser_col)
+    if max_items is not None:
+        from ..functions.hashing import portable_hash64
+
+        items = (
+            df.select(F.col(winner_col).alias("_it"))
+            .unionByName(df.select(F.col(loser_col).alias("_it")))
+            .filter(F.col("_it").isNotNull())
+            .distinct()
+        )
+        h = portable_hash64(F.col("_it").cast("string"), seed="transitivity")
+        # TakeOrderedAndProject — no global sort; the keep-list is
+        # max_items-sized and broadcast into two semi-joins
+        keep = (
+            items.orderBy(h.asc(), F.col("_it").asc())
+            .limit(int(max_items))
+            .select("_it")
+        )
+        df = df.join(
+            F.broadcast(keep), F.col(winner_col) == F.col("_it"), "left_semi"
+        ).join(
+            F.broadcast(keep), F.col(loser_col) == F.col("_it"), "left_semi"
+        )
+    pairs = pair_counts(df, winner_col, loser_col).cache()
     # direction: 1 = item_a beats item_b on majority, 0 = loses; ties drop
     edges = pairs.select(
         "item_a",
@@ -344,7 +379,7 @@ def transitivity_violations(
         )
     )
     out = counts.crossJoin(F.broadcast(agg))  # three 1-row frames
-    return out.select(
+    out = out.select(
         "n_pairs",
         "n_tied_pairs",
         "n_triples",
@@ -357,3 +392,9 @@ def transitivity_violations(
             digits,
         ).alias("violation_rate"),
     )
+    # same lineage discipline as bradley_terry_strengths: pin the 1-row
+    # result (eager, trivially small) so the cache can be released
+    # without the caller's later action re-running the pair shuffle
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out

@@ -7,6 +7,8 @@ hyperplane style) bucketed variant as the scale path. Dot products are pure
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from ..functions.scalars import qround
@@ -559,8 +561,48 @@ def _kmeans_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _coarse_quantize_centroids(cent_rows, nlist: int, iters: int = 5):
+    """Driver-side Lloyd over the k centroid VECTORS (the model, not the
+    data — k·d doubles already live on the driver): cluster the
+    centroids into ≤ ``nlist`` coarse cells so :func:`_kmeans_assign`
+    can prune. Deterministic (first-``nlist`` init, fixed iterations, no
+    RNG). Returns (coarse_cells [[d-doubles]], lists [[centroid
+    POSITION]]), with empty cells dropped — every returned cell owns at
+    least one centroid, so a probed cell always yields candidates."""
+    vecs = [[float(x) for x in c] for _cid, c in cent_rows]
+    nlist = min(int(nlist), len(vecs))
+
+    def _d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def _nearest(v, cells):
+        best, bd = 0, None
+        for j, cc in enumerate(cells):
+            d = _d2(v, cc)
+            if bd is None or d < bd:
+                best, bd = j, d
+        return best
+
+    coarse = [list(vecs[i]) for i in range(nlist)]
+    for _ in range(iters):
+        assign = [_nearest(v, coarse) for v in vecs]
+        for j in range(nlist):
+            members = [vecs[i] for i, a in enumerate(assign) if a == j]
+            if members:
+                coarse[j] = [sum(xs) / len(members) for xs in zip(*members)]
+    lists = [[] for _ in range(nlist)]
+    for pos, v in enumerate(vecs):
+        lists[_nearest(v, coarse)].append(pos)
+    kept = [(cc, lst) for cc, lst in zip(coarse, lists) if lst]
+    return [cc for cc, _ in kept], [lst for _, lst in kept]
+
+
 def _kmeans_assign(
-    base: DataFrame, cent_rows, model_via: str | None = None
+    base: DataFrame,
+    cent_rows,
+    model_via: str | None = None,
+    nprobe: int | None = None,
+    nlist: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment against the k x d centroid model:
     per row, distance to each centroid (zip_with fold) and argmin via
@@ -578,28 +620,102 @@ def _kmeans_assign(
     the generated code. The arithmetic — zip_with fold, array_min,
     array_position tie-break — is identical either way. ``model_via``
     forces "literal" or "broadcast" (unit-test parity pin); None
-    dispatches on size."""
+    dispatches on size.
+
+    ``nprobe``: IVF-pruned assignment — the same list pruning
+    :func:`ivf_topk` applies to the corpus, applied to the CENTROID
+    model: the k centroids are coarse-quantized driver-side into
+    ``nlist`` cells (default ≈ √k; model-sized work), and each row
+    scores the ``nprobe`` nearest cells' member centroids only —
+    O((nlist + nprobe·k/nlist)·d) per row instead of O(k·d). The fold
+    arithmetic and the lowest-position tie-break are IDENTICAL to the
+    full scan, so ``nprobe >= nlist`` reproduces it bit-for-bit (pinned
+    by unit test); smaller nprobe is the standard IVF approximation.
+    Deterministic either way — the assignment stays a pure function of
+    the vector, which is what semantic_dedup's duplicates-share-a-
+    cluster guarantee needs."""
     k_times_d = sum(len(c) for _cid, c in cent_rows)
+    pruned = nprobe is not None and len(cent_rows) > 1
+    if pruned:
+        if nlist is None:
+            nlist = max(2, int(math.isqrt(len(cent_rows))))
+        coarse, lists = _coarse_quantize_centroids(cent_rows, nlist)
+        nprobe = max(1, min(int(nprobe), len(coarse)))
     if model_via == "broadcast" or (model_via is None and k_times_d > 2048):
         spark = base.sparkSession
-        cent_df = spark.createDataFrame(
-            [([[float(x) for x in c] for _cid, c in cent_rows],)],
-            "_cents array<array<double>>",
-        )
+        cents = [[float(x) for x in c] for _cid, c in cent_rows]
+        if pruned:
+            cent_df = spark.createDataFrame(
+                [(cents, coarse, lists)],
+                "_cents array<array<double>>, "
+                "_coarse array<array<double>>, _lists array<array<int>>",
+            )
+            coarse_lit = F.col("_coarse")
+            lists_lit = F.col("_lists")
+        else:
+            cent_df = spark.createDataFrame(
+                [(cents,)], "_cents array<array<double>>"
+            )
         cent_lit = F.col("_cents")
         base = base.crossJoin(F.broadcast(cent_df))  # 1-row model frame
     else:
         cent_lit = F.array(
             *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent_rows]
         )
-    d2s = F.transform(
-        cent_lit,
-        lambda c: F.aggregate(
+        if pruned:
+            coarse_lit = F.array(
+                *[F.array(*[F.lit(float(x)) for x in cc]) for cc in coarse]
+            )
+            lists_lit = F.array(
+                *[F.array(*[F.lit(int(p)) for p in lst]) for lst in lists]
+            )
+
+    def fold_d2(c):
+        return F.aggregate(
             F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-    )
+        )
+
+    if pruned:
+        # nprobe nearest coarse cells (struct sort: d2 then cell index —
+        # deterministic), their member centroid positions concatenated,
+        # then the same fold scored over candidates only; min(struct(d2,
+        # position)) ties to the lowest position, exactly the full
+        # scan's first-occurrence argmin
+        probed = F.slice(
+            F.array_sort(
+                F.transform(
+                    coarse_lit,
+                    lambda c, i: F.struct(
+                        fold_d2(c).alias("d"), i.alias("i")
+                    ),
+                )
+            ),
+            1,
+            int(nprobe),
+        )
+        cand = F.flatten(
+            F.transform(
+                probed, lambda s: F.element_at(lists_lit, s["i"] + 1)
+            )
+        )
+        best = F.array_min(
+            F.transform(
+                cand,
+                lambda p: F.struct(
+                    fold_d2(F.element_at(cent_lit, p + 1)).alias("d"),
+                    p.alias("p"),
+                ),
+            )
+        )
+        return base.select("_vid", "_v", best.alias("_b")).select(
+            "_vid",
+            "_v",
+            F.col("_b.p").cast("int").alias("cluster_id"),
+            F.col("_b.d").alias("d2"),
+        )
+    d2s = F.transform(cent_lit, fold_d2)
     return base.select("_vid", "_v", d2s.alias("_d2s")).select(
         "_vid",
         "_v",
@@ -697,6 +813,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_mod: int | None = None,
+    assign_nprobe: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning —
     cluster the embedding corpus with k-means, then compare pairs ONLY
@@ -728,6 +845,17 @@ def semantic_dedup(
     differ from full-fit centroids, but exact duplicates always share a
     cluster under ANY centroid model, so the dedup guarantee that
     matters is sample-invariant (pinned by unit test).
+
+    ``assign_nprobe``: cap the ASSIGNMENT cost at scale — the residual
+    term after sampled fit is the full-corpus nearest-centroid scan,
+    O(n·k·d) (PLANS.md "Scale-stress r8" decomposition). When set, the
+    final assignment runs IVF-pruned (:func:`_kmeans_assign` ``nprobe``:
+    centroids coarse-quantized into ≈√k cells, each row scores only the
+    nprobe nearest cells' centroids — O(n·√k·nprobe·d)). Still a pure
+    deterministic function of the vector, so exact duplicates still
+    share a cluster and the kept set stays rerun-stable; cluster
+    boundaries may differ from the exhaustive scan (standard IVF
+    approximation; ``nprobe >= √k`` recovers it exactly).
 
     Returns (``id_col``, cluster_id, keep) — discrete columns only, so
     the oracle compare is float-free.
@@ -762,7 +890,7 @@ def semantic_dedup(
     # re-fold both norms for every candidate — 3x the per-pair work);
     # dot/(na*nb) is the identical op sequence to the oracle's
     # list_dot_product / (sqrt(dp_aa) * sqrt(dp_bb))
-    assigned = _kmeans_assign(base, cent).select(
+    assigned = _kmeans_assign(base, cent, nprobe=assign_nprobe).select(
         "_vid", "_v", "cluster_id", norm_expr(F.col("_v")).alias("_nrm")
     )
     a = assigned.select(

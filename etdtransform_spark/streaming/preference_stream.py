@@ -113,7 +113,15 @@ def streaming_elo(
                 it: (r, g, w)
                 for it, r, g, w in zip(items, ratings, games, wins)
             }
-        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        # list-then-concat with an empty-guard: a timeout invocation (if a
+        # timeout is ever configured) delivers NO dataframes, and
+        # pd.concat([]) raises rather than returning an empty frame
+        dfs = list(pdf_iter)
+        batch = (
+            pd.concat(dfs, ignore_index=True)
+            if dfs
+            else pd.DataFrame(columns=["_g", "_w", "_l", "_ts", "_ord"])
+        )
         applied = 0
         if len(batch):
             batch = batch.sort_values(

@@ -83,16 +83,18 @@ def streaming_classification_monitor(
     open window.
 
     Emits (bucket_ts, n, tp, fp, tn, fn, accuracy, precision, recall)
-    per window; NULL score/label rows carry no evidence, undefined
-    ratios are NULL (no predicted positives means precision is
-    undefined, not 0 or 1 — the batch twin's convention exactly).
+    per window; NULL/NaN score/label rows carry no evidence (a NaN
+    label would otherwise count as a positive under Spark NaN
+    semantics), undefined ratios are NULL (no predicted positives means
+    precision is undefined, not 0 or 1 — the batch twin's convention
+    exactly).
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     pred = s >= F.lit(float(threshold))
     pos = y != 0
     base = stream_df.filter(
-        s.isNotNull() & y.isNotNull() & ~F.isnan(s)
+        s.isNotNull() & y.isNotNull() & ~F.isnan(s) & ~F.isnan(y)
     ).withWatermark(ts_col, watermark)
     agg = base.groupBy(F.window(F.col(ts_col), window).alias("_w")).agg(
         F.count(F.when(pred & pos, 1)).cast("bigint").alias("tp"),

@@ -103,6 +103,15 @@ def test_weight_df_duplicates(spark):
     )
     with pytest.raises(Exception, match="conflicting"):
         hashed_linear_score(df, "text", bad_null, N, id_col="id").collect()
+    # a bucket whose ONLY row is NULL is malformed too — count_distinct
+    # skips NULLs, so without the doubled indicator this would silently
+    # score as weight 0.0
+    lone_null = spark.createDataFrame(
+        [(k, v) for k, v in WEIGHTS.items() if k != 7] + [(7, None)],
+        "bucket bigint, weight double",
+    )
+    with pytest.raises(Exception, match="conflicting"):
+        hashed_linear_score(df, "text", lone_null, N, id_col="id").collect()
 
 
 def test_weight_df_duplicate_id_raises(spark):

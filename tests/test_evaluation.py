@@ -453,14 +453,17 @@ def test_fairness_audit_hand_computed(spark):
 
     rows = [
         # group A: 2 pos, 2 neg; predicted pos: both pos + one neg
-        ("A", 0.9, 1), ("A", 0.8, 1), ("A", 0.7, 0), ("A", 0.1, 0),
+        ("A", 0.9, 1.0), ("A", 0.8, 1.0), ("A", 0.7, 0.0), ("A", 0.1, 0.0),
         # group B: 1 pos, 3 neg; predicted pos: none
-        ("B", 0.2, 1), ("B", 0.1, 0), ("B", 0.3, 0), ("B", 0.4, 0),
+        ("B", 0.2, 1.0), ("B", 0.1, 0.0), ("B", 0.3, 0.0), ("B", 0.4, 0.0),
         # excluded rows
-        (None, 0.9, 1), ("A", None, 1), ("A", 0.5, None),
-        ("A", float("nan"), 1),
+        (None, 0.9, 1.0), ("A", None, 1.0), ("A", 0.5, None),
+        ("A", float("nan"), 1.0),
+        # NaN label: under Spark NaN semantics it would satisfy
+        # label != 0 and silently count as a positive — excluded
+        ("A", 0.9, float("nan")),
     ]
-    df = spark.createDataFrame(rows, "g string, score double, label int")
+    df = spark.createDataFrame(rows, "g string, score double, label double")
     out = {r.group: r for r in fairness_audit(
         df, "score", "label", "g", threshold=0.5).collect()}
     assert out["A"].n == 4 and out["B"].n == 4
@@ -503,11 +506,12 @@ def test_label_noise_planted_flips(spark):
     from etdtransform_spark.operators.evaluation import label_noise_estimate
 
     rows = (
-        [(0.9, 1)] * 8 + [(0.1, 0)] * 8     # clean, well-separated
-        + [(0.9, 0)] * 2                     # positives mislabeled negative
-        + [(0.1, 1)]                         # negative mislabeled positive
+        [(0.9, 1.0)] * 8 + [(0.1, 0.0)] * 8  # clean, well-separated
+        + [(0.9, 0.0)] * 2                   # positives mislabeled negative
+        + [(0.1, 1.0)]                       # negative mislabeled positive
+        + [(0.9, float("nan")), (float("nan"), 1.0)]  # NaN either side: out
     )
-    df = spark.createDataFrame(rows, "score double, label int")
+    df = spark.createDataFrame(rows, "score double, label double")
     r = label_noise_estimate(df, "score", "label").collect()[0]
     assert (r.n, r.n_pos, r.n_neg) == (19, 9, 10)
     # t_pos = (8*.9 + .1)/9, t_neg = (8*.1 + 2*.9)/10
@@ -557,3 +561,182 @@ def test_top_label_calibration_hand_computed(spark):
 
     empty = spark.createDataFrame([], "probs array<double>, label int")
     assert top_label_calibration(empty, "probs", "label").count() == 0
+
+
+def test_roc_pr_curve_hand_computed(spark):
+    from etdtransform_spark.operators.evaluation import pr_curve, roc_curve
+
+    rows = [
+        (0.9, 1.0), (0.8, 0.0), (0.8, 1.0), (0.4, 1.0), (0.1, 0.0),
+        # excluded: NULLs and NaNs on either side
+        (None, 1.0), (0.5, None), (float("nan"), 0.0), (0.7, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "score double, label double")
+    roc = {r.threshold: r for r in roc_curve(df, "score", "label").collect()}
+    assert set(roc) == {0.9, 0.8, 0.4, 0.1}
+    assert (roc[0.9].tp, roc[0.9].fp) == (1, 0)
+    assert roc[0.9].tpr == pytest.approx(1 / 3) and roc[0.9].fpr == 0.0
+    assert (roc[0.8].tp, roc[0.8].fp) == (2, 1)
+    assert roc[0.8].tpr == pytest.approx(2 / 3)
+    assert roc[0.8].fpr == pytest.approx(0.5)
+    assert (roc[0.4].tp, roc[0.4].fp) == (3, 1)
+    assert (roc[0.1].tp, roc[0.1].fp) == (3, 2)
+    assert roc[0.1].tpr == 1.0 and roc[0.1].fpr == 1.0
+
+    pr = {r.threshold: r for r in pr_curve(df, "score", "label").collect()}
+    assert pr[0.9].precision == 1.0 and pr[0.9].recall == pytest.approx(1 / 3)
+    assert pr[0.8].precision == pytest.approx(2 / 3)
+    assert pr[0.4].precision == 0.75
+    assert pr[0.1].precision == pytest.approx(0.6) and pr[0.1].recall == 1.0
+
+
+def test_roc_curve_one_class_and_keyed_and_auc_consistency(spark):
+    from etdtransform_spark.operators.evaluation import auc_roc, roc_curve
+
+    # one-class: no negatives -> fpr NULL, tpr defined
+    pos_only = spark.createDataFrame(
+        [(0.9, 1.0), (0.2, 1.0)], "score double, label double"
+    )
+    for r in roc_curve(pos_only, "score", "label").collect():
+        assert r.fpr is None and r.tpr is not None and r.fp == 0
+
+    # keyed: segments independent; trapezoid over the keyed curve equals
+    # the tie-corrected rank AUC per key
+    rows = []
+    state = 3
+    for g in ("a", "b"):
+        for i in range(40):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            score = (state % 13) / 13.0
+            label = 1.0 if (state >> 5) % 3 == 0 else 0.0
+            rows.append((g, score, label))
+    df = spark.createDataFrame(rows, "g string, score double, label double")
+    curves = {}
+    for r in roc_curve(df, "score", "label", keys=["g"], digits=None).collect():
+        curves.setdefault(r.g, []).append((r.threshold, r.tpr, r.fpr))
+    aucs = {r.g: r.auc for r in auc_roc(df, "score", "label", keys=["g"]).collect()}
+    for g, pts in curves.items():
+        pts.sort(reverse=True)  # descending threshold: (fpr, tpr) ascends
+        path = [(0.0, 0.0)] + [(f, t) for _th, t, f in pts]  # (fpr, tpr)
+        area = sum(
+            (x2 - x1) * (y1 + y2) / 2.0
+            for (x1, y1), (x2, y2) in zip(path, path[1:])
+        )
+        assert area == pytest.approx(aucs[g], abs=1e-6)  # auc is qround(6)
+
+
+def test_fairness_auc_and_gap(spark):
+    from etdtransform_spark.operators.evaluation import (
+        fairness_auc,
+        fairness_auc_gap,
+    )
+
+    rows = [
+        # group A: perfect ranking -> auc 1
+        ("A", 0.9, 1.0), ("A", 0.8, 1.0), ("A", 0.2, 0.0), ("A", 0.1, 0.0),
+        # group B: inverted ranking -> auc 0
+        ("B", 0.9, 0.0), ("B", 0.1, 1.0),
+        # group C: one-class -> NULL auc (defined-group gap skips it)
+        ("C", 0.5, 1.0), ("C", 0.6, 1.0),
+        # excluded rows
+        (None, 0.9, 1.0), ("A", None, 1.0), ("A", 0.5, None),
+        ("A", float("nan"), 1.0), ("A", 0.9, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, label double")
+    per = {r.group: r for r in fairness_auc(df, "score", "label", "g").collect()}
+    assert set(per) == {"A", "B", "C"}
+    assert per["A"].auc == 1.0 and per["B"].auc == 0.0
+    assert per["C"].auc is None
+    assert (per["A"].n_pos, per["A"].n_neg) == (2, 2)
+    gap = fairness_auc_gap(df, "score", "label", "g").collect()[0]
+    assert (gap.n_groups, gap.n_defined) == (3, 2)
+    assert gap.auc_gap == 1.0
+
+    # below 2 defining groups -> NULL gap
+    one = spark.createDataFrame(
+        [("A", 0.9, 1.0), ("A", 0.1, 0.0), ("B", 0.5, 1.0)],
+        "g string, score double, label double",
+    )
+    g1 = fairness_auc_gap(one, "score", "label", "g").collect()[0]
+    assert g1.n_defined == 1 and g1.auc_gap is None
+
+
+def test_regression_report_hand_computed(spark):
+    from etdtransform_spark.operators.evaluation import regression_report
+
+    rows = [
+        (1.0, 1.5), (2.0, 1.5), (3.0, 3.5), (4.0, 3.5),
+        # excluded
+        (None, 1.0), (1.0, None), (float("nan"), 1.0), (1.0, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "pred double, target double")
+    r = regression_report(df, "pred", "target").collect()[0]
+    assert r.n == 4
+    assert r.mae == pytest.approx(0.5)
+    assert r.rmse == pytest.approx(0.5)
+    # targets (1.5,1.5,3.5,3.5): ss_tot=4, sse=1 -> r2 = 0.75
+    assert r.r2 == pytest.approx(0.75)
+    assert r.mean_pred == pytest.approx(2.5)
+    assert r.mean_target == pytest.approx(2.5)
+
+
+def test_regression_report_degenerate(spark):
+    from etdtransform_spark.operators.evaluation import regression_report
+
+    # constant target: zero variance -> r2 undefined, mae/rmse defined
+    const = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 2.0)], "pred double, target double"
+    )
+    r = regression_report(const, "pred", "target").collect()[0]
+    assert r.r2 is None and r.mae == 1.0 and r.rmse == 1.0
+
+    # perfect predictions -> r2 = 1, errors 0
+    perfect = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0)], "pred double, target double"
+    )
+    r = regression_report(perfect, "pred", "target").collect()[0]
+    assert r.r2 == 1.0 and r.mae == 0.0 and r.rmse == 0.0
+
+    empty = spark.createDataFrame([], "pred double, target double")
+    r = regression_report(empty, "pred", "target").collect()[0]
+    assert r.n == 0 and r.mae is None and r.rmse is None and r.r2 is None
+
+
+def test_regression_calibration_deciles(spark):
+    from etdtransform_spark.operators.evaluation import (
+        regression_calibration_deciles,
+    )
+
+    # 20 rows, preds 1..20, target = pred + alternating ±0.5 -> with 4
+    # bins the boundaries are exact percentiles of 1..20; each bin holds
+    # 5 rows and per-bin avg_target == avg_pred (bias 0 by symmetry...
+    # alternating ±0.5 over 5 rows leaves ±0.1 bias; hand-compute)
+    rows = [
+        (float(i), float(i) + (0.5 if i % 2 == 0 else -0.5))
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "pred double, target double")
+    out = {r.bin: r for r in regression_calibration_deciles(
+        df, "pred", "target", n_bins=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(out[b].n == 5 for b in out)
+    # bin 0 holds preds 1..5: avg_pred 3, targets sum = 15 + (-.5+.5-.5+.5-.5)
+    assert out[0].avg_pred == pytest.approx(3.0)
+    assert out[0].avg_target == pytest.approx(2.9)
+    assert out[0].bias == pytest.approx(0.1)
+    # monotone avg_target across bins (the scores rank)
+    avgs = [out[b].avg_target for b in sorted(out)]
+    assert avgs == sorted(avgs)
+
+    # constant predictions: all rows land in bin 0
+    const = spark.createDataFrame(
+        [(2.0, float(i)) for i in range(6)], "pred double, target double"
+    )
+    out = regression_calibration_deciles(const, "pred", "target").collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].n == 6
+
+    # empty input: no rows (NaN/NULL rows excluded first)
+    empty = spark.createDataFrame(
+        [(None, 1.0), (float("nan"), 2.0)], "pred double, target double"
+    )
+    assert regression_calibration_deciles(empty, "pred", "target").count() == 0

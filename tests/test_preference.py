@@ -271,3 +271,53 @@ def test_transitivity_violations_vs_bruteforce(spark):
                 n_cyc += 1
     assert r.n_pairs == len(pairs) and r.n_tied_pairs == tied
     assert (r.n_triples, r.n_cyclic) == (n_tri, n_cyc)
+
+
+def test_transitivity_violations_max_items_structural_guard(spark):
+    from etdtransform_spark.operators.preference import (
+        pair_counts,
+        transitivity_violations,
+    )
+
+    # deterministic pseudo-random tournament over 10 items
+    items = [f"it{i}" for i in range(10)]
+    rows, state = [], 7
+    for _ in range(600):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        i, j = state % 10, (state >> 7) % 10
+        if i == j:
+            continue
+        w, l = (i, j) if (state >> 3) % 3 else (j, i)
+        rows.append((items[w], items[l]))
+    df = spark.createDataFrame(rows, "winner string, loser string")
+
+    # max_items >= |items| keeps everything -> identical to unguarded
+    full = transitivity_violations(df).collect()[0]
+    same = transitivity_violations(df, max_items=10).collect()[0]
+    assert tuple(full) == tuple(same)
+
+    # max_items = 5: the sampled run must equal the unguarded run over
+    # the comparisons restricted to the SAME deterministic 5-item set
+    from etdtransform_spark.functions.hashing import portable_hash64
+    from pyspark.sql import functions as F
+
+    it_df = spark.createDataFrame([(i,) for i in items], "_it string")
+    h = portable_hash64(F.col("_it"), seed="transitivity")
+    keep = {
+        r._it
+        for r in it_df.orderBy(h.asc(), F.col("_it").asc()).limit(5).collect()
+    }
+    assert len(keep) == 5
+    sub = [r for r in rows if r[0] in keep and r[1] in keep]
+    expect = transitivity_violations(
+        spark.createDataFrame(sub, "winner string, loser string")
+    ).collect()[0]
+    got = transitivity_violations(df, max_items=5).collect()[0]
+    assert tuple(got) == tuple(expect)
+    # the structural bound holds: every audited pair is within the sample
+    assert got.n_pairs == pair_counts(
+        spark.createDataFrame(sub, "winner string, loser string")
+    ).count()
+    # determinism: the sample (hash-ranked, no RNG) repeats exactly
+    again = transitivity_violations(df, max_items=5).collect()[0]
+    assert tuple(again) == tuple(got)

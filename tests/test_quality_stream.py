@@ -99,7 +99,7 @@ def test_streaming_classification_monitor_equals_batch(spark, tmp_path):
     for day in range(3):
         for score, label in [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0),
                              (0.7, 1), (None, 1), (0.6, None),
-                             (float("nan"), 0)]:
+                             (float("nan"), 0), (0.95, float("nan"))]:
             rows.append((base + dt.timedelta(days=day, minutes=13 * i),
                          score, label))
             i += 1

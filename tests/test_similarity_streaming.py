@@ -477,3 +477,79 @@ def test_semantic_dedup_sampled_fit_exact_dup_invariant(spark):
         # the exact duplicate (higher id) is dropped under BOTH fits
         assert full[i + 100] is False and samp[i + 100] is False
         assert full[i] is True and samp[i] is True
+
+
+def test_kmeans_assign_ivf_pruned_parity_and_guarantees(spark):
+    """IVF-pruned assignment (nprobe): probing EVERY coarse cell must be
+    bit-identical to the exhaustive scan (same fold, same lowest-position
+    tie-break), on both model-delivery paths; small nprobe stays a pure
+    deterministic function of the vector (exact duplicates agree)."""
+    from etdtransform_spark.operators.similarity import (
+        _coarse_quantize_centroids,
+        _kmeans_assign,
+        _kmeans_base,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11 for j in range(16)])
+        for i in range(80)
+    ] + [(1000 + i, [float((i * 7 + j * 3) % 11) / 11 for j in range(16)])
+         for i in range(10)]  # exact duplicates of the first 10
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _kmeans_base(df, "vec_id", "embedding")
+    cent = [(c, [float((c * 3 + j) % 9) for j in range(16)]) for c in range(9)]
+
+    full = {
+        r._vid: (r.cluster_id, r.d2)
+        for r in _kmeans_assign(base, cent).collect()
+    }
+    # nprobe = nlist: every cell probed -> exhaustive, bit-identical
+    coarse, lists = _coarse_quantize_centroids(cent, 3)
+    assert sorted(p for lst in lists for p in lst) == list(range(9))
+    for via in ("literal", "broadcast"):
+        pruned_all = {
+            r._vid: (r.cluster_id, r.d2)
+            for r in _kmeans_assign(
+                base, cent, model_via=via, nprobe=len(coarse), nlist=3
+            ).collect()
+        }
+        assert pruned_all == full
+    # nprobe=1: approximate but deterministic; every assignment is a
+    # member of the probed cell, and exact duplicates agree
+    p1 = {
+        r._vid: r.cluster_id
+        for r in _kmeans_assign(base, cent, nprobe=1, nlist=3).collect()
+    }
+    p1_again = {
+        r._vid: r.cluster_id
+        for r in _kmeans_assign(base, cent, nprobe=1, nlist=3).collect()
+    }
+    assert p1 == p1_again
+    for i in range(10):
+        assert p1[i] == p1[1000 + i]
+    valid = {p for lst in lists for p in lst}
+    assert set(p1.values()) <= valid
+
+
+def test_semantic_dedup_assign_nprobe_exact_dup_invariant(spark):
+    """assign_nprobe keeps the SemDeDup guarantee: exact duplicates are
+    flagged identically to the exhaustive assignment, and the pruned
+    keep-set is deterministic across reruns."""
+    from etdtransform_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(17):
+        v = [float((i * 13 + j * 5) % 17) / 17 for j in range(8)]
+        rows.append((i, v))
+        rows.append((i + 100, v))  # exact duplicate, higher id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {r.vec_id: r.keep for r in semantic_dedup(
+        df, k=4, iters=3, threshold=0.9995).collect()}
+    pr = {r.vec_id: r.keep for r in semantic_dedup(
+        df, k=4, iters=3, threshold=0.9995, assign_nprobe=1).collect()}
+    pr2 = {r.vec_id: r.keep for r in semantic_dedup(
+        df, k=4, iters=3, threshold=0.9995, assign_nprobe=1).collect()}
+    assert pr == pr2  # deterministic
+    for i in range(17):
+        assert full[i + 100] is False and pr[i + 100] is False
+        assert full[i] is True and pr[i] is True
