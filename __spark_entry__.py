@@ -9390,6 +9390,509 @@ FROM agg
 """
 
 
+def _reg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (pred, target) regression frame from events. Every
+    value is a multiple of 2^-5 (integer pred; target = pred/4 +
+    (event_id%89)/32), so all oracle-compared SUMS are exact in binary
+    and fold-order invariant across engines — no last-ulp drift risk in
+    the Σ|e| / Σe² / Σy² aggregates. pred is NULL where value is NULL
+    (exercises the evidence filter on the nulls corpus)."""
+    ev = _t(spark, sf_dir, "events")
+    p = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
+    return ev.select(
+        F.when(F.col("value").isNotNull(), p).alias("pred"),
+        (
+            p / F.lit(4.0)
+            + F.pmod(F.col("event_id"), F.lit(89)).cast("double") / F.lit(32.0)
+        ).alias("target"),
+    )
+
+
+_SQL_REG_SCORED = f"""
+SELECT CASE WHEN value IS NOT NULL THEN (event_id % 97)::DOUBLE END AS pred,
+       (event_id % 97)::DOUBLE / 4 + (event_id % 89)::DOUBLE / 32 AS target
+FROM {_EV}
+"""
+
+
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ROC curve table (operators/evaluation.py:roc_curve): one row
+    per distinct score threshold from the ks/mwu/auc cumulative
+    substrate — the keyless range-partitioned prefix-sum path, never a
+    single-partition window."""
+    from etdtransform_spark.operators.evaluation import roc_curve
+
+    return roc_curve(_scored_events(spark, sf_dir), "score", "label")
+
+
+_SQL_ROC_CURVE = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+counts AS (
+  SELECT score AS v,
+         sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+         sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), t AS (
+  SELECT v, (na - cum_a + ca)::BIGINT AS tp, (nb - cum_b + cb)::BIGINT AS fp,
+         na::BIGINT AS na, nb::BIGINT AS nb
+  FROM cum
+)
+SELECT v AS threshold, tp, fp,
+       {qround_sql('CASE WHEN na > 0 THEN tp::DOUBLE / na::DOUBLE END', 6)} AS tpr,
+       {qround_sql('CASE WHEN nb > 0 THEN fp::DOUBLE / nb::DOUBLE END', 6)} AS fpr
+FROM t
+"""
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve table (operators/evaluation.py:pr_curve):
+    the PR sibling on the identical distinct-score cumulative substrate;
+    precision is always defined on an attained threshold."""
+    from etdtransform_spark.operators.evaluation import pr_curve
+
+    return pr_curve(_scored_events(spark, sf_dir), "score", "label")
+
+
+_SQL_PR_CURVE = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+counts AS (
+  SELECT score AS v,
+         sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+         sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), t AS (
+  SELECT v, (na - cum_a + ca)::BIGINT AS tp, (nb - cum_b + cb)::BIGINT AS fp,
+         na::BIGINT AS na
+  FROM cum
+)
+SELECT v AS threshold, tp, fp,
+       {qround_sql('tp::DOUBLE / (tp + fp)::DOUBLE', 6)} AS precision,
+       {qround_sql('CASE WHEN na > 0 THEN tp::DOUBLE / na::DOUBLE END', 6)} AS recall
+FROM t
+"""
+
+
+def q_fairness_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free fairness (operators/evaluation.py:fairness_auc):
+    per-cohort tie-corrected AUC — the keyed (windowed) cumulative path,
+    group segments partition the distinct-score table."""
+    from etdtransform_spark.operators.evaluation import fairness_auc
+
+    return fairness_auc(
+        _fair_scored(spark, sf_dir), "score", "label", "cohort"
+    )
+
+
+_SQL_FAIR_AUC_AGGED = f"""
+s AS (
+  SELECT user_id % 4 AS cohort,
+         CASE WHEN value IS NOT NULL
+              THEN (event_id % 97)::DOUBLE / 96 END AS score,
+         (event_type = 'purchase')::INT AS label
+  FROM {_EV}
+), counts AS (
+  SELECT cohort, score AS v,
+         sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s
+  WHERE score IS NOT NULL AND label IS NOT NULL AND cohort IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, ca, cb, (ca + cb)::DOUBLE AS c,
+         (sum(ca + cb) OVER (PARTITION BY cohort ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS ct
+  FROM counts
+), per_val AS (
+  SELECT cohort, ca::DOUBLE AS cad, cb::DOUBLE AS cbd,
+         ca::DOUBLE * ((ct - c) + (c + 1.0) / 2.0) AS ra
+  FROM cum
+), agged AS (
+  SELECT cohort, sum(cad) AS np, sum(cbd) AS nn, sum(ra) AS rsum
+  FROM per_val GROUP BY cohort
+)"""
+
+_SQL_FAIRNESS_AUC = f"""
+WITH {_SQL_FAIR_AUC_AGGED}
+SELECT cohort AS "group", np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       {qround_sql(
+           'CASE WHEN np > 0 AND nn > 0'
+           ' THEN (rsum - np * (np + 1.0) / 2.0) / (np * nn) END', 6)} AS auc
+FROM agged
+"""
+
+
+def q_fairness_auc_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max−min per-group AUC summary
+    (operators/evaluation.py:fairness_auc_gap): gap over groups whose
+    AUC is defined, NULL below 2 defining groups — the threshold-free
+    twin of fairness_gaps."""
+    from etdtransform_spark.operators.evaluation import fairness_auc_gap
+
+    return fairness_auc_gap(
+        _fair_scored(spark, sf_dir), "score", "label", "cohort"
+    )
+
+
+_SQL_FAIRNESS_AUC_GAP = f"""
+WITH {_SQL_FAIR_AUC_AGGED},
+per AS (
+  SELECT CASE WHEN np > 0 AND nn > 0
+              THEN (rsum - np * (np + 1.0) / 2.0) / (np * nn) END AS auc
+  FROM agged
+)
+SELECT count(*)::BIGINT AS n_groups, count(auc)::BIGINT AS n_defined,
+       {qround_sql(
+           'CASE WHEN count(auc) >= 2 THEN max(auc) - min(auc) END', 6
+       )} AS auc_gap
+FROM per
+"""
+
+
+def q_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row regression QA summary
+    (operators/evaluation.py:regression_report): mae/rmse/r² in ONE hash
+    aggregate carrying six partials; r² NULL on a constant target. The
+    fixture's 2^-5-grid values make every compared sum exact."""
+    from etdtransform_spark.operators.evaluation import regression_report
+
+    return regression_report(_reg_scored(spark, sf_dir), "pred", "target")
+
+
+_SQL_REGRESSION_REPORT = f"""
+WITH s AS ({_SQL_REG_SCORED}),
+b AS (
+  SELECT pred, target FROM s
+  WHERE pred IS NOT NULL AND target IS NOT NULL
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(abs(pred - target)) AS sae,
+         sum((pred - target) * (pred - target)) AS sse,
+         sum(target) AS sy, sum(target * target) AS syy,
+         sum(pred) AS sp
+  FROM b
+)
+SELECT n,
+       {qround_sql('CASE WHEN n > 0 THEN sae / n::DOUBLE END', 6)} AS mae,
+       {qround_sql('CASE WHEN n > 0 THEN sqrt(sse / n::DOUBLE) END', 6)} AS rmse,
+       {qround_sql(
+           'CASE WHEN n > 0 AND (syy - sy * sy / n::DOUBLE) > 0'
+           ' THEN 1.0 - sse / (syy - sy * sy / n::DOUBLE) END', 6)} AS r2,
+       {qround_sql('CASE WHEN n > 0 THEN sp / n::DOUBLE END', 6)} AS mean_pred,
+       {qround_sql('CASE WHEN n > 0 THEN sy / n::DOUBLE END', 6)} AS mean_target
+FROM agg
+"""
+
+
+def q_regression_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-by-decile for continuous predictions
+    (operators/evaluation.py:regression_calibration_deciles): exact
+    percentile boundaries ride a broadcast 1-row frame into the binning
+    projection (lazy, no collect); integer-valued preds keep the
+    quantile boundaries engine-portable."""
+    from etdtransform_spark.operators.evaluation import (
+        regression_calibration_deciles,
+    )
+
+    return regression_calibration_deciles(
+        _reg_scored(spark, sf_dir), "pred", "target", n_bins=10
+    )
+
+
+_SQL_REGRESSION_DECILES = f"""
+WITH s AS ({_SQL_REG_SCORED}),
+b AS (
+  SELECT pred, target FROM s
+  WHERE pred IS NOT NULL AND target IS NOT NULL
+), bd AS (
+  SELECT quantile_cont(pred,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS q
+  FROM b
+), binned AS (
+  SELECT len(list_filter(bd.q, x -> b.pred > x))::BIGINT AS bin,
+         pred, target
+  FROM b, bd
+)
+SELECT bin, count(*)::BIGINT AS n,
+       {qround_sql('avg(pred)', 6)} AS avg_pred,
+       {qround_sql('avg(target)', 6)} AS avg_target,
+       {qround_sql('avg(pred) - avg(target)', 6)} AS bias
+FROM binned GROUP BY bin
+"""
+
+
+def q_semantic_dedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the IVF-PRUNED assignment path
+    (operators/similarity.py:_kmeans_assign nprobe): centroids
+    coarse-quantized driver-side, each row scores only probed cells. With
+    nprobe >= the cell count the pruned path reproduces the exhaustive
+    scan bit-for-bit (unit-pinned), so the oracle is the same sampled-
+    Lloyd unroll as semantic_dedup_sampled; approximate nprobe (the
+    scale setting — measured 9.8s→4.8s assignment at sf1 k=80, PLANS.md
+    "Scale-stress r9") is pinned by unit tests instead, since its
+    cluster boundaries are model-dependent by design."""
+    from etdtransform_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=16, iters=5, threshold=0.4, fit_sample_mod=10,
+        assign_nprobe=16,
+    )
+
+
+def q_transitivity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-cycle audit under the STRUCTURAL item cap
+    (operators/preference.py:transitivity_violations max_items): the
+    deterministic hash-ranked 5-item sample bounds the triple join at
+    max_items³ regardless of the true item domain; the oracle replicates
+    the portable hash ranking exactly."""
+    from etdtransform_spark.operators.preference import (
+        transitivity_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("event_id"), F.lit(7))
+    b = F.pmod(F.expr("event_id div 11"), F.lit(7))
+    win = F.when(F.pmod(F.col("event_id"), F.lit(16)) < 9, a).otherwise(b)
+    comp = ev.select(
+        win.alias("winner"), (a + b - win).alias("loser")
+    ).filter(a != b)
+    return transitivity_violations(comp, max_items=5)
+
+
+_SQL_TRANSITIVITY_SAMPLED = f"""
+WITH comp AS (
+  SELECT CASE WHEN event_id % 16 < 9 THEN event_id % 7
+              ELSE (event_id // 11) % 7 END AS w,
+         (event_id % 7) + ((event_id // 11) % 7)
+           - CASE WHEN event_id % 16 < 9 THEN event_id % 7
+                  ELSE (event_id // 11) % 7 END AS l
+  FROM {_EV}
+  WHERE event_id % 7 <> (event_id // 11) % 7
+), items AS (
+  SELECT w AS it FROM comp WHERE w IS NOT NULL
+  UNION
+  SELECT l FROM comp WHERE l IS NOT NULL
+), keep AS (
+  SELECT it FROM items
+  ORDER BY {portable_hash64_sql('it::VARCHAR', 'transitivity')} ASC, it ASC
+  LIMIT 5
+), fcomp AS (
+  SELECT c.w, c.l FROM comp c
+  JOIN keep ka ON c.w = ka.it
+  JOIN keep kb ON c.l = kb.it
+), pairs AS (
+  SELECT least(w, l) AS ia, greatest(w, l) AS ib,
+         count(*)::BIGINT AS n_total,
+         count(CASE WHEN w = least(w, l) THEN 1 END)::BIGINT AS wins_a
+  FROM fcomp GROUP BY 1, 2
+), edges AS (
+  SELECT ia, ib, CASE WHEN wins_a * 2 > n_total THEN 1
+                      WHEN wins_a * 2 < n_total THEN 0 END AS d
+  FROM pairs
+), e AS (SELECT * FROM edges WHERE d IS NOT NULL),
+tri AS (
+  SELECT e1.d AS d1, e2.d AS d2, e3.d AS d3
+  FROM e e1
+  JOIN e e2 ON e2.ia = e1.ib
+  JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib
+), agg AS (
+  SELECT count(*)::BIGINT AS n_triples,
+         count(CASE WHEN (d1 = 1 AND d2 = 1 AND d3 = 0)
+                      OR (d1 = 0 AND d2 = 0 AND d3 = 1)
+                    THEN 1 END)::BIGINT AS n_cyclic
+  FROM tri
+)
+SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_pairs,
+       (SELECT count(*) FROM edges WHERE d IS NULL)::BIGINT AS n_tied_pairs,
+       n_triples, n_cyclic,
+       {qround_sql(
+           'CASE WHEN n_triples > 0 THEN n_cyclic::DOUBLE / n_triples END', 6
+       )} AS violation_rate
+FROM agg
+"""
+
+
+def q_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-optimal operating point (operators/evaluation.py:
+    best_threshold): argmax over the distinct-score curve substrate,
+    ties to the lowest threshold via max(struct(f1, −threshold));
+    ZERO rows when no positives exist."""
+    from etdtransform_spark.operators.evaluation import best_threshold
+
+    return best_threshold(_scored_events(spark, sf_dir), "score", "label")
+
+
+_SQL_BEST_THRESHOLD = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+counts AS (
+  SELECT score AS v,
+         sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+         sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), t AS (
+  SELECT v, (na - cum_a + ca)::BIGINT AS tp, (nb - cum_b + cb)::BIGINT AS fp,
+         na::BIGINT AS na
+  FROM cum WHERE na > 0
+), cand AS (
+  SELECT v, tp, fp, na,
+         2.0 * tp::DOUBLE / (tp + fp + na)::DOUBLE AS f1
+  FROM t
+), best AS (
+  SELECT * FROM cand ORDER BY f1 DESC, v ASC LIMIT 1
+)
+SELECT v AS threshold, tp, fp,
+       {qround_sql('tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE)', 6)} AS precision,
+       {qround_sql('tp::DOUBLE / na::DOUBLE', 6)} AS recall,
+       {qround_sql('f1', 6)} AS f1
+FROM best
+"""
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two derived score columns
+    (operators/stats.py:spearman_corr): avg-rank tables off the shared
+    keyless range-partitioned cumulative substrate, two value-keyed
+    joins back, ONE six-partial aggregate. Half-integer ranks keep
+    every compared sum exact in binary."""
+    from etdtransform_spark.operators.stats import spearman_corr
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
+    two = ev.select(
+        F.when(F.col("value").isNotNull(), x).alias("x"),
+        (
+            x * F.lit(2.0)
+            + F.pmod(F.col("event_id"), F.lit(13)).cast("double")
+        ).alias("y"),
+    )
+    return spearman_corr(two, "x", "y")
+
+
+_SQL_SPEARMAN = f"""
+WITH b AS (
+  SELECT x, y FROM (
+    SELECT CASE WHEN value IS NOT NULL
+                THEN (event_id % 97)::DOUBLE END AS x,
+           (event_id % 97)::DOUBLE * 2.0 + (event_id % 13)::DOUBLE AS y
+    FROM {_EV}
+  ) WHERE x IS NOT NULL AND y IS NOT NULL
+), cx AS (
+  SELECT x AS v, count(*)::BIGINT AS c FROM b GROUP BY 1
+), rx AS (
+  SELECT v,
+         ((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW))::DOUBLE - c::DOUBLE)
+           + (c::DOUBLE + 1.0) / 2.0 AS r
+  FROM cx
+), cy AS (
+  SELECT y AS v, count(*)::BIGINT AS c FROM b GROUP BY 1
+), ry AS (
+  SELECT v,
+         ((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW))::DOUBLE - c::DOUBLE)
+           + (c::DOUBLE + 1.0) / 2.0 AS r
+  FROM cy
+), j AS (
+  SELECT rx.r AS ra, ry.r AS rb
+  FROM b JOIN rx ON b.x = rx.v JOIN ry ON b.y = ry.v
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(ra) AS sx, sum(rb) AS sy,
+         sum(ra * ra) AS sxx, sum(rb * rb) AS syy,
+         sum(ra * rb) AS sxy
+  FROM j
+)
+SELECT n,
+       {qround_sql(
+           'CASE WHEN n > 0'
+           ' AND n::DOUBLE * sxx - sx * sx > 0'
+           ' AND n::DOUBLE * syy - sy * sy > 0'
+           ' THEN (n::DOUBLE * sxy - sx * sy)'
+           ' / (sqrt(n::DOUBLE * sxx - sx * sx)'
+           ' * sqrt(n::DOUBLE * syy - sy * sy)) END', 6)} AS rho
+FROM agg
+"""
+
+
+def q_streaming_reg_monitor_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming regression-quality monitor
+    (streaming/quality_stream.py:streaming_regression_monitor): per
+    tumbling day, mae/rmse/signed bias of the 2^-5-grid pred/target pair
+    — exact window sums, so stream ≡ batch SQL bit-for-bit. State is
+    FOUR partials per open window."""
+    import uuid
+
+    from etdtransform_spark.streaming.quality_stream import (
+        streaming_regression_monitor,
+    )
+
+    stream = _stream_events(spark, sf_dir)
+    p = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
+    scored = stream.select(
+        F.col("ts"),
+        F.when(F.col("value").isNotNull(), p).alias("pred"),
+        (
+            p / F.lit(4.0)
+            + F.pmod(F.col("event_id"), F.lit(89)).cast("double") / F.lit(32.0)
+        ).alias("target"),
+    )
+    mon = streaming_regression_monitor(scored, "pred", "target", "ts")
+    name = f"stream_regmon_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("bucket_ts", "n", "mae", "rmse", "bias")
+
+
+_SQL_STREAMING_REG_MONITOR = f"""
+WITH s AS (
+  SELECT ts,
+         CASE WHEN value IS NOT NULL
+              THEN (event_id % 97)::DOUBLE END AS pred,
+         (event_id % 97)::DOUBLE / 4 + (event_id % 89)::DOUBLE / 32 AS target
+  FROM {_EV}
+), b AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+         pred - target AS e
+  FROM s WHERE pred IS NOT NULL AND target IS NOT NULL
+), c AS (
+  SELECT bucket_ts, count(*)::BIGINT AS n,
+         sum(abs(e)) AS sae, sum(e * e) AS sse, sum(e) AS se
+  FROM b GROUP BY 1
+)
+SELECT bucket_ts, n,
+       {qround_sql('sae / n::DOUBLE', 6)} AS mae,
+       {qround_sql('sqrt(sse / n::DOUBLE)', 6)} AS rmse,
+       {qround_sql('se / n::DOUBLE', 6)} AS bias
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9600,6 +10103,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "top_label_calibration": q_top_label_calibration,
         "semantic_dedup_sampled": q_semantic_dedup_sampled,
+        "roc_curve": q_roc_curve,
+        "pr_curve": q_pr_curve,
+        "fairness_auc": q_fairness_auc,
+        "fairness_auc_gap": q_fairness_auc_gap,
+        "regression_report": q_regression_report,
+        "regression_deciles": q_regression_deciles,
+        "semantic_dedup_pruned": q_semantic_dedup_pruned,
+        "transitivity_sampled": q_transitivity_sampled,
+        "best_threshold": q_best_threshold,
+        "spearman_corr": q_spearman_corr,
+        "streaming_reg_monitor_daily": q_streaming_reg_monitor_daily,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
@@ -9694,6 +10208,17 @@ def oracle_sql() -> dict[str, str]:
         "fairness_gaps": _SQL_FAIRNESS_GAPS,
         "label_noise": _SQL_LABEL_NOISE,
         "top_label_calibration": _SQL_TOP_LABEL_CALIBRATION,
+        "roc_curve": _SQL_ROC_CURVE,
+        "pr_curve": _SQL_PR_CURVE,
+        "fairness_auc": _SQL_FAIRNESS_AUC,
+        "fairness_auc_gap": _SQL_FAIRNESS_AUC_GAP,
+        "regression_report": _SQL_REGRESSION_REPORT,
+        "regression_deciles": _SQL_REGRESSION_DECILES,
+        "semantic_dedup_pruned": _sql_semantic_dedup(16, 5, 10),
+        "transitivity_sampled": _SQL_TRANSITIVITY_SAMPLED,
+        "best_threshold": _SQL_BEST_THRESHOLD,
+        "spearman_corr": _SQL_SPEARMAN,
+        "streaming_reg_monitor_daily": _SQL_STREAMING_REG_MONITOR,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

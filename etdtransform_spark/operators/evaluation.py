@@ -1052,3 +1052,60 @@ def regression_calibration_deciles(
         qround(F.avg("_y"), digits).alias("avg_target"),
         qround(F.avg("_p") - F.avg("_y"), digits).alias("bias"),
     )
+
+
+def best_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    digits: int = 6,
+    prefix_buckets: int = 32,
+) -> DataFrame:
+    """Operating-point picker: the attained score threshold maximizing
+    F1, from the same distinct-score cumulative substrate as
+    :func:`roc_curve` — the step between plotting the curve and freezing
+    a threshold into :func:`binary_classification_report` /
+    :func:`fairness_audit`. Returns ONE row
+    (threshold, tp, fp, precision, recall, f1), or ZERO rows when no
+    threshold is scoreable (empty input or no positive labels — with no
+    positives every F1 is 0/undefined and no choice is better than any
+    other). Ties on F1 break to the LOWEST threshold (the most
+    permissive operating point achieving the best F1), deterministically
+    via max(struct(f1, −threshold)) — exact for float thresholds.
+
+    F1 is computed as 2·tp / (tp + fp + n_pos) — algebraically
+    2PR/(P+R), but defined whenever tp+fp ≥ 1 (always, at an attained
+    threshold) without NULL-precision special cases. One distinct-value
+    aggregate + the shared cumulative + ONE argmax aggregate; keyless
+    and therefore EAGER at build (the ``_value_cumulatives`` note).
+    """
+    cum, _ = _curve_cumulatives(df, score_col, label_col, (), prefix_buckets)
+    tp = (F.col("_na") - F.col("_cum_a") + F.col("_ca")).cast("bigint")
+    fp = (F.col("_nb") - F.col("_cum_b") + F.col("_cb")).cast("bigint")
+    f1 = (
+        F.lit(2.0)
+        * tp.cast("double")
+        / (tp + fp + F.col("_na")).cast("double")
+    )
+    cand = cum.filter(F.col("_na") > 0).select(
+        F.struct(
+            f1.alias("f1"),
+            (-F.col("_v")).alias("_negthr"),
+            F.col("_v").alias("threshold"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            F.col("_na").cast("bigint").alias("_np"),
+        ).alias("_s")
+    )
+    best = cand.agg(F.max("_s").alias("_b")).filter(F.col("_b").isNotNull())
+    tpd = F.col("_b.tp").cast("double")
+    fpd = F.col("_b.fp").cast("double")
+    npd = F.col("_b._np").cast("double")
+    return best.select(
+        F.col("_b.threshold").alias("threshold"),
+        F.col("_b.tp").alias("tp"),
+        F.col("_b.fp").alias("fp"),
+        qround(tpd / (tpd + fpd), digits).alias("precision"),
+        qround(tpd / npd, digits).alias("recall"),
+        qround(F.col("_b.f1"), digits).alias("f1"),
+    )

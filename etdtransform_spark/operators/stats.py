@@ -1388,3 +1388,77 @@ def psi_time_drift(
         F.max("n_cur").alias("n_cur"),
         qround(F.sum("_t"), digits).alias("psi"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+    prefix_buckets: int = 32,
+) -> DataFrame:
+    """Spearman rank correlation with average ranks for ties — the
+    standard agreement statistic between two SCORE columns (two reward
+    models, a judge vs a heuristic, old-vs-new quality scorer), where
+    Pearson on raw values over-weights scale and outliers. Returns ONE
+    row (n, rho); rho is NULL when either column is constant (zero rank
+    variance ranks nothing) or n = 0. NULL/NaN rows excluded pairwise
+    (complete cases).
+
+    Distributed shape: per column, a distinct-value count aggregate +
+    the shared keyless cumulative (:func:`_value_cumulatives` with a
+    zero second count — the range-partitioned prefix sum, never a
+    single-partition window) yields the distinct-value-sized avg-rank
+    table; rows join back to the two rank tables on value (the two
+    data-sized shuffles this statistic genuinely requires — each row
+    needs BOTH its ranks), then ONE hash aggregate carries six partials
+    and Pearson-on-ranks is evaluated on the 1-row result. Ranks are
+    half-integers, so every compared sum is exact binary at oracle scale
+    and the final one-shot arithmetic is engine-identical. Keyless and
+    therefore EAGER at build time (two boundary collections — the
+    ``_value_cumulatives`` note).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    ).select(x.alias("_x"), y.alias("_y"))
+
+    def rank_table(col_name: str, out: str) -> DataFrame:
+        counts = base.groupBy(F.col(col_name).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_ca"), F.lit(0).alias("_cb")
+        )
+        cum = _value_cumulatives(counts, [], prefix_buckets)
+        c = F.col("_ca").cast("double")
+        below = F.col("_cum_a").cast("double") - c
+        return cum.select(
+            F.col("_v").alias(f"{out}_v"),
+            (below + (c + 1.0) / 2.0).alias(out),
+        )
+
+    rx = rank_table("_x", "_rx")
+    ry = rank_table("_y", "_ry")
+    # name-based join conditions: rx/ry derive from base (shared
+    # lineage), and DataFrame-ref conditions on shared-lineage frames
+    # trip Spark's ambiguous-self-join detection; the prefixed rank
+    # columns are unique by construction
+    j = base.join(rx, F.col("_x") == F.col("_rx_v")).join(
+        ry, F.col("_y") == F.col("_ry_v")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.when(
+        (F.col("n") > 0) & (vx > 0) & (vy > 0),
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return agg.select("n", qround(rho, digits).alias("rho"))

@@ -119,3 +119,48 @@ def streaming_classification_monitor(
         ),
         qround(F.when(tp + fn > 0, tp / (tp + fn)), digits).alias("recall"),
     )
+
+
+def streaming_regression_monitor(
+    stream_df: DataFrame,
+    pred_col: str,
+    target_col: str,
+    ts_col: str,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    digits: int = 6,
+) -> DataFrame:
+    """Windowed regression-quality monitor — the streaming deployment of
+    ``operators/evaluation.py:regression_report``: as ground-truth
+    outcomes join the predicted stream, each tumbling window accumulates
+    error partials, so a reward-model or forecast regression surfaces as
+    the window series bending. Stateless error projection; the only
+    stateful operator is one watermarked window holding FOUR partials.
+
+    Emits (bucket_ts, n, mae, rmse, bias) per window, bias =
+    mean(pred − target) (systematic over/under-prediction, signed —
+    mae/rmse hide direction). NULL/NaN rows on either column carry no
+    evidence; empty windows simply don't exist in the output. r² is
+    deliberately absent: a per-window target variance makes windows
+    incomparable — track rmse against a fixed baseline instead.
+    """
+    p = F.col(pred_col).cast("double")
+    y = F.col(target_col).cast("double")
+    e = p - y
+    base = stream_df.filter(
+        p.isNotNull() & y.isNotNull() & ~F.isnan(p) & ~F.isnan(y)
+    ).withWatermark(ts_col, watermark)
+    agg = base.groupBy(F.window(F.col(ts_col), window).alias("_w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(e)).alias("_sae"),
+        F.sum(e * e).alias("_sse"),
+        F.sum(e).alias("_se"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("_w.start").alias("bucket_ts"),
+        "n",
+        qround(F.col("_sae") / n, digits).alias("mae"),
+        qround(F.sqrt(F.col("_sse") / n), digits).alias("rmse"),
+        qround(F.col("_se") / n, digits).alias("bias"),
+    )

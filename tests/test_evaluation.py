@@ -740,3 +740,35 @@ def test_regression_calibration_deciles(spark):
         [(None, 1.0), (float("nan"), 2.0)], "pred double, target double"
     )
     assert regression_calibration_deciles(empty, "pred", "target").count() == 0
+
+
+def test_best_threshold_hand_computed_and_tie(spark):
+    from etdtransform_spark.operators.evaluation import best_threshold
+
+    rows = [(0.9, 1.0), (0.8, 0.0), (0.8, 1.0), (0.4, 1.0), (0.1, 0.0)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    r = best_threshold(df, "score", "label").collect()
+    assert len(r) == 1
+    r = r[0]
+    # f1 by threshold: .9 -> .5, .8 -> 2/3, .4 -> 6/7, .1 -> .75
+    assert r.threshold == 0.4 and (r.tp, r.fp) == (3, 1)
+    assert r.precision == 0.75 and r.recall == 1.0
+    assert r.f1 == pytest.approx(6 / 7, abs=1e-6)
+
+    # exact F1 tie (.9 and .7 both 2/3) -> LOWEST threshold wins
+    tie_rows = (
+        [(0.9, 1.0)] * 2 + [(0.8, 0.0)] * 2 + [(0.7, 1.0)]
+        + [(0.6, 0.0)] * 3 + [(0.5, 1.0)]
+    )
+    tdf = spark.createDataFrame(tie_rows, "score double, label double")
+    t = best_threshold(tdf, "score", "label").collect()[0]
+    assert t.threshold == 0.7 and (t.tp, t.fp) == (3, 2)
+    assert t.f1 == pytest.approx(2 / 3, abs=1e-6)
+
+    # no positives / empty -> ZERO rows (no operating point exists)
+    negs = spark.createDataFrame(
+        [(0.9, 0.0), (0.1, 0.0)], "score double, label double"
+    )
+    assert best_threshold(negs, "score", "label").count() == 0
+    empty = spark.createDataFrame([], "score double, label double")
+    assert best_threshold(empty, "score", "label").count() == 0

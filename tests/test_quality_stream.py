@@ -136,3 +136,51 @@ def test_streaming_classification_monitor_equals_batch(spark, tmp_path):
         assert r.accuracy == pytest.approx(0.6, abs=1e-9)
         assert r.precision == pytest.approx(2 / 3, abs=1e-9)
         assert r.recall == pytest.approx(2 / 3, abs=1e-9)
+
+
+def test_streaming_regression_monitor_equals_batch(spark, tmp_path):
+    from etdtransform_spark.streaming.quality_stream import (
+        streaming_regression_monitor,
+    )
+
+    base = dt.datetime(2024, 7, 1)
+    rows = []
+    i = 0
+    for day in range(3):
+        # per day: errors +0.5, -0.5, +1.0, 0.0 -> mae .5, rmse sqrt(1.5/4),
+        # bias .25; NULL/NaN rows excluded
+        for pred, target in [(2.5, 2.0), (1.5, 2.0), (3.0, 2.0), (2.0, 2.0),
+                             (None, 1.0), (1.0, None),
+                             (float("nan"), 1.0), (1.0, float("nan"))]:
+            rows.append((base + dt.timedelta(days=day, minutes=11 * i),
+                         pred, target))
+            i += 1
+    src = tmp_path / "regmon"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["ts", "pred", "target"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(src / "a.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, pred double, target double"
+    ).parquet(str(src))
+    mon = streaming_regression_monitor(stream, "pred", "target", "ts", digits=9)
+    name = f"regmon_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.bucket_ts: r for r in spark.table(name).collect()}
+    assert len(got) == 3
+    for r in got.values():
+        assert r.n == 4
+        assert r.mae == pytest.approx(0.5, abs=1e-9)
+        assert r.rmse == pytest.approx((1.5 / 4) ** 0.5, abs=1e-9)
+        assert r.bias == pytest.approx(0.25, abs=1e-9)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from etdtransform_spark.operators.stats import (
@@ -63,3 +64,64 @@ def test_histogram_clamp_and_nulls(spark):
     assert out[1] == (1, 10.0)
     assert out[19] == (2, 190.0)  # 199.9 + clamped 250
     assert sum(n for n, _ in out.values()) == 6  # null dropped
+
+
+def test_spearman_corr_monotone_and_ties(spark):
+    from etdtransform_spark.operators.stats import spearman_corr
+
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 200.0), (3.0, 3000.0)], "x double, y double"
+    )
+    r = spearman_corr(mono, "x", "y").collect()[0]
+    assert r.n == 3 and r.rho == 1.0
+    inv = spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 5.0), (3.0, 1.0)], "x double, y double"
+    )
+    assert spearman_corr(inv, "x", "y").collect()[0].rho == -1.0
+
+    # ties + exclusions vs an independent avg-rank Pearson twin
+    rows = [
+        (1.0, 2.0), (1.0, 5.0), (2.0, 5.0), (3.0, 1.0), (4.0, 4.0),
+        (4.0, 4.0), (5.0, 3.0),
+        (None, 1.0), (1.0, None), (float("nan"), 1.0), (1.0, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = spearman_corr(df, "x", "y", digits=9).collect()[0]
+    pairs = [(x, y) for x, y in rows
+             if x is not None and y is not None
+             and x == x and y == y]
+
+    def avg_ranks(vals):
+        import collections
+        cnt = collections.Counter(vals)
+        rank, i = {}, 1
+        for v in sorted(cnt):
+            c = cnt[v]
+            rank[v] = i + (c - 1) / 2.0
+            i += c
+        return [rank[v] for v in vals]
+
+    rx = avg_ranks([x for x, _ in pairs])
+    ry = avg_ranks([y for _, y in pairs])
+    n = len(pairs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(a * a for a in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    expect = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+    )
+    assert got.n == n and got.rho == pytest.approx(expect, abs=1e-9)
+
+
+def test_spearman_corr_degenerate(spark):
+    from etdtransform_spark.operators.stats import spearman_corr
+
+    const = spark.createDataFrame(
+        [(2.0, 1.0), (2.0, 5.0), (2.0, 3.0)], "x double, y double"
+    )
+    r = spearman_corr(const, "x", "y").collect()[0]
+    assert r.n == 3 and r.rho is None  # zero rank variance
+    empty = spark.createDataFrame([], "x double, y double")
+    r = spearman_corr(empty, "x", "y").collect()[0]
+    assert r.n == 0 and r.rho is None
