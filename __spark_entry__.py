@@ -9893,6 +9893,90 @@ FROM c
 """
 
 
+def q_prob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-scoring-rule summary
+    (operators/evaluation.py:probability_scores_report): eps-clamped
+    log loss + unclamped Brier in ONE aggregate (three partials)."""
+    from etdtransform_spark.operators.evaluation import (
+        probability_scores_report,
+    )
+
+    return probability_scores_report(
+        _scored_events(spark, sf_dir), "score", "label"
+    )
+
+
+_SQL_PROB_SCORES = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+b AS (
+  SELECT score AS p, (label <> 0)::INT::DOUBLE AS y
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+), c AS (
+  SELECT p, y,
+         least(greatest(p, 1e-15), 1.0 - 1e-15) AS pc
+  FROM b
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))) AS sll,
+         sum((p - y) * (p - y)) AS ssq
+  FROM c
+)
+SELECT n,
+       {qround_sql('CASE WHEN n > 0 THEN sll / n::DOUBLE END', 6)} AS log_loss,
+       {qround_sql('CASE WHEN n > 0 THEN ssq / n::DOUBLE END', 6)} AS brier
+FROM agg
+"""
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-classifier test
+    (operators/evaluation.py:mcnemar_test): continuity-corrected
+    discordant-pair statistic for two pseudo-models scored on the same
+    events; ONE aggregate."""
+    from etdtransform_spark.operators.evaluation import mcnemar_test
+
+    ev = _t(spark, sf_dir, "events")
+    two = ev.select(
+        F.when(
+            F.col("value").isNotNull(),
+            F.pmod(F.col("event_id"), F.lit(97)).cast("double") / 96,
+        ).alias("score_a"),
+        (F.pmod(F.col("event_id"), F.lit(89)).cast("double") / 88).alias(
+            "score_b"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return mcnemar_test(two, "score_a", "score_b", "label", threshold=0.3)
+
+
+_SQL_MCNEMAR = f"""
+WITH s AS (
+  SELECT CASE WHEN value IS NOT NULL
+              THEN (event_id % 97)::DOUBLE / 96 END AS a,
+         (event_id % 89)::DOUBLE / 88 AS b,
+         (event_type = 'purchase')::INT AS label
+  FROM {_EV}
+), c AS (
+  SELECT ((a >= 0.3) = (label <> 0)) AS a_ok,
+         ((b >= 0.3) = (label <> 0)) AS b_ok
+  FROM s WHERE a IS NOT NULL AND b IS NOT NULL AND label IS NOT NULL
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         count(CASE WHEN a_ok AND NOT b_ok THEN 1 END)::BIGINT AS ao,
+         count(CASE WHEN NOT a_ok AND b_ok THEN 1 END)::BIGINT AS bo
+  FROM c
+)
+SELECT n, (ao + bo)::BIGINT AS n_disagree,
+       ao AS a_only_correct, bo AS b_only_correct,
+       {qround_sql(
+           'CASE WHEN ao + bo > 0 THEN '
+           '(abs(ao::DOUBLE - bo::DOUBLE) - 1.0)'
+           ' * (abs(ao::DOUBLE - bo::DOUBLE) - 1.0)'
+           ' / (ao::DOUBLE + bo::DOUBLE) END', 6)} AS chi2
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10114,6 +10198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_threshold": q_best_threshold,
         "spearman_corr": q_spearman_corr,
         "streaming_reg_monitor_daily": q_streaming_reg_monitor_daily,
+        "prob_scores": q_prob_scores,
+        "mcnemar": q_mcnemar,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
@@ -10219,6 +10305,8 @@ def oracle_sql() -> dict[str, str]:
         "best_threshold": _SQL_BEST_THRESHOLD,
         "spearman_corr": _SQL_SPEARMAN,
         "streaming_reg_monitor_daily": _SQL_STREAMING_REG_MONITOR,
+        "prob_scores": _SQL_PROB_SCORES,
+        "mcnemar": _SQL_MCNEMAR,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -1109,3 +1109,104 @@ def best_threshold(
         qround(tpd / npd, digits).alias("recall"),
         qround(F.col("_b.f1"), digits).alias("f1"),
     )
+
+
+def probability_scores_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    eps: float = 1e-15,
+    digits: int = 6,
+) -> DataFrame:
+    """Proper-scoring-rule summary for probabilistic binary predictions:
+    ONE row (n, log_loss, brier) — the two standard losses a calibrated
+    probability column should minimize (ECE measures bin-level honesty;
+    these penalize per-row sharpness AND calibration together, so a
+    model can't win by hedging).
+
+        log_loss = −mean(y·ln p̂ + (1−y)·ln(1−p̂)),  p̂ = clamp(p, eps, 1−eps)
+        brier    = mean((p − y)²)                   (unclamped)
+
+    The eps clamp is the standard guard for exact-0/1 predictions on the
+    wrong side (infinite log loss would poison the mean; sklearn's
+    convention). NULL/NaN rows excluded; empty input → n = 0 with NULL
+    losses. ONE hash aggregate, three partials per map task.
+    """
+    p = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(
+        p.isNotNull() & y.isNotNull() & ~F.isnan(p) & ~F.isnan(y)
+    ).select(p.alias("_p"), (y != 0).cast("double").alias("_y"))
+    pc = F.least(
+        F.greatest(F.col("_p"), F.lit(float(eps))), F.lit(1.0 - float(eps))
+    )
+    ll = -(
+        F.col("_y") * F.log(pc)
+        + (F.lit(1.0) - F.col("_y")) * F.log(F.lit(1.0) - pc)
+    )
+    sq = (F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y"))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ll).alias("_sll"),
+        F.sum(sq).alias("_ssq"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        qround(F.when(F.col("n") > 0, F.col("_sll") / n), digits).alias(
+            "log_loss"
+        ),
+        qround(F.when(F.col("n") > 0, F.col("_ssq") / n), digits).alias(
+            "brier"
+        ),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    score_a_col: str,
+    score_b_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """McNemar's paired test for two classifiers scored on the SAME rows
+    — the correct significance test when comparing model A vs model B on
+    one eval set (unpaired tests ignore that both saw identical
+    examples). Returns ONE row:
+
+        (n, n_disagree, a_only_correct, b_only_correct, chi2)
+
+    with the continuity-corrected statistic (|b−c|−1)²/(b+c) over the
+    discordant counts; chi2 is NULL when the models never disagree
+    (no evidence either way — undefined, not 0). Rows with NULL/NaN in
+    either score or the label are excluded. ONE hash aggregate.
+    """
+    a = F.col(score_a_col).cast("double")
+    b = F.col(score_b_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(
+        a.isNotNull() & b.isNotNull() & y.isNotNull()
+        & ~F.isnan(a) & ~F.isnan(b) & ~F.isnan(y)
+    )
+    t = F.lit(float(threshold))
+    pos = y != 0
+    a_ok = (a >= t) == pos
+    b_ok = (b >= t) == pos
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(a_ok & ~b_ok, 1)).cast("bigint").alias("_ao"),
+        F.count(F.when(~a_ok & b_ok, 1)).cast("bigint").alias("_bo"),
+    )
+    ao, bo = F.col("_ao").cast("double"), F.col("_bo").cast("double")
+    d = F.abs(ao - bo) - F.lit(1.0)
+    chi2 = F.when(
+        F.col("_ao") + F.col("_bo") > 0, d * d / (ao + bo)
+    )
+    return agg.select(
+        "n",
+        (F.col("_ao") + F.col("_bo")).cast("bigint").alias("n_disagree"),
+        F.col("_ao").alias("a_only_correct"),
+        F.col("_bo").alias("b_only_correct"),
+        qround(chi2, digits).alias("chi2"),
+    )

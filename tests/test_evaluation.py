@@ -772,3 +772,59 @@ def test_best_threshold_hand_computed_and_tie(spark):
     assert best_threshold(negs, "score", "label").count() == 0
     empty = spark.createDataFrame([], "score double, label double")
     assert best_threshold(empty, "score", "label").count() == 0
+
+
+def test_probability_scores_report(spark):
+    from etdtransform_spark.operators.evaluation import (
+        probability_scores_report,
+    )
+
+    rows = [
+        (0.9, 1.0), (0.2, 0.0), (0.6, 1.0), (0.4, 0.0),
+        (None, 1.0), (0.5, None), (float("nan"), 1.0), (0.5, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "p double, y double")
+    r = probability_scores_report(df, "p", "y", digits=9).collect()[0]
+    assert r.n == 4
+    ll = -(math.log(0.9) + math.log(0.8) + math.log(0.6) + math.log(0.6)) / 4
+    br = ((0.1) ** 2 + (0.2) ** 2 + (0.4) ** 2 + (0.4) ** 2) / 4
+    assert r.log_loss == pytest.approx(ll, abs=1e-9)
+    assert r.brier == pytest.approx(br, abs=1e-9)
+
+    # exact-0 prediction on the wrong side: clamped, finite
+    hard = spark.createDataFrame([(0.0, 1.0)], "p double, y double")
+    r = probability_scores_report(hard, "p", "y").collect()[0]
+    assert r.log_loss == pytest.approx(-math.log(1e-15), abs=1e-3)
+    assert r.brier == 1.0  # brier is unclamped
+
+    empty = spark.createDataFrame([], "p double, y double")
+    r = probability_scores_report(empty, "p", "y").collect()[0]
+    assert r.n == 0 and r.log_loss is None and r.brier is None
+
+
+def test_mcnemar_test(spark):
+    from etdtransform_spark.operators.evaluation import mcnemar_test
+
+    rows = (
+        # a correct, b wrong x3
+        [(0.9, 0.1, 1.0)] * 3
+        # b correct, a wrong x1
+        + [(0.1, 0.9, 1.0)]
+        # both correct x2, both wrong x1
+        + [(0.9, 0.9, 1.0)] * 2 + [(0.1, 0.1, 1.0)]
+        # excluded
+        + [(None, 0.9, 1.0), (0.9, None, 1.0), (0.9, 0.9, None),
+           (float("nan"), 0.9, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "a double, b double, y double")
+    r = mcnemar_test(df, "a", "b", "y").collect()[0]
+    assert r.n == 7 and r.n_disagree == 4
+    assert (r.a_only_correct, r.b_only_correct) == (3, 1)
+    assert r.chi2 == pytest.approx((abs(3 - 1) - 1) ** 2 / 4, abs=1e-9)
+
+    # identical models: no disagreement -> NULL chi2, not 0
+    same = spark.createDataFrame(
+        [(0.9, 0.9, 1.0), (0.1, 0.1, 0.0)], "a double, b double, y double"
+    )
+    r = mcnemar_test(same, "a", "b", "y").collect()[0]
+    assert r.n_disagree == 0 and r.chi2 is None
