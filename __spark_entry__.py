@@ -9977,6 +9977,55 @@ FROM agg
 """
 
 
+def q_regression_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped regression QA (operators/evaluation.py:regression_report
+    keys=): per-cohort mae/rmse/r² — the regression face of the fairness
+    audit; group-domain-sized output off one hash aggregate."""
+    from etdtransform_spark.operators.evaluation import regression_report
+
+    ev = _t(spark, sf_dir, "events")
+    p = F.pmod(F.col("event_id"), F.lit(97)).cast("double")
+    frame = ev.select(
+        F.pmod(F.col("user_id"), F.lit(4)).alias("cohort"),
+        F.when(F.col("value").isNotNull(), p).alias("pred"),
+        (
+            p / F.lit(4.0)
+            + F.pmod(F.col("event_id"), F.lit(89)).cast("double") / F.lit(32.0)
+        ).alias("target"),
+    )
+    return regression_report(frame, "pred", "target", keys=["cohort"])
+
+
+_SQL_REGRESSION_BY_COHORT = f"""
+WITH s AS (
+  SELECT user_id % 4 AS cohort,
+         CASE WHEN value IS NOT NULL
+              THEN (event_id % 97)::DOUBLE END AS pred,
+         (event_id % 97)::DOUBLE / 4 + (event_id % 89)::DOUBLE / 32 AS target
+  FROM {_EV}
+), b AS (
+  SELECT cohort, pred, target FROM s
+  WHERE pred IS NOT NULL AND target IS NOT NULL AND cohort IS NOT NULL
+), agg AS (
+  SELECT cohort, count(*)::BIGINT AS n,
+         sum(abs(pred - target)) AS sae,
+         sum((pred - target) * (pred - target)) AS sse,
+         sum(target) AS sy, sum(target * target) AS syy,
+         sum(pred) AS sp
+  FROM b GROUP BY 1
+)
+SELECT cohort, n,
+       {qround_sql('CASE WHEN n > 0 THEN sae / n::DOUBLE END', 6)} AS mae,
+       {qround_sql('CASE WHEN n > 0 THEN sqrt(sse / n::DOUBLE) END', 6)} AS rmse,
+       {qround_sql(
+           'CASE WHEN n > 0 AND (syy - sy * sy / n::DOUBLE) > 0'
+           ' THEN 1.0 - sse / (syy - sy * sy / n::DOUBLE) END', 6)} AS r2,
+       {qround_sql('CASE WHEN n > 0 THEN sp / n::DOUBLE END', 6)} AS mean_pred,
+       {qround_sql('CASE WHEN n > 0 THEN sy / n::DOUBLE END', 6)} AS mean_target
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10200,6 +10249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_reg_monitor_daily": q_streaming_reg_monitor_daily,
         "prob_scores": q_prob_scores,
         "mcnemar": q_mcnemar,
+        "regression_by_cohort": q_regression_by_cohort,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
@@ -10307,6 +10357,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_reg_monitor_daily": _SQL_STREAMING_REG_MONITOR,
         "prob_scores": _SQL_PROB_SCORES,
         "mcnemar": _SQL_MCNEMAR,
+        "regression_by_cohort": _SQL_REGRESSION_BY_COHORT,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -946,30 +946,36 @@ def regression_report(
     pred_col: str,
     target_col: str,
     digits: int = 6,
+    keys: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """One-row regression-quality summary for continuous predictions —
     the reward-model / scalar-judge QA sibling of
     :func:`binary_classification_report`:
 
-        (n, mae, rmse, r2, mean_pred, mean_target)
+        (keys..., n, mae, rmse, r2, mean_pred, mean_target)
 
     r2 uses the computational identity 1 − Σe² / (Σy² − (Σy)²/n) and is
     NULL when the target is constant (zero variance ranks nothing —
     undefined, not 0 or 1) or n = 0; mae/rmse are NULL only on empty
     input. NULL/NaN rows on either column are excluded (same convention
-    as the classification family).
+    as the classification family). With ``keys`` the report is grouped
+    (per-cohort reward-model QA — the regression face of
+    :func:`fairness_audit`); a NULL key row is excluded like the
+    fairness family (an unattributed row audits nothing).
 
     ONE hash aggregate: the shuffle carries six partials per map task
     (n, Σ|e|, Σe², Σy, Σy², Σŷ) — nothing row-sized survives the map
-    side at any scale.
+    side at any scale; keyed output is group-domain-sized.
     """
     p = F.col(pred_col).cast("double")
     y = F.col(target_col).cast("double")
     e = p - y
-    base = df.filter(
-        p.isNotNull() & y.isNotNull() & ~F.isnan(p) & ~F.isnan(y)
-    )
-    agg = base.agg(
+    klist = list(keys)
+    cond = p.isNotNull() & y.isNotNull() & ~F.isnan(p) & ~F.isnan(y)
+    for k in klist:
+        cond = cond & F.col(k).isNotNull()
+    base = df.filter(cond)
+    agg = base.groupBy(*klist).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.abs(e)).alias("_sae"),
         F.sum(e * e).alias("_sse"),
@@ -980,6 +986,7 @@ def regression_report(
     n = F.col("n").cast("double")
     ss_tot = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
     return agg.select(
+        *klist,
         "n",
         qround(F.when(F.col("n") > 0, F.col("_sae") / n), digits).alias(
             "mae"

@@ -828,3 +828,25 @@ def test_mcnemar_test(spark):
     )
     r = mcnemar_test(same, "a", "b", "y").collect()[0]
     assert r.n_disagree == 0 and r.chi2 is None
+
+
+def test_regression_report_keyed(spark):
+    from etdtransform_spark.operators.evaluation import regression_report
+
+    rows = [
+        ("A", 1.0, 1.5), ("A", 2.0, 1.5), ("A", 3.0, 3.5), ("A", 4.0, 3.5),
+        ("B", 1.0, 1.0), ("B", 2.0, 2.0),          # perfect -> r2 1
+        ("C", 1.0, 5.0), ("C", 3.0, 5.0),          # constant target -> NULL r2
+        (None, 1.0, 1.0),                          # NULL key excluded
+    ]
+    df = spark.createDataFrame(rows, "g string, pred double, target double")
+    out = {r.g: r for r in regression_report(
+        df, "pred", "target", keys=["g"]).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert out["A"].n == 4 and out["A"].mae == 0.5
+    assert out["A"].r2 == pytest.approx(0.75)
+    assert out["B"].r2 == 1.0 and out["B"].rmse == 0.0
+    assert out["C"].r2 is None and out["C"].mae == pytest.approx(3.0)
+    # keyed over empty input -> zero rows (keyless keeps the 1-row form)
+    empty = spark.createDataFrame([], "g string, pred double, target double")
+    assert regression_report(empty, "pred", "target", keys=["g"]).count() == 0
