@@ -10026,6 +10026,107 @@ FROM agg
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition
+    (operators/timeseries.py:seasonal_decompose): hourly per-cohort
+    value series → trend (centered 24-row MA, full-window-only) +
+    daily-cycle seasonal (time-derived phase, zero-mean normalized) +
+    residual. Bucket sums are qround'd BEFORE decomposition so both
+    engines decompose identical inputs and every downstream sum is
+    exact fixed-point arithmetic."""
+    from etdtransform_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.pmod(F.col("user_id"), F.lit(4)).alias("cohort"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(qround(F.sum("value"), 6).alias("v"))
+    )
+    return seasonal_decompose(
+        hourly, "bucket", "v", interval_seconds=3600, period=24,
+        keys=["cohort"],
+    )
+
+
+_SQL_SEASONAL_DECOMPOSE = f"""
+WITH hourly AS (
+  SELECT user_id % 4 AS cohort,
+         date_trunc('hour', ts)::TIMESTAMP AS bucket,
+         {qround_sql('sum(value)', 6)} AS v
+  FROM {_EV}
+  GROUP BY 1, 2
+), b AS (
+  SELECT cohort, bucket, v,
+         ((epoch_us(bucket) // 3600000000) % 24)::INT AS phase
+  FROM hourly WHERE v IS NOT NULL AND cohort IS NOT NULL
+), t AS (
+  SELECT *, CASE WHEN count(*) OVER w = 24
+                 THEN sum(v) OVER w / 24.0 END AS trend
+  FROM b
+  WINDOW w AS (PARTITION BY cohort ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+), prof AS (
+  SELECT cohort, phase, avg(v - trend) AS praw
+  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
+), prof2 AS (
+  SELECT cohort, phase,
+         praw - avg(praw) OVER (PARTITION BY cohort) AS seasonal
+  FROM prof
+)
+SELECT t.cohort, t.bucket, t.phase,
+       {qround_sql('t.v', 6)} AS value,
+       {qround_sql('t.trend', 6)} AS trend,
+       {qround_sql('prof2.seasonal', 6)} AS seasonal,
+       {qround_sql('t.v - t.trend - prof2.seasonal', 6)} AS residual
+FROM t LEFT JOIN prof2
+  ON t.cohort = prof2.cohort AND t.phase = prof2.phase
+"""
+
+
+def q_roc_curve_thinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-grid-thinned ROC curve (operators/evaluation.py:roc_curve
+    max_points): the plotting-scale path — ≤ m+1 EXACT curve points with
+    both endpoints kept; projection-only thinning on the cumulative, no
+    extra shuffle. Oracle replicates the grid-crossing filter."""
+    from etdtransform_spark.operators.evaluation import roc_curve
+
+    return roc_curve(
+        _scored_events(spark, sf_dir), "score", "label", max_points=16
+    )
+
+
+_SQL_ROC_CURVE_THINNED = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+counts AS (
+  SELECT score AS v,
+         sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+         (sum(ca) OVER w)::BIGINT AS cum_a, (sum(cb) OVER w)::BIGINT AS cum_b,
+         (sum(ca) OVER ())::BIGINT AS na, (sum(cb) OVER ())::BIGINT AS nb
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), thin AS (
+  SELECT * FROM cum
+  WHERE (cum_a + cum_b - ca - cb) = 0
+     OR floor((cum_a + cum_b - ca - cb) * 16 / (na + nb))
+        <> floor((cum_a + cum_b) * 16 / (na + nb))
+), t AS (
+  SELECT v, (na - cum_a + ca)::BIGINT AS tp, (nb - cum_b + cb)::BIGINT AS fp,
+         na, nb
+  FROM thin
+)
+SELECT v AS threshold, tp, fp,
+       {qround_sql('CASE WHEN na > 0 THEN tp::DOUBLE / na::DOUBLE END', 6)} AS tpr,
+       {qround_sql('CASE WHEN nb > 0 THEN fp::DOUBLE / nb::DOUBLE END', 6)} AS fpr
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10250,6 +10351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prob_scores": q_prob_scores,
         "mcnemar": q_mcnemar,
         "regression_by_cohort": q_regression_by_cohort,
+        "seasonal_decompose": q_seasonal_decompose,
+        "roc_curve_thinned": q_roc_curve_thinned,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
@@ -10358,6 +10461,8 @@ def oracle_sql() -> dict[str, str]:
         "prob_scores": _SQL_PROB_SCORES,
         "mcnemar": _SQL_MCNEMAR,
         "regression_by_cohort": _SQL_REGRESSION_BY_COHORT,
+        "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
+        "roc_curve_thinned": _SQL_ROC_CURVE_THINNED,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -767,6 +767,7 @@ def roc_curve(
     keys: list[str] | tuple[str, ...] = (),
     digits: int = 6,
     prefix_buckets: int = 32,
+    max_points: int | None = None,
 ) -> DataFrame:
     """The full ROC curve as a table — one row per DISTINCT score value,
     read as the decision threshold ``pred = score >= threshold``:
@@ -785,10 +786,21 @@ def roc_curve(
     count as positive under Spark NaN semantics); one-class segments
     give NULL tpr or fpr, never 0/0 = 0. Keyless calls are EAGER at
     build time — see the eagerness note on ``stats._value_cumulatives``.
+
+    ``max_points``: scale lever for PLOTTING — a 100 TB score column
+    has billions of distinct thresholds, a chart needs ~1000 points.
+    Keeps a row iff its cumulative-count range crosses a rank-grid
+    boundary (floor(below·m/n) ≠ floor(cum·m/n)) plus the first row per
+    segment, so ≤ max_points+1 rows per segment survive, BOTH curve
+    endpoints are always kept, every kept point is an EXACT curve point
+    (no interpolation), and the horizontal gap between kept points is
+    ≤ n/m rows. Pure projection on columns already computed — zero
+    extra shuffle, deterministic.
     """
     cum, klist = _curve_cumulatives(
         df, score_col, label_col, keys, prefix_buckets
     )
+    cum = _thin_curve(cum, max_points)
     tp = (F.col("_na") - F.col("_cum_a") + F.col("_ca")).cast("bigint")
     fp = (F.col("_nb") - F.col("_cum_b") + F.col("_cb")).cast("bigint")
     return cum.select(
@@ -820,17 +832,20 @@ def pr_curve(
     keys: list[str] | tuple[str, ...] = (),
     digits: int = 6,
     prefix_buckets: int = 32,
+    max_points: int | None = None,
 ) -> DataFrame:
     """Precision-recall curve as a table — one row per distinct score
     threshold: (keys..., threshold, tp, fp, precision, recall). The PR
     sibling of :func:`roc_curve` on the identical cumulative substrate
-    (same cost, same exclusions, same keyless-eagerness caveat).
+    (same cost, same exclusions, same keyless-eagerness caveat, same
+    ``max_points`` rank-grid thinning for plotting at scale).
     Precision is always defined on an attained threshold (tp + fp ≥ 1 —
     at least the rows AT the threshold score are predicted positive);
     recall is NULL when the segment has no positives."""
     cum, klist = _curve_cumulatives(
         df, score_col, label_col, keys, prefix_buckets
     )
+    cum = _thin_curve(cum, max_points)
     tp = (F.col("_na") - F.col("_cum_a") + F.col("_ca")).cast("bigint")
     fp = (F.col("_nb") - F.col("_cum_b") + F.col("_cb")).cast("bigint")
     return cum.select(
@@ -848,6 +863,25 @@ def pr_curve(
             ),
             digits,
         ).alias("recall"),
+    )
+
+
+def _thin_curve(cum: DataFrame, max_points: int | None) -> DataFrame:
+    """Rank-grid curve thinning on the cumulative table: keep a row iff
+    its cumulative range [below, cum] crosses a boundary of the
+    ``max_points``-cell rank grid, or it is the segment's first row
+    (below = 0 — the all-predicted-positive corner, which a sparse head
+    would otherwise drop). Projection-only; the kept rows are exact
+    curve points."""
+    if max_points is None:
+        return cum
+    m = F.lit(int(max_points))
+    ctot = F.col("_cum_a") + F.col("_cum_b")
+    below = ctot - (F.col("_ca") + F.col("_cb"))
+    ntot = F.col("_na") + F.col("_nb")
+    return cum.filter(
+        (below == 0)
+        | (F.floor(below * m / ntot) != F.floor(ctot * m / ntot))
     )
 
 
@@ -1016,6 +1050,7 @@ def regression_calibration_deciles(
     target_col: str,
     n_bins: int = 10,
     digits: int = 6,
+    exact: bool = True,
 ) -> DataFrame:
     """Calibration-by-decile for continuous predictions: rank-bin the
     predictions into ``n_bins`` quantile bins (exact ``F.percentile``
@@ -1035,9 +1070,10 @@ def regression_calibration_deciles(
     prediction, so ties at a boundary land deterministically in the
     lower bin on any engine. Then ONE data-sized hash aggregate over
     ≤ n_bins groups. Exact percentile is a distributed sort-based
-    aggregate — at 100 TB switch to approx boundaries if the prediction
+    aggregate — at 100 TB pass ``exact=False`` for Greenwald-Khanna
+    approximate boundaries (deterministic, no sort) when the prediction
     column has unbounded cardinality; the bin SEMANTICS tolerate any
-    order-preserving boundary choice.
+    order-preserving boundary choice, only bin balance shifts.
     """
     p = F.col(pred_col).cast("double")
     y = F.col(target_col).cast("double")
@@ -1045,7 +1081,16 @@ def regression_calibration_deciles(
         p.isNotNull() & y.isNotNull() & ~F.isnan(p) & ~F.isnan(y)
     ).select(p.alias("_p"), y.alias("_y"))
     qs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
-    bounds = base.agg(F.percentile("_p", qs).alias("_bd"))
+    # exact=False is the 100 TB path named in the docstring: approximate
+    # boundaries (Greenwald-Khanna, deterministic) replace the exact
+    # distributed sort-aggregate; the bin semantics tolerate any
+    # order-preserving boundary choice, only bin balance shifts
+    bd_expr = (
+        F.percentile("_p", qs)
+        if exact
+        else F.percentile_approx("_p", qs, F.lit(10000))
+    )
+    bounds = base.agg(bd_expr.alias("_bd"))
     binned = base.crossJoin(F.broadcast(bounds)).select(
         F.size(
             F.filter(F.col("_bd"), lambda b: F.col("_p") > b)

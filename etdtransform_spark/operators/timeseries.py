@@ -350,3 +350,97 @@ def degree_days(
             digits,
         ).alias("cdd"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    period: int,
+    keys: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition over a REGULAR series:
+    value = trend + seasonal + residual — the pre-step for
+    seasonally-adjusted anomaly detection and for reporting whether a
+    metric moved beyond its daily/weekly rhythm (an energy-monitoring
+    staple: consumption has a hard daily cycle that drowns raw deltas).
+
+    ``interval_seconds`` is the series' fixed step, ``period`` the cycle
+    length in steps (24 for a daily cycle on hourly data). Per row:
+
+        trend    — centered ``period``-row moving average, NULL unless
+                   the full window exists (edges don't get a fabricated
+                   trend); row-centered simple MA — the textbook
+                   even-period 2×MA refinement is intentionally skipped
+                   (documented simplification, one window either way)
+        phase    — floor(epoch / interval) % period, from TIME, not row
+                   position, so missing buckets cannot shift the cycle
+        seasonal — mean detrended value of the row's phase, re-centered
+                   to zero mean over the key's phases (the classical
+                   identifiability normalization), NULL if the phase
+                   never has a defined trend
+        residual — value − trend − seasonal
+
+    NULL-ts/value rows are dropped. Plan shape: ONE per-key sort feeds
+    the centered window; the phase profile is a (keys × period)-sized
+    aggregate joined back on (keys, phase) — broadcastable at any data
+    size; no global sort, no driver loop. Input regularity is the
+    caller's contract (resample first — ``operators/resample.py``);
+    duplicate buckets bias the moving average like any MA.
+    """
+    klist = list(keys)
+    v = F.col(value_col).cast("double")
+    base = df.filter(F.col(ts_col).isNotNull() & v.isNotNull()).select(
+        *klist,
+        F.col(ts_col).alias("_ts"),
+        v.alias("_v"),
+        F.pmod(
+            F.floor(ts_micros(F.col(ts_col)) / F.lit(interval_seconds * 1_000_000)),
+            F.lit(period),
+        ).cast("int").alias("_phase"),
+    )
+    lo, hi = period // 2, period - period // 2 - 1
+    w = (
+        Window.partitionBy(*klist)
+        .orderBy("_ts")
+        .rowsBetween(-lo, hi)
+    )
+    trended = base.select(
+        "*",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.sum("_v").over(w) / F.lit(float(period)),
+        ).alias("_trend"),
+    )
+    detr = F.col("_v") - F.col("_trend")
+    prof = (
+        trended.filter(F.col("_trend").isNotNull())
+        .groupBy(*klist, "_phase")
+        .agg(F.avg(detr).alias("_praw"))
+    )
+    wk = Window.partitionBy(*klist)
+    # profile keys renamed with a _pk_ prefix: prof derives from trended
+    # (shared lineage), and name-unique keys keep the join condition
+    # unambiguous without DataFrame refs (the r6 self-join rule)
+    prof = prof.select(
+        *[F.col(k).alias(f"_pk_{k}") for k in klist],
+        F.col("_phase").alias("_pphase"),
+        (F.col("_praw") - F.avg("_praw").over(wk)).alias("_seasonal"),
+    )
+    cond = F.col("_phase") == F.col("_pphase")
+    for k in klist:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_pk_{k}"))
+    joined = trended.join(F.broadcast(prof), cond, "left")
+    return joined.select(
+        *klist,
+        F.col("_ts").alias(ts_col),
+        F.col("_phase").alias("phase"),
+        qround(F.col("_v"), digits).alias("value"),
+        qround(F.col("_trend"), digits).alias("trend"),
+        qround(F.col("_seasonal"), digits).alias("seasonal"),
+        qround(
+            F.col("_v") - F.col("_trend") - F.col("_seasonal"), digits
+        ).alias("residual"),
+    )

@@ -850,3 +850,64 @@ def test_regression_report_keyed(spark):
     # keyed over empty input -> zero rows (keyless keeps the 1-row form)
     empty = spark.createDataFrame([], "g string, pred double, target double")
     assert regression_report(empty, "pred", "target", keys=["g"]).count() == 0
+
+
+def test_roc_pr_curve_max_points_thinning(spark):
+    from etdtransform_spark.operators.evaluation import pr_curve, roc_curve
+
+    # 40 distinct thresholds, one row each, alternating labels
+    rows = [(i / 40.0, float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    full = sorted(
+        (r.threshold, r.tp, r.fp)
+        for r in roc_curve(df, "score", "label").collect()
+    )
+    thin = sorted(
+        (r.threshold, r.tp, r.fp)
+        for r in roc_curve(df, "score", "label", max_points=4).collect()
+    )
+    assert len(full) == 40
+    assert len(thin) <= 4 + 1
+    # every thinned row is an EXACT curve point
+    assert set(thin) <= set(full)
+    # both endpoints survive: lowest threshold (all-predicted-positive
+    # corner) and highest threshold
+    assert thin[0] == full[0] and thin[-1] == full[-1]
+    # max horizontal gap between kept points is <= n/m rows of the full
+    # curve (rank-grid guarantee)
+    idx = [full.index(t) for t in thin]
+    gaps = [b - a for a, b in zip(idx, idx[1:])]
+    assert max(gaps) <= 40 // 4
+    # deterministic
+    again = sorted(
+        (r.threshold, r.tp, r.fp)
+        for r in roc_curve(df, "score", "label", max_points=4).collect()
+    )
+    assert again == thin
+    # pr_curve shares the mechanism
+    thin_pr = pr_curve(df, "score", "label", max_points=4).collect()
+    assert 0 < len(thin_pr) <= 5
+    # max_points >= distinct thresholds: identity
+    same = roc_curve(df, "score", "label", max_points=100).count()
+    assert same == 40
+
+
+def test_regression_deciles_approx_path(spark):
+    from etdtransform_spark.operators.evaluation import (
+        regression_calibration_deciles,
+    )
+
+    rows = [(float(i), float(i) * 0.5) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "pred double, target double")
+    exact = regression_calibration_deciles(df, "pred", "target", n_bins=4)
+    approx = regression_calibration_deciles(
+        df, "pred", "target", n_bins=4, exact=False
+    )
+    e = {r.bin: r for r in exact.collect()}
+    a = {r.bin: r for r in approx.collect()}
+    # bins partition the data either way
+    assert sum(r.n for r in e.values()) == 100
+    assert sum(r.n for r in a.values()) == 100
+    assert set(a) <= {0, 1, 2, 3}
+    # at accuracy 10000 on 100 rows GK is exact-rank: same binning
+    assert {b: r.n for b, r in a.items()} == {b: r.n for b, r in e.items()}

