@@ -164,7 +164,7 @@ def hashed_linear_score(
                     F.concat(
                         F.lit(
                             "hashed_linear_score: weights DataFrame has "
-                            "conflicting rows for bucket "
+                            "conflicting or NULL weight rows for bucket "
                         ),
                         F.col("bucket").cast("string"),
                     )

@@ -128,7 +128,11 @@ def auc_roc(
     y = F.col(label_col).cast("double")
     klist = list(keys)
     counts = (
-        df.filter(x.isNotNull() & y.isNotNull())
+        # NULL AND NaN excluded on both columns — the family convention
+        # (a NaN score ranks greatest, a NaN label reads positive under
+        # Spark NaN semantics; roc_curve/pr_curve on the same substrate
+        # must agree with this scalar on identical data)
+        df.filter(x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y))
         .groupBy(*klist, x.alias("_v"))
         .agg(
             F.sum(F.when(y != 0, 1).otherwise(0)).alias("_ca"),
@@ -174,13 +178,17 @@ def binary_classification_report(
     denominator is empty — no predicted positives means precision is
     undefined, not perfect or zero).
 
-    Rows with NULL score or label are excluded. ONE aggregate pass.
+    Rows with NULL or NaN score/label are excluded (a NaN label would
+    count as a positive under Spark NaN semantics — the
+    :func:`fairness_audit` convention). ONE aggregate pass.
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     pred = s >= F.lit(float(threshold))
     pos = y != 0
-    base = df.filter(s.isNotNull() & y.isNotNull())
+    base = df.filter(
+        s.isNotNull() & y.isNotNull() & ~F.isnan(s) & ~F.isnan(y)
+    )
     agg = base.agg(
         F.count(F.when(pred & pos, 1)).cast("bigint").alias("tp"),
         F.count(F.when(pred & ~pos, 1)).cast("bigint").alias("fp"),
@@ -494,9 +502,11 @@ def annotator_bias(
     a = F.col(annotator_col)
     u = F.col(item_col)
     y = F.col(label_col).cast("double")
-    base = df.filter(a.isNotNull() & u.isNotNull() & y.isNotNull()).select(
-        a.alias("_an"), u.alias("_it"), y.alias("_y")
-    )
+    # NaN labels excluded like NULLs (one NaN would propagate through
+    # every consensus mean it touches — the family convention)
+    base = df.filter(
+        a.isNotNull() & u.isNotNull() & y.isNotNull() & ~F.isnan(y)
+    ).select(a.alias("_an"), u.alias("_it"), y.alias("_y"))
     item_stats = base.groupBy("_it").agg(
         F.sum("_y").alias("_sy"), F.count(F.lit(1)).alias("_cy")
     )

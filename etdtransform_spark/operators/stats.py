@@ -1413,10 +1413,14 @@ def spearman_corr(
     data-sized shuffles this statistic genuinely requires — each row
     needs BOTH its ranks), then ONE hash aggregate carries six partials
     and Pearson-on-ranks is evaluated on the 1-row result. Ranks are
-    half-integers, so every compared sum is exact binary at oracle scale
-    and the final one-shot arithmetic is engine-identical. Keyless and
-    therefore EAGER at build time (two boundary collections — the
-    ``_value_cumulatives`` note).
+    half-integers, so the six sums are EXACT (fold-order invariant)
+    while the rank-square totals stay below 2^53 — n up to ~190k
+    complete cases (n³/3 · 4 ≤ 2^53); the oracle contract runs well
+    inside that. Beyond it the sums pick up ordinary fold-order ulps
+    and rho is reproducible only to ~1e-12 — fine for analysis, not for
+    bit-level cross-engine hashing. Keyless and therefore EAGER at
+    build time (two boundary collections — the ``_value_cumulatives``
+    note).
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")

@@ -383,7 +383,10 @@ def seasonal_decompose(
                    never has a defined trend
         residual — value − trend − seasonal
 
-    NULL-ts/value rows are dropped. Plan shape: ONE per-key sort feeds
+    NULL-ts/value rows are dropped, and so are NULL-KEY rows (an
+    unattributed series decomposes nothing — the fairness-family
+    convention, and what keeps the oracle's NOT NULL key filter
+    equivalent). Plan shape: ONE per-key sort feeds
     the centered window; the phase profile is a (keys × period)-sized
     aggregate joined back on (keys, phase) — broadcastable at any data
     size; no global sort, no driver loop. Input regularity is the
@@ -392,7 +395,10 @@ def seasonal_decompose(
     """
     klist = list(keys)
     v = F.col(value_col).cast("double")
-    base = df.filter(F.col(ts_col).isNotNull() & v.isNotNull()).select(
+    cond = F.col(ts_col).isNotNull() & v.isNotNull()
+    for k in klist:
+        cond = cond & F.col(k).isNotNull()
+    base = df.filter(cond).select(
         *klist,
         F.col(ts_col).alias("_ts"),
         v.alias("_v"),

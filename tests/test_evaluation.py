@@ -142,7 +142,13 @@ def test_auc_matches_reimplementation_with_ties(spark):
              (0.5, 0), (0.5, 0), (0.2, 0), (0.9, 1), (0.1, 0)]
     from etdtransform_spark.operators.evaluation import auc_roc
 
-    df = spark.createDataFrame(pairs, "score double, label int")
+    # NaN score/label rows are excluded (family convention — a NaN
+    # label would otherwise count as a positive, a NaN score would
+    # rank above every real score)
+    rows = [(s, float(y)) for s, y in pairs] + [
+        (float("nan"), 1.0), (0.95, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "score double, label double")
     r = auc_roc(df, "score", "label").collect()[0]
     assert (r.n_pos, r.n_neg) == (4, 6)
     assert r.auc == pytest.approx(_py_auc(pairs), abs=1e-6)  # qround(6)
@@ -173,8 +179,9 @@ def test_classification_report_hand_computed(spark):
         binary_classification_report,
     )
 
-    rows = [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0), (0.7, 1), (None, 1)]
-    df = spark.createDataFrame(rows, "score double, label int")
+    rows = [(0.9, 1.0), (0.8, 0.0), (0.4, 1.0), (0.1, 0.0), (0.7, 1.0),
+            (None, 1.0), (float("nan"), 0.0), (0.95, float("nan"))]
+    df = spark.createDataFrame(rows, "score double, label double")
     r = binary_classification_report(df, "score", "label", threshold=0.5).collect()[0]
     assert (r.tp, r.fp, r.tn, r.fn) == (2, 1, 1, 1)
     assert r.precision == pytest.approx(2 / 3)
@@ -434,9 +441,13 @@ def test_annotator_bias_matches_reimplementation(spark):
 def test_annotator_bias_single_rating_items_excluded(spark):
     from etdtransform_spark.operators.evaluation import annotator_bias
 
-    rows = [("a", 1, 1), ("b", 1, 0), ("a", 2, 1)]  # item 2 singly rated
-    df = spark.createDataFrame(rows, "an string, item int, y int")
+    # item 2 singly rated; NaN label excluded (would otherwise poison
+    # every consensus mean its item touches)
+    rows = [("a", 1, 1.0), ("b", 1, 0.0), ("a", 2, 1.0),
+            ("c", 1, float("nan"))]
+    df = spark.createDataFrame(rows, "an string, item int, y double")
     out = {r.annotator: r for r in annotator_bias(df, "an", "item", "y").collect()}
+    assert set(out) == {"a", "b"}
     assert out["a"].n == 1 and out["b"].n == 1
     # a's only kept rating: y=1, consensus=0 -> bias 1, but v=0 -> z NULL
     assert out["a"].bias == pytest.approx(1.0) and out["a"].z is None

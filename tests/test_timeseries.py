@@ -187,7 +187,7 @@ def test_seasonal_decompose_exact_cycle(spark):
     for i, (ts, v) in enumerate(rows):
         r = out[ts]
         assert r.value == v
-        assert r.phase == (base + dt.timedelta(hours=i)).hour % 4 or True
+        assert r.phase == (base + dt.timedelta(hours=i)).hour % 4
         if lo <= i < 16 - hi:
             # any 4 consecutive seasonal terms sum to 0 -> trend exact
             assert r.trend == pytest.approx(10.0, abs=1e-9)
@@ -222,10 +222,18 @@ def test_seasonal_decompose_keyed_and_phase_from_time(spark):
         ).collect()
     }
     for (k, ts), r in out.items():
-        expect = (sa if k == "a" else sb)[ts.hour % 2]
-        if r.seasonal is not None and k == "b":
-            assert r.seasonal == pytest.approx(expect, abs=1e-9)
+        # the point under test: phase derives from TIME, so key a's
+        # missing bucket cannot shift later rows' phases
         assert r.phase == ts.hour % 2
+        if k == "b":
+            # intact series: every phase profile is exact
+            assert r.seasonal == pytest.approx(sb[ts.hour % 2], abs=1e-9)
+        # key a's trend windows straddle the gap (row-based MA), so its
+        # profile legitimately differs from sa — phase integrity is the
+        # pinned property; zero-mean normalization still holds:
+    a_seas = {r.seasonal for (k, _), r in out.items() if k == "a"
+              if r.seasonal is not None}
+    assert sum(a_seas) == pytest.approx(0.0, abs=1e-9)
     # key b intact: interior rows decompose exactly
     rb = out[("b", base + dt.timedelta(hours=3))]
     assert rb.trend == pytest.approx(7.0, abs=1e-9)
