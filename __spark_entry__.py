@@ -10127,6 +10127,59 @@ FROM t
 """
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal
+    (operators/corpus.py:remove_boilerplate_lines): documents re-lined
+    on spaces so frequent WORDS act as template lines; lines in ≥
+    max(2, ceil(1% of docs)) distinct documents are dropped everywhere,
+    text reassembled in order. Two data-sized shuffles (line frequency,
+    reassembly) — the honest cost of rewriting text."""
+    from etdtransform_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    return remove_boilerplate_lines(
+        docs, min_doc_frac=0.01, min_docs=2
+    )
+
+
+_SQL_BOILERPLATE_LINES = """
+WITH d AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS text
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         unnest(string_split(text, chr(10))) AS raw
+  FROM d
+), l2 AS (
+  SELECT doc_id, pos, raw, trim(raw) AS line FROM lines
+), nb AS (SELECT * FROM l2 WHERE line <> ''),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS ndocs FROM nb),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(*)::BIGINT AS df
+    FROM (SELECT DISTINCT doc_id, line FROM nb) GROUP BY line
+  ), nd
+  WHERE df >= greatest(2, ceil(0.01 * ndocs))
+), marked AS (
+  SELECT l2.doc_id, l2.pos, l2.raw,
+         (freq.line IS NOT NULL) AS dropped
+  FROM l2 LEFT JOIN freq ON l2.line = freq.line
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN raw END, chr(10)
+                           ORDER BY pos), '') AS text_clean,
+       count(*)::BIGINT AS n_lines,
+       count(CASE WHEN dropped THEN 1 END)::BIGINT AS n_removed,
+       floor(count(CASE WHEN dropped THEN 1 END)::DOUBLE
+             / count(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+         AS removed_ratio
+FROM marked GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10353,6 +10406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_by_cohort": q_regression_by_cohort,
         "seasonal_decompose": q_seasonal_decompose,
         "roc_curve_thinned": q_roc_curve_thinned,
+        "boilerplate_lines": q_boilerplate_lines,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
@@ -10463,6 +10517,7 @@ def oracle_sql() -> dict[str, str]:
         "regression_by_cohort": _SQL_REGRESSION_BY_COHORT,
         "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
         "roc_curve_thinned": _SQL_ROC_CURVE_THINNED,
+        "boilerplate_lines": _SQL_BOILERPLATE_LINES,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

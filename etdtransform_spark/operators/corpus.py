@@ -980,3 +980,95 @@ def bigram_logprob(
             qround(F.avg(lp), digits).alias("avg_bigram_logprob"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Cross-document boilerplate LINE removal — the C4/RefinedWeb
+    cleaning step :func:`duplicate_spans` measures but doesn't apply:
+    a line (trimmed for matching, kept verbatim for output) occurring in
+    at least ``max(min_docs, ceil(min_doc_frac · n_docs))`` DISTINCT
+    documents is template furniture (navigation, cookie banners, license
+    headers) and is dropped from every document; blank lines are
+    structure, not content — never counted, always kept. Returns
+
+        (``id_col``, text_clean, n_lines, n_removed, removed_ratio)
+
+    one row per input document with non-NULL text (docs whose every line
+    is boilerplate come back with empty text_clean, not dropped — the
+    caller decides whether an emptied doc survives, e.g. via
+    ``quality_features``).
+
+    Scale shape: the honest cost of rewriting text is two data-sized
+    shuffles — the line-frequency aggregate (distinct (line, doc) then
+    one count per line, both map-side combined; shuffles carry hashed
+    lines, never documents) and the reassembly groupBy(doc). The
+    boilerplate decision joins on the line key; n_docs rides a broadcast
+    1-row frame (lazy — the :func:`~.evaluation.label_noise_estimate`
+    pattern). Reassembly keeps line order via sort-by-position inside
+    the collected array, not a window re-sort.
+    """
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
+    ).withColumn("_line", F.trim(F.col("_raw")))
+    nonblank = lines.filter(F.col("_line") != "")
+    ndocs = nonblank.agg(
+        F.count_distinct("_id").cast("double").alias("_nd")
+    )
+    freq = (
+        nonblank.select("_id", "_line").distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(
+            F.col("_df")
+            >= F.greatest(
+                F.lit(int(min_docs)),
+                F.ceil(F.lit(float(min_doc_frac)) * F.col("_nd")),
+            )
+        )
+        .select(F.col("_line").alias("_bline"))
+    )
+    marked = lines.join(
+        freq, F.col("_line") == F.col("_bline"), "left"
+    ).select(
+        "_id", "_pos", "_raw",
+        (F.col("_bline").isNotNull()).alias("_drop"),
+    )
+    out = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("_drop"), 1)).cast("bigint").alias("n_removed"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"),
+                            F.struct(F.col("_pos"), F.col("_raw").alias("_l")),
+                        )
+                    )
+                ),
+                lambda s: s["_l"],
+            ),
+        ).alias("text_clean"),
+    )
+    from ..functions.scalars import qround
+
+    return out.select(
+        F.col("_id").alias(id_col),
+        "text_clean",
+        "n_lines",
+        "n_removed",
+        qround(
+            F.col("n_removed").cast("double") / F.col("n_lines").cast("double"),
+            digits,
+        ).alias("removed_ratio"),
+    )

@@ -263,3 +263,47 @@ def test_bpe_merge_application_nonoverlapping(spark):
         _bpe_apply_merge(F.col("syms"), "a", "a").alias("out")
     ).collect()
     assert r.out == ["aa", "a", "</w>"]
+
+
+def test_remove_boilerplate_lines(spark):
+    from etdtransform_spark.operators.corpus import remove_boilerplate_lines
+
+    header = "SITE NAV | home | about"
+    rows = [
+        (1, header + "\n\nunique body one\nsecond line one"),
+        (2, header + "\nunique body two"),
+        (3, header + "\nunique body three\n  " + header + "  "),
+        (4, None),                      # NULL text: excluded entirely
+        (5, "only unique content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_lines(
+        df, min_doc_frac=0.5, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    # header appears in 3 of 4 counted docs -> boilerplate everywhere,
+    # including the whitespace-padded variant (trim-matched)
+    assert out[1].text_clean == "\nunique body one\nsecond line one"
+    assert out[1].n_lines == 4 and out[1].n_removed == 1
+    assert out[1].removed_ratio == 0.25
+    assert out[2].text_clean == "unique body two"
+    assert out[3].text_clean == "unique body three"
+    assert out[3].n_removed == 2  # raw and padded header both dropped
+    assert out[5].text_clean == "only unique content"
+    assert out[5].n_removed == 0
+
+    # below both thresholds nothing is dropped (min_docs floor binds)
+    two = spark.createDataFrame(rows[:1] + rows[4:], "doc_id long, text string")
+    kept = {r.doc_id: r for r in remove_boilerplate_lines(
+        two, min_doc_frac=0.9, min_docs=2).collect()}
+    assert kept[1].n_removed == 0
+
+    # fully-boilerplate doc comes back emptied, not dropped
+    all_bp = spark.createDataFrame(
+        [(1, header), (2, header)], "doc_id long, text string"
+    )
+    e = {r.doc_id: r for r in remove_boilerplate_lines(
+        all_bp, min_doc_frac=0.5, min_docs=2).collect()}
+    assert e[1].text_clean == "" and e[1].removed_ratio == 1.0
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert remove_boilerplate_lines(empty).count() == 0
