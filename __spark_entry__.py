@@ -10180,6 +10180,93 @@ FROM marked GROUP BY doc_id
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular readings
+    (operators/temporal.py:time_weighted_avg): LOCF segments from one
+    per-key lead window, bucket-clipped via a sequence generator, one
+    hash aggregate. The 2^-5-grid value keeps every area sum exact, so
+    both engines integrate bit-identically."""
+    from etdtransform_spark.operators.temporal import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    frame = ev.select(
+        F.pmod(F.col("user_id"), F.lit(8)).alias("cohort"),
+        F.col("ts"),
+        (F.pmod(F.col("event_id"), F.lit(97)).cast("double") / F.lit(32.0)).alias("v"),
+    )
+    return time_weighted_avg(frame, "ts", "v", 3600, keys=["cohort"])
+
+
+_SQL_TIME_WEIGHTED_AVG = f"""
+WITH s AS (
+  SELECT user_id % 8 AS cohort, epoch_us(ts) AS t0,
+         (event_id % 97)::DOUBLE / 32 AS v
+  FROM {_EV} WHERE user_id IS NOT NULL
+), seg AS (
+  SELECT cohort, t0, v,
+         lead(t0) OVER (PARTITION BY cohort ORDER BY t0, v) AS t1
+  FROM s
+), spans AS (
+  SELECT cohort, t0, t1, v,
+         unnest(generate_series(
+           t0 // 3600000000,
+           greatest(CASE WHEN t1 IS NOT NULL
+                         THEN (t1 - 1) // 3600000000
+                         ELSE t0 // 3600000000 END,
+                    t0 // 3600000000))) AS b
+  FROM seg
+), ov AS (
+  SELECT cohort, b,
+         CASE WHEN t1 IS NOT NULL
+              THEN least(t1, (b + 1) * 3600000000)
+                   - greatest(t0, b * 3600000000)
+              ELSE 0 END AS o,
+         v, (t0 >= b * 3600000000) AS own
+  FROM spans
+), agg AS (
+  SELECT cohort, b, sum(o)::BIGINT AS cov,
+         sum(o::DOUBLE * v) AS area,
+         count(CASE WHEN own THEN 1 END)::BIGINT AS n_readings
+  FROM ov GROUP BY 1, 2
+)
+SELECT cohort, make_timestamp(b * 3600000000)::TIMESTAMP AS bucket_ts,
+       {qround_sql('CASE WHEN cov > 0 THEN area / cov::DOUBLE END', 6)} AS twa,
+       cov::DOUBLE / 1000000.0 AS covered_seconds,
+       n_readings
+FROM agg
+"""
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/skew.py:skew_profile):
+    top-k heaviest event_type values with share, estimated
+    one-reducer load multiple, and the salt fan-out that would level
+    it — ONE map-side-combined aggregate + a top-k."""
+    from etdtransform_spark.operators.skew import skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_profile(ev, ["event_type"], top_k=5, parallelism=200)
+
+
+_SQL_SKEW_PROFILE = f"""
+WITH c AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows FROM {_EV} GROUP BY 1
+), tot AS (SELECT sum(n_rows)::BIGINT AS t FROM c),
+top AS (
+  SELECT event_type, n_rows FROM c
+  ORDER BY n_rows DESC, event_type ASC NULLS FIRST LIMIT 5
+)
+SELECT row_number() OVER (ORDER BY n_rows DESC, event_type ASC NULLS FIRST)
+         ::BIGINT AS rank,
+       event_type, n_rows,
+       {qround_sql('n_rows::DOUBLE / t::DOUBLE', 6)} AS share,
+       {qround_sql('n_rows::DOUBLE / t::DOUBLE * 200.0', 6)}
+         AS est_reducer_share,
+       ceil(n_rows::DOUBLE / t::DOUBLE * 200.0)::BIGINT AS suggested_salt
+FROM top, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10407,6 +10494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "roc_curve_thinned": q_roc_curve_thinned,
         "boilerplate_lines": q_boilerplate_lines,
+        "time_weighted_avg": q_time_weighted_avg,
+        "skew_profile": q_skew_profile,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
@@ -10518,6 +10607,8 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
         "roc_curve_thinned": _SQL_ROC_CURVE_THINNED,
         "boilerplate_lines": _SQL_BOILERPLATE_LINES,
+        "time_weighted_avg": _SQL_TIME_WEIGHTED_AVG,
+        "skew_profile": _SQL_SKEW_PROFILE,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -29,8 +29,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
 
 _COMBINE = {
     "sum": F.sum,
@@ -101,3 +103,63 @@ def salted_join(
     )
     d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     return f.join(d, [*on, "_salt"], how).drop("_salt")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+    parallelism: int = 200,
+    digits: int = 6,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic — the measurement that decides
+    whether :func:`salted_agg` / :func:`salted_join` (or AQE skew
+    splitting) is worth wiring: the ``top_k`` heaviest key values with
+
+        (rank, key..., n_rows, share, est_reducer_share, suggested_salt)
+
+    where ``share`` = key rows / total rows, ``est_reducer_share`` =
+    share · parallelism (how many average reducers' worth of work this
+    single key pins on ONE reducer in a ``parallelism``-way shuffle —
+    above ~2 the stragglers are visible, above ~10 the stage is
+    effectively serialized), and ``suggested_salt`` =
+    ceil(share · parallelism) — the salt fan-out that spreads the key
+    back to average-reducer size (1 = no salting needed). NULL keys
+    profile like any value (a NULL-key flood is the classic
+    default-value hot spot). Deterministic: ties rank by key value.
+
+    ONE hash aggregate (map-side combined — the scan never shuffles
+    rows, only per-key partials) + a top-k TakeOrdered; output is
+    top_k-sized. This is a diagnostic SAMPLE of the key distribution's
+    head, not a full histogram — the tail is irrelevant to skew.
+    """
+    klist = list(key_cols)
+    counts = df.groupBy(*klist).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("_tot")
+    )
+    top = (
+        counts.orderBy(
+            F.col("n_rows").desc(), *[F.col(k).asc_nulls_first() for k in klist]
+        )
+        .limit(int(top_k))
+        .crossJoin(F.broadcast(tot))
+    )
+    share = F.col("n_rows").cast("double") / F.col("_tot").cast("double")
+    w = Window.orderBy(
+        F.col("n_rows").desc(), *[F.col(k).asc_nulls_first() for k in klist]
+    )
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        *klist,
+        "n_rows",
+        qround(share, digits).alias("share"),
+        qround(share * F.lit(float(parallelism)), digits).alias(
+            "est_reducer_share"
+        ),
+        F.ceil(share * F.lit(float(parallelism))).cast("bigint").alias(
+            "suggested_salt"
+        ),
+    )

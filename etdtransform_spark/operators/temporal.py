@@ -259,3 +259,95 @@ def longest_streak(
         F.col("_m.s").alias("streak_start"),
         F.col("_m.e").alias("streak_end"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    keys: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Time-weighted average over IRREGULAR observations — the correct
+    per-bucket mean for meter readings and sensor states, where a plain
+    AVG over-weights chatty periods (ten readings in one minute count
+    ten times; the state that held for an hour counts once). Each
+    reading's value holds from its timestamp until the NEXT reading of
+    the same key (last-observation-carried-forward); per tumbling
+    ``bucket_seconds`` bucket this integrates value·dt over the covered
+    time and divides by covered seconds:
+
+        (keys..., bucket_ts, twa, covered_seconds, n_readings)
+
+    The final reading of a key carries no duration (its segment is
+    unbounded — integrating it would invent coverage), so it counts in
+    ``n_readings`` of its bucket but contributes no area; buckets with
+    zero covered time have NULL twa. NULL ts/value/key rows are
+    excluded. Tied timestamps order by VALUE (deterministic: the
+    highest value at a tied instant carries forward; the ties
+    themselves span zero time either way — without this, the lead()
+    pairing would be engine- and run-dependent). All duration
+    arithmetic is INTEGER microseconds — exact and engine-portable;
+    only the final area/μs division is float.
+
+    Scale shape: ONE per-key window (lead) gives each segment its end;
+    a segment spanning k buckets explodes into k rows via ``sequence``
+    (generator, no driver loop) with overlap clipped per bucket; ONE
+    hash aggregate per (keys, bucket). A reading held for a year
+    explodes into 365 daily rows — bounded by covered time over bucket
+    size, never by row count; no global sort, no cross-key traffic.
+    """
+    from ..functions.scalars import qround, ts_micros
+
+    klist = list(keys)
+    v = F.col(value_col).cast("double")
+    cond = F.col(ts_col).isNotNull() & v.isNotNull()
+    for k in klist:
+        cond = cond & F.col(k).isNotNull()
+    us = F.lit(int(bucket_seconds) * 1_000_000)
+    base = df.filter(cond).select(
+        *klist,
+        ts_micros(F.col(ts_col)).alias("_t0"),
+        v.alias("_v"),
+    )
+    w = Window.partitionBy(*klist).orderBy("_t0", "_v")
+    seg = base.select(
+        *klist, "_t0", "_v", F.lead("_t0").over(w).alias("_t1")
+    )
+    # bucket index range covered by [t0, t1); the final (open) segment
+    # covers only its own bucket for the n_readings count
+    b0 = F.floor(F.col("_t0") / us)
+    b1 = F.when(
+        F.col("_t1").isNotNull(), F.floor((F.col("_t1") - 1) / us)
+    ).otherwise(b0)
+    spans = seg.select(
+        *klist, "_t0", "_t1", "_v",
+        F.explode(F.sequence(b0, F.greatest(b1, b0))).alias("_b"),
+    )
+    bs = F.col("_b") * us
+    be = bs + us
+    ov = F.when(
+        F.col("_t1").isNotNull(),
+        F.least(F.col("_t1"), be) - F.greatest(F.col("_t0"), bs),
+    ).otherwise(F.lit(0))
+    agg = spans.groupBy(*klist, "_b").agg(
+        F.sum(ov).cast("bigint").alias("_cov"),
+        F.sum(ov.cast("double") * F.col("_v")).alias("_area"),
+        F.count(F.when(F.col("_t0") >= bs, 1)).cast("bigint").alias(
+            "n_readings"
+        ),
+    )
+    return agg.select(
+        *klist,
+        F.timestamp_micros(F.col("_b") * us).alias("bucket_ts"),
+        qround(
+            F.when(
+                F.col("_cov") > 0,
+                F.col("_area") / F.col("_cov").cast("double"),
+            ),
+            digits,
+        ).alias("twa"),
+        (F.col("_cov").cast("double") / 1e6).alias("covered_seconds"),
+        "n_readings",
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from etdtransform_spark.operators.temporal import (
@@ -151,3 +152,62 @@ def test_snapshot_diff_empty_compare_cols(spark):
     new = spark.createDataFrame([(2,), (3,)], "k bigint")
     out = {(r.k, r.status) for r in snapshot_diff(old, new, ["k"], []).collect()}
     assert out == {(1, "removed"), (3, "added")}
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    import datetime as dt
+
+    from etdtransform_spark.operators.temporal import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # hourly buckets; key 'a': value 10 holds 0:00-0:30, 20 holds
+    # 0:30-1:15 (SPANS the bucket boundary), 40 holds 1:15-1:45,
+    # final reading at 1:45 carries no duration
+    rows = [
+        ("a", t(0), 10.0), ("a", t(30), 20.0), ("a", t(75), 40.0),
+        ("a", t(105), 99.0),
+        # key 'b': chatty minute then an hour-long state — plain AVG
+        # would read ~50; TWA must read the held state's weight
+        ("b", t(0), 100.0), ("b", t(1), 0.0), ("b", t(61), 7.0),
+        # excluded rows
+        (None, t(0), 1.0), ("a", None, 1.0), ("a", t(5), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.bucket_ts): r
+        for r in time_weighted_avg(df, "ts", "v", 3600, keys=["k"]).collect()
+    }
+    a0 = out[("a", t(0))]
+    # bucket 0: 10*30min + 20*30min over 60min covered -> 15
+    assert a0.twa == pytest.approx(15.0)
+    assert a0.covered_seconds == pytest.approx(3600.0)
+    assert a0.n_readings == 2
+    a1 = out[("a", t(60))]
+    # bucket 1: 20*15min + 40*30min over 45min -> (300+1200)/45
+    assert a1.twa == pytest.approx((20 * 15 + 40 * 30) / 45)
+    assert a1.covered_seconds == pytest.approx(45 * 60.0)
+    assert a1.n_readings == 2  # the 1:15 and the open 1:45 readings
+    b0 = out[("b", t(0))]
+    # bucket 0: 100 for 1min, 0 for 59min -> 100/60
+    assert b0.twa == pytest.approx(100 / 60)
+    b1 = out[("b", t(60))]
+    # bucket 1: 0 holds 1:00-1:01 (1min), final 7 at 1:01 carries none
+    assert b1.twa == pytest.approx(0.0)
+    assert b1.covered_seconds == pytest.approx(60.0)
+
+    # single reading: no duration -> NULL twa, zero coverage
+    one = spark.createDataFrame([("x", t(0), 5.0)], "k string, ts timestamp, v double")
+    r = time_weighted_avg(one, "ts", "v", 3600, keys=["k"]).collect()[0]
+    assert r.twa is None and r.covered_seconds == 0.0 and r.n_readings == 1
+
+    # duplicate timestamps carry zero duration, never negative
+    dup = spark.createDataFrame(
+        [("x", t(0), 5.0), ("x", t(0), 9.0), ("x", t(10), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    r = time_weighted_avg(dup, "ts", "v", 3600, keys=["k"]).collect()[0]
+    assert r.covered_seconds == pytest.approx(600.0) and r.n_readings == 3
