@@ -10280,6 +10280,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
+        "roc_curve": q_roc_curve,
+        "pr_curve": q_pr_curve,
+        "fairness_auc": q_fairness_auc,
+        "fairness_auc_gap": q_fairness_auc_gap,
+        "regression_report": q_regression_report,
+        "regression_deciles": q_regression_deciles,
+        "semantic_dedup_pruned": q_semantic_dedup_pruned,
+        "transitivity_sampled": q_transitivity_sampled,
+        "best_threshold": q_best_threshold,
+        "spearman_corr": q_spearman_corr,
+        "streaming_reg_monitor_daily": q_streaming_reg_monitor_daily,
+        "prob_scores": q_prob_scores,
+        "mcnemar": q_mcnemar,
+        "regression_by_cohort": q_regression_by_cohort,
+        "seasonal_decompose": q_seasonal_decompose,
+        "roc_curve_thinned": q_roc_curve_thinned,
+        "boilerplate_lines": q_boilerplate_lines,
+        "time_weighted_avg": q_time_weighted_avg,
+        "skew_profile": q_skew_profile,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -10311,6 +10330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "script_profile": q_script_profile,
         "dedup_resolve_best": q_dedup_resolve_best,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
         "embedding_decontaminate": q_embedding_decontaminate,
@@ -10330,8 +10351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "period_over_period": q_period_over_period,
         "cooccurrence": q_cooccurrence,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "touch_attribution": q_touch_attribution,
         "inverted_index": q_inverted_index,
         "incremental_agg": q_incremental_agg,
@@ -10477,25 +10496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "top_label_calibration": q_top_label_calibration,
         "semantic_dedup_sampled": q_semantic_dedup_sampled,
-        "roc_curve": q_roc_curve,
-        "pr_curve": q_pr_curve,
-        "fairness_auc": q_fairness_auc,
-        "fairness_auc_gap": q_fairness_auc_gap,
-        "regression_report": q_regression_report,
-        "regression_deciles": q_regression_deciles,
-        "semantic_dedup_pruned": q_semantic_dedup_pruned,
-        "transitivity_sampled": q_transitivity_sampled,
-        "best_threshold": q_best_threshold,
-        "spearman_corr": q_spearman_corr,
-        "streaming_reg_monitor_daily": q_streaming_reg_monitor_daily,
-        "prob_scores": q_prob_scores,
-        "mcnemar": q_mcnemar,
-        "regression_by_cohort": q_regression_by_cohort,
-        "seasonal_decompose": q_seasonal_decompose,
-        "roc_curve_thinned": q_roc_curve_thinned,
-        "boilerplate_lines": q_boilerplate_lines,
-        "time_weighted_avg": q_time_weighted_avg,
-        "skew_profile": q_skew_profile,
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
