@@ -10267,6 +10267,46 @@ FROM top, tot
 """
 
 
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC by the step rule
+    (operators/evaluation.py:average_precision): ΔR·P summed over
+    descending distinct thresholds — ONE extra rollup on the shared
+    cumulative substrate, no ordering pass."""
+    from etdtransform_spark.operators.evaluation import average_precision
+
+    return average_precision(_scored_events(spark, sf_dir), "score", "label")
+
+
+_SQL_AVG_PRECISION = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+counts AS (
+  SELECT score AS v,
+         sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+         (sum(ca) OVER w)::BIGINT AS cum_a, (sum(cb) OVER w)::BIGINT AS cum_b,
+         (sum(ca) OVER ())::BIGINT AS na, (sum(cb) OVER ())::BIGINT AS nb
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), t AS (
+  SELECT ca, na, nb,
+         (na - cum_a + ca)::DOUBLE AS tp, (nb - cum_b + cb)::DOUBLE AS fp
+  FROM cum
+), agg AS (
+  SELECT max(na)::BIGINT AS n_pos, max(nb)::BIGINT AS n_neg,
+         sum(ca::DOUBLE * (tp / (tp + fp))) AS s
+  FROM t
+)
+SELECT n_pos, n_neg,
+       {qround_sql(
+           'CASE WHEN n_pos > 0 THEN s / n_pos::DOUBLE END', 6)}
+         AS average_precision
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10299,6 +10339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "time_weighted_avg": q_time_weighted_avg,
         "skew_profile": q_skew_profile,
+        "average_precision": q_average_precision,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -10329,9 +10370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_part_value": q_important_part_value,
         "dsir_weights": q_dsir_weights,
         "script_profile": q_script_profile,
-        "dedup_resolve_best": q_dedup_resolve_best,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
         "embedding_decontaminate": q_embedding_decontaminate,
@@ -10609,6 +10650,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": _SQL_BOILERPLATE_LINES,
         "time_weighted_avg": _SQL_TIME_WEIGHTED_AVG,
         "skew_profile": _SQL_SKEW_PROFILE,
+        "average_precision": _SQL_AVG_PRECISION,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -1272,3 +1272,49 @@ def mcnemar_test(
         F.col("_bo").alias("b_only_correct"),
         qround(chi2, digits).alias("chi2"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: list[str] | tuple[str, ...] = (),
+    digits: int = 6,
+    prefix_buckets: int = 32,
+) -> DataFrame:
+    """Average precision (area under the PR curve by the step rule —
+    sklearn's estimator): AP = Σ_i (R_i − R_{i−1}) · P_i over descending
+    distinct thresholds. The PR twin of :func:`auc_roc` — preferred when
+    positives are rare (ROC-AUC saturates; AP stays sensitive to the
+    head of the ranking, which is what a filtering pipeline acts on).
+
+    Because ties are already merged per distinct score, ΔR at a
+    threshold is simply count_at/n_pos, so AP needs NO ordering pass at
+    all — it is ONE more rollup over the same cumulative table:
+    AP = Σ ca · (tp/(tp+fp)) / n_pos. Returns (keys..., n_pos, n_neg,
+    average_precision); NULL when a segment has no positives. Same
+    exclusions and keyless-eagerness as the rest of the family.
+    """
+    cum, klist = _curve_cumulatives(
+        df, score_col, label_col, keys, prefix_buckets
+    )
+    tp = (F.col("_na") - F.col("_cum_a") + F.col("_ca")).cast("double")
+    fp = (F.col("_nb") - F.col("_cum_b") + F.col("_cb")).cast("double")
+    term = F.col("_ca").cast("double") * (tp / (tp + fp))
+    agged = cum.groupBy(*klist).agg(
+        F.max("_na").cast("bigint").alias("n_pos"),
+        F.max("_nb").cast("bigint").alias("n_neg"),
+        F.sum(term).alias("_s"),
+    )
+    return agged.select(
+        *klist,
+        "n_pos",
+        "n_neg",
+        qround(
+            F.when(
+                F.col("n_pos") > 0,
+                F.col("_s") / F.col("n_pos").cast("double"),
+            ),
+            digits,
+        ).alias("average_precision"),
+    )

@@ -922,3 +922,40 @@ def test_regression_deciles_approx_path(spark):
     assert set(a) <= {0, 1, 2, 3}
     # at accuracy 10000 on 100 rows GK is exact-rank: same binning
     assert {b: r.n for b, r in a.items()} == {b: r.n for b, r in e.items()}
+
+
+def test_average_precision_matches_sklearn_formula(spark):
+    from etdtransform_spark.operators.evaluation import average_precision
+
+    pairs = [(0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.5, 1),
+             (0.5, 0), (0.5, 0), (0.2, 0), (0.9, 1), (0.1, 0)]
+    rows = [(s, float(y)) for s, y in pairs] + [
+        (None, 1.0), (0.5, None), (float("nan"), 1.0), (0.6, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "score double, label double")
+    r = average_precision(df, "score", "label", digits=9).collect()[0]
+    assert (r.n_pos, r.n_neg) == (4, 6)
+    # independent step-rule reimplementation over descending thresholds
+    n_pos = 4
+    ap, prev_tp = 0.0, 0
+    for t in sorted({s for s, _ in pairs}, reverse=True):
+        tp = sum(1 for s, y in pairs if y and s >= t)
+        fp = sum(1 for s, y in pairs if not y and s >= t)
+        ap += (tp - prev_tp) / n_pos * (tp / (tp + fp))
+        prev_tp = tp
+    assert r.average_precision == pytest.approx(ap, abs=1e-9)
+
+    # perfect ranking -> AP 1; one-class -> NULL; keyed segments
+    perfect = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.2, 0.0)], "score double, label double"
+    )
+    assert average_precision(perfect, "score", "label").collect()[0].average_precision == 1.0
+    negs = spark.createDataFrame([(0.9, 0.0)], "score double, label double")
+    assert average_precision(negs, "score", "label").collect()[0].average_precision is None
+    keyed = spark.createDataFrame(
+        [("a", 0.9, 1.0), ("a", 0.1, 0.0), ("b", 0.1, 1.0), ("b", 0.9, 0.0)],
+        "g string, score double, label double",
+    )
+    out = {r.g: r.average_precision for r in average_precision(
+        keyed, "score", "label", keys=["g"]).collect()}
+    assert out["a"] == 1.0 and out["b"] == 0.5  # b: pos found at rank 2
