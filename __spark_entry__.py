@@ -10320,58 +10320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "roc_curve": q_roc_curve,
-        "pr_curve": q_pr_curve,
-        "fairness_auc": q_fairness_auc,
-        "fairness_auc_gap": q_fairness_auc_gap,
-        "regression_report": q_regression_report,
-        "regression_deciles": q_regression_deciles,
-        "semantic_dedup_pruned": q_semantic_dedup_pruned,
-        "transitivity_sampled": q_transitivity_sampled,
-        "best_threshold": q_best_threshold,
-        "spearman_corr": q_spearman_corr,
-        "streaming_reg_monitor_daily": q_streaming_reg_monitor_daily,
-        "prob_scores": q_prob_scores,
-        "mcnemar": q_mcnemar,
-        "regression_by_cohort": q_regression_by_cohort,
-        "seasonal_decompose": q_seasonal_decompose,
-        "roc_curve_thinned": q_roc_curve_thinned,
-        "boilerplate_lines": q_boilerplate_lines,
-        "time_weighted_avg": q_time_weighted_avg,
-        "skew_profile": q_skew_profile,
-        "average_precision": q_average_precision,
-        "cumulative_distinct": q_cumulative_distinct,
-        "group_mode": q_group_mode,
-        "transition_matrix": q_transition_matrix,
-        "expectations_report": q_expectations_report,
-        "time_to_conversion": q_time_to_conversion,
-        "vocab_growth": q_vocab_growth,
-        "duplicate_spans": q_duplicate_spans,
-        "streaming_stateful_agg": q_streaming_stateful_agg,
-        "exclusive_problem_supplier": q_exclusive_problem_supplier,
-        "gopher_gate": q_gopher_gate,
-        "incremental_dedup": q_incremental_dedup,
-        "rolling_median": q_rolling_median,
-        "seasonal_residuals": q_seasonal_residuals,
-        "load_duration_curve": q_load_duration_curve,
-        "topk_per_group": q_topk_per_group,
-        "corr_matrix": q_corr_matrix,
-        "quantile_bins": q_quantile_bins,
-        "embedding_centroids": q_embedding_centroids,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_item_customers": q_returned_item_customers,
-        "large_volume_customers": q_large_volume_customers,
-        "forecasted_revenue": q_forecasted_revenue,
-        "order_priority_check": q_order_priority_check,
-        "nation_volume_shipping": q_nation_volume_shipping,
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "important_part_value": q_important_part_value,
-        "dsir_weights": q_dsir_weights,
-        "script_profile": q_script_profile,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
@@ -10422,6 +10370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_sources": q_gini_sources,
         "bigram_logprob": q_bigram_logprob,
         "ngram_novelty": q_ngram_novelty,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "cross_source_dup": q_cross_source_dup,
         "per_source_cap": q_per_source_cap,
         "ks_drift_cohort": q_ks_drift_cohort,
@@ -10574,6 +10524,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "snapshot_diff": q_snapshot_diff,
         "overlap_join": q_overlap_join,
+        "roc_curve": q_roc_curve,
+        "pr_curve": q_pr_curve,
+        "fairness_auc": q_fairness_auc,
+        "fairness_auc_gap": q_fairness_auc_gap,
+        "regression_report": q_regression_report,
+        "regression_deciles": q_regression_deciles,
+        "semantic_dedup_pruned": q_semantic_dedup_pruned,
+        "transitivity_sampled": q_transitivity_sampled,
+        "best_threshold": q_best_threshold,
+        "spearman_corr": q_spearman_corr,
+        "streaming_reg_monitor_daily": q_streaming_reg_monitor_daily,
+        "prob_scores": q_prob_scores,
+        "mcnemar": q_mcnemar,
+        "regression_by_cohort": q_regression_by_cohort,
+        "seasonal_decompose": q_seasonal_decompose,
+        "roc_curve_thinned": q_roc_curve_thinned,
+        "boilerplate_lines": q_boilerplate_lines,
+        "time_weighted_avg": q_time_weighted_avg,
+        "skew_profile": q_skew_profile,
+        "average_precision": q_average_precision,
+        "cumulative_distinct": q_cumulative_distinct,
+        "group_mode": q_group_mode,
+        "transition_matrix": q_transition_matrix,
+        "expectations_report": q_expectations_report,
+        "time_to_conversion": q_time_to_conversion,
+        "vocab_growth": q_vocab_growth,
+        "duplicate_spans": q_duplicate_spans,
+        "streaming_stateful_agg": q_streaming_stateful_agg,
+        "exclusive_problem_supplier": q_exclusive_problem_supplier,
+        "gopher_gate": q_gopher_gate,
+        "incremental_dedup": q_incremental_dedup,
+        "rolling_median": q_rolling_median,
+        "seasonal_residuals": q_seasonal_residuals,
+        "load_duration_curve": q_load_duration_curve,
+        "topk_per_group": q_topk_per_group,
+        "corr_matrix": q_corr_matrix,
+        "quantile_bins": q_quantile_bins,
+        "embedding_centroids": q_embedding_centroids,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_item_customers": q_returned_item_customers,
+        "large_volume_customers": q_large_volume_customers,
+        "forecasted_revenue": q_forecasted_revenue,
+        "order_priority_check": q_order_priority_check,
+        "nation_volume_shipping": q_nation_volume_shipping,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "important_part_value": q_important_part_value,
+        "dsir_weights": q_dsir_weights,
+        "script_profile": q_script_profile,
     }
 
 

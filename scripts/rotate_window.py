@@ -97,6 +97,45 @@ def main(correctness_files: list[str], entry_path: str = ENTRY) -> None:
     print(f"remaining never-checked after this round: "
           f"{max(0, len(red) + len(unchecked) - WINDOW)}")
 
+    # --- staleness telemetry (VERDICT r9 #6): post-rotation histogram of
+    # "rounds since last driver confirmation", PROJECTED for the upcoming
+    # round (the head-WINDOW slots will be confirmed by the next driver run,
+    # so they count as age 0; everything else ages by one).
+    n_files = len(correctness_files)
+    hist: dict[str, int] = {}
+    for n in names:
+        if n in in_window:
+            age = "next-round (in window)"
+        elif n in green_age:
+            age = f"{green_age[n] + 1} rounds stale"
+        else:
+            age = "never-checked (queued)"
+        hist[age] = hist.get(age, 0) + 1
+
+    def _k(item: tuple[str, int]) -> tuple[int, int]:
+        a = item[0]
+        if a.startswith("next"):
+            return (0, 0)
+        if a.startswith("never"):
+            return (2, 0)
+        return (1, int(a.split()[0]))
+
+    print("\nstaleness after this rotation (projected post-driver-run):")
+    tbl = ["| last driver confirmation | contracts |", "|---|---|"]
+    for age, cnt in sorted(hist.items(), key=_k):
+        print(f"  {age:28s} {cnt}")
+        tbl.append(f"| {age} | {cnt} |")
+    try:
+        with open("/root/repo/PLANS.md", "a") as f:
+            f.write(
+                f"\n### Window rotation telemetry ({n_files} CORRECTNESS "
+                f"files, window={WINDOW}, total={len(names)})\n\n"
+                + "\n".join(tbl) + "\n"
+            )
+        print("appended histogram to PLANS.md")
+    except OSError as e:  # telemetry must never block the rotation itself
+        print(f"PLANS.md append skipped: {e}")
+
 
 if __name__ == "__main__":
     if len(sys.argv) < 2:
