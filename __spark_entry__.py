@@ -3601,6 +3601,124 @@ def q_semantic_dedup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_assign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-floor contract on the IVF-pruned assignment SCALE path
+    (operators/similarity.py:kmeans_assignment_recall): exhaustive vs
+    nprobe=1-of-3-cells assignment against the same deterministic
+    9-centroid model, ONE row (n, n_agree, agreement, floor_ok). This
+    contracts the regime semantic_dedup(assign_nprobe=...) actually
+    runs at 100 TB — the probe-all parity setting is contracted
+    separately by semantic_dedup_pruned. Oracle: _sql_kmeans_recall()
+    — the driver-side coarse Lloyd over the k centroid vectors and
+    both assignments replayed with ORDERED list folds (bit-exact
+    replicas of the Python/Spark sequential accumulation)."""
+    from etdtransform_spark.operators.similarity import (
+        kmeans_assignment_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assignment_recall(emb, k=9, nprobe=1, nlist=3, floor=0.5)
+
+
+def _sql_kmeans_recall(
+    k: int = 9, nlist: int = 3, nprobe: int = 1, iters: int = 5,
+    floor: float = 0.5,
+) -> str:
+    """DuckDB replica of kmeans_assignment_recall: k lowest-id
+    centroids, _coarse_quantize_centroids' driver Lloyd (first-nlist
+    init, strict-< nearest = ties to lowest cell, empty cells keep the
+    previous mean, empty cells dropped at the end), then the full and
+    nprobe-pruned assignments. Every distance and mean is an ORDERED
+    list fold (list_reduce over a 0.0-prepended dim-ordered list ≡ the
+    Python sum() / Spark F.aggregate sequential accumulation — bit
+    exact, unlike the exploded-sum kmeans prefix)."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, len({a})), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+        )
+
+    parts = [f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {_EMB}
+), cent AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS pos, v AS cv
+  FROM emb ORDER BY vec_id LIMIT {k}
+), g0 AS (
+  SELECT pos AS cell, cv AS gv FROM cent WHERE pos < {nlist}
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""", a{t} AS MATERIALIZED (
+  SELECT pos, cell FROM (
+    SELECT c.pos, g.cell,
+           row_number() OVER (PARTITION BY c.pos
+                              ORDER BY {d2('c.cv', 'g.gv')}, g.cell) AS rn
+    FROM cent c CROSS JOIN g{t - 1} g) WHERE rn = 1
+), m{t} AS (
+  SELECT a.cell, list(c.cv ORDER BY c.pos) AS ms
+  FROM a{t} a JOIN cent c USING (pos) GROUP BY 1
+), g{t} AS MATERIALIZED (
+  SELECT g.cell,
+         CASE WHEN m.ms IS NULL THEN g.gv
+              ELSE list_transform(generate_series(1, len(g.gv)),
+                     i -> list_reduce(list_prepend(0.0,
+                            list_transform(m.ms, mv -> mv[i])),
+                            (x, y) -> x + y) / len(m.ms))
+         END AS gv
+  FROM g{t - 1} g LEFT JOIN m{t} m USING (cell)
+)""")
+    parts.append(f""", af AS (
+  SELECT pos, cell FROM (
+    SELECT c.pos, g.cell,
+           row_number() OVER (PARTITION BY c.pos
+                              ORDER BY {d2('c.cv', 'g.gv')}, g.cell) AS rn
+    FROM cent c CROSS JOIN g{iters} g) WHERE rn = 1
+), kept AS (
+  SELECT cell, (dense_rank() OVER (ORDER BY cell) - 1)::INT AS ki
+  FROM (SELECT DISTINCT cell FROM af)
+), kg AS (
+  SELECT kept.ki, g.gv FROM kept JOIN g{iters} g USING (cell)
+), mem AS (
+  SELECT kept.ki, af.pos FROM af JOIN kept USING (cell)
+), probe AS MATERIALIZED (
+  SELECT vec_id, ki FROM (
+    SELECT e.vec_id, kg.ki,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2('e.v', 'kg.gv')}, kg.ki) AS rn
+    FROM emb e CROSS JOIN kg) WHERE rn <= {nprobe}
+), prd AS MATERIALIZED (
+  SELECT vec_id, pos AS cp FROM (
+    SELECT e.vec_id, c.pos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2('e.v', 'c.cv')}, c.pos) AS rn
+    FROM probe p
+    JOIN mem USING (ki)
+    JOIN cent c ON c.pos = mem.pos
+    JOIN emb e ON e.vec_id = p.vec_id) WHERE rn = 1
+), ful AS MATERIALIZED (
+  SELECT vec_id, pos AS cf FROM (
+    SELECT e.vec_id, c.pos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2('e.v', 'c.cv')}, c.pos) AS rn
+    FROM emb e CROSS JOIN cent c) WHERE rn = 1
+), agr AS (
+  SELECT count(*)::BIGINT AS n,
+         coalesce(sum(CASE WHEN cf = cp THEN 1 ELSE 0 END), 0)::BIGINT
+           AS n_agree
+  FROM ful JOIN prd USING (vec_id)
+)
+SELECT n, n_agree,
+       {qround_sql('CASE WHEN n > 0 THEN n_agree::DOUBLE / n::DOUBLE END', 6)}
+         AS agreement,
+       coalesce(
+         {qround_sql('CASE WHEN n > 0 THEN n_agree::DOUBLE / n::DOUBLE END',
+                     6)} >= {floor}, TRUE) AS floor_ok
+FROM agr""")
+    return "".join(parts)
+
+
 def q_validate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based twin of the reference's per-household loop
     validate_household_column (impute.py:262-326, unused there): one
@@ -9770,8 +9888,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between two derived score columns
     (operators/stats.py:spearman_corr): avg-rank tables off the shared
     keyless range-partitioned cumulative substrate, two value-keyed
-    joins back, ONE six-partial aggregate. Half-integer ranks keep
-    every compared sum exact in binary."""
+    joins back, ONE six-partial aggregate over DOUBLED integer ranks in
+    DECIMAL(38,0) — exact partials at any realistic n (HUGEINT on the
+    DuckDB side)."""
     from etdtransform_spark.operators.stats import spearman_corr
 
     ev = _t(spark, sf_dir, "events")
@@ -9797,37 +9916,43 @@ WITH b AS (
 ), cx AS (
   SELECT x AS v, count(*)::BIGINT AS c FROM b GROUP BY 1
 ), rx AS (
+  -- DOUBLED average rank 2r = 2·below + c + 1: an exact BIGINT even at
+  -- tie half-ranks, mirroring the operator's DECIMAL(38) exact-partial
+  -- path (rho is invariant under the ×2 rank scaling)
   SELECT v,
-         ((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-            AND CURRENT ROW))::DOUBLE - c::DOUBLE)
-           + (c::DOUBLE + 1.0) / 2.0 AS r
+         (2 * ((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW)) - c) + c + 1)::BIGINT AS r
   FROM cx
 ), cy AS (
   SELECT y AS v, count(*)::BIGINT AS c FROM b GROUP BY 1
 ), ry AS (
   SELECT v,
-         ((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-            AND CURRENT ROW))::DOUBLE - c::DOUBLE)
-           + (c::DOUBLE + 1.0) / 2.0 AS r
+         (2 * ((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW)) - c) + c + 1)::BIGINT AS r
   FROM cy
 ), j AS (
   SELECT rx.r AS ra, ry.r AS rb
   FROM b JOIN rx ON b.x = rx.v JOIN ry ON b.y = ry.v
 ), agg AS (
+  -- HUGEINT partials: exact like Spark's DECIMAL(38,0); the ::DOUBLE
+  -- casts below are single correctly-rounded conversions of exact
+  -- integers, identical across engines
   SELECT count(*)::BIGINT AS n,
-         sum(ra) AS sx, sum(rb) AS sy,
-         sum(ra * ra) AS sxx, sum(rb * rb) AS syy,
-         sum(ra * rb) AS sxy
+         sum(ra::HUGEINT) AS sx, sum(rb::HUGEINT) AS sy,
+         sum(ra::HUGEINT * ra::HUGEINT) AS sxx,
+         sum(rb::HUGEINT * rb::HUGEINT) AS syy,
+         sum(ra::HUGEINT * rb::HUGEINT) AS sxy
   FROM j
 )
 SELECT n,
        {qround_sql(
            'CASE WHEN n > 0'
-           ' AND n::DOUBLE * sxx - sx * sx > 0'
-           ' AND n::DOUBLE * syy - sy * sy > 0'
-           ' THEN (n::DOUBLE * sxy - sx * sy)'
-           ' / (sqrt(n::DOUBLE * sxx - sx * sx)'
-           ' * sqrt(n::DOUBLE * syy - sy * sy)) END', 6)} AS rho
+           ' AND n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0'
+           ' AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0'
+           ' THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)'
+           ' / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)'
+           ' * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))'
+           ' END', 6)} AS rho
 FROM agg
 """
 
@@ -10058,8 +10183,14 @@ WITH hourly AS (
   FROM {_EV}
   GROUP BY 1, 2
 ), b AS (
+  -- DuckDB // and % truncate toward zero while the operator uses
+  -- F.floor/pmod (floor toward -inf): subtracting the positive mod
+  -- before // makes truncation == floor, and the double-% makes the
+  -- phase non-negative, so pre-1970 buckets agree across engines too
   SELECT cohort, bucket, v,
-         ((epoch_us(bucket) // 3600000000) % 24)::INT AS phase
+         ((((epoch_us(bucket)
+             - ((epoch_us(bucket) % 3600000000) + 3600000000) % 3600000000)
+            // 3600000000) % 24 + 24) % 24)::INT AS phase
   FROM hourly WHERE v IS NOT NULL AND cohort IS NOT NULL
 ), t AS (
   SELECT *, CASE WHEN count(*) OVER w = 24
@@ -10206,15 +10337,22 @@ WITH s AS (
   SELECT cohort, t0, v,
          lead(t0) OVER (PARTITION BY cohort ORDER BY t0, v) AS t1
   FROM s
+), segf AS (
+  -- floor-division bucket indices: DuckDB // truncates toward zero,
+  -- the operator's F.floor floors toward -inf — subtracting the
+  -- positive mod first makes the two identical for pre-epoch t too
+  SELECT cohort, t0, t1, v,
+         (t0 - ((t0 % 3600000000) + 3600000000) % 3600000000)
+           // 3600000000 AS fb0,
+         CASE WHEN t1 IS NOT NULL THEN
+           ((t1 - 1) - (((t1 - 1) % 3600000000) + 3600000000) % 3600000000)
+             // 3600000000
+         END AS fb1
+  FROM seg
 ), spans AS (
   SELECT cohort, t0, t1, v,
-         unnest(generate_series(
-           t0 // 3600000000,
-           greatest(CASE WHEN t1 IS NOT NULL
-                         THEN (t1 - 1) // 3600000000
-                         ELSE t0 // 3600000000 END,
-                    t0 // 3600000000))) AS b
-  FROM seg
+         unnest(generate_series(fb0, greatest(coalesce(fb1, fb0), fb0))) AS b
+  FROM segf
 ), ov AS (
   SELECT cohort, b,
          CASE WHEN t1 IS NOT NULL
@@ -10320,6 +10458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
+        "kmeans_assign_recall": q_kmeans_assign_recall,
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
@@ -10579,6 +10718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kmeans_assign_recall": _sql_kmeans_recall(9, 3, 1, 5, 0.5),
         "scan_filter_project": _SQL_SCAN,
         "multi_join_revenue": _SQL_MULTI_JOIN,
         "semi_join": _SQL_SEMI_JOIN,

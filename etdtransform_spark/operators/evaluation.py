@@ -885,14 +885,20 @@ def _thin_curve(cum: DataFrame, max_points: int | None) -> DataFrame:
     curve points."""
     if max_points is None:
         return cum
-    m = F.lit(int(max_points))
-    ctot = F.col("_cum_a") + F.col("_cum_b")
-    below = ctot - (F.col("_ca") + F.col("_cb"))
-    ntot = F.col("_na") + F.col("_nb")
-    return cum.filter(
-        (below == 0)
-        | (F.floor(below * m / ntot) != F.floor(ctot * m / ntot))
+    m = int(max_points)
+    below = F.col("_cum_a") + F.col("_cum_b") - (F.col("_ca") + F.col("_cb"))
+    # grid-cell test in PURE BIGINT arithmetic (SQL `div`): all inputs are
+    # non-negative cumulative counts, so truncating div == floor, and the
+    # double-rounding hazard of floor(bigint*m / bigint) — which loses low
+    # bits past 2^53/m cumulative rows and could misdetect boundary
+    # crossings — cannot occur; in ANSI mode an (astronomical) bigint
+    # overflow of cum*m would throw rather than silently corrupt
+    lhs = F.expr(
+        f"((_cum_a + _cum_b) - (_ca + _cb)) * CAST({m} AS BIGINT)"
+        f" div (_na + _nb)"
     )
+    rhs = F.expr(f"(_cum_a + _cum_b) * CAST({m} AS BIGINT) div (_na + _nb)")
+    return cum.filter((below == 0) | (lhs != rhs))
 
 
 def _curve_cumulatives(
@@ -1085,11 +1091,25 @@ def regression_calibration_deciles(
     column has unbounded cardinality; the bin SEMANTICS tolerate any
     order-preserving boundary choice, only bin balance shifts.
     """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     p = F.col(pred_col).cast("double")
     y = F.col(target_col).cast("double")
     base = df.filter(
         p.isNotNull() & y.isNotNull() & ~F.isnan(p) & ~F.isnan(y)
     ).select(p.alias("_p"), y.alias("_y"))
+    if n_bins == 1:
+        # no boundaries to compute: F.array() would be an empty NullType
+        # array whose size(filter(...)) is NULL, not 0 — short-circuit to
+        # the single bin directly (one hash aggregate, no crossJoin)
+        return base.groupBy(
+            F.lit(0).cast("bigint").alias("bin")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            qround(F.avg("_p"), digits).alias("avg_pred"),
+            qround(F.avg("_y"), digits).alias("avg_target"),
+            qround(F.avg("_p") - F.avg("_y"), digits).alias("bias"),
+        )
     qs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
     # exact=False is the 100 TB path named in the docstring: approximate
     # boundaries (Greenwald-Khanna, deterministic) replace the exact

@@ -308,6 +308,12 @@ def transitivity_violations(
     triple of sampled items is a triple of the full tournament); the
     sample is portable (hash-ranked, no RNG) and stable across reruns
     and engines.
+
+    EAGER at DataFrame-build time (like ``_value_cumulatives``): the
+    returned 1-row frame is localCheckpoint(eager=True)-pinned so the
+    cached pairs frame can be released before returning — calling this
+    function runs the pair shuffle immediately rather than on first
+    action.
     """
     if max_items is not None:
         from ..functions.hashing import portable_hash64
@@ -332,6 +338,15 @@ def transitivity_violations(
             F.broadcast(keep), F.col(loser_col) == F.col("_it"), "left_semi"
         )
     pairs = pair_counts(df, winner_col, loser_col).cache()
+    try:
+        return _transitivity_from_pairs(pairs, digits)
+    finally:
+        # unpersist on every exit path — an exception between cache()
+        # and the localCheckpoint below must not leak the cached frame
+        pairs.unpersist()
+
+
+def _transitivity_from_pairs(pairs: DataFrame, digits: int) -> DataFrame:
     # direction: 1 = item_a beats item_b on majority, 0 = loses; ties drop
     edges = pairs.select(
         "item_a",
@@ -395,6 +410,4 @@ def transitivity_violations(
     # same lineage discipline as bradley_terry_strengths: pin the 1-row
     # result (eager, trivially small) so the cache can be released
     # without the caller's later action re-running the pair shuffle
-    out = out.localCheckpoint(eager=True)
-    pairs.unpersist()
-    return out
+    return out.localCheckpoint(eager=True)

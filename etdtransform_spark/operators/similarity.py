@@ -935,6 +935,81 @@ def semantic_dedup(
     return out
 
 
+def kmeans_assignment_recall(
+    corpus: DataFrame,
+    k: int = 8,
+    nprobe: int = 1,
+    nlist: int | None = None,
+    floor: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Recall audit for the IVF-pruned assignment SCALE path: run
+    :func:`_kmeans_assign` twice against the same deterministic
+    lowest-id centroid model — once exhaustive, once pruned
+    (``nprobe`` < ``nlist``, the regime :func:`semantic_dedup`'s
+    ``assign_nprobe`` ships at 100 TB) — and report agreement in ONE
+    row (n, n_agree, agreement, floor_ok). This is the ANN-style
+    recall-floor check (`ivf_topk`'s unit floors, promoted to a driver
+    contract): the production pruning is an approximation by design,
+    and the floor is the guarantee a user relies on when they turn
+    ``assign_nprobe`` on.
+
+    The centroid model is the k lowest-id vectors (no data-sized Lloyd
+    — this audits the ASSIGNMENT machinery, not the fit; the fit has
+    its own contracts). Pruned and full assignments are both pure
+    deterministic functions of the vector, so agreement is exact and
+    rerun-stable. ``floor_ok`` is TRUE on an empty corpus (vacuous).
+
+    Scale shape: two broadcast-model projections over the corpus (the
+    audited operator itself) + one id-equijoin + ONE aggregate — run it
+    on a sample in production; cost is 2× one assignment pass.
+    """
+    base = _kmeans_base(corpus, id_col, vec_col).persist()
+    cent = [
+        (int(i), [float(x) for x in r["_v"]])
+        for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
+    ]
+    spark = corpus.sparkSession
+    if not cent:
+        base.unpersist()
+        return spark.createDataFrame(
+            [(0, 0, None, True)],
+            "n bigint, n_agree bigint, agreement double, floor_ok boolean",
+        )
+    full = _kmeans_assign(base, cent).select(
+        F.col("_vid").alias("_fid"), F.col("cluster_id").alias("_cf")
+    )
+    pruned = _kmeans_assign(base, cent, nprobe=nprobe, nlist=nlist).select(
+        F.col("_vid").alias("_pid"), F.col("cluster_id").alias("_cp")
+    )
+    j = full.join(pruned, F.col("_fid") == F.col("_pid"))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("_cf") == F.col("_cp"), 1))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    agreement = qround(
+        F.when(
+            F.col("n") > 0,
+            F.col("n_agree").cast("double") / F.col("n").cast("double"),
+        ),
+        digits,
+    )
+    out = agg.select(
+        "n",
+        "n_agree",
+        agreement.alias("agreement"),
+        F.when(F.col("n") > 0, agreement >= F.lit(float(floor)))
+        .otherwise(F.lit(True))
+        .alias("floor_ok"),
+    ).localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 4,

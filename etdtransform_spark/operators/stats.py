@@ -1412,15 +1412,17 @@ def spearman_corr(
     table; rows join back to the two rank tables on value (the two
     data-sized shuffles this statistic genuinely requires — each row
     needs BOTH its ranks), then ONE hash aggregate carries six partials
-    and Pearson-on-ranks is evaluated on the 1-row result. Ranks are
-    half-integers, so the six sums are EXACT (fold-order invariant)
-    while the rank-square totals stay below 2^53 — n up to ~190k
-    complete cases (n³/3 · 4 ≤ 2^53); the oracle contract runs well
-    inside that. Beyond it the sums pick up ordinary fold-order ulps
-    and rho is reproducible only to ~1e-12 — fine for analysis, not for
-    bit-level cross-engine hashing. Keyless and therefore EAGER at
-    build time (two boundary collections — the ``_value_cumulatives``
-    note).
+    and Pearson-on-ranks is evaluated on the 1-row result. The partials
+    accumulate DOUBLED ranks (2·rank is an exact integer even at ties'
+    half-rank averages) in DECIMAL(38,0) — EXACT and fold-order
+    invariant up to sums of 10³⁸, i.e. n up to ~3·10¹² complete cases
+    (4n³ ≤ 10³⁸), past any realistic score-pair count; rho is invariant
+    under the ×2 rank scaling, and the final 1-row expression is a
+    fixed op sequence on the exact partials, so the statistic is
+    bit-reproducible across runs AND engines at any supported n (the
+    pre-r10 double-sum path lost exactness past ~190k cases). Keyless
+    and therefore EAGER at build time (two boundary collections — the
+    ``_value_cumulatives`` note).
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -1433,11 +1435,16 @@ def spearman_corr(
             F.count(F.lit(1)).alias("_ca"), F.lit(0).alias("_cb")
         )
         cum = _value_cumulatives(counts, [], prefix_buckets)
-        c = F.col("_ca").cast("double")
-        below = F.col("_cum_a").cast("double") - c
+        # DOUBLED average rank 2r = 2·below + c + 1: an exact bigint
+        # even when ties average to a half-rank — the integer substrate
+        # for the exact DECIMAL partial sums below
         return cum.select(
             F.col("_v").alias(f"{out}_v"),
-            (below + (c + 1.0) / 2.0).alias(out),
+            (
+                F.lit(2) * (F.col("_cum_a") - F.col("_ca"))
+                + F.col("_ca")
+                + F.lit(1)
+            ).cast("bigint").alias(out),
         )
 
     rx = rank_table("_x", "_rx")
@@ -1449,20 +1456,32 @@ def spearman_corr(
     j = base.join(rx, F.col("_x") == F.col("_rx_v")).join(
         ry, F.col("_y") == F.col("_ry_v")
     )
+    # exact integer accumulation: doubled ranks fit DECIMAL(18,0)
+    # (n < 5·10¹⁷), products fit (37,0), and Spark widens decimal sums
+    # to (38,0) — no double rounding inside any partial; ANSI overflow
+    # past 10³⁸ throws rather than corrupting
+    dx = F.col("_rx").cast("decimal(18,0)")
+    dy = F.col("_ry").cast("decimal(18,0)")
     agg = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("_rx").alias("_sx"),
-        F.sum("_ry").alias("_sy"),
-        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
-        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
-        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(dx).alias("_sx"),
+        F.sum(dy).alias("_sy"),
+        F.sum(dx * dx).alias("_sxx"),
+        F.sum(dy * dy).alias("_syy"),
+        F.sum(dx * dy).alias("_sxy"),
     )
+    # rho is invariant under the ×2 rank scaling (numerator and
+    # denominator both scale by 4); the casts below are the only
+    # decimal→double roundings and they are correctly-rounded single
+    # conversions of EXACT integers — the same values any engine sees
     n = F.col("n").cast("double")
-    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    vx = n * F.col("_sxx").cast("double") - sx * sx
+    vy = n * F.col("_syy").cast("double") - sy * sy
     rho = F.when(
         (F.col("n") > 0) & (vx > 0) & (vy > 0),
-        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        (n * F.col("_sxy").cast("double") - sx * sy)
         / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return agg.select("n", qround(rho, digits).alias("rho"))

@@ -388,8 +388,11 @@ def seasonal_decompose(
     convention, and what keeps the oracle's NOT NULL key filter
     equivalent). Plan shape: ONE per-key sort feeds
     the centered window; the phase profile is a (keys × period)-sized
-    aggregate joined back on (keys, phase) — broadcastable at any data
-    size; no global sort, no driver loop. Input regularity is the
+    aggregate joined back on (keys, phase) — small relative to the data
+    but proportional to the KEY DOMAIN, so the join strategy is left to
+    AQE (broadcast when the profile fits, shuffle-hash when a
+    high-cardinality key column outgrows the broadcast limit); no global
+    sort, no driver loop. Input regularity is the
     caller's contract (resample first — ``operators/resample.py``);
     duplicate buckets bias the moving average like any MA.
     """
@@ -438,7 +441,11 @@ def seasonal_decompose(
     cond = F.col("_phase") == F.col("_pphase")
     for k in klist:
         cond = cond & F.col(k).eqNullSafe(F.col(f"_pk_{k}"))
-    joined = trended.join(F.broadcast(prof), cond, "left")
+    # no broadcast hint: prof is (key-domain × period)-sized, NOT
+    # constant-sized — a forced broadcast would fail past the 8 GB
+    # driver/broadcast limit on a high-cardinality key column; AQE
+    # picks broadcast automatically whenever prof is actually small
+    joined = trended.join(prof, cond, "left")
     return joined.select(
         *klist,
         F.col("_ts").alias(ts_col),

@@ -959,3 +959,24 @@ def test_average_precision_matches_sklearn_formula(spark):
     out = {r.g: r.average_precision for r in average_precision(
         keyed, "score", "label", keys=["g"]).collect()}
     assert out["a"] == 1.0 and out["b"] == 0.5  # b: pos found at rank 2
+
+
+def test_regression_calibration_deciles_single_bin(spark):
+    """ADVICE r9: n_bins=1 must yield bin 0 (not NULL from an empty
+    NullType boundary array), and n_bins<1 must raise."""
+    from etdtransform_spark.operators.evaluation import (
+        regression_calibration_deciles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.5), (2.0, 2.5), (3.0, 2.0)], "p double, y double"
+    )
+    rows = regression_calibration_deciles(df, "p", "y", n_bins=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bin == 0 and r.n == 3
+    assert r.avg_pred == 2.0 and r.avg_target == 2.0 and r.bias == 0.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        regression_calibration_deciles(df, "p", "y", n_bins=0)

@@ -553,3 +553,48 @@ def test_semantic_dedup_assign_nprobe_exact_dup_invariant(spark):
     for i in range(17):
         assert full[i + 100] is False and pr[i + 100] is False
         assert full[i] is True and pr[i] is True
+
+
+def test_kmeans_assignment_recall_contract_operator(spark):
+    """kmeans_assignment_recall: nprobe >= nlist probes every cell so
+    agreement is exactly 1.0; nprobe=1 reports a genuine in-[0,1]
+    agreement with the floor verdict; empty corpus is vacuous-true."""
+    from etdtransform_spark.operators.similarity import (
+        kmeans_assignment_recall,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11 for j in range(16)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = kmeans_assignment_recall(
+        df, k=9, nprobe=9, nlist=3, floor=0.99
+    ).collect()[0]
+    assert exact.n == 120 and exact.n_agree == 120
+    assert exact.agreement == 1.0 and exact.floor_ok is True
+
+    pruned = kmeans_assignment_recall(
+        df, k=9, nprobe=1, nlist=3, floor=0.0
+    ).collect()[0]
+    assert pruned.n == 120 and 0 <= pruned.n_agree <= 120
+    assert 0.0 <= pruned.agreement <= 1.0 and pruned.floor_ok is True
+    # rerun-stable (pure function of the vectors)
+    again = kmeans_assignment_recall(
+        df, k=9, nprobe=1, nlist=3, floor=0.0
+    ).collect()[0]
+    assert again.n_agree == pruned.n_agree
+
+    # an unreachable floor flips the verdict, agreement unchanged
+    strict = kmeans_assignment_recall(
+        df, k=9, nprobe=1, nlist=3, floor=1.01
+    ).collect()[0]
+    assert strict.floor_ok is False and strict.n_agree == pruned.n_agree
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    r = kmeans_assignment_recall(empty, k=9, nprobe=1, nlist=3).collect()[0]
+    assert r.n == 0 and r.n_agree == 0
+    assert r.agreement is None and r.floor_ok is True

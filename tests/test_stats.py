@@ -125,3 +125,36 @@ def test_spearman_corr_degenerate(spark):
     empty = spark.createDataFrame([], "x double, y double")
     r = spearman_corr(empty, "x", "y").collect()[0]
     assert r.n == 0 and r.rho is None
+
+
+def test_spearman_corr_exact_past_2_53(spark):
+    """The DECIMAL(38,0) doubled-rank partials stay EXACT where the old
+    double-sum path lost bits: n = 200_001 distinct pairs puts
+    sum((2r)^2) ~ 4n^3/3 ~ 2.1e16 > 2^53, and the expected rho —
+    computed from exact Python integers pushed through the operator's
+    own final double op sequence — must match bit-for-bit."""
+    from etdtransform_spark.operators.stats import spearman_corr
+
+    n = 200_001
+    a = 7919
+    assert math.gcd(a, n) == 1  # y = (a*i) % n is a permutation
+    df = spark.range(n).select(
+        F.col("id").cast("double").alias("x"),
+        F.pmod(F.col("id") * F.lit(a), F.lit(n)).cast("double").alias("y"),
+    )
+    got = spearman_corr(df, "x", "y", digits=9).collect()[0]
+
+    # exact integer partials of DOUBLED ranks (x-rank of i is i+1;
+    # y-rank of i is ((a*i) % n) + 1 — all distinct, no ties)
+    sx = sum(2 * (i + 1) for i in range(n))
+    sxx = sum((2 * (i + 1)) ** 2 for i in range(n))
+    sxy = sum((2 * (i + 1)) * (2 * ((a * i) % n + 1)) for i in range(n))
+    assert sxx > 2**53  # the fixture genuinely crosses the double cliff
+    # same final op sequence as the operator: each exact partial takes
+    # ONE correctly-rounded conversion to double, then IEEE arithmetic
+    fn, fsx, fsxx, fsxy = float(n), float(sx), float(sxx), float(sxy)
+    vx = fn * fsxx - fsx * fsx
+    expect = (fn * fsxy - fsx * fsx) / (math.sqrt(vx) * math.sqrt(vx))
+    # y is a permutation so sy/syy mirror sx/sxx exactly
+    assert got.n == n
+    assert got.rho == pytest.approx(expect, abs=1e-9)
