@@ -4052,6 +4052,241 @@ FROM cs JOIN bs USING (sh) GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Composite LLM-pipeline contract (VERDICT r9 missing #5): ONE chained
+# clean -> dedup -> filter -> decontaminate -> pack run, so interface
+# mismatches between the per-operator contracts can't hide. The staged
+# input adds deterministic multi-line structure so every stage has real
+# work: a per-source NAV banner + global COOKIE footer (boilerplate),
+# PII lines that become IDENTICAL after scrubbing (so scrub->boilerplate
+# ordering matters), and 3-doc shared-body groups (exact dedup).
+# ---------------------------------------------------------------------------
+
+_E2E_BODY = (
+    " shared body the quick brown fox jumps over a lazy dog while careful"
+    " readers note that this paragraph exists to exercise the dedup stage"
+    " of the pipeline and nothing more"
+)
+_E2E_FOOTER = "COOKIE terms apply to the site"
+
+
+def _e2e_staged_text() -> F.Column:
+    line1 = F.concat(F.lit("NAV "), F.col("source"))
+    line2 = F.when(
+        F.pmod(F.col("doc_id"), F.lit(50)).isin(11, 12, 13),
+        F.concat(
+            F.lit("group "),
+            F.expr("doc_id div 50").cast("string"),
+            F.lit(_E2E_BODY),
+        ),
+    ).otherwise(F.col("text"))
+    line3 = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    )
+    line4 = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(
+            F.lit("see https://ex.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" for details"),
+        ),
+    )
+    return F.concat_ws("\n", line1, line2, line3, line4, F.lit(_E2E_FOOTER))
+
+
+def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data pipeline: scrub_pii →
+    remove_boilerplate_lines → exact-duplicate resolution (min-id
+    canonical) → gopher_gate → contamination anti-join vs the raw
+    benchmark sample → pack_documents(512). Output = the packed layout
+    (source, doc_id, n_tokens, bin_id, bin_offset) of every surviving
+    document — any drift in any stage moves token counts or bins.
+    Plan audit: PLANS.md "llm_pipeline_e2e"."""
+    from etdtransform_spark.operators.corpus import (
+        contamination,
+        pack_documents,
+        remove_boilerplate_lines,
+        scrub_pii,
+    )
+    from etdtransform_spark.operators.dedup import exact_duplicates
+    from etdtransform_spark.operators.sessions import hash_sample
+    from etdtransform_spark.operators.text import gopher_gate
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    staged = docs.select("doc_id", "source", _e2e_staged_text().alias("text"))
+    # 1. PII scrub (URL -> email -> IP -> phone; the scrubbed lines
+    #    become identical template lines, feeding stage 2)
+    s1 = scrub_pii(staged).select(
+        "doc_id", F.col("text_scrubbed").alias("text")
+    )
+    # 2. cross-document boilerplate line removal. STAGE BOUNDARY: the
+    # cleaned text is referenced by three downstream consumers (dedup
+    # key aggregate, gate, packing) — without a materialization each
+    # would re-run the scrub + both boilerplate shuffles from the scan
+    # (first audit read 52 FileScans / 200 exchanges for this one
+    # pipeline). localCheckpoint here stands in for the stage-output
+    # parquet a production pipeline writes between stages.
+    s2 = (
+        remove_boilerplate_lines(s1, min_doc_frac=0.02, min_docs=2)
+        .select("doc_id", "text_clean")
+        .localCheckpoint(eager=False)
+    )
+    # 3. exact dedup on the CLEANED text: keep one doc per normalized key
+    canon = exact_duplicates(s2, text_col="text_clean").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    s3 = s2.join(canon, "doc_id")
+    # 4. Gopher quality gate on the cleaned text
+    gate = gopher_gate(
+        s3.select("doc_id", F.col("text_clean").alias("text")), min_words=30
+    )
+    # gate survivors feed both contamination sides AND the packing join
+    s4 = s3.join(
+        gate.filter(F.col("keep")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    # 5. decontamination: drop survivors sharing any word 5-gram with the
+    #    RAW benchmark sample (the eval set is drawn from raw text)
+    bench = hash_sample(docs, "doc_id", 10)
+    contam = contamination(
+        s4.select("doc_id", F.col("text_clean").alias("text")), bench, n=5
+    )
+    s5 = s4.join(contam.select("doc_id"), "doc_id", "left_anti")
+    # 6. token-budget packing per source
+    packed = pack_documents(
+        s5.join(docs.select("doc_id", "source"), "doc_id").select(
+            "source", "doc_id", F.col("text_clean").alias("text")
+        ),
+        budget_tokens=512,
+    )
+    return packed.select("source", "doc_id", "n_tokens", "bin_id", "bin_offset")
+
+
+def _sql_llm_pipeline_e2e() -> str:
+    """DuckDB replica of the full 6-stage chain, each stage the proven
+    per-operator oracle SQL re-parameterized onto the previous stage's
+    CTE."""
+    from etdtransform_spark.operators.corpus import PII_PATTERNS
+
+    scrub = "t"
+    for _name, pat, repl in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        scrub = f"regexp_replace({scrub}, '{lit}', '{repl}', 'g')"
+    key = fold_case_sql("trim(regexp_replace(text_clean, '\\s+', ' ', 'g'))")
+    sh_bench = word_shingles_sql("text", 5)
+    sh_corp = word_shingles_sql("text_clean", 5)
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, source,
+         concat_ws(chr(10),
+           'NAV ' || source,
+           CASE WHEN doc_id % 50 IN (11, 12, 13)
+                THEN 'group ' || (doc_id // 50)::VARCHAR || '{_E2E_BODY}'
+                ELSE text END,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'contact user' || doc_id::VARCHAR || '@example.com now'
+                END,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'see https://ex.example/p/' || doc_id::VARCHAR
+                     || ' for details' END,
+           '{_E2E_FOOTER}') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+), sc AS (
+  SELECT doc_id, {scrub} AS t FROM d0
+), lns AS (
+  SELECT doc_id, generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+         unnest(string_split(t, chr(10))) AS raw
+  FROM sc
+), l2 AS (
+  SELECT doc_id, pos, raw, trim(raw) AS line FROM lns
+), nb AS (SELECT * FROM l2 WHERE line <> ''),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS ndocs FROM nb),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(*)::BIGINT AS df
+    FROM (SELECT DISTINCT doc_id, line FROM nb) GROUP BY line
+  ), nd
+  WHERE df >= greatest(2, ceil(0.02 * ndocs))
+), marked AS (
+  SELECT l2.doc_id, l2.pos, l2.raw, (freq.line IS NOT NULL) AS dropped
+  FROM l2 LEFT JOIN freq ON l2.line = freq.line
+), s2 AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN NOT dropped THEN raw END, chr(10)
+                             ORDER BY pos), '') AS text_clean
+  FROM marked GROUP BY doc_id
+), canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {key} AS k FROM s2) GROUP BY k
+), s3 AS (
+  SELECT s2.* FROM s2 JOIN canon USING (doc_id)
+), gf AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text_clean, '\\s+'),
+                     x -> x <> '') AS toks,
+         length(regexp_replace(text_clean, '\\s+', '', 'g')) AS n_nonspace
+  FROM s3
+), gm AS (
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN n_nonspace / CAST(len(toks) AS DOUBLE) END AS mean_wl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                   / CAST(len(toks) AS DOUBLE) END AS alpha_ratio,
+         len(list_intersect(list_transform(toks, t -> lower(t)),
+                            ['a','and','is','of','the','to'])) AS n_stops,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ) AS grams
+  FROM gf
+), gc AS (
+  SELECT doc_id,
+         (coalesce(n BETWEEN 30 AND 100000, FALSE)
+          AND coalesce(mean_wl BETWEEN 3.0 AND 10.0, FALSE)
+          AND coalesce(alpha_ratio >= 0.8, FALSE)
+          AND coalesce(n_stops >= 2, FALSE)
+          AND coalesce(CASE WHEN n < 3 THEN TRUE
+                            ELSE (len(grams) - len(list_distinct(grams)))
+                                 / CAST(len(grams) AS DOUBLE) <= 0.3 END,
+                       FALSE)) AS keep
+  FROM gm
+), s4 AS (
+  SELECT s3.* FROM s3 JOIN gc USING (doc_id) WHERE gc.keep
+), bench AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND {_HS} % 100 < 10
+), bs AS (
+  SELECT DISTINCT unnest({sh_bench}) AS sh FROM bench
+), cs AS (
+  SELECT doc_id, unnest({sh_corp}) AS sh FROM s4
+), contam AS (
+  SELECT DISTINCT doc_id FROM cs JOIN bs USING (sh)
+), s5 AS (
+  SELECT s4.doc_id, s4.text_clean FROM s4
+  ANTI JOIN contam ON s4.doc_id = contam.doc_id
+), pt AS (
+  SELECT d.source, s5.doc_id,
+         len(list_filter(regexp_split_to_array(s5.text_clean, '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM s5 JOIN documents d ON s5.doc_id = d.doc_id
+), pc AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+  FROM pt
+)
+SELECT source, doc_id, n_tokens,
+       floor(ce / 512.0)::BIGINT AS bin_id,
+       (ce % 512)::BIGINT AS bin_offset
+FROM pc
+"""
+
+
 def q_streaming_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user aggregate via Spark 4's transformWithStateInPandas
     (named ValueState, update mode) — the successor API to
@@ -10459,6 +10694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
         "kmeans_assign_recall": q_kmeans_assign_recall,
+        "llm_pipeline_e2e": q_llm_pipeline_e2e,
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
@@ -10719,6 +10955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "kmeans_assign_recall": _sql_kmeans_recall(9, 3, 1, 5, 0.5),
+        "llm_pipeline_e2e": _sql_llm_pipeline_e2e(),
         "scan_filter_project": _SQL_SCAN,
         "multi_join_revenue": _SQL_MULTI_JOIN,
         "semi_join": _SQL_SEMI_JOIN,
