@@ -10681,6 +10681,470 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# round 10: resampling inference + calibration + multiple testing
+# (operators/bootstrap.py, evaluation.isotonic/conformal, stats.cramers/bh)
+# ---------------------------------------------------------------------------
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for the mean event value per
+    event_type (operators/bootstrap.py:poisson_bootstrap_ci): the ×B
+    replicate explode is map-side and partially aggregated, so the
+    shuffle carries ≤ |keys|·B partial sums per task at any data size."""
+    from etdtransform_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, "value", "event_id", keys=["event_type"], n_boot=200, alpha=0.05
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    from etdtransform_spark.operators.bootstrap import poisson1_weight_sql
+
+    u = "((" + portable_hash64_sql("id || ':' || r::VARCHAR", seed="boot") \
+        + ") % 1048576 + 0.5) / 1048576.0"
+    return f"""
+WITH base AS (
+  SELECT event_type, value::DOUBLE AS x, event_id::VARCHAR AS id
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_id IS NOT NULL
+), point AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows,
+         {qround_sql('avg(x)', 6)} AS point_mean
+  FROM base GROUP BY 1
+), rep AS (
+  SELECT event_type, x, r, {u} AS u
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS r)
+), wtd AS (
+  SELECT event_type, r, x,
+         {poisson1_weight_sql('u')}::DOUBLE AS w
+  FROM rep
+), reps AS (
+  SELECT event_type, r, sum(w * x) AS swx, sum(w) AS sw
+  FROM wtd GROUP BY 1, 2
+), rm AS (
+  SELECT event_type,
+         CASE WHEN sw > 0 THEN {qround_sql('swx / sw', 6)} END AS rmean
+  FROM reps
+), ci AS (
+  SELECT event_type,
+         {qround_sql('quantile_cont(rmean, 0.025)', 6)} AS ci_lo,
+         {qround_sql('quantile_cont(rmean, 0.975)', 6)} AS ci_hi,
+         count(rmean)::BIGINT AS n_boot_effective
+  FROM rm GROUP BY 1
+)
+SELECT p.event_type, n_rows, point_mean, ci_lo, ci_hi, n_boot_effective
+FROM point p LEFT JOIN ci USING (event_type)
+"""
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone (PAV) calibration curve via the closed minimax form
+    (operators/evaluation.py:isotonic_calibration): data-sized work is
+    ONE (bin) hash aggregate; the j≤i≤k enumeration runs on ≤ n_bins
+    rows — exact weighted isotonic fit with no convergence loop."""
+    from etdtransform_spark.operators.evaluation import isotonic_calibration
+
+    return isotonic_calibration(
+        _scored_events(spark, sf_dir), "score", "label", n_bins=16
+    )
+
+
+_SQL_ISOTONIC = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+b AS (
+  SELECT greatest(least(floor(score * 16), 15), 0)::BIGINT AS bin,
+         score, label::DOUBLE AS y
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+    AND NOT isnan(score) AND NOT isnan(label::DOUBLE)
+), bins AS (
+  SELECT bin, count(*)::BIGINT AS n, avg(score) AS avg_s, sum(y) AS pos
+  FROM b GROUP BY 1
+), cum AS (
+  SELECT bin, n, avg_s, pos,
+         sum(n) OVER w AS cw, sum(pos) OVER w AS cs
+  FROM bins
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pairs AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         (k.cs - (j.cs - j.pos)) / (k.cw - (j.cw - j.n)) AS a
+  FROM cum j JOIN cum k ON j.bin <= k.bin
+), mji AS (
+  SELECT jb, kb AS i,
+         min(a) OVER (PARTITION BY jb ORDER BY kb DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM pairs
+), fit AS (
+  SELECT i, max(m) AS iso FROM mji GROUP BY 1
+)
+SELECT bin, n, {qround_sql('avg_s', 6)} AS avg_score,
+       {qround_sql('pos / n', 6)} AS raw_rate,
+       {qround_sql('iso', 6)} AS iso_rate
+FROM bins JOIN fit ON bins.bin = fit.i
+"""
+
+
+def q_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval + held-out coverage
+    (operators/evaluation.py:split_conformal): hash-split, exact
+    order-statistic q̂ on the sample-sized calibration side, ONE
+    broadcast + aggregate for coverage. Pseudo-model: pred =
+    event_id % 97 against actual = value."""
+    from etdtransform_spark.operators.evaluation import split_conformal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("actual"),
+        F.pmod(F.col("event_id"), F.lit(97)).cast("double").alias("pred"),
+    )
+    return split_conformal(
+        ev, "pred", "actual", "event_id", alpha=0.1, cal_frac=0.5,
+        seed="conformal",
+    )
+
+
+_SQL_CONFORMAL = f"""
+WITH src AS (
+  SELECT event_id, value::DOUBLE AS actual,
+         (event_id % 97)::DOUBLE AS pred
+  FROM {_EV}
+), base AS (
+  SELECT {qround_sql('abs(actual - pred)', 6)} AS r,
+         ((({portable_hash64_sql("event_id::VARCHAR", seed="conformal")})
+           % 1048576 + 0.5) / 1048576.0 < 0.5) AS is_cal,
+         event_id::VARCHAR AS id
+  FROM src
+  WHERE pred IS NOT NULL AND NOT isnan(pred)
+    AND actual IS NOT NULL AND NOT isnan(actual) AND event_id IS NOT NULL
+), ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r, id) AS rn,
+         count(*) OVER () AS n_cal
+  FROM base WHERE is_cal
+), qrow AS (
+  SELECT max(n_cal)::BIGINT AS n_cal,
+         min(CASE WHEN rn >= ceil((n_cal + 1)::DOUBLE * 0.9) THEN r END)
+           AS qhat
+  FROM ranked
+), ev AS (SELECT r FROM base WHERE NOT is_cal),
+cov AS (
+  SELECT max(q.n_cal) AS nc, max(q.qhat) AS qh, count(*)::BIGINT AS n_eval,
+         {qround_sql('avg((ev.r <= q.qhat)::INT::DOUBLE)', 6)} AS coverage
+  FROM ev, qrow q
+)
+SELECT coalesce(cov.nc, q.n_cal, 0)::BIGINT AS n_cal, cov.n_eval,
+       coalesce(cov.qh, q.qhat) AS qhat,
+       CASE WHEN cov.n_eval > 0 THEN cov.coverage END AS coverage,
+       0.9::DOUBLE AS target_coverage,
+       {qround_sql('2.0 * coalesce(cov.qh, q.qhat)', 6)} AS avg_width
+FROM cov, qrow q
+"""
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (+ Bergsma-Warrens corrected) for event_type × value
+    quartile-bucket association (operators/stats.py:cramers_v): one
+    data-sized contingency aggregate, everything after on the r×c grid."""
+    from etdtransform_spark.operators.stats import cramers_v
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vbucket",
+        F.floor(F.coalesce(F.col("value"), F.lit(-1.0)) / 25.0).cast("bigint"),
+    )
+    return cramers_v(ev, "event_type", "vbucket")
+
+
+_SQL_CRAMERS_V = f"""
+WITH src AS (
+  SELECT event_type AS g,
+         floor(coalesce(value, -1.0) / 25.0)::BIGINT AS o
+  FROM {_EV} WHERE event_type IS NOT NULL
+), cells AS (
+  SELECT g, o, count(*)::BIGINT AS n FROM src GROUP BY 1, 2
+), gm AS (SELECT g, sum(n)::BIGINT AS g_n FROM cells GROUP BY 1),
+om AS (SELECT o, sum(n)::BIGINT AS o_n FROM cells GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS all_n FROM cells),
+grid AS (
+  SELECT gm.g, om.o, g_n, o_n, cells.n
+  FROM gm CROSS JOIN om
+  LEFT JOIN cells ON cells.g = gm.g AND cells.o = om.o
+), raw AS (
+  SELECT max(all_n)::BIGINT AS n,
+         count(DISTINCT g)::BIGINT AS r_levels,
+         count(DISTINCT o)::BIGINT AS c_levels,
+         sum((coalesce(grid.n, 0)::DOUBLE - g_n * o_n / all_n)
+             * (coalesce(grid.n, 0)::DOUBLE - g_n * o_n / all_n)
+             / (g_n * o_n / all_n)) AS chi2r
+  FROM grid, tot
+)
+SELECT n, r_levels, c_levels, {qround_sql('chi2r', 6)} AS chi2,
+       {qround_sql(
+           'CASE WHEN least(r_levels::DOUBLE, c_levels::DOUBLE) - 1 > 0 THEN '
+           'sqrt((chi2r / n::DOUBLE) '
+           '/ (least(r_levels::DOUBLE, c_levels::DOUBLE) - 1)) END', 6)}
+         AS cramers_v,
+       {qround_sql(
+           'CASE WHEN n > 1 AND least('
+           'r_levels::DOUBLE - (r_levels::DOUBLE - 1) * (r_levels::DOUBLE - 1)'
+           ' / (n::DOUBLE - 1), '
+           'c_levels::DOUBLE - (c_levels::DOUBLE - 1) * (c_levels::DOUBLE - 1)'
+           ' / (n::DOUBLE - 1)) - 1 > 0 THEN '
+           'sqrt(greatest(chi2r / n::DOUBLE - (r_levels::DOUBLE - 1) * '
+           '(c_levels::DOUBLE - 1) / (n::DOUBLE - 1), 0.0) / (least('
+           'r_levels::DOUBLE - (r_levels::DOUBLE - 1) * (r_levels::DOUBLE - 1)'
+           ' / (n::DOUBLE - 1), '
+           'c_levels::DOUBLE - (c_levels::DOUBLE - 1) * (c_levels::DOUBLE - 1)'
+           ' / (n::DOUBLE - 1)) - 1)) END', 6)}
+         AS cramers_v_corrected
+FROM raw
+"""
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over the drift-test family
+    (operators/stats.py:benjamini_hochberg): per-event_type KS tests
+    (user_id parity split) → asymptotic one-term p → jointly corrected
+    adjusted p + reject flags. The global window runs over the
+    HYPOTHESIS table (one row per segment), never the data."""
+    from etdtransform_spark.operators.stats import benjamini_hochberg, ks_2samp
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_half", F.pmod(F.col("user_id"), F.lit(2))
+    )
+    ks = ks_2samp(ev, "value", "_half", 0, 1, keys=["event_type"])
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("d_stat")
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-2.0 * (na * nb / (na + nb)) * d * d),
+    )
+    tests = ks.select("event_type", p.alias("p"))
+    return benjamini_hochberg(tests, "p", ["event_type"], alpha=0.05)
+
+
+_SQL_BH_FDR = f"""
+WITH base AS (
+  SELECT event_type, value AS v, (user_id % 2) AS s
+  FROM {_EV} WHERE (user_id % 2) IN (0, 1) AND value IS NOT NULL
+), counts AS (
+  SELECT event_type, v,
+         sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT event_type,
+         sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb
+  FROM counts
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), ks AS (
+  SELECT event_type, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+         {qround_sql(
+             'max(CASE WHEN na > 0 AND nb > 0 THEN'
+             ' abs(cum_a / na::DOUBLE - cum_b / nb::DOUBLE) END)', 6)}
+           AS d_stat
+  FROM cum GROUP BY 1
+), tests AS (
+  SELECT event_type,
+         least(1.0, 2.0 * exp(-2.0
+           * ((n_a::DOUBLE * n_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE))
+           * d_stat * d_stat)) AS p
+  FROM ks
+), ranked AS (
+  SELECT event_type, p,
+         row_number() OVER (ORDER BY p, event_type) AS rank,
+         count(*) OVER () AS m_tests
+  FROM tests WHERE p IS NOT NULL AND NOT isnan(p)
+), adj AS (
+  SELECT event_type, p, rank, m_tests,
+         min(p * m_tests / rank) OVER (ORDER BY rank DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stepped
+  FROM ranked
+)
+SELECT event_type, {qround_sql('p', 6)} AS p_value,
+       rank::BIGINT AS rank, m_tests::BIGINT AS m_tests,
+       {qround_sql('least(stepped, 1.0)', 6)} AS p_adj,
+       (least(stepped, 1.0) <= 0.05) AS reject
+FROM adj
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 10: embedding-space statistics (operators/embeddings.py)
+# ---------------------------------------------------------------------------
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the first 8 embedding dims
+    (operators/embeddings.py:embedding_covariance): ONE map-side-
+    combined (i, j) aggregate over the pair explode — the shuffle
+    carries ≤ d(d+1)/2 partial sums per task at any corpus size."""
+    from etdtransform_spark.operators.embeddings import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, n_dims=8)
+
+
+_SQL_EMB_COVARIANCE = f"""
+WITH base AS (
+  SELECT row_number() OVER () AS rid, list_slice(embedding, 1, 8) AS v
+  FROM {_EMB}
+), e AS (
+  SELECT rid, generate_subscripts(v, 1) - 1 AS i, unnest(v)::DOUBLE AS x
+  FROM base
+), pairs AS (
+  SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+  FROM e a JOIN e b USING (rid)
+  WHERE b.i >= a.i
+), agg AS (
+  SELECT i, j, count(*)::BIGINT AS n,
+         sum(xi * xj) AS sxy, sum(xi) AS sx, sum(xj) AS sy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT i, j,
+       {qround_sql(
+           'CASE WHEN n > 1 THEN (sxy - sx * sy / n::DOUBLE)'
+           ' / (n::DOUBLE - 1) END', 6)} AS cov,
+       n
+FROM agg
+"""
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score projection, exploded to (vec_id, dim, z)
+    for hashing (operators/embeddings.py:embedding_standardize): one
+    d-row stats aggregate collected driver-side (model discipline) +
+    a zero-shuffle zip_with projection."""
+    from etdtransform_spark.operators.embeddings import embedding_standardize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    std = embedding_standardize(emb, n_dims=16)
+    return std.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "z")
+    )
+
+
+_SQL_EMB_STANDARDIZE = f"""
+WITH base AS (
+  SELECT vec_id, list_slice(embedding, 1, 16) AS v FROM {_EMB}
+), e AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v)::DOUBLE AS x
+  FROM base
+), stats AS (
+  SELECT dim, avg(x) AS m, stddev_samp(x) AS s FROM e GROUP BY 1
+)
+SELECT vec_id, dim,
+       {qround_sql('CASE WHEN s > 0 THEN (x - m) / s END', 6)} AS z
+FROM e JOIN stats USING (dim)
+"""
+
+
+def q_embedding_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking with cumulative share — the
+    Matryoshka truncation planning table
+    (operators/embeddings.py:embedding_energy_profile): one (dim)
+    aggregate + windows over the d-row result."""
+    from etdtransform_spark.operators.embeddings import (
+        embedding_energy_profile,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_energy_profile(emb, n_dims=64).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+_SQL_EMB_ENERGY = f"""
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM {_EMB}
+), per_dim AS (
+  SELECT dim, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM e GROUP BY 1
+), dims AS (
+  SELECT dim,
+         {qround_sql(
+             'CASE WHEN n > 1 THEN (sxx - sx * sx / n::DOUBLE)'
+             ' / (n::DOUBLE - 1) END', 6)} AS variance
+  FROM per_dim
+), ranked AS (
+  SELECT row_number() OVER
+           (ORDER BY variance DESC NULLS LAST, dim ASC) AS rank,
+         dim, variance,
+         sum(variance) OVER () AS tot,
+         sum(variance) OVER (ORDER BY variance DESC NULLS LAST, dim ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dims
+)
+SELECT rank::BIGINT AS rank, dim, variance,
+       {qround_sql('CASE WHEN tot > 0 THEN variance / tot END', 6)} AS share,
+       {qround_sql('CASE WHEN tot > 0 THEN cum / tot END', 6)} AS cum_share
+FROM ranked
+"""
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation fidelity: recall@5 of 16-dim cosine top-k vs
+    the full 64-dim ranking over a 200-query probe set
+    (operators/embeddings.py:matryoshka_recall): two exact brute-force
+    rankings + a set intersection — a planning probe, not a per-row
+    production operator."""
+    from etdtransform_spark.operators.embeddings import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        emb, m_dims=16, k=5, queries=emb.filter(F.col("vec_id") < 200)
+    )
+
+
+_COS_SQL_TRUNC = (
+    "list_dot_product(list_slice(a.embedding, 1, 16)::DOUBLE[],"
+    " list_slice(b.embedding, 1, 16)::DOUBLE[])"
+    " / (sqrt(list_dot_product(list_slice(a.embedding, 1, 16)::DOUBLE[],"
+    " list_slice(a.embedding, 1, 16)::DOUBLE[]))"
+    " * sqrt(list_dot_product(list_slice(b.embedding, 1, 16)::DOUBLE[],"
+    " list_slice(b.embedding, 1, 16)::DOUBLE[])))"
+)
+
+_SQL_MATRYOSHKA = f"""
+WITH full_ranked AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                    b.vec_id) AS rank
+  FROM {_EMB} a JOIN {_EMB} b
+    ON a.vec_id < 200 AND a.vec_id <> b.vec_id
+), full_k AS (
+  SELECT query_id, neighbor_id FROM full_ranked WHERE rank <= 5
+), trunc_ranked AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY floor(({_COS_SQL_TRUNC}) * 1000000.0 + 0.5) / 1000000.0
+                      DESC,
+                    b.vec_id) AS rank
+  FROM {_EMB} a JOIN {_EMB} b
+    ON a.vec_id < 200 AND a.vec_id <> b.vec_id
+), trunc_k AS (
+  SELECT query_id, neighbor_id FROM trunc_ranked WHERE rank <= 5
+), hits AS (
+  SELECT f.query_id, count(*)::BIGINT AS nh
+  FROM full_k f JOIN trunc_k t USING (query_id, neighbor_id)
+  GROUP BY 1
+), perq AS (
+  SELECT f.query_id, count(*)::BIGINT AS nf FROM full_k f GROUP BY 1
+), r AS (
+  SELECT coalesce(nh, 0)::DOUBLE / 5.0 AS rr
+  FROM perq LEFT JOIN hits USING (query_id)
+)
+SELECT 16 AS m_dims, 5 AS k, count(*)::BIGINT AS n_queries,
+       {qround_sql('avg(rr)', 6)} AS recall
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -10919,6 +11383,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "skew_profile": q_skew_profile,
         "average_precision": q_average_precision,
+        "bootstrap_ci": q_bootstrap_ci,
+        "isotonic_calibration": q_isotonic_calibration,
+        "split_conformal": q_split_conformal,
+        "cramers_v": q_cramers_v,
+        "bh_fdr": q_bh_fdr,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_standardize": q_embedding_standardize,
+        "embedding_energy": q_embedding_energy,
+        "matryoshka_recall": q_matryoshka_recall,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -11028,6 +11501,15 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg": _SQL_TIME_WEIGHTED_AVG,
         "skew_profile": _SQL_SKEW_PROFILE,
         "average_precision": _SQL_AVG_PRECISION,
+        "bootstrap_ci": _sql_bootstrap_ci(),
+        "isotonic_calibration": _SQL_ISOTONIC,
+        "split_conformal": _SQL_CONFORMAL,
+        "cramers_v": _SQL_CRAMERS_V,
+        "bh_fdr": _SQL_BH_FDR,
+        "embedding_covariance": _SQL_EMB_COVARIANCE,
+        "embedding_standardize": _SQL_EMB_STANDARDIZE,
+        "embedding_energy": _SQL_EMB_ENERGY,
+        "matryoshka_recall": _SQL_MATRYOSHKA,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -651,6 +651,129 @@ def chi_square(
     )
 
 
+def cramers_v(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Cramér's V effect size for the group × outcome association — the
+    companion to :func:`chi_square` that answers "how strong", not just
+    "how unlikely" (χ² grows with N, so at 100 TB *everything* is
+    significant; V is the scale-free number a pipeline should alert on).
+
+    V = sqrt((χ²/N) / (min(r,c)−1)), plus the Bergsma-Warrens
+    bias-corrected variant (φ², r, c each shrunk by their small-sample
+    expectation; corrected V is what to compare across differently-sized
+    segments). Degenerate tables (min(r,c)=1, or n≤1 for the corrected
+    form) yield NULL — association is undefined, not 0.
+
+    Same shape as chi_square: ONE data-sized (group, outcome) count
+    aggregate; everything after runs on the r×c contingency grid.
+    Returns (n, r_levels, c_levels, chi2, cramers_v, cramers_v_corrected).
+    """
+    cells = df.groupBy(
+        F.col(group_col).alias("g"), F.col(outcome_col).alias("o")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    gm = cells.groupBy("g").agg(F.sum("n").alias("g_n"))
+    om = cells.groupBy("o").agg(F.sum("n").alias("o_n"))
+    tot = cells.agg(F.sum("n").alias("all_n"))
+    grid = gm.crossJoin(F.broadcast(om)).join(cells, ["g", "o"], "left")
+    e = F.col("g_n") * F.col("o_n") / F.col("all_n")
+    o_ = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    raw = grid.crossJoin(F.broadcast(tot)).agg(
+        F.max("all_n").alias("n"),
+        F.count_distinct("g").alias("r_levels"),
+        F.count_distinct("o").alias("c_levels"),
+        F.sum((o_ - e) * (o_ - e) / e).alias("_chi2"),
+    )
+    n = F.col("n").cast("double")
+    r = F.col("r_levels").cast("double")
+    c = F.col("c_levels").cast("double")
+    phi2 = F.col("_chi2") / n
+    k_min = F.least(r, c) - 1
+    v = F.when(k_min > 0, F.sqrt(phi2 / k_min))
+    # Bergsma-Warrens correction (n > 1 required by the (n−1) shrinkage)
+    phi2c = F.greatest(
+        phi2 - (r - 1) * (c - 1) / (n - 1), F.lit(0.0)
+    )
+    rc = r - (r - 1) * (r - 1) / (n - 1)
+    cc = c - (c - 1) * (c - 1) / (n - 1)
+    kc = F.least(rc, cc) - 1
+    vc = F.when((n > 1) & (kc > 0), F.sqrt(phi2c / kc))
+    return raw.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        qround(F.col("_chi2"), digits).alias("chi2"),
+        qround(v, digits).alias("cramers_v"),
+        qround(vc, digits).alias("cramers_v_corrected"),
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    p_col: str,
+    key_cols: Sequence[str],
+    alpha: float = 0.05,
+    digits: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a table of hypothesis
+    tests — the missing last step of the drift family: psi_drift /
+    ks_2samp / chi_square run PER SEGMENT, so a 10 000-segment sweep at
+    α=0.05 fabricates ~500 "drifting" alerts from noise unless the
+    p-values are jointly corrected.
+
+    Step-up procedure via its adjusted-p equivalence: rank p ascending,
+    p_adj(i) = min(1, min_{k≥i} p(k)·m/k) (suffix cumulative min), reject
+    where p_adj ≤ α — provably identical to "reject all i ≤ max{i : p(i)
+    ≤ iα/m}". Ties carry a total order on (p, key_cols) so ranks — and
+    therefore every downstream value — are engine-deterministic. NULL
+    p-values are dropped (an untested hypothesis is not evidence).
+
+    The window is GLOBAL over the hypothesis table — m here is the
+    number of *tests* (segments × metrics), dictionary-sized by
+    construction, never the row count of the data the tests were
+    computed from; the data-sized work already happened inside the
+    upstream test operators.
+
+    Returns (key_cols…, p_value, rank, m_tests, p_adj, reject).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must identify each hypothesis")
+    p = F.col(p_col).cast("double")
+    base = df.filter(p.isNotNull() & ~F.isnan(p)).select(
+        *key_cols, p.alias("p_value")
+    )
+    order = [F.col("p_value").asc()] + [F.col(k).asc() for k in key_cols]
+    w_rank = Window.orderBy(*order)
+    ranked = base.select(
+        *key_cols,
+        "p_value",
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m_tests"),
+    )
+    w_suffix = (
+        Window.orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = F.min(
+        F.col("p_value") * F.col("m_tests") / F.col("rank")
+    ).over(w_suffix)
+    return ranked.select(
+        *key_cols,
+        qround(F.col("p_value"), digits).alias("p_value"),
+        "rank",
+        "m_tests",
+        qround(F.least(stepped, F.lit(1.0)), digits).alias("p_adj"),
+        (F.least(stepped, F.lit(1.0)) <= F.lit(alpha)).alias("reject"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

@@ -1,0 +1,393 @@
+"""Property-based invariants for the round-10 operators: the Poisson
+bootstrap must bracket the point estimate and be retry-deterministic,
+isotonic calibration must equal a reference PAV exactly on the binned
+substrate, BH must match the textbook step-up rule, split-conformal's
+q-hat must be the exact order statistic, and Cramér's V must land in
+[0,1] hitting the endpoints on independent / deterministic tables."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------------------------
+# poisson bootstrap
+# ---------------------------------------------------------------------------
+
+def test_poisson1_cdf_literals_and_sql_twin_agree():
+    from etdtransform_spark.operators.bootstrap import (
+        _POISSON1_CDF,
+        poisson1_weight_sql,
+    )
+
+    # the CDF prefix is the analytically-correct e^-1 * cumsum(1/k!)
+    acc, e1 = 0.0, math.exp(-1.0)
+    for k, c in enumerate(_POISSON1_CDF):
+        acc += e1 / math.factorial(k)
+        assert c == pytest.approx(acc, abs=0.0)
+    sql = poisson1_weight_sql("u")
+    # every literal appears verbatim (repr) in the SQL twin
+    for c in _POISSON1_CDF:
+        assert repr(c) in sql
+    import duckdb
+
+    # the SQL CASE chain inverts the CDF exactly at the boundaries
+    got = duckdb.sql(
+        f"SELECT {poisson1_weight_sql('u')} AS w FROM ("
+        f"SELECT unnest([0.0, {_POISSON1_CDF[0] - 1e-12!r}, "
+        f"{_POISSON1_CDF[0]!r}, 0.9999, 0.99999999]) AS u) ORDER BY u"
+    ).fetchall()
+    assert [r[0] for r in got] == [0, 0, 1, 6, 8]
+
+
+def test_poisson_bootstrap_brackets_mean_and_is_deterministic(spark):
+    from etdtransform_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    rows = [(i, float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, x double")
+    a = poisson_bootstrap_ci(df, "x", "id", n_boot=120).collect()[0]
+    b = poisson_bootstrap_ci(
+        df.repartition(7), "x", "id", n_boot=120
+    ).collect()[0]
+    assert a == b  # partitioning/retry invariant
+    assert a.n_rows == 300 and a.n_boot_effective == 120
+    assert a.ci_lo <= a.point_mean <= a.ci_hi
+    # CI shrinks roughly like 1/sqrt(n): the 300-row band must be
+    # narrower than a 30-row subsample's band
+    small = poisson_bootstrap_ci(
+        df.filter("id < 30"), "x", "id", n_boot=120
+    ).collect()[0]
+    assert (a.ci_hi - a.ci_lo) < (small.ci_hi - small.ci_lo)
+
+
+def test_poisson_bootstrap_null_and_empty_conventions(spark):
+    from etdtransform_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(1, None), (2, float("nan")), (None, 5.0)],
+        "id bigint, x double",
+    )
+    row = poisson_bootstrap_ci(df, "x", "id", n_boot=10).collect()[0]
+    assert row.n_rows == 0 and row.point_mean is None
+    keyed = poisson_bootstrap_ci(
+        df.withColumn("k", df.id % 2), "x", "id", keys=["k"], n_boot=10
+    ).collect()
+    assert keyed == []  # keyed empty segments vanish
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "x", "id", n_boot=1)
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration
+# ---------------------------------------------------------------------------
+
+def _pav(weights, means):
+    """Reference pool-adjacent-violators on (w, mean) blocks."""
+    blocks = [[w, w * m] for w, m in zip(weights, means)]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][1] / out[-2][0] > out[-1][1] / out[-1][0]:
+            w2, s2 = out.pop()
+            out[-1][0] += w2
+            out[-1][1] += s2
+    # expand each pooled block's value back to its original members
+    expanded, i = [], 0
+    for w, s in out:
+        total, val = 0, s / w
+        while total < w:
+            total += weights[i]
+            expanded.append(val)
+            i += 1
+    return expanded
+
+
+labels = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # bin-ish score
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(labels)
+def test_isotonic_equals_reference_pav(spark, data):
+    from etdtransform_spark.operators.evaluation import isotonic_calibration
+
+    rows = [(s / 10.0 + 0.05, 1.0 if y else 0.0) for s, y in data]
+    df = spark.createDataFrame(rows, "score double, label double")
+    got = sorted(
+        (r.bin, r.n, r.iso_rate, r.raw_rate)
+        for r in isotonic_calibration(df, "score", "label", n_bins=10,
+                                      digits=9).collect()
+    )
+    # reference PAV on the same non-empty-bin substrate
+    agg = {}
+    for s, y in rows:
+        b = min(int(s * 10), 9)
+        w, t = agg.get(b, (0, 0.0))
+        agg[b] = (w + 1, t + y)
+    bins = sorted(agg)
+    ws = [agg[b][0] for b in bins]
+    ms = [agg[b][1] / agg[b][0] for b in bins]
+    expect = _pav(ws, ms)
+    assert [b for b, *_ in got] == bins
+    for (b, n, iso, raw), w, m, e in zip(got, ws, ms, expect):
+        assert n == w
+        assert raw == pytest.approx(round(m, 9), abs=1e-9)
+        assert iso == pytest.approx(e, abs=1e-9)
+    # monotone non-decreasing
+    iso_seq = [iso for _b, _n, iso, _r in got]
+    assert all(a <= b + 1e-12 for a, b in zip(iso_seq, iso_seq[1:]))
+
+
+def test_isotonic_rejects_bad_bins(spark):
+    from etdtransform_spark.operators.evaluation import isotonic_calibration
+
+    df = spark.createDataFrame([(0.5, 1.0)], "score double, label double")
+    with pytest.raises(ValueError):
+        isotonic_calibration(df, "score", "label", n_bins=0)
+
+
+# ---------------------------------------------------------------------------
+# benjamini-hochberg
+# ---------------------------------------------------------------------------
+
+pvals = st.lists(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pvals)
+def test_bh_matches_step_up_rule(spark, ps):
+    from etdtransform_spark.operators.stats import benjamini_hochberg
+
+    alpha = 0.1
+    rows = [(f"t{i:03d}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    got = {
+        r.test: (r.rank, r.p_adj, r.reject)
+        for r in benjamini_hochberg(df, "p", ["test"], alpha=alpha).collect()
+    }
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: (ps[i], f"t{i:03d}"))
+    # textbook step-up: largest i with p_(i) <= i/m * alpha; reject 1..i
+    cutoff = 0
+    for pos, i in enumerate(order, start=1):
+        if ps[i] <= pos / m * alpha + 1e-15:
+            cutoff = pos
+    for pos, i in enumerate(order, start=1):
+        rank, p_adj, reject = got[f"t{i:03d}"]
+        assert rank == pos
+        assert reject == (pos <= cutoff)
+        # adjusted p is the suffix-min of p*m/rank, capped at 1
+        expect_adj = min(
+            min(ps[j] * m / q for q, j in enumerate(order, start=1) if q >= pos),
+            1.0,
+        )
+        assert p_adj == pytest.approx(round(expect_adj, 6), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# split conformal
+# ---------------------------------------------------------------------------
+
+def test_split_conformal_qhat_is_exact_order_statistic(spark):
+    from etdtransform_spark.operators.evaluation import split_conformal
+    from etdtransform_spark.functions.hashing import portable_hash64  # noqa: F401
+
+    rows = [(i, float(i % 50), float(i % 50) + ((i * 13) % 7) - 3.0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, actual double, pred double")
+    out = split_conformal(df, "pred", "actual", "id", alpha=0.2,
+                          cal_frac=0.5).collect()[0]
+    # recompute the calibration split with the same hash in python
+    import hashlib
+
+    def u(i):
+        h = int(hashlib.md5(f"conformal|{i}".encode()).hexdigest()[:15], 16)
+        return ((h % (1 << 20)) + 0.5) / (1 << 20)
+
+    cal = sorted(
+        round(abs(a - p), 6)
+        for i, a, p in rows
+        if u(i) < 0.5
+    )
+    n_cal = len(cal)
+    k = math.ceil((n_cal + 1) * 0.8)
+    assert out.n_cal == n_cal
+    assert out.qhat == pytest.approx(cal[k - 1], abs=1e-9)
+    assert out.n_eval == len(rows) - n_cal
+    assert out.target_coverage == pytest.approx(0.8)
+    assert 0.7 <= out.coverage <= 1.0  # empirical coverage near target
+    assert out.avg_width == pytest.approx(2 * out.qhat, abs=1e-9)
+
+
+def test_split_conformal_empty_calibration_fails_closed(spark):
+    from etdtransform_spark.operators.evaluation import split_conformal
+
+    df = spark.createDataFrame([], "id bigint, actual double, pred double")
+    out = split_conformal(df, "pred", "actual", "id").collect()[0]
+    assert out.n_cal == 0 and out.qhat is None and out.coverage is None
+
+
+# ---------------------------------------------------------------------------
+# cramér's V
+# ---------------------------------------------------------------------------
+
+def test_cramers_v_endpoints(spark):
+    from etdtransform_spark.operators.stats import cramers_v
+
+    # perfectly dependent: outcome == group -> V = 1
+    dep = spark.createDataFrame(
+        [(g, g) for g in "abc" for _ in range(10)], "g string, o string"
+    )
+    row = cramers_v(dep, "g", "o").collect()[0]
+    assert row.cramers_v == pytest.approx(1.0, abs=1e-9)
+    # independent uniform table -> chi2 = 0 -> V = 0
+    ind = spark.createDataFrame(
+        [(g, o) for g in "ab" for o in "xy" for _ in range(5)],
+        "g string, o string",
+    )
+    row = cramers_v(ind, "g", "o").collect()[0]
+    assert row.chi2 == pytest.approx(0.0, abs=1e-9)
+    assert row.cramers_v == pytest.approx(0.0, abs=1e-9)
+    # degenerate single-level outcome -> NULL (undefined, not 0)
+    deg = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "g string, o string"
+    )
+    row = cramers_v(deg, "g", "o").collect()[0]
+    assert row.cramers_v is None
+
+
+# ---------------------------------------------------------------------------
+# embedding-space statistics
+# ---------------------------------------------------------------------------
+
+def _toy_embeddings(spark, n=60, d=6):
+    """Deterministic anisotropic vectors: dim k has scale (k+1)."""
+    rows = []
+    for i in range(n):
+        rows.append((
+            i,
+            [((i * 7 + k * 13) % 11 - 5.0) * (k + 1) / 5.0 for k in range(d)],
+        ))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from etdtransform_spark.operators.embeddings import embedding_covariance
+
+    df = _toy_embeddings(spark)
+    arr = np.array([r.embedding for r in df.collect()])
+    expect = np.cov(arr, rowvar=False, ddof=1)
+    got = embedding_covariance(df, n_dims=6, digits=9).collect()
+    assert len(got) == 6 * 7 // 2
+    for r in got:
+        assert r.n == len(arr)
+        assert r.cov == pytest.approx(expect[r.i, r.j], abs=1e-8)
+    # NULL-element / empty / NULL vectors are gated out
+    dirty = df.union(spark.createDataFrame(
+        [(100, None), (101, []), (102, [1.0, None, 1.0, 1.0, 1.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    ))
+    got2 = {(r.i, r.j): r.cov for r in
+            embedding_covariance(dirty, n_dims=6, digits=9).collect()}
+    for r in got:
+        assert got2[(r.i, r.j)] == pytest.approx(r.cov, abs=0.0)
+
+
+def test_embedding_standardize_zero_mean_unit_var(spark):
+    import numpy as np
+
+    from etdtransform_spark.operators.embeddings import embedding_standardize
+
+    df = _toy_embeddings(spark)
+    out = embedding_standardize(df, n_dims=6, digits=9)
+    arr = np.array([r.embedding for r in out.collect()])
+    assert arr.shape == (60, 6)
+    assert np.abs(arr.mean(axis=0)).max() < 1e-6
+    assert np.abs(arr.std(axis=0, ddof=1) - 1.0).max() < 1e-6
+    # constant dimension -> NULL z, not a fabricated value
+    const = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    z = embedding_standardize(const, n_dims=2).collect()
+    assert all(r.embedding[0] is None for r in z)
+    assert all(r.embedding[1] is not None for r in z)
+
+
+def test_embedding_energy_profile_orders_by_variance(spark):
+    from etdtransform_spark.operators.embeddings import (
+        embedding_energy_profile,
+    )
+
+    df = _toy_embeddings(spark)
+    rows = sorted(
+        embedding_energy_profile(df, n_dims=6).collect(),
+        key=lambda r: r.rank,
+    )
+    # the toy construction scales dim k by (k+1): variance strictly grows
+    assert [r.dim for r in rows] == [5, 4, 3, 2, 1, 0]
+    vs = [r.variance for r in rows]
+    assert all(a >= b for a, b in zip(vs, vs[1:]))
+    assert rows[-1].cum_share == pytest.approx(1.0, abs=1e-6)
+    shares = sum(r.share for r in rows)
+    assert shares == pytest.approx(1.0, abs=1e-5)
+
+
+def test_matryoshka_recall_full_dims_is_one(spark):
+    from etdtransform_spark.operators.embeddings import matryoshka_recall
+
+    df = _toy_embeddings(spark, n=30)
+    r = matryoshka_recall(df, m_dims=6, k=3).collect()[0]
+    assert r.recall == pytest.approx(1.0, abs=0.0)  # no truncation
+    assert r.n_queries == 30
+    r2 = matryoshka_recall(df, m_dims=2, k=3).collect()[0]
+    assert 0.0 <= r2.recall <= 1.0
+    with pytest.raises(ValueError):
+        matryoshka_recall(df, m_dims=0)
+
+
+def test_pca_project_properties(spark):
+    import numpy as np
+
+    from etdtransform_spark.operators.embeddings import (
+        embedding_covariance,
+        pca_project,
+    )
+
+    df = _toy_embeddings(spark)
+    out = pca_project(df, n_components=3, n_dims=6, digits=9)
+    arr = np.array([r.pc for r in out.collect()])
+    assert arr.shape == (60, 3)
+    # projected components are uncorrelated with variance ordered desc,
+    # and variances equal the top eigenvalues of the sample covariance
+    raw = np.array([r.embedding for r in df.collect()])
+    evals = np.sort(np.linalg.eigvalsh(np.cov(raw, rowvar=False, ddof=1)))
+    top = evals[::-1][:3]
+    got_var = arr.var(axis=0, ddof=1)
+    assert got_var == pytest.approx(top, rel=1e-6)
+    c = np.cov(arr, rowvar=False, ddof=1)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 1e-6
+    # deterministic under repartition (sign convention + literal model)
+    out2 = pca_project(df.repartition(5), n_components=3, n_dims=6, digits=9)
+    a2 = {r.vec_id: r.pc for r in out2.collect()}
+    for r in out.collect():
+        assert a2[r.vec_id] == pytest.approx(r.pc, abs=1e-9)
+    with pytest.raises(ValueError):
+        pca_project(df, n_components=0, n_dims=6)
