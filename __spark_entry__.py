@@ -10954,7 +10954,7 @@ WITH base AS (
   FROM ks
 ), ranked AS (
   SELECT event_type, p,
-         row_number() OVER (ORDER BY p, event_type) AS rank,
+         row_number() OVER (ORDER BY p, event_type NULLS FIRST) AS rank,
          count(*) OVER () AS m_tests
   FROM tests WHERE p IS NOT NULL AND NOT isnan(p)
 ), adj AS (
@@ -11141,6 +11141,246 @@ WITH full_ranked AS (
 SELECT 16 AS m_dims, 5 AS k, count(*)::BIGINT AS n_queries,
        {qround_sql('avg(rr)', 6)} AS recall
 FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 10: experiment readout + corpus spectrum + privacy distance
+# ---------------------------------------------------------------------------
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced readout per arm
+    (operators/stats.py:cuped_summary): pooled θ from one global moment
+    aggregate (1-row broadcast), adjusted means + variance-reduction
+    factor from one per-arm aggregate. Pseudo-covariate: event_id%50
+    + value/2 (correlated with the metric by construction)."""
+    from etdtransform_spark.operators.stats import cuped_summary
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "covariate",
+        F.pmod(F.col("event_id"), F.lit(50)).cast("double")
+        + F.col("value") * 0.5,
+    )
+    return cuped_summary(ev, "value", "covariate", "event_type")
+
+
+_SQL_CUPED = f"""
+WITH base AS (
+  SELECT event_type AS arm, value::DOUBLE AS y,
+         (event_id % 50)::DOUBLE + value * 0.5 AS x
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND (event_id % 50)::DOUBLE + value * 0.5 IS NOT NULL
+    AND NOT isnan((event_id % 50)::DOUBLE + value * 0.5)
+    AND event_type IS NOT NULL
+), g AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM base
+), theta AS (
+  SELECT CASE WHEN n > 1 AND (sxx - sx * sx / n::DOUBLE) > 0
+              THEN (sxy - sx * sy / n::DOUBLE)
+                   / (sxx - sx * sx / n::DOUBLE) END AS th,
+         sx / n::DOUBLE AS xbar
+  FROM g
+), adj AS (
+  SELECT arm, y, y - th * (x - xbar) AS ya FROM base, theta
+), per_arm AS (
+  SELECT arm, count(*)::BIGINT AS n,
+         {qround_sql('avg(y)', 6)} AS mean_raw,
+         {qround_sql('avg(ya)', 6)} AS mean_adj,
+         sum(y) AS ay, sum(y * y) AS ayy,
+         sum(ya) AS aa, sum(ya * ya) AS aaa
+  FROM adj GROUP BY 1
+)
+SELECT arm, n, mean_raw, mean_adj,
+       {qround_sql('th', 6)} AS theta,
+       {qround_sql(
+           'CASE WHEN n > 1 AND (ayy - ay * ay / n::DOUBLE) > 0 THEN '
+           '(aaa - aa * aa / n::DOUBLE) / (ayy - ay * ay / n::DOUBLE) END',
+           6)} AS var_reduction
+FROM per_arm, theta
+"""
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square against a declared equal
+    5-arm allocation (operators/stats.py:srm_check): the critical
+    value is a driver-side Wilson-Hilferty constant, the data-sized
+    work is one arm-count aggregate."""
+    from etdtransform_spark.operators.stats import srm_check
+
+    ev = _t(spark, sf_dir, "events")
+    out = srm_check(
+        ev, "event_type",
+        {"click": 0.2, "view": 0.2, "purchase": 0.2, "signup": 0.2,
+         "error": 0.2},
+        alpha=0.001,
+    )
+    # nullable BOOLEAN is banned from oracle-compared outputs
+    # (pandas object None vs NaN) — carry the flag as nullable INT
+    return out.withColumn(
+        "srm_detected", F.col("srm_detected").cast("int")
+    )
+
+
+def _sql_srm_check() -> str:
+    from etdtransform_spark.operators.stats import chi2_critical
+
+    crit = chi2_critical(4, 0.001)
+    arms = ["click", "error", "purchase", "signup", "view"]
+    arm_list = ", ".join(f"'{a}'" for a in arms)
+    terms = " + ".join(
+        f"(c_{a}::DOUBLE - n::DOUBLE * 0.2) * (c_{a}::DOUBLE - n::DOUBLE"
+        f" * 0.2) / (n::DOUBLE * 0.2)"
+        for a in arms
+    )
+    counts = ",\n         ".join(
+        f"sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS c_{a}"
+        for a in arms
+    )
+    return f"""
+WITH c AS (
+  SELECT sum(CASE WHEN event_type IN ({arm_list}) THEN 1 ELSE 0 END)::BIGINT
+           AS n,
+         sum(CASE WHEN event_type IS NULL
+                  OR event_type NOT IN ({arm_list})
+                  THEN 1 ELSE 0 END)::BIGINT AS n_unexpected,
+         {counts}
+  FROM {_EV}
+), s AS (
+  SELECT n, n_unexpected,
+         CASE WHEN n > 0 THEN {terms} END AS chi2r
+  FROM c
+)
+SELECT n, n_unexpected, 4::BIGINT AS dof,
+       {qround_sql('chi2r', 6)} AS chi2,
+       {qround_sql(f'({crit!r})::DOUBLE', 6)} AS chi2_crit,
+       (chi2r > ({crit!r})::DOUBLE)::INT AS srm_detected
+FROM s
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf spectrum fit over the corpus vocabulary
+    (operators/corpus.py:zipf_fit): one tokenize+count aggregate,
+    top-n via TakeOrdered, OLS over ≤ n rank points."""
+    from etdtransform_spark.operators.corpus import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_n=1000)
+
+
+_SQL_ZIPF = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), freqs AS (
+  SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY 1
+), top AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk
+  FROM freqs ORDER BY freq DESC, term ASC LIMIT 1000
+), pts AS (
+  SELECT ln(rnk::DOUBLE) AS lx, ln(freq::DOUBLE) AS ly FROM top
+), g AS (
+  SELECT count(*)::BIGINT AS n_terms, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+  FROM pts
+), f AS (
+  SELECT n_terms, sx, sy,
+         CASE WHEN n_terms > 1
+                   AND (sxx - sx * sx / n_terms::DOUBLE) > 0
+              THEN (sxy - sx * sy / n_terms::DOUBLE)
+                   / (sxx - sx * sx / n_terms::DOUBLE) END AS slope,
+         sxx - sx * sx / n_terms::DOUBLE AS vxx,
+         syy - sy * sy / n_terms::DOUBLE AS vyy,
+         sxy - sx * sy / n_terms::DOUBLE AS vxy
+  FROM g
+)
+SELECT n_terms,
+       {qround_sql('slope', 6)} AS slope,
+       {qround_sql(
+           'CASE WHEN slope IS NOT NULL THEN'
+           ' (sy - slope * sx) / n_terms::DOUBLE END', 6)} AS intercept,
+       {qround_sql(
+           'CASE WHEN slope IS NOT NULL AND vyy > 0 THEN'
+           ' vxy * vxy / (vxx * vyy) END', 6)} AS r_squared
+FROM f
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy / TTR / majority share
+    (operators/text.py:token_entropy): tokenize-explode + one
+    (doc, token) aggregate + one per-doc rollup, all map-side
+    combined."""
+    from etdtransform_spark.operators.text import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+_SQL_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT id, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), per_doc AS (
+  SELECT id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(c::DOUBLE * ln(c::DOUBLE)) AS sclc, max(c)::BIGINT AS cmax
+  FROM counts GROUP BY 1
+)
+SELECT id, n_tokens, n_types,
+       {qround_sql(
+           'ln(n_tokens::DOUBLE) - sclc / n_tokens::DOUBLE', 6)} AS entropy,
+       {qround_sql('n_types::DOUBLE / n_tokens::DOUBLE', 6)}
+         AS type_token_ratio,
+       {qround_sql('cmax::DOUBLE / n_tokens::DOUBLE', 6)} AS max_share
+FROM per_doc
+"""
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit per user_id%5 quasi-group against the global
+    event_type distribution (operators/privacy.py:t_closeness): one
+    (quasi, value) aggregate + broadcast global distribution; absent
+    values contribute via 1 − Σ_present p(v), never a grid."""
+    from etdtransform_spark.operators.privacy import t_closeness
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "quasi", F.col("user_id") % 5
+    )
+    return t_closeness(ev, ["quasi"], "event_type", threshold=0.05)
+
+
+_SQL_T_CLOSENESS = f"""
+WITH base AS (
+  SELECT user_id % 5 AS quasi, event_type AS v
+  FROM {_EV} WHERE event_type IS NOT NULL
+), cells AS (
+  SELECT quasi, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
+), wg AS (
+  SELECT quasi, v, c, sum(c) OVER (PARTITION BY quasi) AS gn FROM cells
+), gdist AS (
+  SELECT v, sum(c)::BIGINT AS gv FROM cells GROUP BY 1
+), tot AS (SELECT sum(c)::BIGINT AS gt FROM cells),
+grp AS (
+  SELECT quasi, sum(c)::BIGINT AS n,
+         sum(abs(c::DOUBLE / gn::DOUBLE - gv::DOUBLE / gt::DOUBLE))
+           AS present,
+         sum(gv::DOUBLE / gt::DOUBLE) AS pmass
+  FROM wg JOIN gdist USING (v), tot
+  GROUP BY 1
+)
+SELECT quasi, n,
+       {qround_sql('0.5 * (present + (1.0 - pmass))', 6)} AS t_distance,
+       (0.5 * (present + (1.0 - pmass)) > 0.05) AS violates
+FROM grp
 """
 
 
@@ -11392,6 +11632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize": q_embedding_standardize,
         "embedding_energy": q_embedding_energy,
         "matryoshka_recall": q_matryoshka_recall,
+        "cuped": q_cuped,
+        "srm_check": q_srm_check,
+        "zipf_fit": q_zipf_fit,
+        "token_entropy": q_token_entropy,
+        "t_closeness": q_t_closeness,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -11510,6 +11755,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_standardize": _SQL_EMB_STANDARDIZE,
         "embedding_energy": _SQL_EMB_ENERGY,
         "matryoshka_recall": _SQL_MATRYOSHKA,
+        "cuped": _SQL_CUPED,
+        "srm_check": _sql_srm_check(),
+        "zipf_fit": _SQL_ZIPF,
+        "token_entropy": _SQL_TOKEN_ENTROPY,
+        "t_closeness": _SQL_T_CLOSENESS,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -1072,3 +1072,63 @@ def remove_boilerplate_lines(
             digits,
         ).alias("removed_ratio"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+    digits: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency spectrum: OLS of
+    ln(freq) on ln(rank) across the ``top_n`` most frequent terms —
+    the companion corpus-health number to :func:`vocab_growth`'s Heaps
+    curve (natural corpora fit slope ≈ −1 with r² near 1; template
+    spam, boilerplate floods, or synthetic fill bend the spectrum and
+    show up here before any per-document gate fires).
+
+    Shape: ONE data-sized tokenize + (term) count aggregate; the rank
+    table is top-n via TakeOrdered (freq desc, term asc — deterministic
+    ties, no global sort); the regression is one aggregate over ≤ top_n
+    rows. Returns ONE row: (n_terms, slope, intercept, r_squared) —
+    n_terms = min(top_n, vocabulary); fits over < 3 distinct
+    frequencies still return the OLS numbers (r² NULL when the ln-freq
+    variance is 0: a flat spectrum has no Zipf slope to trust).
+    """
+    from ..functions.scalars import qround
+
+    toks = df.select(F.explode(_toks(text_col)).alias("term"))
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    top = freqs.orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("_lx"),
+        F.log(F.col("freq").cast("double")).alias("_ly"),
+    )
+    g = pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+        F.sum(F.col("_ly") * F.col("_ly")).alias("_syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    slope = F.when((F.col("n_terms") > 1) & (sxx > 0), sxy / sxx)
+    intercept = F.when(
+        slope.isNotNull(), (F.col("_sy") - slope * F.col("_sx")) / n
+    )
+    r2 = F.when(
+        slope.isNotNull() & (syy > 0), sxy * sxy / (sxx * syy)
+    )
+    return g.select(
+        "n_terms",
+        qround(slope, digits).alias("slope"),
+        qround(intercept, digits).alias("intercept"),
+        qround(r2, digits).alias("r_squared"),
+    )

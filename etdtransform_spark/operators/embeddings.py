@@ -138,16 +138,17 @@ def embedding_standardize(
         F.lit(by_dim.get(i, (None, None))[1]).cast("double")
         for i in range(n_dims)
     ])
-    idx = F.sequence(F.lit(0), F.size(F.slice(F.col(vec_col), 1, n_dims)) - 1)
+    # index the LITERAL stat arrays only (i < len(slice) <= n_dims, always
+    # valid); never element_at into the data vector — Catalyst's
+    # InferFiltersFromGenerate can evaluate downstream-derived predicates
+    # on rows the ingestion gate excludes (empty vectors), and an indexed
+    # access would throw under ANSI there
     z = F.transform(
-        idx,
-        lambda i: qround(
+        F.slice(F.col(vec_col), 1, n_dims),
+        lambda x, i: qround(
             F.when(
                 F.element_at(stds, i + 1) > 0,
-                (
-                    F.element_at(F.col(vec_col), i + 1).cast("double")
-                    - F.element_at(means, i + 1)
-                )
+                (x.cast("double") - F.element_at(means, i + 1))
                 / F.element_at(stds, i + 1),
             ),
             digits,

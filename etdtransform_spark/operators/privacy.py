@@ -142,3 +142,69 @@ def reidentification_risk(
     if sensitive_col is not None:
         aggs.append(F.min("l_distinct").cast("long").alias("min_l"))
     return audit.agg(*aggs)
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    threshold: float = 0.3,
+    digits: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) for a
+    categorical sensitive attribute: per quasi-identifier group, the
+    total-variation distance between the group's sensitive-value
+    distribution and the GLOBAL one — the diversity notion l-diversity
+    misses (a group can hold l distinct diagnoses and still leak by
+    skew).
+
+    t(g) = ½ Σ_v |p_g(v) − p(v)|, computed WITHOUT materializing the
+    (groups × values) grid: values absent from a group contribute
+    Σ_{v∉g} p(v) = 1 − Σ_{v∈g} p(v), so only group-PRESENT cells are
+    enumerated — one (quasi, value) count aggregate joined to the
+    dictionary-sized global value distribution (broadcast), then one
+    per-group rollup. Rows with a NULL sensitive value are excluded
+    (no distribution evidence); NULL quasi values form their own group,
+    consistent with :func:`k_anonymity`.
+
+    Returns (quasi…, n, t_distance, violates) with
+    violates = t_distance > threshold (never NULL: every group has a
+    distribution once it has rows).
+    """
+    qcols = list(quasi_cols)
+    if not qcols:
+        raise ValueError("quasi_cols must be non-empty")
+    s = F.col(sensitive_col)
+    base = df.filter(s.isNotNull()).select(*qcols, s.alias("_v"))
+    cells = base.groupBy(*qcols, "_v").agg(F.count(F.lit(1)).alias("_c"))
+    glob = cells.groupBy("_v").agg(F.sum("_c").alias("_gv"))
+    tot = cells.agg(F.sum("_c").alias("_gt"))
+    from pyspark.sql import Window
+
+    # group size via a window over the (quasi, value) CELL table — the
+    # cells are already co-partitioned by the groupBy above, so this
+    # window is dictionary-sized per group, not a data shuffle
+    w_g = Window.partitionBy(*qcols)
+    joined = (
+        cells.withColumn("_gn", F.sum("_c").over(w_g))
+        .join(F.broadcast(glob), "_v")
+        .crossJoin(F.broadcast(tot))
+    )
+    grp = joined.groupBy(*qcols).agg(
+        F.sum("_c").alias("n"),
+        F.sum(
+            F.abs(
+                F.col("_c").cast("double") / F.col("_gn").cast("double")
+                - F.col("_gv").cast("double") / F.col("_gt").cast("double")
+            )
+        ).alias("_present"),
+        F.sum(F.col("_gv").cast("double") / F.col("_gt").cast("double"))
+        .alias("_pmass"),
+    )
+    t = 0.5 * (F.col("_present") + (1.0 - F.col("_pmass")))
+    return grp.select(
+        *qcols,
+        "n",
+        qround(t, digits).alias("t_distance"),
+        (t > F.lit(threshold)).alias("violates"),
+    )

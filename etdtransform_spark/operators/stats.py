@@ -668,10 +668,18 @@ def cramers_v(
     segments). Degenerate tables (min(r,c)=1, or n≤1 for the corrected
     form) yield NULL — association is undefined, not 0.
 
+    Rows with a NULL group or outcome are excluded — a row with an
+    unknown category carries no association evidence, and keeping NULL
+    as a level would desynchronize the expected-frequency grid from the
+    count_distinct level counts.
+
     Same shape as chi_square: ONE data-sized (group, outcome) count
     aggregate; everything after runs on the r×c contingency grid.
     Returns (n, r_levels, c_levels, chi2, cramers_v, cramers_v_corrected).
     """
+    df = df.filter(
+        F.col(group_col).isNotNull() & F.col(outcome_col).isNotNull()
+    )
     cells = df.groupBy(
         F.col(group_col).alias("g"), F.col(outcome_col).alias("o")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -728,8 +736,10 @@ def benjamini_hochberg(
     p_adj(i) = min(1, min_{k≥i} p(k)·m/k) (suffix cumulative min), reject
     where p_adj ≤ α — provably identical to "reject all i ≤ max{i : p(i)
     ≤ iα/m}". Ties carry a total order on (p, key_cols) so ranks — and
-    therefore every downstream value — are engine-deterministic. NULL
-    p-values are dropped (an untested hypothesis is not evidence).
+    therefore every downstream value — are engine-deterministic; key
+    columns sort ascending NULLS FIRST (Spark's asc default — an oracle
+    twin must say NULLS FIRST explicitly, DuckDB defaults NULLS LAST).
+    NULL p-values are dropped (an untested hypothesis is not evidence).
 
     The window is GLOBAL over the hypothesis table — m here is the
     number of *tests* (segments × metrics), dictionary-sized by
@@ -771,6 +781,218 @@ def benjamini_hochberg(
         "m_tests",
         qround(F.least(stepped, F.lit(1.0)), digits).alias("p_adj"),
         (F.least(stepped, F.lit(1.0)) <= F.lit(alpha)).alias("reject"),
+    )
+
+
+def cuped_summary(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    arm_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    per-arm means of Y and of the adjusted metric Y − θ·(X − X̄), with
+    θ = cov(X, Y)/var(X) estimated GLOBALLY (pooled across arms — the
+    standard, unbiased-under-randomization choice) from a
+    pre-experiment covariate X. The variance-reduction column reports
+    var(Y−θX)/var(Y): 1−ρ² in expectation, the factor by which the
+    experiment's effective sample size grows for free.
+
+    Shape: one global moment aggregate (Σx, Σy, Σxy, Σxx, n → 1-row θ
+    frame, broadcast back) + one per-arm aggregate of the adjusted
+    values — two scans of the input, both aggregates map-side combined
+    (shuffle carries 1 + |arms| partial rows per task). Rows missing metric, covariate, or arm carry
+    no paired evidence and are excluded (CUPED needs the pair). var(X)
+    ≤ 0 (constant covariate) yields NULL θ and NULL adjusted columns —
+    fail closed, the raw means remain.
+
+    Returns (arm, n, mean_raw, mean_adj, theta, var_reduction).
+    """
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & ~F.isnan(y)
+        & x.isNotNull() & ~F.isnan(x)
+        & F.col(arm_col).isNotNull()
+    ).select(F.col(arm_col).alias("arm"), y.alias("_y"), x.alias("_x"))
+    g = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    nn = F.col("_n").cast("double")
+    var_x = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nn
+    cov_xy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nn
+    theta_frame = g.select(
+        F.when((F.col("_n") > 1) & (var_x > 0), cov_xy / var_x)
+        .alias("_theta"),
+        (F.col("_sx") / nn).alias("_xbar"),
+    )
+    adj = base.crossJoin(F.broadcast(theta_frame)).select(
+        "arm",
+        "_y",
+        (
+            F.col("_y")
+            - F.col("_theta") * (F.col("_x") - F.col("_xbar"))
+        ).alias("_ya"),
+    )
+    per_arm = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        qround(F.avg("_y"), digits).alias("mean_raw"),
+        qround(F.avg("_ya"), digits).alias("mean_adj"),
+        F.sum("_y").alias("_ay"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_ayy"),
+        F.sum("_ya").alias("_aa"),
+        F.sum(F.col("_ya") * F.col("_ya")).alias("_aaa"),
+    )
+    an = F.col("n").cast("double")
+    var_y = F.col("_ayy") - F.col("_ay") * F.col("_ay") / an
+    var_a = F.col("_aaa") - F.col("_aa") * F.col("_aa") / an
+    return per_arm.crossJoin(F.broadcast(theta_frame)).select(
+        "arm",
+        "n",
+        "mean_raw",
+        "mean_adj",
+        qround(F.col("_theta"), digits).alias("theta"),
+        qround(
+            F.when((F.col("n") > 1) & (var_y > 0), var_a / var_y), digits
+        ).alias("var_reduction"),
+    )
+
+
+def _inv_norm_cdf(p: float) -> float:
+    """Acklam's rational approximation of Φ⁻¹ (|rel err| < 1.15e-9) —
+    driver-side only: the result enters plans as a literal, so both
+    engines see the identical constant."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    import math
+
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    p_low, p_high = 0.02425, 1 - 0.02425
+    if p < p_low:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+                + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > p_high:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+                 + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+            + a[5]) * q / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                            + b[4]) * r + 1)
+
+
+def chi2_critical(dof: int, alpha: float) -> float:
+    """Upper-α chi-square critical value (driver-side constant).
+
+    dof 1 and 2 are EXACT closed forms (χ²₁ = Z², so the quantile is
+    Φ⁻¹(1−α/2)²; χ²₂ is Exp(mean 2), so it is −2·ln α); dof ≥ 3 uses
+    the Wilson-Hilferty cube approximation (relative error < 1 % there,
+    ample for an alarm threshold — WH alone is ~2.5 % off at dof=1,
+    which is why the low dofs are special-cased)."""
+    import math
+
+    if dof < 1:
+        raise ValueError(f"dof must be >= 1, got {dof}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if dof == 1:
+        z = _inv_norm_cdf(1.0 - alpha / 2.0)
+        return z * z
+    if dof == 2:
+        return -2.0 * math.log(alpha)
+    z = _inv_norm_cdf(1.0 - alpha)
+    t = 1.0 - 2.0 / (9.0 * dof) + z * (2.0 / (9.0 * dof)) ** 0.5
+    return dof * t * t * t
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, float],
+    alpha: float = 0.001,
+    digits: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch alarm for an experiment assignment: a
+    chi-square goodness-of-fit of observed arm counts against the
+    DECLARED allocation (e.g. {"control": 0.5, "treatment": 0.5}). SRM
+    is the canonical "your experiment infrastructure is broken" check —
+    run before reading any metric; the conventional α is strict (0.001)
+    because the test runs on every experiment every day.
+
+    The critical value is a DRIVER-SIDE constant (Wilson-Hilferty), so
+    the data-sided work is ONE arm-count aggregate (k partial rows per
+    map task); rows whose arm is NULL or not in ``expected`` are
+    counted into ``n_unexpected`` (an SRM signal in themselves if
+    nonzero) and excluded from the statistic. Expected shares are
+    normalized to sum to 1, so callers may pass weights.
+
+    Returns ONE row: (n, n_unexpected, dof, chi2, chi2_crit,
+    srm_detected). An empty assignment yields n=0 with NULL chi2 and
+    NULL srm_detected (no evidence — fail closed, not "no SRM").
+    """
+    if not expected:
+        raise ValueError("expected allocation must be non-empty")
+    if any(v <= 0 for v in expected.values()):
+        raise ValueError("expected shares must be positive")
+    tot_w = float(sum(expected.values()))
+    shares = {k: v / tot_w for k, v in expected.items()}
+    arms = sorted(shares)
+    dof = len(arms) - 1
+    crit = chi2_critical(dof, alpha) if dof >= 1 else 0.0
+    a = F.col(arm_col)
+    counts = df.select(
+        F.when(a.isin(list(arms)), a).alias("_arm"),
+    ).groupBy("_arm").agg(F.count(F.lit(1)).alias("_c"))
+    share_expr = F.create_map(
+        *[x for k in arms for x in (F.lit(k), F.lit(shares[k]))]
+    )
+    agg = counts.agg(
+        F.sum(F.when(F.col("_arm").isNotNull(), F.col("_c"))
+              .otherwise(0)).alias("_n"),
+        F.sum(F.when(F.col("_arm").isNull(), F.col("_c"))
+              .otherwise(0)).alias("n_unexpected"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("_arm").isNotNull(),
+                       F.struct(F.col("_arm"), F.col("_c")))
+            )
+        ).alias("_obs"),
+    )
+    n = F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+    chi2 = None
+    for k in arms:
+        o = F.coalesce(
+            F.element_at(F.col("_obs"), F.lit(k)), F.lit(0)
+        ).cast("double")
+        e = n * F.lit(shares[k])
+        term = (o - e) * (o - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    chi2 = F.when(n > 0, chi2)
+    return agg.select(
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.col("n_unexpected"), F.lit(0)).cast("bigint")
+        .alias("n_unexpected"),
+        F.lit(dof).cast("bigint").alias("dof"),
+        qround(chi2, digits).alias("chi2"),
+        qround(F.lit(crit), digits).alias("chi2_crit"),
+        F.when(chi2.isNotNull(), chi2 > F.lit(crit)).alias("srm_detected"),
     )
 
 

@@ -505,3 +505,56 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document token-distribution statistics: Shannon entropy (nats)
+    of the whitespace-token frequency distribution, type-token ratio,
+    and the majority-token share — the trio that separates natural prose
+    (high entropy, TTR well under 1) from template/keyword spam (one
+    token dominating: low entropy, high max share) and from random fill
+    (entropy ≈ ln(n), TTR ≈ 1). A document-LEVEL quality signal in the
+    Gopher-gate family; this is the statistic, gating stays the
+    caller's policy.
+
+    H = ln(n) − Σ c·ln(c) / n over per-doc token counts c — the
+    algebraically-stable form (one log per DISTINCT token, no per-token
+    p=c/n division). Data-sized work: tokenize-explode + ONE
+    (doc, token) count aggregate + ONE per-doc rollup, both map-side
+    combined. Documents with NULL text or zero tokens yield no row
+    (no distribution to measure).
+
+    Returns (id, n_tokens, n_types, entropy, type_token_ratio,
+    max_share).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("_tok"),
+    )
+    counts = toks.groupBy("id", "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    c = F.col("_c").cast("double")
+    per_doc = counts.groupBy("id").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(c * F.log(c)).alias("_sclc"),
+        F.max("_c").alias("_cmax"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        "n_types",
+        qround(F.log(n) - F.col("_sclc") / n, digits).alias("entropy"),
+        qround(F.col("n_types").cast("double") / n, digits)
+        .alias("type_token_ratio"),
+        qround(F.col("_cmax").cast("double") / n, digits).alias("max_share"),
+    )

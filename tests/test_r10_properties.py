@@ -391,3 +391,154 @@ def test_pca_project_properties(spark):
         assert a2[r.vec_id] == pytest.approx(r.pc, abs=1e-9)
     with pytest.raises(ValueError):
         pca_project(df, n_components=0, n_dims=6)
+
+
+# ---------------------------------------------------------------------------
+# experiment readout: CUPED + SRM
+# ---------------------------------------------------------------------------
+
+def test_cuped_reduces_variance_and_preserves_lift(spark):
+    import numpy as np
+
+    from etdtransform_spark.operators.stats import cuped_summary
+
+    # y = x + arm_effect + deterministic noise; x is pre-experiment
+    rows = []
+    for i in range(400):
+        x = float((i * 29) % 83)
+        arm = "t" if (i * 7) % 2 else "c"
+        noise = ((i * 13) % 11) - 5.0
+        y = x + (3.0 if arm == "t" else 0.0) + noise
+        rows.append((arm, y, x))
+    df = spark.createDataFrame(rows, "arm string, y double, x double")
+    out = {r.arm: r for r in
+           cuped_summary(df, "y", "x", "arm", digits=9).collect()}
+    ys = {a: [y for arm, y, x in rows if arm == a] for a in "ct"}
+    # raw means match; adjusted lift ~ raw lift (theta is pooled)
+    for a in "ct":
+        assert out[a].mean_raw == pytest.approx(
+            float(np.mean(ys[a])), abs=1e-6)
+    lift_raw = out["t"].mean_raw - out["c"].mean_raw
+    lift_adj = out["t"].mean_adj - out["c"].mean_adj
+    assert lift_adj == pytest.approx(lift_raw, abs=1.0)
+    # the covariate explains most variance: big reduction
+    assert out["t"].var_reduction < 0.2
+    assert out["c"].var_reduction < 0.2
+    assert out["t"].theta == out["c"].theta  # pooled
+    # constant covariate -> NULL theta, raw means intact
+    const = cuped_summary(
+        df.withColumn("x", df.y * 0), "y", "x", "arm", digits=9
+    ).collect()
+    assert all(r.theta is None and r.mean_adj is None for r in const)
+    assert all(r.mean_raw is not None for r in const)
+
+
+def test_srm_check_detects_broken_allocation(spark):
+    from etdtransform_spark.operators.stats import chi2_critical, srm_check
+
+    # chi2_critical vs table values: dof 1/2 exact, WH for dof >= 3
+    assert chi2_critical(1, 0.05) == pytest.approx(3.8415, abs=2e-4)
+    assert chi2_critical(2, 0.01) == pytest.approx(9.2103, abs=2e-4)
+    assert chi2_critical(4, 0.001) == pytest.approx(18.467, rel=2e-2)
+    assert chi2_critical(10, 0.05) == pytest.approx(18.307, rel=1e-2)
+    ok = spark.createDataFrame(
+        [("a",)] * 500 + [("b",)] * 490, "arm string"
+    )
+    r = srm_check(ok, "arm", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r.srm_detected is False and r.n == 990 and r.dof == 1
+    broken = spark.createDataFrame(
+        [("a",)] * 600 + [("b",)] * 400 + [("zzz",)] * 7 + [(None,)],
+        "arm string",
+    )
+    r = srm_check(broken, "arm", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r.srm_detected is True
+    assert r.n == 1000 and r.n_unexpected == 8
+    # empty assignment: fail closed
+    r = srm_check(
+        spark.createDataFrame([], "arm string"), "arm", {"a": 1.0}
+    ).collect()[0]
+    assert r.n == 0 and r.chi2 is None and r.srm_detected is None
+    with pytest.raises(ValueError):
+        srm_check(ok, "arm", {})
+    with pytest.raises(ValueError):
+        srm_check(ok, "arm", {"a": -1.0})
+
+
+# ---------------------------------------------------------------------------
+# corpus spectrum + token entropy
+# ---------------------------------------------------------------------------
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    import math
+
+    from etdtransform_spark.operators.corpus import zipf_fit
+
+    # plant an exact zipf corpus: term k appears round(1000/k) times
+    words = []
+    for k in range(1, 41):
+        words.extend([f"w{k:02d}"] * round(1000 / k))
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = zipf_fit(df, top_n=100, digits=9).collect()[0]
+    assert r.n_terms == 40
+    assert r.slope == pytest.approx(-1.0, abs=0.02)
+    assert r.r_squared > 0.999
+    # python OLS replica on the exact points
+    pts = [(math.log(k), math.log(round(1000 / k))) for k in range(1, 41)]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert r.slope == pytest.approx(slope, abs=1e-6)
+
+
+def test_token_entropy_extremes(spark):
+    import math
+
+    from etdtransform_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one type: H = 0
+            (2, "a b c d"),                       # uniform: H = ln 4
+            (3, None),                            # no row
+            (4, "   "),                           # no tokens: no row
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.id: r for r in token_entropy(df, digits=9).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].entropy == pytest.approx(0.0, abs=1e-9)
+    assert rows[1].max_share == 1.0 and rows[1].n_types == 1
+    assert rows[2].entropy == pytest.approx(math.log(4), abs=1e-9)
+    assert rows[2].type_token_ratio == 1.0 and rows[2].max_share == 0.25
+
+
+# ---------------------------------------------------------------------------
+# t-closeness
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_matches_definition(spark):
+    from etdtransform_spark.operators.privacy import t_closeness
+
+    # group 0: all 'x' (max skew); group 1: mirrors the global mix
+    rows = [(0, "x")] * 10 + [(1, "x")] * 5 + [(1, "y")] * 5
+    df = spark.createDataFrame(rows, "q int, s string")
+    out = {r.q: r for r in
+           t_closeness(df, ["q"], "s", threshold=0.2, digits=9).collect()}
+    # global p = {x: 15/20, y: 5/20}
+    # group 0: p_g = {x: 1}; t = 0.5(|1 - .75| + (1 - .75)) = 0.25
+    assert out[0].t_distance == pytest.approx(0.25, abs=1e-9)
+    assert out[0].violates is True
+    # group 1: p_g = {x: .5, y: .5}; t = 0.5(|.5-.75| + |.5-.25|) = 0.25
+    assert out[1].t_distance == pytest.approx(0.25, abs=1e-9)
+    # identical distribution -> t = 0
+    uni = spark.createDataFrame(
+        [(g, s) for g in (0, 1) for s in "xy" for _ in range(3)],
+        "q int, s string",
+    )
+    for r in t_closeness(uni, ["q"], "s", threshold=0.2, digits=9).collect():
+        assert r.t_distance == pytest.approx(0.0, abs=1e-9)
+        assert r.violates is False
+    with pytest.raises(ValueError):
+        t_closeness(df, [], "s")
