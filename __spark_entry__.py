@@ -11385,6 +11385,187 @@ FROM grp
 
 
 # ---------------------------------------------------------------------------
+# round 10: layout co-location + experiment planning + fold assignment
+# ---------------------------------------------------------------------------
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment through hash-BUCKETED tables
+    (sources/parquet.py:write_bucketed): orders and customer are
+    bucketed by custkey into the same bucket count, so the sort-merge
+    join runs with ZERO Exchange on either side (plan-asserted in
+    tests/test_r10_properties.py) — the pay-the-shuffle-once layout
+    lever for a fact table joined on the same key daily. Values are
+    strategy-independent; the oracle is the plain SQL join."""
+    import hashlib
+
+    from etdtransform_spark.sources.parquet import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    to, tc = f"b_orders_{tag}", f"b_cust_{tag}"
+    write_bucketed(ords, to, "o_custkey", 8, path=f"/tmp/etd_bucket/{to}")
+    write_bucketed(cust, tc, "c_custkey", 8, path=f"/tmp/etd_bucket/{tc}")
+    j = spark.table(to).join(
+        spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        qround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders,
+       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def q_mde_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for a two-arm test on the event value
+    (operators/stats.py:mde_estimate): ONE moment aggregate; the z
+    constants are driver-side Acklam literals."""
+    from etdtransform_spark.operators.stats import mde_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return mde_estimate(ev, "value", alpha=0.05, power=0.8)
+
+
+def _sql_mde_estimate() -> str:
+    from etdtransform_spark.operators.stats import _inv_norm_cdf
+
+    z = _inv_norm_cdf(1.0 - 0.05 / 2.0) + _inv_norm_cdf(0.8)
+    return f"""
+WITH g AS (
+  SELECT count(*)::BIGINT AS n_rows, sum(value::DOUBLE) AS sx,
+         sum(value::DOUBLE * value::DOUBLE) AS sxx
+  FROM {_EV} WHERE value IS NOT NULL AND NOT isnan(value)
+), f AS (
+  SELECT n_rows,
+         CASE WHEN n_rows > 1
+                   AND (sxx - sx * sx / n_rows::DOUBLE)
+                       / (n_rows::DOUBLE - 1) > 0
+              THEN sqrt((sxx - sx * sx / n_rows::DOUBLE)
+                        / (n_rows::DOUBLE - 1)) END AS sd,
+         floor(n_rows::DOUBLE / 2) AS arm,
+         sx / n_rows::DOUBLE AS mean
+  FROM g
+)
+SELECT n_rows, arm::BIGINT AS n_per_arm,
+       {qround_sql('CASE WHEN n_rows > 0 THEN mean END', 6)} AS mean,
+       {qround_sql('sd', 6)} AS sd,
+       {qround_sql(
+           f'CASE WHEN arm > 0 THEN ({z!r})::DOUBLE * sd'
+           ' * sqrt(2.0 / arm) END', 6)} AS mde_abs,
+       {qround_sql(
+           f'CASE WHEN mean <> 0 THEN (CASE WHEN arm > 0 THEN'
+           f' ({z!r})::DOUBLE * sd * sqrt(2.0 / arm) END)'
+           ' / abs(mean) END', 6)} AS mde_rel
+FROM f
+"""
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold assignment audit (operators/sessions.py:kfold_assign):
+    fold sizes of the deterministic hash split — the projection itself
+    is zero-shuffle; this aggregates it to k rows for the hash gate."""
+    from etdtransform_spark.operators.sessions import kfold_assign
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        kfold_assign(ev, "event_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_SQL_KFOLD = f"""
+SELECT (({portable_hash64_sql('event_id::VARCHAR', seed='fold')}) % 5)::INT
+         AS fold,
+       count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM {_EV}
+GROUP BY 1
+"""
+
+
+def q_streaming_srm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SRM alarm per tumbling day
+    (streaming/quality_stream.py:streaming_srm_monitor): |arms|+1
+    counts per open window, χ² vs the declared equal allocation with a
+    driver-constant critical value. Oracle = the equivalent batch SQL."""
+    import uuid
+
+    from etdtransform_spark.streaming.quality_stream import (
+        streaming_srm_monitor,
+    )
+
+    stream = _stream_events(spark, sf_dir)
+    mon = streaming_srm_monitor(
+        stream, "event_type", "ts",
+        {"click": 0.2, "view": 0.2, "purchase": 0.2, "signup": 0.2,
+         "error": 0.2},
+        alpha=0.001,
+    )
+    name = f"stream_srm_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "bucket_ts", "n", "n_unexpected", "chi2", "chi2_crit",
+        "srm_detected",
+    )
+
+
+def _sql_streaming_srm() -> str:
+    from etdtransform_spark.operators.stats import chi2_critical
+
+    crit = chi2_critical(4, 0.001)
+    arms = ["click", "error", "purchase", "signup", "view"]
+    arm_list = ", ".join(f"'{a}'" for a in arms)
+    counts = ",\n         ".join(
+        f"sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS c_{a}"
+        for a in arms
+    )
+    n_sum = " + ".join(f"c_{a}::DOUBLE" for a in arms)
+    terms = " + ".join(
+        f"(c_{a}::DOUBLE - ({n_sum}) * 0.2) * (c_{a}::DOUBLE - ({n_sum})"
+        f" * 0.2) / (({n_sum}) * 0.2)"
+        for a in arms
+    )
+    return f"""
+WITH c AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+         {counts},
+         sum(CASE WHEN event_type IS NULL
+                  OR event_type NOT IN ({arm_list})
+                  THEN 1 ELSE 0 END)::BIGINT AS n_unexpected
+  FROM {_EV} GROUP BY 1
+), s AS (
+  SELECT bucket_ts, ({n_sum})::BIGINT AS n, n_unexpected,
+         CASE WHEN ({n_sum}) > 0 THEN {terms} END AS chi2r
+  FROM c
+)
+SELECT bucket_ts, n, n_unexpected,
+       {qround_sql('chi2r', 6)} AS chi2,
+       {qround_sql(f'({crit!r})::DOUBLE', 6)} AS chi2_crit,
+       (chi2r > ({crit!r})::DOUBLE)::INT AS srm_detected
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -11637,6 +11818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "token_entropy": q_token_entropy,
         "t_closeness": q_t_closeness,
+        "bucketed_join": q_bucketed_join,
+        "mde_estimate": q_mde_estimate,
+        "kfold_assign": q_kfold_assign,
+        "streaming_srm_daily": q_streaming_srm_daily,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -11760,6 +11945,10 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _SQL_ZIPF,
         "token_entropy": _SQL_TOKEN_ENTROPY,
         "t_closeness": _SQL_T_CLOSENESS,
+        "bucketed_join": _SQL_BUCKETED_JOIN,
+        "mde_estimate": _sql_mde_estimate(),
+        "kfold_assign": _SQL_KFOLD,
+        "streaming_srm_daily": _sql_streaming_srm(),
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -256,3 +256,29 @@ def rolling_active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key: Column | str,
+    k: int = 5,
+    seed: str = "fold",
+    fast: bool = False,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    portable_hash(key) % k — the k-way generalization of
+    :func:`~..operators.corpus.leakage_safe_split`. Hashing the SPLIT
+    KEY (not the row) keeps every row of an entity in one fold, so
+    cross-fold leakage through duplicated keys is structurally
+    impossible; identical across engines, reruns, partitionings, and
+    task retries.
+
+    Zero shuffle — a pure projection; rows with a NULL key get a NULL
+    fold (route them explicitly rather than silently training on them).
+    Adds a ``fold`` int column.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    c = F.col(key) if isinstance(key, str) else key
+    h = portable_hash64(c.cast("string"), seed=seed, fast=fast)
+    return df.withColumn("fold", (h % k).cast("int"))

@@ -996,6 +996,61 @@ def srm_check(
     )
 
 
+def mde_estimate(
+    df: DataFrame,
+    metric_col: str,
+    n_per_arm: int | None = None,
+    alpha: float = 0.05,
+    power: float = 0.8,
+    digits: int = 6,
+) -> DataFrame:
+    """Minimum detectable effect for a two-arm experiment on this
+    metric — the planning companion to :func:`srm_check` (validity) /
+    :func:`cuped_summary` (variance) / :func:`welch_ttest` (readout):
+    before launching, how small a lift could this population even
+    resolve?
+
+    MDE_abs = (z₁₋α/2 + z_power) · σ · √(2/n_arm) with σ the observed
+    sample standard deviation and n_arm = ``n_per_arm`` or ⌊n/2⌋ (an
+    even split of the rows at hand). Both z's are driver-side Acklam
+    constants, so the data-sized work is ONE moment aggregate. The
+    relative MDE divides by the observed mean (NULL when the mean is 0
+    — a ratio against nothing). n < 2 or zero variance yields NULL MDEs
+    (no dispersion evidence), n_rows stays.
+
+    Returns ONE row: (n_rows, n_per_arm, mean, sd, mde_abs, mde_rel).
+    """
+    if n_per_arm is not None and n_per_arm < 1:
+        raise ValueError(f"n_per_arm must be >= 1, got {n_per_arm}")
+    z = _inv_norm_cdf(1.0 - alpha / 2.0) + _inv_norm_cdf(power)
+    x = F.col(metric_col).cast("double")
+    g = df.filter(x.isNotNull() & ~F.isnan(x)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n = F.col("n_rows").cast("double")
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / (n - 1)
+    sd = F.when((F.col("n_rows") > 1) & (var > 0), F.sqrt(var))
+    arm = (
+        F.lit(n_per_arm).cast("double")
+        if n_per_arm is not None
+        else F.floor(n / 2).cast("double")
+    )
+    mean = F.col("_sx") / n
+    mde = F.when(arm > 0, F.lit(z) * sd * F.sqrt(2.0 / arm))
+    return g.select(
+        "n_rows",
+        arm.cast("bigint").alias("n_per_arm"),
+        qround(F.when(F.col("n_rows") > 0, mean), digits).alias("mean"),
+        qround(sd, digits).alias("sd"),
+        qround(mde, digits).alias("mde_abs"),
+        qround(
+            F.when(mean != 0, mde / F.abs(mean)), digits
+        ).alias("mde_rel"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

@@ -817,3 +817,70 @@ def prune_family_versions(
     for v in to_drop:
         shutil.rmtree(os.path.join(vdir, f"v={v}"), ignore_errors=True)
     return to_drop
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+    path: str | None = None,
+) -> str:
+    """Hash-bucketed (and optionally bucket-sorted) parquet TABLE write —
+    the co-location layout that removes the shuffle from every future
+    equi-join and aggregation on ``key``: two tables bucketed by the
+    same key into the same bucket count sort-merge-join with ZERO
+    Exchange on either side (bucket id ≡ reducer id), and a groupBy on
+    the key needs no exchange either. This is the layout lever for a
+    100 TB fact table that is joined on the same key daily: pay the
+    shuffle once at write time, never again at read time.
+
+    Spark's bucketing metadata lives in the session catalog, so this is
+    a ``saveAsTable`` (managed parquet table under
+    ``spark.sql.warehouse.dir``), not a bare ``.parquet(path)`` — plain
+    directory parquet cannot carry the bucket spec. Readers use
+    ``spark.table(table)``; the shuffle-free plan requires
+    ``spark.sql.sources.bucketing.enabled`` (default true) and matching
+    bucket counts (or a divisible ratio with
+    ``bucketing.autoBucketedScan``/``bucketedTableScan`` defaults).
+
+    ``path`` makes it an EXTERNAL table at that location (catalog keeps
+    only the bucket spec) — use it to keep test/contract artifacts out
+    of the session warehouse dir. Returns the table name; overwrites an
+    existing table of that name.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = df.sparkSession
+    if path is not None:
+        # overwrite of an external table keeps the OLD location unless
+        # the catalog entry is dropped first
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, key
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return table
+
+
+def bucketed_cardinality(spark, table: str) -> DataFrame:
+    """Per-bucket row counts of a bucketed table (layout skew audit):
+    reads only the file-to-row-count metadata path — one aggregate over
+    input_file_name(), no shuffle of data columns."""
+    df = spark.table(table)
+    return (
+        df.select(F.input_file_name().alias("_f"))
+        .groupBy("_f")
+        .count()
+        .select(
+            F.regexp_extract(F.col("_f"), r"part-(\d+)", 1)
+            .cast("int")
+            .alias("bucket_file"),
+            F.col("count").alias("n_rows"),
+        )
+    )

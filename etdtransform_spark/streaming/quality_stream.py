@@ -164,3 +164,71 @@ def streaming_regression_monitor(
         qround(F.sqrt(F.col("_sse") / n), digits).alias("rmse"),
         qround(F.col("_se") / n, digits).alias("bias"),
     )
+
+
+def streaming_srm_monitor(
+    stream_df: DataFrame,
+    arm_col: str,
+    ts_col: str,
+    expected: dict[str, float],
+    alpha: float = 0.001,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    digits: int = 6,
+) -> DataFrame:
+    """Windowed sample-ratio-mismatch alarm — the streaming deployment
+    of ``operators/stats.py:srm_check``: every tumbling window carries
+    one count per declared arm plus an off-dictionary count, and emits
+    the χ² against the declared allocation with the driver-side
+    Wilson-Hilferty critical value. SRM is precisely the failure you
+    want DURING the experiment, not at readout — a broken assignment
+    service shows up in the first window it breaks.
+
+    State per open window: |arms| + 1 counts — nothing else. Rows
+    whose arm is NULL or off-dictionary count into ``n_unexpected``
+    (themselves an SRM signal) and stay out of the statistic. Windows
+    emit (bucket_ts, n, n_unexpected, chi2, chi2_crit, srm_detected);
+    an all-unexpected window has n=0 and NULL chi2/flag (fail closed).
+    """
+    from ..operators.stats import chi2_critical
+
+    if not expected:
+        raise ValueError("expected allocation must be non-empty")
+    if any(v <= 0 for v in expected.values()):
+        raise ValueError("expected shares must be positive")
+    tot_w = float(sum(expected.values()))
+    shares = {k: v / tot_w for k, v in expected.items()}
+    arms = sorted(shares)
+    dof = len(arms) - 1
+    crit = chi2_critical(dof, alpha) if dof >= 1 else 0.0
+    a = F.col(arm_col)
+    base = stream_df.withWatermark(ts_col, watermark)
+    agg = base.groupBy(F.window(F.col(ts_col), window).alias("_w")).agg(
+        *[
+            F.count(F.when(a == k, 1)).cast("bigint").alias(f"_c_{i}")
+            for i, k in enumerate(arms)
+        ],
+        F.count(F.when(a.isNull() | ~a.isin(arms), 1))
+        .cast("bigint")
+        .alias("n_unexpected"),
+    )
+    n = None
+    for i in range(len(arms)):
+        c = F.col(f"_c_{i}").cast("double")
+        n = c if n is None else n + c
+    chi2 = None
+    for i, k in enumerate(arms):
+        o = F.col(f"_c_{i}").cast("double")
+        e = n * F.lit(shares[k])
+        term = (o - e) * (o - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    chi2 = F.when(n > 0, chi2)
+    return agg.select(
+        F.col("_w.start").alias("bucket_ts"),
+        n.cast("bigint").alias("n"),
+        "n_unexpected",
+        qround(chi2, digits).alias("chi2"),
+        qround(F.lit(crit), digits).alias("chi2_crit"),
+        F.when(chi2.isNotNull(), chi2 > F.lit(crit)).cast("int")
+        .alias("srm_detected"),
+    )

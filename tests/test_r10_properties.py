@@ -12,6 +12,7 @@ import math
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -542,3 +543,147 @@ def test_t_closeness_matches_definition(spark):
         assert r.violates is False
     with pytest.raises(ValueError):
         t_closeness(df, [], "s")
+
+
+# ---------------------------------------------------------------------------
+# bucketed layout: shuffle-free co-located join
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_has_no_exchange(spark):
+    import re
+
+    from etdtransform_spark.sources.parquet import write_bucketed
+
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k bigint, x double"
+    )
+    b = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(200)], "k bigint, g string"
+    )
+    write_bucketed(a, "t_bucket_a", "k", 4, path="/tmp/etd_bucket/t_a")
+    write_bucketed(b, "t_bucket_b", "k", 4, path="/tmp/etd_bucket/t_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # both scans bucketed, join needs NO exchange at all
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 200
+        # and a groupBy on the bucket key needs no exchange either
+        g = spark.table("t_bucket_a").groupBy("k").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    with pytest.raises(ValueError):
+        write_bucketed(a, "t_bad", "k", 0)
+
+
+# ---------------------------------------------------------------------------
+# MDE + k-fold
+# ---------------------------------------------------------------------------
+
+def test_mde_matches_formula(spark):
+    import math
+
+    from etdtransform_spark.operators.stats import _inv_norm_cdf, mde_estimate
+
+    vals = [float((i * 31) % 97) for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = mde_estimate(df, "x", alpha=0.05, power=0.8, digits=9).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    z = _inv_norm_cdf(0.975) + _inv_norm_cdf(0.8)
+    expect = z * math.sqrt(var) * math.sqrt(2.0 / (n // 2))
+    assert r.n_rows == n and r.n_per_arm == n // 2
+    assert r.sd == pytest.approx(math.sqrt(var), abs=1e-8)
+    assert r.mde_abs == pytest.approx(expect, abs=1e-8)
+    assert r.mde_rel == pytest.approx(expect / mean, abs=1e-8)
+    # Acklam inverse normal sanity
+    assert _inv_norm_cdf(0.975) == pytest.approx(1.959964, abs=1e-5)
+    assert _inv_norm_cdf(0.8) == pytest.approx(0.841621, abs=1e-5)
+    # constant metric -> NULL MDE, counts intact
+    c = mde_estimate(
+        spark.createDataFrame([(1.0,)] * 10, "x double"), "x"
+    ).collect()[0]
+    assert c.n_rows == 10 and c.sd is None and c.mde_abs is None
+    with pytest.raises(ValueError):
+        mde_estimate(df, "x", n_per_arm=0)
+
+
+def test_kfold_assign_is_leak_free_and_deterministic(spark):
+    from etdtransform_spark.operators.sessions import kfold_assign
+
+    df = spark.createDataFrame(
+        [(i % 50, i) for i in range(300)], "entity bigint, row_id bigint"
+    )
+    out = kfold_assign(df, "entity", k=5).collect()
+    by_entity = {}
+    for r in out:
+        by_entity.setdefault(r.entity, set()).add(r.fold)
+    # every row of an entity lands in ONE fold (leak-free by key)
+    assert all(len(s) == 1 for s in by_entity.values())
+    assert set().union(*by_entity.values()) <= set(range(5))
+    # deterministic under repartition
+    out2 = {(r.entity, r.row_id): r.fold
+            for r in kfold_assign(df.repartition(7), "entity", k=5).collect()}
+    for r in out:
+        assert out2[(r.entity, r.row_id)] == r.fold
+    # NULL key -> NULL fold
+    nul = kfold_assign(
+        spark.createDataFrame([(None, 1)], "entity bigint, row_id bigint"),
+        "entity", k=5,
+    ).collect()[0]
+    assert nul.fold is None
+    with pytest.raises(ValueError):
+        kfold_assign(df, "entity", k=1)
+
+
+# ---------------------------------------------------------------------------
+# streaming SRM == batch SRM per window
+# ---------------------------------------------------------------------------
+
+def test_streaming_srm_matches_batch(spark, tmp_path):
+    import uuid
+
+    from etdtransform_spark.operators.stats import srm_check
+    from etdtransform_spark.streaming.quality_stream import (
+        streaming_srm_monitor,
+    )
+
+    rows = []
+    for i in range(300):
+        day = i % 2
+        arm = ["a", "b", "c"][i % 3] if day == 0 else ("a" if i % 4 else "b")
+        rows.append((f"2024-01-0{day + 1} 0{i % 10}:00:00", arm))
+    src = spark.createDataFrame(rows, "ts_s string, arm string").select(
+        F.to_timestamp("ts_s").alias("ts"), "arm"
+    )
+    pq = str(tmp_path / "srm_events")
+    src.write.parquet(pq)
+    stream = spark.readStream.schema(src.schema).parquet(pq)
+    mon = streaming_srm_monitor(
+        stream, "arm", "ts", {"a": 1, "b": 1, "c": 1}, alpha=0.05,
+        window="1 day",
+    )
+    name = f"t_srm_{uuid.uuid4().hex[:8]}"
+    q = (mon.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.bucket_ts.day: r for r in spark.table(name).collect()}
+    for day in (1, 2):
+        batch = srm_check(
+            src.filter(F.dayofmonth("ts") == day), "arm",
+            {"a": 1, "b": 1, "c": 1}, alpha=0.05,
+        ).collect()[0]
+        s = got[day]
+        assert s.n == batch.n and s.chi2 == batch.chi2
+        assert bool(s.srm_detected) == batch.srm_detected
+    # day 1 balanced, day 2 deliberately skewed
+    assert got[1].srm_detected == 0 and got[2].srm_detected == 1
+    with pytest.raises(ValueError):
+        streaming_srm_monitor(stream, "arm", "ts", {})
