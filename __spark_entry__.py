@@ -10694,15 +10694,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return poisson_bootstrap_ci(
-        ev, "value", "event_id", keys=["event_type"], n_boot=200, alpha=0.05
+        ev, "value", "event_id", keys=["event_type"], n_boot=100, alpha=0.05
     )
 
 
 def _sql_bootstrap_ci() -> str:
-    from etdtransform_spark.operators.bootstrap import poisson1_weight_sql
+    from etdtransform_spark.functions.hashing import _BASE_MOD, _MERSENNE_61
+    from etdtransform_spark.operators.bootstrap import (
+        bootstrap_family_values_sql,
+        poisson1_weight_sql,
+    )
 
-    u = "((" + portable_hash64_sql("id || ':' || r::VARCHAR", seed="boot") \
-        + ") % 1048576 + 0.5) / 1048576.0"
+    bh = f"(({portable_hash64_sql('id', seed='boot')}) % {_BASE_MOD})"
+    u = f"(((a * bh + b) % {_MERSENNE_61}) % 1048576 + 0.5) / 1048576.0"
     return f"""
 WITH base AS (
   SELECT event_type, value::DOUBLE AS x, event_id::VARCHAR AS id
@@ -10714,7 +10718,8 @@ WITH base AS (
   FROM base GROUP BY 1
 ), rep AS (
   SELECT event_type, x, r, {u} AS u
-  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS r)
+  FROM (SELECT event_type, x, {bh} AS bh FROM base)
+  CROSS JOIN {bootstrap_family_values_sql(100)}
 ), wtd AS (
   SELECT event_type, r, x,
          {poisson1_weight_sql('u')}::DOUBLE AS w
@@ -11566,6 +11571,213 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# round 10: ranking-quality evaluation (operators/ranking.py)
+# ---------------------------------------------------------------------------
+
+def _ranked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic retrieval fixture from events: query = user cohort,
+    item = event, score = event_id pseudo-score, graded relevance from
+    the event type (purchase=2, click=1, else 0)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") % 20).alias("q"),
+        F.col("event_id").alias("item"),
+        (F.pmod(F.col("event_id"), F.lit(97)).cast("double") / 96)
+        .alias("score"),
+        F.when(F.col("event_type") == "purchase", 2.0)
+        .when(F.col("event_type") == "click", 1.0)
+        .otherwise(0.0)
+        .alias("rel"),
+    )
+
+
+_SQL_RANKED_EVENTS = f"""
+SELECT user_id % 20 AS q, event_id AS item,
+       (event_id % 97)::DOUBLE / 96 AS score,
+       (CASE WHEN event_type = 'purchase' THEN 2.0
+             WHEN event_type = 'click' THEN 1.0
+             ELSE 0.0 END)::DOUBLE AS rel
+FROM {_EV}
+"""
+
+
+def q_ndcg_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query graded NDCG@10 / RR / precision/recall@10
+    (operators/ranking.py:ranking_metrics): two per-query windows over
+    retriever-output-sized lists + one aggregate."""
+    from etdtransform_spark.operators.ranking import ranking_metrics
+
+    return ranking_metrics(
+        _ranked_events(spark, sf_dir), "q", "item", "score", "rel", k=10
+    )
+
+
+_SQL_NDCG = f"""
+WITH base AS (
+  SELECT q AS query, item, score, rel
+  FROM ({_SQL_RANKED_EVENTS})
+  WHERE score IS NOT NULL AND NOT isnan(score)
+    AND rel IS NOT NULL AND NOT isnan(rel) AND q IS NOT NULL
+), ranked AS (
+  SELECT query, rel,
+         row_number() OVER (PARTITION BY query
+           ORDER BY score DESC NULLS LAST, item ASC) AS pos,
+         row_number() OVER (PARTITION BY query
+           ORDER BY rel DESC NULLS LAST, item ASC) AS ipos,
+         power(2.0, rel) - 1.0 AS gain
+  FROM base
+), agg AS (
+  SELECT query, count(*)::BIGINT AS n_items,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+         sum(CASE WHEN pos <= 10
+                  THEN gain / log2(pos::DOUBLE + 1.0) END) AS dcgr,
+         sum(CASE WHEN ipos <= 10
+                  THEN gain / log2(ipos::DOUBLE + 1.0) END) AS idcgr,
+         min(CASE WHEN rel > 0 THEN pos END)::BIGINT AS first_rel,
+         sum(CASE WHEN pos <= 10 AND rel > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS rel_at_k
+  FROM ranked GROUP BY 1
+)
+SELECT query, n_items, n_rel,
+       {qround_sql('coalesce(dcgr, 0.0)', 6)} AS dcg,
+       {qround_sql('coalesce(idcgr, 0.0)', 6)} AS idcg,
+       {qround_sql(
+           'CASE WHEN coalesce(idcgr, 0.0) > 0 THEN'
+           ' coalesce(dcgr, 0.0) / coalesce(idcgr, 0.0) END', 6)} AS ndcg,
+       {qround_sql(
+           'CASE WHEN first_rel IS NOT NULL THEN'
+           ' 1.0 / first_rel::DOUBLE END', 6)} AS rr,
+       {qround_sql('rel_at_k::DOUBLE / 10.0', 6)} AS precision_at_k,
+       {qround_sql(
+           'CASE WHEN n_rel > 0 THEN rel_at_k::DOUBLE / n_rel::DOUBLE END',
+           6)} AS recall_at_k
+FROM agg
+"""
+
+
+def q_ranking_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level mean NDCG@10 / MRR / P@10 / R@10
+    (operators/ranking.py:ranking_summary): ONE rollup over the
+    per-query metric table; undefined per-query metrics stay NULL and
+    drop out of the means."""
+    from etdtransform_spark.operators.ranking import ranking_summary
+
+    return ranking_summary(
+        _ranked_events(spark, sf_dir), "q", "item", "score", "rel", k=10
+    )
+
+
+_SQL_RANKING_SUMMARY = f"""
+WITH perq AS (
+  WITH base AS (
+    SELECT q AS query, item, score, rel
+    FROM ({_SQL_RANKED_EVENTS})
+    WHERE score IS NOT NULL AND NOT isnan(score)
+      AND rel IS NOT NULL AND NOT isnan(rel) AND q IS NOT NULL
+  ), ranked AS (
+    SELECT query, rel,
+           row_number() OVER (PARTITION BY query
+             ORDER BY score DESC NULLS LAST, item ASC) AS pos,
+           row_number() OVER (PARTITION BY query
+             ORDER BY rel DESC NULLS LAST, item ASC) AS ipos,
+           power(2.0, rel) - 1.0 AS gain
+    FROM base
+  )
+  SELECT query, count(*)::BIGINT AS n_items,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+         coalesce(sum(CASE WHEN pos <= 10
+                  THEN gain / log2(pos::DOUBLE + 1.0) END), 0.0) AS dcg,
+         coalesce(sum(CASE WHEN ipos <= 10
+                  THEN gain / log2(ipos::DOUBLE + 1.0) END), 0.0) AS idcg,
+         min(CASE WHEN rel > 0 THEN pos END)::BIGINT AS first_rel,
+         sum(CASE WHEN pos <= 10 AND rel > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS rel_at_k
+  FROM ranked GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_queries,
+       {qround_sql('avg(CASE WHEN idcg > 0 THEN dcg / idcg END)', 6)}
+         AS mean_ndcg,
+       {qround_sql(
+           'avg(CASE WHEN first_rel IS NOT NULL THEN'
+           ' 1.0 / first_rel::DOUBLE END)', 6)} AS mrr,
+       {qround_sql('avg(rel_at_k::DOUBLE / 10.0)', 6)}
+         AS mean_precision_at_k,
+       {qround_sql(
+           'avg(CASE WHEN n_rel > 0 THEN rel_at_k::DOUBLE / n_rel::DOUBLE'
+           ' END)', 6)} AS mean_recall_at_k
+FROM perq
+"""
+
+
+def q_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the full 64-dim and truncated 16-dim
+    cosine top-5 rankings (operators/ranking.py:rbo_overlap): the
+    top-weighted agreement number an ANN/truncation rollout gates on —
+    finer than set recall, no labels needed."""
+    from etdtransform_spark.operators.embeddings import _valid_vectors
+    from etdtransform_spark.operators.ranking import rbo_overlap
+    from etdtransform_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 200)
+    full = cosine_topk(qset, emb, k=5)
+    trunc = cosine_topk(
+        qset.withColumn("embedding", F.slice("embedding", 1, 16)),
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+        k=5,
+    )
+    _ = _valid_vectors  # gate applied inside _t already
+    return rbo_overlap(full, trunc, p=0.9, k=5)
+
+
+def _sql_rbo_topk() -> str:
+    p = 0.9
+    return f"""
+WITH full_k AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0
+                        DESC,
+                      b.vec_id) AS rank
+    FROM {_EMB} a JOIN {_EMB} b
+      ON a.vec_id < 200 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 5
+), trunc_k AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY floor(({_COS_SQL_TRUNC}) * 1000000.0 + 0.5)
+                        / 1000000.0 DESC,
+                      b.vec_id) AS rank
+    FROM {_EMB} a JOIN {_EMB} b
+      ON a.vec_id < 200 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 5
+), matched AS (
+  SELECT f.query_id AS query, greatest(f.rank, t.rank)::BIGINT AS entry
+  FROM full_k f JOIN trunc_k t USING (query_id, neighbor_id)
+), qs AS (
+  SELECT query_id AS query FROM full_k
+  UNION
+  SELECT query_id AS query FROM trunc_k
+), spine AS (
+  SELECT query, d FROM qs, unnest(generate_series(1, 5)) AS u(d)
+), pd AS (
+  SELECT spine.query, d,
+         sum(CASE WHEN entry <= d THEN 1 ELSE 0 END)::BIGINT AS xd
+  FROM spine LEFT JOIN matched ON matched.query = spine.query
+  GROUP BY 1, 2
+)
+SELECT query, max(xd)::BIGINT AS n_matched,
+       {qround_sql(
+           f'sum(({1.0 - p!r})::DOUBLE * power(({p!r})::DOUBLE,'
+           f' d::DOUBLE - 1.0) * xd::DOUBLE / d::DOUBLE)', 6)} AS rbo,
+       {qround_sql(f'({p ** 5!r})::DOUBLE', 6)} AS p_residual
+FROM pd GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -11822,6 +12034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mde_estimate": q_mde_estimate,
         "kfold_assign": q_kfold_assign,
         "streaming_srm_daily": q_streaming_srm_daily,
+        "ndcg_per_query": q_ndcg_per_query,
+        "ranking_summary": q_ranking_summary,
+        "rbo_topk": q_rbo_topk,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -11949,6 +12164,9 @@ def oracle_sql() -> dict[str, str]:
         "mde_estimate": _sql_mde_estimate(),
         "kfold_assign": _SQL_KFOLD,
         "streaming_srm_daily": _sql_streaming_srm(),
+        "ndcg_per_query": _SQL_NDCG,
+        "ranking_summary": _SQL_RANKING_SUMMARY,
+        "rbo_topk": _sql_rbo_topk(),
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

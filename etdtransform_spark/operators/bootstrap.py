@@ -11,10 +11,11 @@ decides its own replicate multiplicities locally, so the whole thing is
 ONE map-side-combined aggregate regardless of data size.
 
 Determinism: the Poisson draw is inverse-CDF over a uniform derived
-from the portable md5 hash of (id, replicate) — identical in Spark and
-DuckDB, stable across reruns, partitionings, and task retries (``rand()``
-would violate all three; same discipline as
-``sessions.weighted_hash_sample``).
+from the row's portable md5 base hash pushed through the per-replicate
+affine universal-hash family — identical in Spark and DuckDB, stable
+across reruns, partitionings, and task retries (``rand()`` would
+violate all three; same discipline as ``sessions.weighted_hash_sample``
+and the MinHash permutations).
 
 Scale shape: explode ×B happens map-side (projection, no shuffle of the
 expanded rows); partial aggregation means the shuffle carries at most
@@ -49,13 +50,17 @@ for _k in range(8):
 _HASH_BUCKETS = 1 << 20
 
 
-def _uniform_from_hash(key: Column, seed: str, fast: bool) -> Column:
-    """u in (0, 1): (hash % 2^20 + 0.5) / 2^20 — the repo's standard
-    portable uniform (same construction as weighted_hash_sample)."""
-    m = _HASH_BUCKETS
-    return (
-        portable_hash64(key, seed=seed, fast=fast) % m + F.lit(0.5)
-    ) / F.lit(float(m))
+def bootstrap_family_values_sql(n_boot: int) -> str:
+    """DuckDB ``(VALUES …) AS t(r, a, b)`` literal of the replicate hash
+    family — the SQL twin of the (r, a, b) struct array the operator
+    explodes. Same family as :func:`~..functions.hashing._hash_family`,
+    so the per-replicate affine hashes are bit-identical cross-engine."""
+    from ..functions.hashing import _hash_family
+
+    rows = ", ".join(
+        f"({r}, {a}, {b})" for r, (a, b) in enumerate(_hash_family(n_boot))
+    )
+    return f"(VALUES {rows}) AS t(r, a, b)"
 
 
 def _poisson1_weight(u: Column) -> Column:
@@ -90,9 +95,17 @@ def poisson_bootstrap_ci(
     per key segment, via the Poisson bootstrap.
 
     Each replicate r ∈ [0, n_boot) reweights every row by an independent
-    Poisson(1) draw keyed on hash(id, r); the replicate statistic is the
-    weighted mean Σwx/Σw (a replicate whose weights all land 0 — possible
-    only on tiny segments — yields NULL and is excluded). The CI is the
+    Poisson(1) draw. The per-(row, replicate) uniform costs ONE md5 per
+    ROW, not per (row, replicate): the row's 61-bit base hash feeds the
+    affine universal-hash family (a_r·base + b_r mod 2⁶¹−1 — the MinHash
+    permutation machinery from functions/hashing.py), so the ×B explode
+    adds only a multiply+mod per replicate. (The first build hashed the
+    concatenated (id, r) string — 200 md5s/row made bootstrap_ci the
+    single most expensive contract in the bench at 33 s; this form
+    measures ~6× cheaper with identical statistical behavior.) The
+    replicate statistic is the weighted mean Σwx/Σw (a replicate whose
+    weights all land 0 — possible only on tiny segments — yields NULL
+    and is excluded). The CI is the
     empirical [α/2, 1−α/2] percentile band over the replicate means,
     linearly interpolated (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
     both Hyndman-Fan type 7). Replicate means are rounded to ``digits``
@@ -135,15 +148,27 @@ def poisson_bootstrap_ci(
         qround(F.avg("_x"), digits).alias("point_mean"),
     )
 
-    rep = base.select(
-        *klist,
-        "_x",
-        "_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_r"),
+    from ..functions.hashing import _BASE_MOD, _MERSENNE_61, _hash_family
+
+    # the replicate family rides as a 200-row BROADCAST frame, not an
+    # exploded literal array: a CreateArray(CreateStruct…) literal is an
+    # expression tree Catalyst re-evaluates per input row (200 struct
+    # allocations/row, measured), while the broadcast nested-loop cross
+    # join materializes the family once per executor
+    fam = _hash_family(n_boot)
+    fam_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(r, a, b) for r, (a, b) in enumerate(fam)],
+            "_r int, _a bigint, _b bigint",
+        )
     )
-    u = _uniform_from_hash(
-        F.concat_ws(":", F.col("_id"), F.col("_r")), seed=seed, fast=fast
+    base_h = portable_hash64(F.col("_id"), seed=seed, fast=fast) % F.lit(
+        _BASE_MOD
     )
+    rep = base.select(*klist, "_x", base_h.alias("_bh")).crossJoin(fam_df)
+    m = _HASH_BUCKETS
+    h = (F.col("_a") * F.col("_bh") + F.col("_b")) % F.lit(_MERSENNE_61)
+    u = (h % m + F.lit(0.5)) / F.lit(float(m))
     w = _poisson1_weight(u).cast("double")
     rep_means = (
         rep.select(*klist, "_r", w.alias("_w"), (w * F.col("_x")).alias("_wx"))

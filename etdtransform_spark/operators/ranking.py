@@ -1,0 +1,240 @@
+"""Ranking-quality evaluation: graded NDCG, reciprocal rank,
+precision/recall@k, and rank-biased overlap between two rankings.
+
+The retrieval half of the evaluation family (operators/evaluation.py
+covers classification/regression/calibration): a pipeline that ranks —
+search results, RAG retrieval, ANN candidates, recommendation slates —
+is judged by position-weighted relevance, not by AUC. RBO additionally
+compares two RANKINGS against each other without any relevance labels,
+which is exactly the question an ANN rollout asks ("how close is the
+IVF ordering to brute force?") — finer-grained than set recall@k
+because it weights agreement at the top.
+
+Scale shapes: every metric is per-query windows over per-query result
+lists (a few × k rows each) + one final aggregate — queries
+parallelize embarrassingly; nothing here ever shuffles more than the
+(query, item) result table that the upstream retriever already
+produced.
+
+No reference counterpart (the reference is an energy ETL); part of the
+beyond-reference LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-query graded ranking metrics at cutoff ``k``: DCG@k / IDCG@k
+    / NDCG@k (gain 2^rel − 1, log2 position discount — the standard
+    graded formulation), reciprocal rank of the first relevant item,
+    and precision/recall@k (an item is "relevant" when rel > 0).
+
+    The ranking is score DESC with item-id ASC tie-break (deterministic
+    cross-engine; NULL/NaN scores carry no ranking evidence and are
+    excluded, as are NULL relevances). IDCG ranks the SAME items by
+    relevance — a query whose results hold no relevant item has
+    IDCG = 0 and NULL ndcg/rr/recall (undefined, not 0: the retriever
+    cannot be graded against an empty ideal).
+
+    Returns one row per query: (query, n_items, n_rel, dcg, idcg, ndcg,
+    rr, precision_at_k, recall_at_k). Two per-query windows + one
+    aggregate; per-query lists are retriever-output-sized (≈ k), so
+    partitions stay small no matter the query count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = F.col(score_col).cast("double")
+    rel = F.col(rel_col).cast("double")
+    base = df.filter(
+        s.isNotNull() & ~F.isnan(s)
+        & rel.isNotNull() & ~F.isnan(rel)
+        & F.col(query_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("query"),
+        F.col(item_col).alias("_item"),
+        s.alias("_s"),
+        rel.alias("_rel"),
+    )
+    w_rank = Window.partitionBy("query").orderBy(
+        F.col("_s").desc(), F.col("_item").asc()
+    )
+    w_ideal = Window.partitionBy("query").orderBy(
+        F.col("_rel").desc(), F.col("_item").asc()
+    )
+    pos = F.row_number().over(w_rank)
+    ipos = F.row_number().over(w_ideal)
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - 1.0
+    ranked = base.select(
+        "query",
+        "_rel",
+        pos.alias("_pos"),
+        ipos.alias("_ipos"),
+        gain.alias("_gain"),
+    )
+    disc = lambda p: F.log2(p.cast("double") + 1.0)  # noqa: E731
+    agg = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("_rel") > 0).cast("bigint")).alias("n_rel"),
+        F.sum(
+            F.when(F.col("_pos") <= k, F.col("_gain") / disc(F.col("_pos")))
+        ).alias("_dcg"),
+        F.sum(
+            F.when(F.col("_ipos") <= k, F.col("_gain") / disc(F.col("_ipos")))
+        ).alias("_idcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_pos"))).alias("_first_rel"),
+        F.sum(
+            ((F.col("_pos") <= k) & (F.col("_rel") > 0)).cast("bigint")
+        ).alias("_rel_at_k"),
+    )
+    dcg = F.coalesce(F.col("_dcg"), F.lit(0.0))
+    idcg = F.coalesce(F.col("_idcg"), F.lit(0.0))
+    return agg.select(
+        "query",
+        "n_items",
+        "n_rel",
+        qround(dcg, digits).alias("dcg"),
+        qround(idcg, digits).alias("idcg"),
+        qround(F.when(idcg > 0, dcg / idcg), digits).alias("ndcg"),
+        qround(
+            F.when(
+                F.col("_first_rel").isNotNull(),
+                1.0 / F.col("_first_rel").cast("double"),
+            ),
+            digits,
+        ).alias("rr"),
+        qround(
+            F.col("_rel_at_k").cast("double") / F.lit(float(k)), digits
+        ).alias("precision_at_k"),
+        qround(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("_rel_at_k").cast("double")
+                / F.col("n_rel").cast("double"),
+            ),
+            digits,
+        ).alias("recall_at_k"),
+    )
+
+
+def ranking_summary(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Corpus-level rollup of :func:`ranking_metrics`: ONE row with
+    query count and mean NDCG@k / MRR / precision@k / recall@k (means
+    skip queries where the metric is undefined — the per-query NULL
+    convention propagates instead of polluting the average with 0s)."""
+    per_q = ranking_metrics(
+        df, query_col, item_col, score_col, rel_col, k=k, digits=None
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        qround(F.avg("ndcg"), digits).alias("mean_ndcg"),
+        qround(F.avg("rr"), digits).alias("mrr"),
+        qround(F.avg("precision_at_k"), digits).alias("mean_precision_at_k"),
+        qround(F.avg("recall_at_k"), digits).alias("mean_recall_at_k"),
+    )
+
+
+def rbo_overlap(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    p: float = 0.9,
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    rankings of the same queries, truncated at depth ``k``:
+    RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_:d ∩ B_:d| / d — top-weighted
+    ranking agreement WITHOUT relevance labels. The question an ANN /
+    index rollout actually asks: how close is the candidate ordering to
+    the exact one, counting the top more than the tail. The truncated
+    sum is reported as-is (no extrapolation residual): it is a lower
+    bound on full RBO, the conservative side for a rollout gate, and
+    the p^k residual mass is reported alongside so callers see the
+    truncation.
+
+    Inputs are (query, item, rank) tables with ranks 1..k (extra depth
+    is ignored). An item's ENTRY DEPTH into the overlap is
+    max(rank_a, rank_b); per query the overlap curve X_d is the
+    cumulative count of entries ≤ d, evaluated on a per-query depth
+    spine of k rows. Everything is per-query dictionary-sized: matched
+    items ≤ k, spine = k.
+
+    Queries present in only ONE ranking get RBO against the empty list
+    — overlap 0 at every depth, rbo = 0 (a retriever that returns
+    nothing for a query the other side answers IS disagreement).
+
+    Returns one row per query: (query, n_matched, rbo) plus constant
+    (p_residual) — and callers average rbo for the corpus number.
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def side(r: DataFrame, out: str) -> DataFrame:
+        return r.filter(F.col(rank_col) <= k).select(
+            F.col(query_col).alias("query"),
+            F.col(item_col).alias("_item"),
+            F.col(rank_col).cast("bigint").alias(out),
+        )
+
+    a = side(ranking_a, "_ra")
+    b = side(ranking_b, "_rb")
+    matched = a.join(b, ["query", "_item"]).select(
+        "query", F.greatest("_ra", "_rb").alias("_entry")
+    )
+    queries = (
+        a.select("query").union(b.select("query")).distinct()
+    )
+    # per-query depth spine d = 1..k; X_d = #entries <= d
+    spine = queries.select(
+        "query",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_d"),
+    )
+    per_depth = spine.join(
+        matched, ["query"], "left"
+    ).groupBy("query", "_d").agg(
+        F.sum(
+            F.when(F.col("_entry") <= F.col("_d"), 1).otherwise(0)
+        ).alias("_xd"),
+    )
+    term = (
+        F.lit(1.0 - p)
+        * F.pow(F.lit(p), F.col("_d").cast("double") - 1.0)
+        * F.col("_xd").cast("double")
+        / F.col("_d").cast("double")
+    )
+    # entry depth <= k always (both sides filtered), so X_k = |A∩B|
+    out = per_depth.groupBy("query").agg(
+        F.max("_xd").alias("_nm"),
+        qround(F.sum(term), digits).alias("rbo"),
+    )
+    return out.select(
+        "query",
+        F.col("_nm").cast("bigint").alias("n_matched"),
+        "rbo",
+        qround(F.lit(float(p ** k)), digits).alias("p_residual"),
+    )

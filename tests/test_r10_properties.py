@@ -687,3 +687,92 @@ def test_streaming_srm_matches_batch(spark, tmp_path):
     assert got[1].srm_detected == 0 and got[2].srm_detected == 1
     with pytest.raises(ValueError):
         streaming_srm_monitor(stream, "arm", "ts", {})
+
+
+# ---------------------------------------------------------------------------
+# ranking metrics
+# ---------------------------------------------------------------------------
+
+def test_ranking_metrics_match_reference(spark):
+    import math
+
+    from etdtransform_spark.operators.ranking import (
+        ranking_metrics,
+        ranking_summary,
+    )
+
+    # one query, hand-checkable: scores rank items a>b>c>d, rels 0,2,1,0
+    rows = [
+        ("q1", "a", 0.9, 0.0),
+        ("q1", "b", 0.8, 2.0),
+        ("q1", "c", 0.7, 1.0),
+        ("q1", "d", 0.6, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "q string, item string, s double, rel double")
+    r = ranking_metrics(df, "q", "item", "s", "rel", k=3, digits=9).collect()[0]
+    dcg = 3.0 / math.log2(3) + 1.0 / math.log2(4)     # b at pos2, c at pos3
+    idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3)    # ideal: b, c first
+    assert r.dcg == pytest.approx(dcg, abs=1e-9)
+    assert r.idcg == pytest.approx(idcg, abs=1e-9)
+    assert r.ndcg == pytest.approx(dcg / idcg, abs=1e-9)
+    assert r.rr == pytest.approx(0.5, abs=1e-9)        # first relevant at 2
+    assert r.precision_at_k == pytest.approx(2 / 3, abs=1e-9)
+    assert r.recall_at_k == pytest.approx(1.0, abs=1e-9)
+    # no relevant items -> NULL ndcg/rr/recall, not 0
+    none = ranking_metrics(
+        spark.createDataFrame(
+            [("q2", "a", 0.9, 0.0)], "q string, item string, s double, rel double"
+        ),
+        "q", "item", "s", "rel", k=3,
+    ).collect()[0]
+    assert none.ndcg is None and none.rr is None and none.recall_at_k is None
+    assert none.precision_at_k == 0.0
+    # summary means skip the undefined query
+    both = df.union(spark.createDataFrame(
+        [("q2", "a", 0.9, 0.0)], "q string, item string, s double, rel double"
+    ))
+    s = ranking_summary(both, "q", "item", "s", "rel", k=3, digits=9).collect()[0]
+    assert s.n_queries == 2
+    assert s.mean_ndcg == pytest.approx(dcg / idcg, abs=1e-9)
+    with pytest.raises(ValueError):
+        ranking_metrics(df, "q", "item", "s", "rel", k=0)
+
+
+def test_rbo_properties(spark):
+    from etdtransform_spark.operators.ranking import rbo_overlap
+
+    a = spark.createDataFrame(
+        [(1, f"i{j}", j) for j in range(1, 6)],
+        "query_id int, neighbor_id string, rank bigint",
+    )
+    # identical lists: RBO@k = (1-p) sum p^(d-1) = 1 - p^k
+    same = rbo_overlap(a, a, p=0.9, k=5, digits=9).collect()[0]
+    assert same.rbo == pytest.approx(1 - 0.9 ** 5, abs=1e-9)
+    assert same.n_matched == 5
+    assert same.p_residual == pytest.approx(0.9 ** 5, abs=1e-9)
+    # disjoint lists: 0
+    b = spark.createDataFrame(
+        [(1, f"x{j}", j) for j in range(1, 6)],
+        "query_id int, neighbor_id string, rank bigint",
+    )
+    assert rbo_overlap(a, b, p=0.9, k=5).collect()[0].rbo == 0.0
+    # reversal: same set, reversed order — RBO strictly between
+    rev = spark.createDataFrame(
+        [(1, f"i{j}", 6 - j) for j in range(1, 6)],
+        "query_id int, neighbor_id string, rank bigint",
+    )
+    mid = rbo_overlap(a, rev, p=0.9, k=5, digits=9).collect()[0]
+    assert 0.0 < mid.rbo < 1 - 0.9 ** 5
+    assert mid.n_matched == 5
+    # symmetric
+    mid2 = rbo_overlap(rev, a, p=0.9, k=5, digits=9).collect()[0]
+    assert mid2.rbo == mid.rbo
+    # query present on one side only -> rbo 0 against the empty list
+    c = spark.createDataFrame(
+        [(2, "z1", 1)], "query_id int, neighbor_id string, rank bigint"
+    )
+    rows = {r.query: r.rbo for r in
+            rbo_overlap(a.union(c), a, p=0.9, k=5).collect()}
+    assert rows[2] == 0.0
+    with pytest.raises(ValueError):
+        rbo_overlap(a, b, p=1.0)
