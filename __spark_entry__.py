@@ -10739,7 +10739,8 @@ WITH base AS (
   FROM rm GROUP BY 1
 )
 SELECT p.event_type, n_rows, point_mean, ci_lo, ci_hi, n_boot_effective
-FROM point p LEFT JOIN ci USING (event_type)
+FROM point p LEFT JOIN ci
+  ON p.event_type IS NOT DISTINCT FROM ci.event_type
 """
 
 

@@ -159,3 +159,28 @@ def word_shingles_sql(expr: str, n: int = 3) -> str:
         f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
     )
+
+
+_UNIFORM_BUCKETS = 1 << 20
+
+
+def hash_uniform(col: Column | str, seed: int | str = 0,
+                 fast: bool = False) -> Column:
+    """Deterministic uniform in (0, 1) from the portable hash:
+    (hash % 2^20 + 0.5) / 2^20 — the single definition of the
+    hash-to-uniform construction (sampling splits, conformal splits,
+    bootstrap bases all share it; keep in lockstep with
+    :func:`hash_uniform_sql`)."""
+    m = _UNIFORM_BUCKETS
+    return (
+        portable_hash64(col, seed=seed, fast=fast) % m + F.lit(0.5)
+    ) / F.lit(float(m))
+
+
+def hash_uniform_sql(expr: str, seed: int | str = 0) -> str:
+    """DuckDB twin of :func:`hash_uniform` (identical op sequence)."""
+    m = _UNIFORM_BUCKETS
+    return (
+        f"((({portable_hash64_sql(expr, seed=seed)}) % {m} + 0.5)"
+        f" / {float(m)!r})"
+    )

@@ -47,7 +47,7 @@ for _k in range(8):
     _acc += math.exp(-1.0) / math.factorial(_k)
     _POISSON1_CDF.append(_acc)
 
-_HASH_BUCKETS = 1 << 20
+from ..functions.hashing import _UNIFORM_BUCKETS as _HASH_BUCKETS
 
 
 def bootstrap_family_values_sql(n_boot: int) -> str:
@@ -188,5 +188,19 @@ def poisson_bootstrap_ci(
         F.count("_rm").alias("n_boot_effective"),
     )
     if klist:
-        return point.join(cis, klist, "left")
+        # null-safe key join: a NULL-key segment is a legitimate group
+        # on both sides (base keeps NULL keys), and EqualTo would
+        # silently discard its CI (seasonal_decompose convention)
+        cond = None
+        for kcol in klist:
+            c = point[kcol].eqNullSafe(cis[kcol])
+            cond = c if cond is None else (cond & c)
+        return point.join(cis, cond, "left").select(
+            *[point[kcol] for kcol in klist],
+            "n_rows",
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+            "n_boot_effective",
+        )
     return point.crossJoin(F.broadcast(cis))  # both 1-row frames

@@ -1097,7 +1097,9 @@ def zipf_fit(
     """
     from ..functions.scalars import qround
 
-    toks = df.select(F.explode(_toks(text_col)).alias("term"))
+    # widen(): a small single-file scan is one partition and the regex
+    # tokenize would run single-threaded (same pattern as vocab_growth)
+    toks = widen(df).select(F.explode(_toks(text_col)).alias("term"))
     freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
     top = freqs.orderBy(
         F.col("freq").desc(), F.col("term").asc()

@@ -303,7 +303,11 @@ def pca_project(
     ordering, covariance reconstruction — tests/test_r10_properties.py).
 
     Output: input columns + ``pc`` array<double> of length
-    n_components, NULL for vectors failing the ingestion gate.
+    n_components — NULL for vectors failing the ingestion gate AND for
+    vectors shorter than ``n_dims`` (a prefix projection against full-
+    length eigenvectors would silently treat the missing dimensions as
+    values; ragged corpora should pick n_dims = the common prefix, the
+    same knob embedding_covariance exposes).
     """
     import numpy as np
 
@@ -363,7 +367,7 @@ def pca_project(
         pcs.append(qround(centered_dot - F.lit(offset), digits))
     gate = (
         F.col(vec_col).isNotNull()
-        & (F.size(F.col(vec_col)) > 0)
+        & (F.size(F.col(vec_col)) >= n_dims)
         & (F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) == 0)
     )
     return df.withColumn("pc", F.when(gate, F.array(*pcs)))

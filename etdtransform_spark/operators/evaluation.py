@@ -1484,16 +1484,11 @@ def split_conformal(
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     if not 0.0 < cal_frac < 1.0:
         raise ValueError(f"cal_frac must be in (0, 1), got {cal_frac}")
-    from ..functions.hashing import portable_hash64
+    from ..functions.hashing import hash_uniform
 
     yhat = F.col(pred_col).cast("double")
     y = F.col(actual_col).cast("double")
-    m = 1 << 20
-    u = (
-        portable_hash64(F.col(id_col).cast("string"), seed=seed, fast=fast)
-        % m
-        + F.lit(0.5)
-    ) / F.lit(float(m))
+    u = hash_uniform(F.col(id_col).cast("string"), seed=seed, fast=fast)
     base = df.filter(
         yhat.isNotNull() & ~F.isnan(yhat)
         & y.isNotNull() & ~F.isnan(y)

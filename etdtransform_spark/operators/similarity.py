@@ -966,48 +966,54 @@ def kmeans_assignment_recall(
     audited operator itself) + one id-equijoin + ONE aggregate — run it
     on a sample in production; cost is 2× one assignment pass.
     """
+    # try/finally so an exception between persist() and the eager
+    # checkpoint cannot pin the cached frame for the session (the same
+    # leak class fixed in preference.transitivity_violations)
     base = _kmeans_base(corpus, id_col, vec_col).persist()
-    cent = [
-        (int(i), [float(x) for x in r["_v"]])
-        for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
-    ]
-    spark = corpus.sparkSession
-    if not cent:
-        base.unpersist()
-        return spark.createDataFrame(
-            [(0, 0, None, True)],
-            "n bigint, n_agree bigint, agreement double, floor_ok boolean",
+    try:
+        cent = [
+            (int(i), [float(x) for x in r["_v"]])
+            for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
+        ]
+        spark = corpus.sparkSession
+        if not cent:
+            return spark.createDataFrame(
+                [(0, 0, None, True)],
+                "n bigint, n_agree bigint, agreement double,"
+                " floor_ok boolean",
+            )
+        full = _kmeans_assign(base, cent).select(
+            F.col("_vid").alias("_fid"), F.col("cluster_id").alias("_cf")
         )
-    full = _kmeans_assign(base, cent).select(
-        F.col("_vid").alias("_fid"), F.col("cluster_id").alias("_cf")
-    )
-    pruned = _kmeans_assign(base, cent, nprobe=nprobe, nlist=nlist).select(
-        F.col("_vid").alias("_pid"), F.col("cluster_id").alias("_cp")
-    )
-    j = full.join(pruned, F.col("_fid") == F.col("_pid"))
-    agg = j.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.count(F.when(F.col("_cf") == F.col("_cp"), 1))
-        .cast("bigint")
-        .alias("n_agree"),
-    )
-    agreement = qround(
-        F.when(
-            F.col("n") > 0,
-            F.col("n_agree").cast("double") / F.col("n").cast("double"),
-        ),
-        digits,
-    )
-    out = agg.select(
-        "n",
-        "n_agree",
-        agreement.alias("agreement"),
-        F.when(F.col("n") > 0, agreement >= F.lit(float(floor)))
-        .otherwise(F.lit(True))
-        .alias("floor_ok"),
-    ).localCheckpoint(eager=True)
-    base.unpersist()
-    return out
+        pruned = _kmeans_assign(
+            base, cent, nprobe=nprobe, nlist=nlist
+        ).select(
+            F.col("_vid").alias("_pid"), F.col("cluster_id").alias("_cp")
+        )
+        j = full.join(pruned, F.col("_fid") == F.col("_pid"))
+        agg = j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(F.col("_cf") == F.col("_cp"), 1))
+            .cast("bigint")
+            .alias("n_agree"),
+        )
+        agreement = qround(
+            F.when(
+                F.col("n") > 0,
+                F.col("n_agree").cast("double") / F.col("n").cast("double"),
+            ),
+            digits,
+        )
+        return agg.select(
+            "n",
+            "n_agree",
+            agreement.alias("agreement"),
+            F.when(F.col("n") > 0, agreement >= F.lit(float(floor)))
+            .otherwise(F.lit(True))
+            .alias("floor_ok"),
+        ).localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
 
 
 def pq_train(

@@ -532,7 +532,8 @@ def token_entropy(
     Returns (id, n_tokens, n_types, entropy, type_token_ratio,
     max_share).
     """
-    toks = df.select(
+    # widen(): keep the regex tokenize parallel on single-file scans
+    toks = widen(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(

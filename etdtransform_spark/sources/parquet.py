@@ -870,17 +870,21 @@ def write_bucketed(
 
 def bucketed_cardinality(spark, table: str) -> DataFrame:
     """Per-bucket row counts of a bucketed table (layout skew audit):
-    reads only the file-to-row-count metadata path — one aggregate over
-    input_file_name(), no shuffle of data columns."""
+    one aggregate over input_file_name(), no shuffle of data columns.
+
+    Bucketed file names are ``part-<taskId>-<uuid>_<bucketId>.c000…`` —
+    the bucket id is the ``_NNNNN`` suffix, NOT the leading part number
+    (that is the writer task id, duplicated across buckets); files of
+    the same bucket written by different tasks re-aggregate here."""
     df = spark.table(table)
     return (
         df.select(F.input_file_name().alias("_f"))
         .groupBy("_f")
         .count()
-        .select(
-            F.regexp_extract(F.col("_f"), r"part-(\d+)", 1)
+        .groupBy(
+            F.regexp_extract(F.col("_f"), r"_(\d+)\.c\d+", 1)
             .cast("int")
-            .alias("bucket_file"),
-            F.col("count").alias("n_rows"),
+            .alias("bucket_id")
         )
+        .agg(F.sum("count").alias("n_rows"))
     )

@@ -776,3 +776,53 @@ def test_rbo_properties(spark):
     assert rows[2] == 0.0
     with pytest.raises(ValueError):
         rbo_overlap(a, b, p=1.0)
+
+
+# ---------------------------------------------------------------------------
+# mid-round code-review closures (pins)
+# ---------------------------------------------------------------------------
+
+def test_bucketed_cardinality_counts_buckets_not_tasks(spark):
+    from etdtransform_spark.sources.parquet import (
+        bucketed_cardinality,
+        write_bucketed,
+    )
+
+    # 3 writer partitions x 4 buckets -> 12 files; the audit must
+    # re-aggregate to 4 per-BUCKET rows summing to the table size
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, x double"
+    ).repartition(3)
+    write_bucketed(df, "t_card_pin", "k", 4, path="/tmp/etd_bucket/t_cp")
+    rows = bucketed_cardinality(spark, "t_card_pin").collect()
+    assert len(rows) == 4
+    assert sorted(r.bucket_id for r in rows) == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in rows) == 100
+
+
+def test_bootstrap_null_key_segment_keeps_its_ci(spark):
+    from etdtransform_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), None if i % 3 else "g") for i in range(60)],
+        "id bigint, x double, k string",
+    )
+    rows = {r.k: r for r in
+            poisson_bootstrap_ci(df, "x", "id", keys=["k"],
+                                 n_boot=20).collect()}
+    assert set(rows) == {"g", None}
+    null_seg = rows[None]
+    assert null_seg.ci_lo is not None and null_seg.n_boot_effective == 20
+
+
+def test_pca_project_short_vectors_get_null_pc(spark):
+    from etdtransform_spark.operators.embeddings import pca_project
+
+    base = _toy_embeddings(spark)
+    short = base.union(spark.createDataFrame(
+        [(999, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    ))
+    out = {r.vec_id: r.pc for r in
+           pca_project(short, n_components=2, n_dims=6).collect()}
+    assert out[999] is None               # shorter than n_dims: NULL pc
+    assert out[0] is not None and all(v is not None for v in out[0])
