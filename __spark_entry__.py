@@ -11779,6 +11779,134 @@ FROM pd GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# round 10: drift localization + concentration curve + join pre-flight
+# ---------------------------------------------------------------------------
+
+_QQ_LEVELS = [(i - 0.5) / 10 for i in range(1, 11)]
+
+
+def q_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift table, click vs view values
+    (operators/stats.py:qq_table): ONE filtered-percentile aggregate
+    produces both quantile arrays; the grid explode is model-sized."""
+    from etdtransform_spark.operators.stats import qq_table
+
+    ev = _t(spark, sf_dir, "events")
+    return qq_table(ev, "value", "event_type", "click", "view", n_q=10)
+
+
+_SQL_QQ_DRIFT = f"""
+WITH base AS (
+  SELECT value::DOUBLE AS x, event_type AS s
+  FROM {_EV}
+  WHERE event_type IN ('click', 'view')
+    AND value IS NOT NULL AND NOT isnan(value)
+), arr AS (
+  SELECT quantile_cont(CASE WHEN s = 'click' THEN x END,
+                       [{", ".join(repr(p) for p in _QQ_LEVELS)}]) AS qa,
+         quantile_cont(CASE WHEN s = 'view' THEN x END,
+                       [{", ".join(repr(p) for p in _QQ_LEVELS)}]) AS qb
+  FROM base
+)
+SELECT i::BIGINT AS i, {qround_sql('lv', 6)} AS level,
+       {qround_sql('qa[i]', 6)} AS q_a,
+       {qround_sql('qb[i]', 6)} AS q_b,
+       {qround_sql('qb[i] - qa[i]', 6)} AS gap
+FROM arr, (VALUES {", ".join(
+    f"({i + 1}, {p!r})" for i, p in enumerate(_QQ_LEVELS)
+)}) AS t(i, lv)
+"""
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of event values, thinned to a 10-cell
+    population-share grid (operators/stats.py:lorenz_curve): one count
+    aggregate + one distinct-value window + the exact BIGINT-div
+    grid-crossing filter."""
+    from etdtransform_spark.operators.stats import lorenz_curve
+
+    ev = _t(spark, sf_dir, "events")
+    return lorenz_curve(ev, "value", n_points=10)
+
+
+_SQL_LORENZ = f"""
+WITH counts AS (
+  SELECT value::DOUBLE AS v, count(*)::BIGINT AS c
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0
+  GROUP BY 1
+), cum AS (
+  SELECT v, c,
+         sum(c) OVER w AS cn, sum(v * c) OVER w AS cs,
+         sum(c) OVER () AS n, sum(v * c) OVER () AS s
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT {qround_sql('cn::DOUBLE / n::DOUBLE', 6)} AS pop_share,
+       {qround_sql('cs / s', 6)} AS value_share,
+       {qround_sql('v', 6)} AS value
+FROM cum
+WHERE s > 0 AND ((cn * 10) // n > ((cn - c) * 10) // n OR cn = n)
+"""
+
+
+def q_join_key_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pre-flight profile of orders ⋈ customer on custkey
+    (operators/skew.py:join_key_health): per-side key aggregates + a
+    COUNT-table equijoin — exact output cardinality and hotspot share
+    before any data-sized join runs."""
+    from etdtransform_spark.operators.skew import join_key_health
+
+    return join_key_health(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+_SQL_JOIN_KEY_HEALTH = """
+WITH lc AS (
+  SELECT o_custkey AS k, count(*)::BIGINT AS cl
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+), rc AS (
+  SELECT c_custkey AS k, count(*)::BIGINT AS cr
+  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1
+), lt AS (
+  SELECT count(*)::BIGINT AS n_l,
+         coalesce(sum((o_custkey IS NULL)::BIGINT), 0)::BIGINT AS null_l
+  FROM orders
+), rt AS (
+  SELECT count(*)::BIGINT AS n_r,
+         coalesce(sum((c_custkey IS NULL)::BIGINT), 0)::BIGINT AS null_r
+  FROM customer
+), lagg AS (
+  SELECT count(*)::BIGINT AS distinct_l,
+         coalesce(max(cl), 0)::BIGINT AS max_mult_l FROM lc
+), ragg AS (
+  SELECT count(*)::BIGINT AS distinct_r,
+         coalesce(max(cr), 0)::BIGINT AS max_mult_r FROM rc
+), jagg AS (
+  SELECT coalesce(sum(cl * cr), 0)::BIGINT AS est_output_rows,
+         max(cl * cr) AS top
+  FROM lc JOIN rc USING (k)
+)
+SELECT n_l AS n_left, n_r AS n_right, null_l AS null_left,
+       null_r AS null_right, distinct_l AS distinct_left,
+       distinct_r AS distinct_right, max_mult_l AS max_mult_left,
+       max_mult_r AS max_mult_right, est_output_rows,
+       floor(CASE WHEN est_output_rows > 0
+             THEN top::DOUBLE / est_output_rows::DOUBLE END
+             * 1000000.0 + 0.5) / 1000000.0 AS top_key_share,
+       floor(CASE WHEN greatest(n_l, n_r) > 0
+             THEN est_output_rows::DOUBLE / greatest(n_l, n_r)::DOUBLE END
+             * 1000000.0 + 0.5) / 1000000.0 AS amplification
+FROM lt, rt, lagg, ragg, jagg
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -12038,6 +12166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_per_query": q_ndcg_per_query,
         "ranking_summary": q_ranking_summary,
         "rbo_topk": q_rbo_topk,
+        "qq_drift": q_qq_drift,
+        "lorenz_curve": q_lorenz_curve,
+        "join_key_health": q_join_key_health,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -12168,6 +12299,9 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_per_query": _SQL_NDCG,
         "ranking_summary": _SQL_RANKING_SUMMARY,
         "rbo_topk": _sql_rbo_topk(),
+        "qq_drift": _SQL_QQ_DRIFT,
+        "lorenz_curve": _SQL_LORENZ,
+        "join_key_health": _SQL_JOIN_KEY_HEALTH,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -163,3 +163,91 @@ def skew_profile(
             "suggested_salt"
         ),
     )
+
+
+def join_key_health(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Pre-flight profile of an equi-join's key columns — the numbers
+    to read BEFORE launching the join at 100 TB: null rates (rows that
+    silently drop from an inner join), distinct counts (broadcast or
+    shuffle?), the maximum per-key multiplicity on each side, the EXACT
+    join output cardinality Σ_k cnt_l(k)·cnt_r(k), and the share of
+    that output owned by the single heaviest key (the one-reducer
+    hotspot a salt or AQE skew split must handle).
+
+    Shape: one (key) count aggregate per side, an equi-join of the two
+    COUNT tables (distinct-key-sized, not data-sized), one rollup.
+    NULL keys never match in an equi-join, so they are profiled
+    (null_left/null_right) but excluded from the cardinality math.
+
+    Returns ONE row: (n_left, n_right, null_left, null_right,
+    distinct_left, distinct_right, max_mult_left, max_mult_right,
+    est_output_rows, top_key_share, amplification) — amplification =
+    output rows / max(input sides); NULL when the join output is empty.
+    """
+    def side(df: DataFrame, key: str, tag: str):
+        kc = F.col(key)
+        counts = (
+            df.filter(kc.isNotNull())
+            .groupBy(kc.alias("_k"))
+            .agg(F.count(F.lit(1)).alias(f"_c{tag}"))
+        )
+        totals = df.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(kc.isNull().cast("bigint")).alias(f"null_{tag}"),
+        )
+        return counts, totals
+
+    lc, lt = side(left, left_key, "l")
+    rc, rt = side(right, right_key, "r")
+    joined = lc.join(rc, lc["_k"] == rc["_k"]).select(
+        (F.col("_cl") * F.col("_cr")).alias("_out")
+    )
+    jagg = joined.agg(
+        F.coalesce(F.sum("_out"), F.lit(0)).cast("bigint")
+        .alias("est_output_rows"),
+        F.max("_out").alias("_top"),
+    )
+    lagg = lc.agg(
+        F.count(F.lit(1)).alias("distinct_l"),
+        F.max("_cl").alias("max_mult_l"),
+    )
+    ragg = rc.agg(
+        F.count(F.lit(1)).alias("distinct_r"),
+        F.max("_cr").alias("max_mult_r"),
+    )
+    row = (
+        lt.crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(lagg))
+        .crossJoin(F.broadcast(ragg))
+        .crossJoin(F.broadcast(jagg))
+    )
+    out = F.col("est_output_rows").cast("double")
+    return row.select(
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        F.coalesce(F.col("null_l"), F.lit(0)).alias("null_left"),
+        F.coalesce(F.col("null_r"), F.lit(0)).alias("null_right"),
+        F.coalesce(F.col("distinct_l"), F.lit(0)).alias("distinct_left"),
+        F.coalesce(F.col("distinct_r"), F.lit(0)).alias("distinct_right"),
+        F.coalesce(F.col("max_mult_l"), F.lit(0)).cast("bigint")
+        .alias("max_mult_left"),
+        F.coalesce(F.col("max_mult_r"), F.lit(0)).cast("bigint")
+        .alias("max_mult_right"),
+        F.col("est_output_rows"),
+        qround(
+            F.when(out > 0, F.col("_top").cast("double") / out), digits
+        ).alias("top_key_share"),
+        qround(
+            F.when(
+                F.greatest(F.col("n_l"), F.col("n_r")) > 0,
+                out / F.greatest(F.col("n_l"), F.col("n_r")).cast("double"),
+            ),
+            digits,
+        ).alias("amplification"),
+    )

@@ -1885,3 +1885,120 @@ def spearman_corr(
         / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return agg.select("n", qround(rho, digits).alias("rho"))
+
+
+def qq_table(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    sample_a,
+    sample_b,
+    n_q: int = 20,
+    digits: int = 6,
+) -> DataFrame:
+    """Quantile-quantile drift table between two samples: the exact
+    quantiles of both distributions on a common mid-point level grid
+    ((i−0.5)/n_q) plus their gap — the table behind a QQ plot, and the
+    WHERE of a drift alarm (:func:`ks_2samp` says "they differ",
+    this says "in the upper tail, by this much").
+
+    One aggregate: both sides' quantile ARRAYS come from a single
+    filtered-percentile pass (Spark ``percentile(x, array(levels))`` ≡
+    DuckDB ``quantile_cont(x, [levels])``, both type-7 interpolation),
+    then a posexplode of the two model-sized arrays. At 100 TB swap the
+    exact percentile for ``percentile_approx`` — same shape, documented
+    trade as winsorize. Empty sides yield NULL quantiles (drift against
+    nothing is undefined). Returns (i, level, q_a, q_b, gap).
+    """
+    if n_q < 1:
+        raise ValueError(f"n_q must be >= 1, got {n_q}")
+    levels = [(i - 0.5) / n_q for i in range(1, n_q + 1)]
+    x = F.col(value_col).cast("double")
+    in_a = F.col(sample_col) == sample_a
+    in_b = F.col(sample_col) == sample_b
+    base = df.filter((in_a | in_b) & x.isNotNull() & ~F.isnan(x))
+    arr = base.agg(
+        F.percentile(
+            F.when(in_a, x), F.array(*[F.lit(p) for p in levels])
+        ).alias("_qa"),
+        F.percentile(
+            F.when(in_b, x), F.array(*[F.lit(p) for p in levels])
+        ).alias("_qb"),
+    )
+    lv = F.array(*[F.lit(p) for p in levels])
+    grid = arr.select(
+        F.posexplode(lv).alias("_i", "level"),
+        F.col("_qa"),
+        F.col("_qb"),
+    )
+    qa = F.element_at(F.col("_qa"), F.col("_i") + 1)
+    qb = F.element_at(F.col("_qb"), F.col("_i") + 1)
+    return grid.select(
+        (F.col("_i") + 1).cast("bigint").alias("i"),
+        qround(F.col("level"), digits).alias("level"),
+        qround(qa, digits).alias("q_a"),
+        qround(qb, digits).alias("q_b"),
+        qround(qb - qa, digits).alias("gap"),
+    )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col: str,
+    n_points: int = 20,
+    digits: int = 6,
+) -> DataFrame:
+    """Lorenz curve table — the curve behind :func:`gini_coefficient`:
+    cumulative share of the total quantity vs cumulative population
+    share, thinned to ≈ ``n_points`` grid-crossing rows (the exact
+    rank-grid trick from the ROC thinning: keep a row iff it crosses a
+    population-share grid cell, so the result is an exact SUBSET of the
+    full curve with bounded size at any data volume).
+
+    Shape: one (value) count aggregate (map-side combined), one window
+    over the DISTINCT-VALUE table (ascending values), then the
+    grid-crossing filter. NULL/negative values are excluded (same
+    support rule as gini); an all-zero total yields no rows. Returns
+    (pop_share, value_share, value) ascending.
+    """
+    if n_points < 1:
+        raise ValueError(f"n_points must be >= 1, got {n_points}")
+    x = F.col(value_col).cast("double")
+    # NaN would pass x >= 0 in BOTH engines (largest-value comparison
+    # semantics) and poison every cumulative — no measurement evidence
+    counts = (
+        df.filter(x.isNotNull() & ~F.isnan(x) & (x >= 0))
+        .groupBy(x.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "_v",
+        "_c",
+        F.sum("_c").over(w).alias("_cn"),
+        F.sum(F.col("_v") * F.col("_c")).over(w).alias("_cs"),
+        F.sum("_c").over(w_all).alias("_n"),
+        F.sum(F.col("_v") * F.col("_c")).over(w_all).alias("_s"),
+    )
+    # keep rows whose cumulative population count crosses a grid cell
+    # (pure BIGINT div — the _thin_curve discipline), always keep the
+    # last row so the curve ends at (1, 1)
+    m = n_points
+    crosses = F.expr(f"(_cn * {m}) div _n") > F.expr(
+        f"((_cn - _c) * {m}) div _n"
+    )
+    kept = cum.filter(
+        (F.col("_s") > 0) & (crosses | (F.col("_cn") == F.col("_n")))
+    )
+    return kept.select(
+        qround(
+            F.col("_cn").cast("double") / F.col("_n").cast("double"), digits
+        ).alias("pop_share"),
+        qround(F.col("_cs") / F.col("_s"), digits).alias("value_share"),
+        qround(F.col("_v"), digits).alias("value"),
+    )

@@ -826,3 +826,86 @@ def test_pca_project_short_vectors_get_null_pc(spark):
            pca_project(short, n_components=2, n_dims=6).collect()}
     assert out[999] is None               # shorter than n_dims: NULL pc
     assert out[0] is not None and all(v is not None for v in out[0])
+
+
+# ---------------------------------------------------------------------------
+# QQ table, Lorenz curve, join pre-flight
+# ---------------------------------------------------------------------------
+
+def test_qq_table_identical_samples_have_zero_gap(spark):
+    from etdtransform_spark.operators.stats import qq_table
+
+    rows = [(float(i % 50), s) for i in range(200) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "x double, s string")
+    out = qq_table(df, "x", "s", "a", "b", n_q=8, digits=9).collect()
+    assert len(out) == 8
+    assert all(r.gap == 0.0 for r in out)
+    assert [r.level for r in out] == sorted(r.level for r in out)
+    # shifted sample: constant positive gap
+    sh = spark.createDataFrame(
+        [(float(i % 50), "a") for i in range(200)]
+        + [(float(i % 50) + 5.0, "b") for i in range(200)],
+        "x double, s string",
+    )
+    out2 = qq_table(sh, "x", "s", "a", "b", n_q=8, digits=9).collect()
+    assert all(r.gap == pytest.approx(5.0, abs=1e-9) for r in out2)
+    with pytest.raises(ValueError):
+        qq_table(df, "x", "s", "a", "b", n_q=0)
+
+
+def test_lorenz_curve_shapes(spark):
+    from etdtransform_spark.operators.stats import lorenz_curve
+
+    # perfectly equal values: lorenz = diagonal at every grid point
+    eq = spark.createDataFrame([(7.0,)] * 100, "x double")
+    # equal values collapse to ONE distinct-value row: the whole curve
+    # is the single point (1, 1)
+    rows = lorenz_curve(eq, "x", n_points=10, digits=9).collect()
+    assert len(rows) == 1
+    assert rows[0].pop_share == 1.0 and rows[0].value_share == 1.0
+    # distinct uniform values: value_share < pop_share strictly inside
+    uni = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                "x double")
+    rows = sorted(lorenz_curve(uni, "x", n_points=10, digits=9).collect())
+    assert rows[-1].pop_share == 1.0 and rows[-1].value_share == 1.0
+    inner = [r for r in rows if r.pop_share < 1.0]
+    assert inner and all(r.value_share < r.pop_share for r in inner)
+    # python replica at each kept point
+    tot = sum(range(1, 101))
+    for r in rows:
+        k = round(r.pop_share * 100)
+        assert r.value_share == pytest.approx(
+            sum(range(1, k + 1)) / tot, abs=1e-9)
+    # all-zero total: no rows
+    assert lorenz_curve(
+        spark.createDataFrame([(0.0,)] * 5, "x double"), "x"
+    ).collect() == []
+
+
+def test_join_key_health_exact_cardinality(spark):
+    from etdtransform_spark.operators.skew import join_key_health
+
+    left = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] * 2 + [(None,)] * 4 + [(9,)],
+        "k bigint",
+    )
+    right = spark.createDataFrame(
+        [(1,)] * 5 + [(2,)] * 1 + [(None,)] * 2 + [(7,)],
+        "k bigint",
+    )
+    r = join_key_health(left, right, "k", "k").collect()[0]
+    assert (r.n_left, r.n_right) == (10, 9)
+    assert (r.null_left, r.null_right) == (4, 2)
+    assert (r.distinct_left, r.distinct_right) == (3, 3)
+    assert (r.max_mult_left, r.max_mult_right) == (3, 5)
+    assert r.est_output_rows == 3 * 5 + 2 * 1  # = 17, the true inner size
+    assert left.join(right, "k").count() == 17
+    assert r.top_key_share == pytest.approx(15 / 17, abs=1e-6)
+    assert r.amplification == pytest.approx(1.7, abs=1e-6)
+    # disjoint keys -> 0 output, NULL ratios
+    d = join_key_health(
+        spark.createDataFrame([(1,)], "k bigint"),
+        spark.createDataFrame([(2,)], "k bigint"), "k", "k",
+    ).collect()[0]
+    assert d.est_output_rows == 0 and d.top_key_share is None
+    assert d.amplification == 0.0
