@@ -11907,6 +11907,77 @@ FROM lt, rt, lagg, ragg, jagg
 
 
 # ---------------------------------------------------------------------------
+# round 10: layout maintenance + per-group weighted sampling
+# ---------------------------------------------------------------------------
+
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round-trip
+    (sources/parquet.py:compact_parquet): fragment events into ~40
+    small files, compact back to the target size, and aggregate the
+    COMPACTED dataset — the oracle aggregates the original table, so
+    any row lost/duplicated/mutated by the rewrite fails the hash.
+    File-count/size assertions live in the unit test."""
+    import hashlib
+
+    from etdtransform_spark.sources.parquet import compact_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    frag = f"/tmp/etd_compact/frag_{tag}"
+    dst = f"/tmp/etd_compact/out_{tag}"
+    ev = _t(spark, sf_dir, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, dst, target_mb=64)
+    out = spark.read.parquet(dst)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        qround(F.sum("value"), 4).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+_SQL_COMPACTION = f"""
+SELECT event_type, count(*)::BIGINT AS n,
+       {qround_sql('sum(value)', 4)} AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM {_EV} GROUP BY 1
+"""
+
+
+def q_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Efraimidis-Spirakis weighted sample
+    (operators/sessions.py:weighted_stratified_sample): 5 events per
+    event_type, weight |value|+1, hash-derived uniforms — each group
+    ranks independently inside its shuffle partition."""
+    from etdtransform_spark.operators.sessions import (
+        weighted_stratified_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = weighted_stratified_sample(
+        ev, "event_id", F.abs(F.col("value")) + 1.0, ["event_type"], k=5
+    )
+    return out.select("event_type", "event_id", "value", "es_key")
+
+
+_WSS_HASH = portable_hash64_sql("event_id::VARCHAR", seed="wssample")
+_SQL_WEIGHTED_STRATIFIED = f"""
+SELECT event_type, event_id, value, es_key FROM (
+  SELECT event_type, event_id, value,
+         {qround_sql(
+             f'ln((({_WSS_HASH}) % 1048576 + 0.5) / 1048576.0)'
+             ' / (abs(value) + 1.0)', 9)} AS es_key,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {qround_sql(
+               f'ln((({_WSS_HASH}) % 1048576 + 0.5) / 1048576.0)'
+               ' / (abs(value) + 1.0)', 9)} DESC, event_id ASC
+         ) AS wr
+  FROM {_EV} WHERE value IS NOT NULL AND event_id IS NOT NULL
+) WHERE wr <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -12169,6 +12240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qq_drift": q_qq_drift,
         "lorenz_curve": q_lorenz_curve,
         "join_key_health": q_join_key_health,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "weighted_stratified": q_weighted_stratified,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -12302,6 +12375,8 @@ def oracle_sql() -> dict[str, str]:
         "qq_drift": _SQL_QQ_DRIFT,
         "lorenz_curve": _SQL_LORENZ,
         "join_key_health": _SQL_JOIN_KEY_HEALTH,
+        "compaction_roundtrip": _SQL_COMPACTION,
+        "weighted_stratified": _SQL_WEIGHTED_STRATIFIED,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

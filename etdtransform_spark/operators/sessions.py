@@ -282,3 +282,48 @@ def kfold_assign(
     c = F.col(key) if isinstance(key, str) else key
     h = portable_hash64(c.cast("string"), seed=seed, fast=fast)
     return df.withColumn("fold", (h % k).cast("int"))
+
+
+def weighted_stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    group_cols: list[str],
+    k: int,
+    seed: str = "wssample",
+    fast: bool = False,
+) -> DataFrame:
+    """Per-group weighted sample without replacement: the
+    Efraimidis-Spirakis scheme of :func:`weighted_hash_sample`, ranked
+    WITHIN each group — min(k, group size) rows per group with
+    inclusion probability proportional to weight, deterministic across
+    engines/reruns/retries (hash-derived uniforms, no RNG).
+
+    Per-group window instead of the global TakeOrdered: each group
+    sorts independently inside its shuffle partition, so the operator
+    scales with the largest GROUP, not the table. Weights must be
+    strictly positive; NULL keys/weights drop (no rankable evidence).
+    """
+    from ..functions.scalars import qround
+
+    c = F.col(key) if isinstance(key, str) else key
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    m = 1 << 20
+    u = (
+        portable_hash64(c.cast("string"), seed=seed, fast=fast) % m
+        + F.lit(0.5)
+    ) / F.lit(float(m))
+    es_key = qround(F.log(u) / w, 9)
+    ranked = (
+        df.filter(c.isNotNull() & w.isNotNull() & (w > 0))
+        .withColumn("es_key", es_key)
+        .withColumn(
+            "_wr",
+            F.row_number().over(
+                Window.partitionBy(*group_cols).orderBy(
+                    F.col("es_key").desc(), c.asc()
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("_wr") <= k).drop("_wr")

@@ -888,3 +888,65 @@ def bucketed_cardinality(spark, table: str) -> DataFrame:
         )
         .agg(F.sum("count").alias("n_rows"))
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+) -> str:
+    """Small-files compaction — the layout-maintenance pass every
+    long-lived 100 TB table needs: streaming/incremental writers leave
+    thousands of KB-scale files whose per-file open/footer/task overhead
+    eventually dominates scans. Rewrites the dataset into
+    ceil(total_bytes / target_mb) evenly-sized files via a round-robin
+    repartition (one full shuffle of the data being compacted — the
+    price of even output; run it per partition directory in production
+    so the unit of work is bounded).
+
+    File sizing reads parquet FOOTER metadata only (pyarrow dataset
+    listing, no data scan). Returns dst_path.
+    """
+    import math
+
+    import pyarrow.dataset as ds
+
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    dataset = ds.dataset(src_path, format="parquet")
+    import os
+
+    total = sum(os.path.getsize(f) for f in dataset.files)
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(src_path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    return dst_path
+
+
+def compaction_audit(spark, path: str) -> DataFrame:
+    """File-count / size spread of a parquet dataset (metadata only):
+    ONE row (n_files, total_bytes, min_bytes, max_bytes, avg_bytes) —
+    the before/after check for :func:`compact_parquet`."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    files = ds.dataset(path, format="parquet").files
+    sizes = [int(os.path.getsize(f)) for f in files]
+    rows = [(
+        len(sizes),
+        int(sum(sizes)),
+        min(sizes) if sizes else None,
+        max(sizes) if sizes else None,
+        float(sum(sizes)) / len(sizes) if sizes else None,
+    )]
+    return spark.createDataFrame(
+        rows,
+        "n_files bigint, total_bytes bigint, min_bytes bigint,"
+        " max_bytes bigint, avg_bytes double",
+    )

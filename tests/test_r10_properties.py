@@ -909,3 +909,70 @@ def test_join_key_health_exact_cardinality(spark):
     ).collect()[0]
     assert d.est_output_rows == 0 and d.top_key_share is None
     assert d.amplification == 0.0
+
+
+# ---------------------------------------------------------------------------
+# compaction + per-group weighted sampling
+# ---------------------------------------------------------------------------
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from etdtransform_spark.sources.parquet import (
+        compact_parquet,
+        compaction_audit,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(5000)], "k bigint, x double"
+    )
+    df.repartition(40).write.parquet(src)
+    before = compaction_audit(spark, src).collect()[0]
+    assert before.n_files == 40
+    compact_parquet(spark, src, dst, target_mb=64)
+    after = compaction_audit(spark, dst).collect()[0]
+    assert after.n_files == 1  # tiny table folds to one file
+    # content preserved exactly
+    a = sorted(r.k for r in spark.read.parquet(dst).collect())
+    assert a == list(range(5000))
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, dst, target_mb=0)
+
+
+def test_weighted_stratified_sample_properties(spark):
+    from etdtransform_spark.operators.sessions import (
+        weighted_hash_sample,
+        weighted_stratified_sample,
+    )
+
+    rows = [(i, f"g{i % 3}", float(i % 11) + 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, g string, w double")
+    out = weighted_stratified_sample(df, "id", "w", ["g"], k=7,
+                                     seed="wssample")
+    got = out.collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r.id)
+    assert set(by_g) == {"g0", "g1", "g2"}
+    assert all(len(v) == 7 for v in by_g.values())
+    # deterministic under repartition
+    out2 = weighted_stratified_sample(
+        df.repartition(9), "id", "w", ["g"], k=7, seed="wssample"
+    ).collect()
+    assert sorted((r.g, r.id) for r in got) == sorted(
+        (r.g, r.id) for r in out2)
+    # single group == the global top-k sampler restricted to that group
+    one = df.filter("g = 'g0'")
+    a = sorted(r.id for r in weighted_stratified_sample(
+        one, "id", "w", ["g"], k=7, seed="s2").collect())
+    b = sorted(r.id for r in weighted_hash_sample(
+        one, "id", "w", k=7, seed="s2").collect())
+    assert a == b
+    # NULL weight / non-positive weight rows never sampled
+    dirty = df.union(spark.createDataFrame(
+        [(900, "g0", None), (901, "g0", 0.0), (902, "g0", -1.0)],
+        "id bigint, g string, w double",
+    ))
+    ids = {r.id for r in weighted_stratified_sample(
+        dirty, "id", "w", ["g"], k=100).collect()}
+    assert {900, 901, 902}.isdisjoint(ids)
