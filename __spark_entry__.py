@@ -11977,6 +11977,89 @@ SELECT event_type, event_id, value, es_key FROM (
 """
 
 
+def q_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2-style clipped n-gram overlap
+    (operators/evaluation.py:ngram_overlap_scores): each document
+    scored against its doc_id-successor as a deterministic (ref, cand)
+    pair fixture — two (id, gram) count aggregates + one equijoin,
+    shuffles carry counts, never text."""
+    from etdtransform_spark.operators.evaluation import ngram_overlap_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    w = Window.orderBy(F.col("doc_id").asc())
+    pairs = docs.select(
+        F.col("doc_id").alias("pid"),
+        F.col("text").alias("ref"),
+        F.lead("text").over(w).alias("cand"),
+    )
+    return ngram_overlap_scores(pairs, "ref", "cand", "pid", n=2)
+
+
+_SQL_ROUGE = """
+WITH pairs AS (
+  SELECT doc_id AS id, text AS ref,
+         lead(text) OVER (ORDER BY doc_id NULLS FIRST) AS cand
+  FROM documents WHERE doc_id IS NOT NULL
+), base AS (
+  SELECT id, ref, cand FROM pairs
+  WHERE ref IS NOT NULL AND cand IS NOT NULL
+), rg AS (
+  SELECT id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+  FROM (SELECT id,
+               list_filter(regexp_split_to_array(ref, '\\s+'),
+                           x -> x <> '') AS t
+        FROM base),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), cg AS (
+  SELECT id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+  FROM (SELECT id,
+               list_filter(regexp_split_to_array(cand, '\\s+'),
+                           x -> x <> '') AS t
+        FROM base),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), refc AS (SELECT id, g, count(*)::BIGINT AS cr FROM rg GROUP BY 1, 2),
+candc AS (SELECT id, g, count(*)::BIGINT AS ccn FROM cg GROUP BY 1, 2),
+merged AS (
+  SELECT coalesce(refc.id, candc.id) AS id,
+         coalesce(cr, 0) AS cr, coalesce(ccn, 0) AS ccn
+  FROM refc FULL JOIN candc
+    ON refc.id = candc.id AND refc.g = candc.g
+), per_id AS (
+  SELECT id, sum(cr)::BIGINT AS ref_grams, sum(ccn)::BIGINT AS cand_grams,
+         sum(least(cr, ccn))::BIGINT AS overlap
+  FROM merged GROUP BY 1
+), filled AS (
+  SELECT base.id,
+         coalesce(ref_grams, 0)::BIGINT AS ref_grams,
+         coalesce(cand_grams, 0)::BIGINT AS cand_grams,
+         coalesce(overlap, 0)::BIGINT AS overlap
+  FROM (SELECT DISTINCT id FROM base) base
+  LEFT JOIN per_id ON base.id = per_id.id
+)
+SELECT id, ref_grams, cand_grams, overlap,
+       floor(CASE WHEN cand_grams > 0
+             THEN overlap::DOUBLE / cand_grams::DOUBLE END
+             * 1000000.0 + 0.5) / 1000000.0 AS precision,
+       floor(CASE WHEN ref_grams > 0
+             THEN overlap::DOUBLE / ref_grams::DOUBLE END
+             * 1000000.0 + 0.5) / 1000000.0 AS recall,
+       floor(CASE WHEN cand_grams > 0 AND ref_grams > 0 THEN
+               CASE WHEN (overlap::DOUBLE / cand_grams::DOUBLE
+                          + overlap::DOUBLE / ref_grams::DOUBLE) > 0
+                    THEN 2.0 * (overlap::DOUBLE / cand_grams::DOUBLE)
+                         * (overlap::DOUBLE / ref_grams::DOUBLE)
+                         / (overlap::DOUBLE / cand_grams::DOUBLE
+                            + overlap::DOUBLE / ref_grams::DOUBLE)
+                    ELSE 0.0 END
+             END * 1000000.0 + 0.5) / 1000000.0 AS f1
+FROM filled
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12242,6 +12325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_key_health": q_join_key_health,
         "compaction_roundtrip": q_compaction_roundtrip,
         "weighted_stratified": q_weighted_stratified,
+        "rouge_bigram": q_rouge_bigram,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,
@@ -12377,6 +12461,7 @@ def oracle_sql() -> dict[str, str]:
         "join_key_health": _SQL_JOIN_KEY_HEALTH,
         "compaction_roundtrip": _SQL_COMPACTION,
         "weighted_stratified": _SQL_WEIGHTED_STRATIFIED,
+        "rouge_bigram": _SQL_ROUGE,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

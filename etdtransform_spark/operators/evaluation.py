@@ -1537,3 +1537,118 @@ def split_conformal(
             2.0 * F.coalesce(F.col("_q"), F.col("_q2")), digits
         ).alias("avg_width"),
     )
+
+
+def ngram_overlap_scores(
+    df: DataFrame,
+    ref_col: str,
+    cand_col: str,
+    id_col: str,
+    n: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """ROUGE-N-style n-gram overlap between a reference and a candidate
+    text per row: clipped-count precision / recall / F1 over word
+    n-gram MULTISETS (each candidate gram credits at most its count in
+    the reference — the standard clipping that stops "the the the"
+    gaming precision). The text-generation eval primitive (summaries,
+    rewrites, distillation targets) the classification metrics here
+    don't cover.
+
+    Shape: per side, tokenize + positional n-gram explode + ONE
+    (id, gram) count aggregate; overlap = equijoin of the two count
+    tables on (id, gram) with min(count) — shuffles carry (id, gram,
+    count), never text. Rows parallelize embarrassingly by id.
+
+    Evidence rules: a row missing either text yields no row; a row
+    where either side has zero n-grams (shorter than n tokens) yields
+    NULL scores with the gram counts visible (undefined, not 0 — the
+    caller decides whether an empty candidate scores 0).
+
+    Returns (id, ref_grams, cand_grams, overlap, precision, recall, f1).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def gram_counts(col_name: str, tag: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.col(col_name), r"\s+"), lambda x: x != F.lit("")
+        )
+        # let-bind the token array (single-element transform) so the
+        # split runs once per row, not once per gram — the
+        # word_shingles discipline
+        grams = F.explode(
+            F.flatten(
+                F.transform(
+                    F.array(toks),
+                    # guard: sequence(0, -1) DESCENDS ([0, -1]) and the
+                    # -1 position would slice(start=0) — short texts get
+                    # an empty gram list, never an error
+                    lambda t: F.when(
+                        F.size(t) >= n,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(t) - n),
+                            lambda i: F.array_join(
+                                F.slice(t, i + 1, n), " "
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        )
+        return (
+            df.filter(
+                F.col(ref_col).isNotNull() & F.col(cand_col).isNotNull()
+            )
+            .select(F.col(id_col).alias("id"), grams.alias("_g"))
+            .groupBy("id", "_g")
+            .agg(F.count(F.lit(1)).alias(f"_c{tag}"))
+        )
+
+    ref = gram_counts(ref_col, "r")
+    cand = gram_counts(cand_col, "c")
+    both = ref.join(cand, ["id", "_g"], "full").select(
+        "id",
+        F.coalesce(F.col("_cr"), F.lit(0)).alias("_cr"),
+        F.coalesce(F.col("_cc"), F.lit(0)).alias("_cc"),
+    )
+    per_id = both.groupBy("id").agg(
+        F.sum("_cr").alias("ref_grams"),
+        F.sum("_cc").alias("cand_grams"),
+        F.sum(F.least(F.col("_cr"), F.col("_cc"))).alias("overlap"),
+    )
+    # rows whose BOTH sides had zero grams never reached the count
+    # tables — restore them from the evidence-filtered input so the
+    # caller sees (0, 0, NULL…) rather than silence
+    ids = df.filter(
+        F.col(ref_col).isNotNull() & F.col(cand_col).isNotNull()
+    ).select(F.col(id_col).alias("id")).distinct()
+    filled = ids.join(per_id, ["id"], "left").select(
+        "id",
+        F.coalesce(F.col("ref_grams"), F.lit(0)).alias("ref_grams"),
+        F.coalesce(F.col("cand_grams"), F.lit(0)).alias("cand_grams"),
+        F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+    )
+    p = F.when(
+        F.col("cand_grams") > 0,
+        F.col("overlap").cast("double") / F.col("cand_grams").cast("double"),
+    )
+    r = F.when(
+        F.col("ref_grams") > 0,
+        F.col("overlap").cast("double") / F.col("ref_grams").cast("double"),
+    )
+    return filled.select(
+        "id",
+        "ref_grams",
+        "cand_grams",
+        "overlap",
+        qround(p, digits).alias("precision"),
+        qround(r, digits).alias("recall"),
+        qround(
+            F.when(
+                p.isNotNull() & r.isNotNull() & ((p + r) > 0),
+                2.0 * p * r / (p + r),
+            ).when(p.isNotNull() & r.isNotNull(), F.lit(0.0)),
+            digits,
+        ).alias("f1"),
+    )

@@ -976,3 +976,35 @@ def test_weighted_stratified_sample_properties(spark):
     ids = {r.id for r in weighted_stratified_sample(
         dirty, "id", "w", ["g"], k=100).collect()}
     assert {900, 901, 902}.isdisjoint(ids)
+
+
+def test_ngram_overlap_scores_reference_cases(spark):
+    from etdtransform_spark.operators.evaluation import ngram_overlap_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat sat on the mat"),
+            (2, "the cat sat on the mat", "a cat sat on a mat"),
+            (3, "the cat", "dog"),            # cand has 0 bigrams
+            (4, None, "x y z"),                # no evidence: no row
+            (5, "the the the the", "the the"),  # clipping
+        ],
+        "id bigint, ref string, cand string",
+    )
+    rows = {r.id: r for r in
+            ngram_overlap_scores(df, "ref", "cand", "id", n=2,
+                                 digits=9).collect()}
+    assert set(rows) == {1, 2, 3, 5}
+    assert rows[1].f1 == 1.0 and rows[1].overlap == 5
+    # shared bigrams of row 2: "cat sat", "sat on" -> P=R=F1=0.4
+    assert rows[2].overlap == 2
+    assert rows[2].f1 == pytest.approx(0.4, abs=1e-9)
+    # zero candidate grams: precision/f1 NULL (undefined), recall 0
+    assert rows[3].precision is None and rows[3].f1 is None
+    assert rows[3].recall == 0.0 and rows[3].cand_grams == 0
+    # clipping: cand's one "the the" credits once against ref's three
+    assert rows[5].overlap == 1
+    assert rows[5].precision == 1.0
+    assert rows[5].recall == pytest.approx(1 / 3, abs=1e-9)
+    with pytest.raises(ValueError):
+        ngram_overlap_scores(df, "ref", "cand", "id", n=0)
