@@ -12075,6 +12075,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/rotate_window.py — reds first, then never-checked ---
         "kmeans_assign_recall": q_kmeans_assign_recall,
         "llm_pipeline_e2e": q_llm_pipeline_e2e,
+        "bootstrap_ci": q_bootstrap_ci,
+        "isotonic_calibration": q_isotonic_calibration,
+        "split_conformal": q_split_conformal,
+        "cramers_v": q_cramers_v,
+        "bh_fdr": q_bh_fdr,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_standardize": q_embedding_standardize,
+        "embedding_energy": q_embedding_energy,
+        "matryoshka_recall": q_matryoshka_recall,
+        "cuped": q_cuped,
+        "srm_check": q_srm_check,
+        "zipf_fit": q_zipf_fit,
+        "token_entropy": q_token_entropy,
+        "t_closeness": q_t_closeness,
+        "bucketed_join": q_bucketed_join,
+        "mde_estimate": q_mde_estimate,
+        "kfold_assign": q_kfold_assign,
+        "streaming_srm_daily": q_streaming_srm_daily,
+        "ndcg_per_query": q_ndcg_per_query,
+        "ranking_summary": q_ranking_summary,
+        "rbo_topk": q_rbo_topk,
+        "qq_drift": q_qq_drift,
+        "lorenz_curve": q_lorenz_curve,
+        "join_key_health": q_join_key_health,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "weighted_stratified": q_weighted_stratified,
+        "rouge_bigram": q_rouge_bigram,
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
@@ -12096,6 +12123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_over_period": q_period_over_period,
         "cooccurrence": q_cooccurrence,
         "touch_attribution": q_touch_attribution,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "inverted_index": q_inverted_index,
         "incremental_agg": q_incremental_agg,
         "pagerank": q_pagerank,
@@ -12125,8 +12154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_sources": q_gini_sources,
         "bigram_logprob": q_bigram_logprob,
         "ngram_novelty": q_ngram_novelty,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "cross_source_dup": q_cross_source_dup,
         "per_source_cap": q_per_source_cap,
         "ks_drift_cohort": q_ks_drift_cohort,
@@ -12299,33 +12326,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "skew_profile": q_skew_profile,
         "average_precision": q_average_precision,
-        "bootstrap_ci": q_bootstrap_ci,
-        "isotonic_calibration": q_isotonic_calibration,
-        "split_conformal": q_split_conformal,
-        "cramers_v": q_cramers_v,
-        "bh_fdr": q_bh_fdr,
-        "embedding_covariance": q_embedding_covariance,
-        "embedding_standardize": q_embedding_standardize,
-        "embedding_energy": q_embedding_energy,
-        "matryoshka_recall": q_matryoshka_recall,
-        "cuped": q_cuped,
-        "srm_check": q_srm_check,
-        "zipf_fit": q_zipf_fit,
-        "token_entropy": q_token_entropy,
-        "t_closeness": q_t_closeness,
-        "bucketed_join": q_bucketed_join,
-        "mde_estimate": q_mde_estimate,
-        "kfold_assign": q_kfold_assign,
-        "streaming_srm_daily": q_streaming_srm_daily,
-        "ndcg_per_query": q_ndcg_per_query,
-        "ranking_summary": q_ranking_summary,
-        "rbo_topk": q_rbo_topk,
-        "qq_drift": q_qq_drift,
-        "lorenz_curve": q_lorenz_curve,
-        "join_key_health": q_join_key_health,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "weighted_stratified": q_weighted_stratified,
-        "rouge_bigram": q_rouge_bigram,
         "cumulative_distinct": q_cumulative_distinct,
         "group_mode": q_group_mode,
         "transition_matrix": q_transition_matrix,

@@ -98,6 +98,15 @@ def test_cross_batch_state_carries(spark, tmp_path):
     r2 = [(ts + dt.timedelta(days=1), eid + 100, w, l) for ts, eid, w, l in r2]
     _write(src / "b1.parquet", r1)
     _write(src / "b2.parquet", r2)
+    # the file source drains oldest-mtime-first under maxFilesPerTrigger;
+    # two writes inside one mtime granule tie and the batch order (which
+    # Elo folding is sensitive to) becomes load-dependent — pin it
+    import os
+    import time
+
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 10, now - 10))
+    os.utime(src / "b2.parquet", (now, now))
     got, seq = _run(spark, src, maxFilesPerTrigger=1)
     st = {}
     _elo_fold(st, p1 + p2, 32.0, 1000.0)

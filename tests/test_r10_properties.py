@@ -1008,3 +1008,46 @@ def test_ngram_overlap_scores_reference_cases(spark):
     assert rows[5].recall == pytest.approx(1 / 3, abs=1e-9)
     with pytest.raises(ValueError):
         ngram_overlap_scores(df, "ref", "cand", "id", n=0)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The runtime half of the skew story: skew.py's salting is the
+    STATIC mitigation; this pins that AQE's OptimizeSkewedJoin actually
+    fires in this engine's sessions (adaptive enabled by get_spark) —
+    the final plan's SortMergeJoin carries skew=true and the job
+    completes with the correct row count despite one key owning 5/6 of
+    the left side."""
+    import re
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, F.lit(0))
+            .otherwise(F.col("id") % 37).alias("k"),
+            F.concat(F.lit("payloadpayloadpayload_"), F.col("id"))
+            .alias("pay"),
+        )
+        right = spark.range(0, 37).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 60000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"SortMergeJoin\(skew=true\)", plan)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
