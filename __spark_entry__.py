@@ -10694,7 +10694,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return poisson_bootstrap_ci(
-        ev, "value", "event_id", keys=["event_type"], n_boot=100, alpha=0.05
+        ev, "value", "event_id", keys=["event_type"], n_boot=50, alpha=0.05
     )
 
 
@@ -10719,7 +10719,7 @@ WITH base AS (
 ), rep AS (
   SELECT event_type, x, r, {u} AS u
   FROM (SELECT event_type, x, {bh} AS bh FROM base)
-  CROSS JOIN {bootstrap_family_values_sql(100)}
+  CROSS JOIN {bootstrap_family_values_sql(50)}
 ), wtd AS (
   SELECT event_type, r, x,
          {poisson1_weight_sql('u')}::DOUBLE AS w
