@@ -12060,6 +12060,171 @@ FROM filled
 """
 
 
+def q_eval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite model-EVAL pipeline (the eval-side twin of
+    llm_pipeline_e2e): score → isotonic calibration fit → re-score
+    through the fitted monotone map → ECE/AUC before vs after, ONE
+    summary row. Chains isotonic_calibration,
+    expected_calibration_error, and auc_roc through real interface
+    boundaries; the meaningful pipeline outcome is ece_calibrated ≤
+    ece_raw (isotonic is the ECE-minimizing monotone map on the binned
+    substrate) while AUC moves only by plateau tie-breaking."""
+    from etdtransform_spark.operators.evaluation import (
+        auc_roc,
+        expected_calibration_error,
+        isotonic_calibration,
+    )
+
+    s = _scored_events(spark, sf_dir)
+    iso = isotonic_calibration(s, "score", "label", n_bins=16)
+    sc = F.col("score").cast("double")
+    y = F.col("label").cast("double")
+    binned = s.filter(
+        sc.isNotNull() & y.isNotNull() & ~F.isnan(sc) & ~F.isnan(y)
+    ).select(
+        F.greatest(F.least(F.floor(sc * 16), F.lit(15)), F.lit(0))
+        .cast("bigint")
+        .alias("bin"),
+        y.alias("label"),
+    )
+    cal = binned.join(
+        F.broadcast(iso.select("bin", "iso_rate")), "bin"
+    ).select(F.col("iso_rate").alias("score"), "label")
+
+    ece_raw = expected_calibration_error(s, "score", "label", n_bins=16)
+    ece_cal = expected_calibration_error(cal, "score", "label", n_bins=16)
+    auc_raw = auc_roc(s, "score", "label")
+    auc_cal = auc_roc(cal, "score", "label")
+    return (
+        ece_raw.select(
+            F.col("n").alias("n"), F.col("ece").alias("ece_raw")
+        )
+        .crossJoin(F.broadcast(
+            ece_cal.select(F.col("ece").alias("ece_calibrated"))
+        ))
+        .crossJoin(F.broadcast(
+            auc_raw.select(F.col("auc").alias("auc_raw"))
+        ))
+        .crossJoin(F.broadcast(
+            auc_cal.select(F.col("auc").alias("auc_calibrated"))
+        ))
+        .select(
+            "n",
+            "ece_raw",
+            "ece_calibrated",
+            F.when(
+                F.col("ece_raw").isNotNull()
+                & F.col("ece_calibrated").isNotNull(),
+                (F.col("ece_calibrated") <= F.col("ece_raw")).cast("int"),
+            ).alias("ece_improved"),
+            "auc_raw",
+            "auc_calibrated",
+        )
+    )
+
+
+_SQL_EVAL_E2E = f"""
+WITH s AS ({_SQL_SCORED_EVENTS}),
+b AS (
+  SELECT greatest(least(floor(score * 16), 15), 0)::BIGINT AS bin,
+         score, label::DOUBLE AS y
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+    AND NOT isnan(score) AND NOT isnan(label::DOUBLE)
+), bins AS (
+  SELECT bin, count(*)::BIGINT AS n, avg(score) AS avg_s, sum(y) AS pos
+  FROM b GROUP BY 1
+), cum AS (
+  SELECT bin, n, pos, sum(n) OVER w AS cw, sum(pos) OVER w AS cs
+  FROM bins
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pairs AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         (k.cs - (j.cs - j.pos)) / (k.cw - (j.cw - j.n)) AS a
+  FROM cum j JOIN cum k ON j.bin <= k.bin
+), mji AS (
+  SELECT jb, kb AS i,
+         min(a) OVER (PARTITION BY jb ORDER BY kb DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM pairs
+), fit AS (
+  SELECT i AS bin, {qround_sql('max(m)', 6)} AS iso_rate
+  FROM mji GROUP BY 1
+), cal AS (
+  SELECT iso_rate AS score, y AS label FROM b JOIN fit USING (bin)
+),
+ece_raw_bins AS (
+  SELECT greatest(least(floor(score * 16), 15), 0)::BIGINT AS bin,
+         count(*)::BIGINT AS n, avg(score) AS avg_score,
+         avg(label::DOUBLE) AS pos_rate
+  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+    AND NOT isnan(score) AND NOT isnan(label::DOUBLE)
+  GROUP BY 1
+), ece_raw AS (
+  SELECT coalesce(sum(n), 0)::BIGINT AS n,
+         {qround_sql(
+             'CASE WHEN coalesce(sum(n), 0) > 0 THEN '
+             'sum(n * abs(avg_score - pos_rate)) / sum(n) END', 6)} AS ece
+  FROM ece_raw_bins
+), ece_cal_bins AS (
+  SELECT greatest(least(floor(score * 16), 15), 0)::BIGINT AS bin,
+         count(*)::BIGINT AS n, avg(score) AS avg_score,
+         avg(label) AS pos_rate
+  FROM cal GROUP BY 1
+), ece_cal AS (
+  SELECT {qround_sql(
+             'CASE WHEN coalesce(sum(n), 0) > 0 THEN '
+             'sum(n * abs(avg_score - pos_rate)) / sum(n) END', 6)} AS ece
+  FROM ece_cal_bins
+), auc_raw AS (
+  SELECT {qround_sql(
+      'CASE WHEN np > 0 AND nn > 0'
+      ' THEN (rsum - np * (np + 1.0) / 2.0) / (np * nn) END', 6)} AS auc
+  FROM (
+    SELECT sum(ca::DOUBLE) AS np, sum(cb::DOUBLE) AS nn,
+           sum(ca::DOUBLE * ((ct - c) + (c + 1.0) / 2.0)) AS rsum
+    FROM (
+      SELECT ca, cb, (ca + cb)::DOUBLE AS c,
+             (sum(ca + cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+               AS ct
+      FROM (
+        SELECT score AS v,
+               sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM s WHERE score IS NOT NULL AND label IS NOT NULL GROUP BY 1
+      )
+    )
+  )
+), auc_cal AS (
+  SELECT {qround_sql(
+      'CASE WHEN np > 0 AND nn > 0'
+      ' THEN (rsum - np * (np + 1.0) / 2.0) / (np * nn) END', 6)} AS auc
+  FROM (
+    SELECT sum(ca::DOUBLE) AS np, sum(cb::DOUBLE) AS nn,
+           sum(ca::DOUBLE * ((ct - c) + (c + 1.0) / 2.0)) AS rsum
+    FROM (
+      SELECT ca, cb, (ca + cb)::DOUBLE AS c,
+             (sum(ca + cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+               AS ct
+      FROM (
+        SELECT score AS v,
+               sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM cal GROUP BY 1
+      )
+    )
+  )
+)
+SELECT ece_raw.n, ece_raw.ece AS ece_raw,
+       ece_cal.ece AS ece_calibrated,
+       CASE WHEN ece_raw.ece IS NOT NULL AND ece_cal.ece IS NOT NULL
+            THEN (ece_cal.ece <= ece_raw.ece)::INT END AS ece_improved,
+       auc_raw.auc AS auc_raw, auc_cal.auc AS auc_calibrated
+FROM ece_raw, ece_cal, auc_raw, auc_cal
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12102,6 +12267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": q_compaction_roundtrip,
         "weighted_stratified": q_weighted_stratified,
         "rouge_bigram": q_rouge_bigram,
+        "eval_pipeline_e2e": q_eval_pipeline_e2e,
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
@@ -12462,6 +12628,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_roundtrip": _SQL_COMPACTION,
         "weighted_stratified": _SQL_WEIGHTED_STRATIFIED,
         "rouge_bigram": _SQL_ROUGE,
+        "eval_pipeline_e2e": _SQL_EVAL_E2E,
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

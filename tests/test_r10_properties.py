@@ -1051,3 +1051,25 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_eval_pipeline_e2e_isotonic_reduces_ece(spark):
+    """The composite eval chain's load-bearing outcome: re-scoring
+    through the fitted isotonic map cannot worsen binned ECE (isotonic
+    is the least-squares monotone fit on exactly that substrate), and
+    the chain's interfaces line up end-to-end."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    row = e.q_eval_pipeline_e2e(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n > 0
+    assert row.ece_raw is not None and row.ece_calibrated is not None
+    assert row.ece_improved == 1
+    assert row.ece_calibrated <= row.ece_raw
+    assert 0.0 <= row.auc_calibrated <= 1.0 and 0.0 <= row.auc_raw <= 1.0
+    # note: plateau pooling moves AUC TOWARD 0.5 locally — on a
+    # locally anti-correlated region that is an INCREASE, so no
+    # directional claim holds for AUC (only ECE carries a guarantee)
+    assert abs(row.auc_calibrated - row.auc_raw) < 0.2
