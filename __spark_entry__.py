@@ -12288,9 +12288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "period_over_period": q_period_over_period,
         "cooccurrence": q_cooccurrence,
-        "touch_attribution": q_touch_attribution,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "touch_attribution": q_touch_attribution,
         "inverted_index": q_inverted_index,
         "incremental_agg": q_incremental_agg,
         "pagerank": q_pagerank,

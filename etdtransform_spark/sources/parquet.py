@@ -907,6 +907,14 @@ def compact_parquet(
 
     File sizing reads parquet FOOTER metadata only (pyarrow dataset
     listing, no data scan). Returns dst_path.
+
+    Sibling: :func:`compact_family` is the FAMILY-SINK variant — same
+    problem, different trade: it compacts in place with an atomic
+    two-rename swap and a shuffle-free ``coalesce`` (cheap, but file
+    sizes inherit input skew). This one writes to a NEW path with a
+    round-robin ``repartition`` (one shuffle, evenly-sized output) —
+    pick by whether the caller owns the path lifecycle and needs even
+    files for downstream range reads.
     """
     import math
 
