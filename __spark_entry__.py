@@ -12075,7 +12075,12 @@ def q_eval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         isotonic_calibration,
     )
 
-    s = _scored_events(spark, sf_dir)
+    # stage boundaries (the llm_pipeline_e2e lesson, caught again here
+    # by the plan sweep's FileScan bound): the scored frame feeds FOUR
+    # consumers and the calibrated frame two — lazily composed, the
+    # chain re-derived the scan 15×; each boundary stands in for the
+    # stage-output parquet a production eval pipeline writes
+    s = _scored_events(spark, sf_dir).localCheckpoint(eager=True)
     iso = isotonic_calibration(s, "score", "label", n_bins=16)
     sc = F.col("score").cast("double")
     y = F.col("label").cast("double")
@@ -12089,7 +12094,9 @@ def q_eval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cal = binned.join(
         F.broadcast(iso.select("bin", "iso_rate")), "bin"
-    ).select(F.col("iso_rate").alias("score"), "label")
+    ).select(
+        F.col("iso_rate").alias("score"), "label"
+    ).localCheckpoint(eager=True)
 
     ece_raw = expected_calibration_error(s, "score", "label", n_bins=16)
     ece_cal = expected_calibration_error(cal, "score", "label", n_bins=16)
