@@ -12232,6 +12232,65 @@ FROM ece_raw, ece_cal, auc_raw, auc_cal
 """
 
 
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential p-value (mSPRT, Johari et al.) for the
+    user-parity A/B split of event values
+    (operators/stats.py:msprt_always_valid_p): ONE conditional-moment
+    aggregate — the peeking-safe reading a live experiment re-runs
+    every monitoring tick."""
+    from etdtransform_spark.operators.stats import msprt_always_valid_p
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_half", F.pmod(F.col("user_id"), F.lit(2))
+    )
+    return msprt_always_valid_p(
+        ev, "value", "_half", 0, 1, tau=5.0, alpha=0.05
+    )
+
+
+def _sql_msprt() -> str:
+    t2 = 5.0 * 5.0
+    return f"""
+WITH base AS (
+  SELECT (user_id % 2) AS arm, value::DOUBLE AS x
+  FROM {_EV}
+  WHERE (user_id % 2) IN (0, 1) AND value IS NOT NULL AND NOT isnan(value)
+), g AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN arm = 0 THEN x ELSE 0.0 END) AS sa,
+         sum(CASE WHEN arm = 1 THEN x ELSE 0.0 END) AS sb,
+         sum(CASE WHEN arm = 0 THEN x * x ELSE 0.0 END) AS qa,
+         sum(CASE WHEN arm = 1 THEN x * x ELSE 0.0 END) AS qb
+  FROM base
+), f AS (
+  SELECT na, nb, sa / na::DOUBLE AS ma, sb / nb::DOUBLE AS mb,
+         ((qa - sa * sa / na::DOUBLE) + (qb - sb * sb / nb::DOUBLE))
+           / (na::DOUBLE + nb::DOUBLE - 2.0) AS pooled,
+         2.0 / (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE) AS neff,
+         sa / na::DOUBLE - sb / nb::DOUBLE AS d
+  FROM g
+), l AS (
+  SELECT na, nb, ma, mb, d, pooled,
+         (na > 1 AND nb > 1 AND pooled > 0) AS ok,
+         0.5 * ln(2.0 * pooled / (2.0 * pooled + neff * {t2!r}))
+           + (neff * neff * {t2!r} * d * d)
+             / (4.0 * pooled * (2.0 * pooled + neff * {t2!r})) AS ll
+  FROM f
+)
+SELECT na AS n_a, nb AS n_b,
+       {qround_sql('CASE WHEN na > 0 THEN ma END', 6)} AS mean_a,
+       {qround_sql('CASE WHEN nb > 0 THEN mb END', 6)} AS mean_b,
+       {qround_sql('CASE WHEN na > 0 AND nb > 0 THEN d END', 6)} AS diff,
+       {qround_sql('CASE WHEN ok THEN pooled END', 6)} AS pooled_var,
+       {qround_sql('CASE WHEN ok THEN ll END', 6)} AS log_lambda,
+       {qround_sql('CASE WHEN ok THEN least(1.0, exp(-ll)) END', 6)}
+         AS p_always_valid,
+       CASE WHEN ok THEN (least(1.0, exp(-ll)) < 0.05)::INT END AS reject
+FROM l
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12275,6 +12334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_stratified": q_weighted_stratified,
         "rouge_bigram": q_rouge_bigram,
         "eval_pipeline_e2e": q_eval_pipeline_e2e,
+        "msprt": q_msprt,
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
@@ -12294,9 +12354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_divergence": q_entropy_divergence,
         "pareto_frontier": q_pareto_frontier,
         "period_over_period": q_period_over_period,
-        "cooccurrence": q_cooccurrence,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "cooccurrence": q_cooccurrence,
         "touch_attribution": q_touch_attribution,
         "inverted_index": q_inverted_index,
         "incremental_agg": q_incremental_agg,
@@ -12636,6 +12696,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_stratified": _SQL_WEIGHTED_STRATIFIED,
         "rouge_bigram": _SQL_ROUGE,
         "eval_pipeline_e2e": _SQL_EVAL_E2E,
+        "msprt": _sql_msprt(),
         "krippendorff_alpha": _SQL_KRIPPENDORFF,
         "embedding_norms": _SQL_EMB_NORMS,
         "cosine_topk": _SQL_COSINE_TOPK,

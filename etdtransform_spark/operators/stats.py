@@ -1051,6 +1051,94 @@ def mde_estimate(
     )
 
 
+def msprt_always_valid_p(
+    df: DataFrame,
+    metric_col: str,
+    arm_col: str,
+    arm_a,
+    arm_b,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+    digits: int = 6,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) always-valid
+    p-value for a two-arm mean difference — the peeking-safe companion
+    to :func:`welch_ttest`: a fixed-horizon p is only valid at ONE
+    pre-registered look, while this p can be read every hour of a
+    running experiment and still bounds type-I error (Robbins 1970
+    mixture martingale; the Optimizely "New Stats Engine" formulation,
+    Johari et al. 2017).
+
+    With Δ̄ the observed mean difference, σ² the pooled sample variance
+    and ñ = 2/(1/n_a + 1/n_b) the effective per-arm size (the variance
+    of Δ̄ is 2σ²/ñ), the Gaussian-mixture likelihood ratio with prior
+    scale τ is
+
+        Λ = √(2σ²/(2σ² + ñτ²)) · exp( ñ²τ²Δ̄² / (4σ²(2σ² + ñτ²)) )
+
+    and the always-valid p is min(1, 1/Λ), monotone non-increasing as
+    evidence accumulates. τ is the analyst's prior scale for plausible
+    effects — too small wastes power on large effects, too large on
+    small ones; σ-scaled values (≈ the MDE) are the standard choice.
+
+    ONE conditional-moment aggregate (map-side combined; the same
+    sufficient-statistics discipline as welch_ttest) — re-runnable
+    every monitoring tick at any data size. Degenerate inputs fail
+    closed: n < 2 on either arm or zero pooled variance yields NULL
+    p (no dispersion evidence ⇒ no test), never a rejection.
+
+    Returns ONE row: (n_a, n_b, mean_a, mean_b, diff, pooled_var,
+    log_lambda, p_always_valid, reject).
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    x = F.col(metric_col).cast("double")
+    in_a = F.col(arm_col) == arm_a
+    in_b = F.col(arm_col) == arm_b
+    base = df.filter((in_a | in_b) & x.isNotNull() & ~F.isnan(x))
+    g = base.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("_nb"),
+        F.sum(F.when(in_a, x).otherwise(0.0)).alias("_sa"),
+        F.sum(F.when(in_b, x).otherwise(0.0)).alias("_sb"),
+        F.sum(F.when(in_a, x * x).otherwise(0.0)).alias("_qa"),
+        F.sum(F.when(in_b, x * x).otherwise(0.0)).alias("_qb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    # pooled sample variance: (SSa + SSb) / (na + nb - 2)
+    ssa = F.col("_qa") - F.col("_sa") * F.col("_sa") / na
+    ssb = F.col("_qb") - F.col("_sb") * F.col("_sb") / nb
+    pooled = (ssa + ssb) / (na + nb - 2.0)
+    neff = 2.0 / (1.0 / na + 1.0 / nb)
+    diff = ma - mb
+    t2 = F.lit(float(tau) * float(tau))
+    denom = 2.0 * pooled + neff * t2
+    log_lam = (
+        0.5 * F.log(2.0 * pooled / denom)
+        + (neff * neff * t2 * diff * diff) / (4.0 * pooled * denom)
+    )
+    valid = (F.col("_na") > 1) & (F.col("_nb") > 1) & (pooled > 0)
+    p = F.least(F.lit(1.0), F.exp(-log_lam))
+    return g.select(
+        F.col("_na").cast("bigint").alias("n_a"),
+        F.col("_nb").cast("bigint").alias("n_b"),
+        qround(F.when(F.col("_na") > 0, ma), digits).alias("mean_a"),
+        qround(F.when(F.col("_nb") > 0, mb), digits).alias("mean_b"),
+        qround(
+            F.when((F.col("_na") > 0) & (F.col("_nb") > 0), diff), digits
+        ).alias("diff"),
+        qround(F.when(valid, pooled), digits).alias("pooled_var"),
+        qround(F.when(valid, log_lam), digits).alias("log_lambda"),
+        qround(F.when(valid, p), digits).alias("p_always_valid"),
+        F.when(valid, (p < F.lit(alpha)).cast("int")).alias("reject"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

@@ -1073,3 +1073,61 @@ def test_eval_pipeline_e2e_isotonic_reduces_ece(spark):
     # locally anti-correlated region that is an INCREASE, so no
     # directional claim holds for AUC (only ECE carries a guarantee)
     assert abs(row.auc_calibrated - row.auc_raw) < 0.2
+
+
+def test_msprt_always_valid_p_properties(spark):
+    import math
+
+    from etdtransform_spark.operators.stats import msprt_always_valid_p
+
+    null_rows = [("a" if i % 2 else "b", float((i * 37) % 101))
+                 for i in range(2000)]
+    df0 = spark.createDataFrame(null_rows, "arm string, x double")
+    r0 = msprt_always_valid_p(df0, "x", "arm", "a", "b", tau=5.0,
+                              digits=9).collect()[0]
+    assert r0.p_always_valid == 1.0 and r0.reject == 0
+    # python replica of the closed form
+    xs = {"a": [], "b": []}
+    for arm, v in null_rows:
+        xs[arm].append(v)
+    na, nb = len(xs["a"]), len(xs["b"])
+    ma = sum(xs["a"]) / na
+    mb = sum(xs["b"]) / nb
+    ss = sum((v - ma) ** 2 for v in xs["a"]) + sum(
+        (v - mb) ** 2 for v in xs["b"])
+    pooled = ss / (na + nb - 2)
+    neff = 2 / (1 / na + 1 / nb)
+    t2 = 25.0
+    denom = 2 * pooled + neff * t2
+    ll = 0.5 * math.log(2 * pooled / denom) + (
+        neff * neff * t2 * (ma - mb) ** 2) / (4 * pooled * denom)
+    assert r0.log_lambda == pytest.approx(ll, abs=1e-6)
+    assert r0.p_always_valid == pytest.approx(min(1.0, math.exp(-ll)),
+                                              abs=1e-6)
+    # planted +10 effect: overwhelming evidence, p -> 0, reject
+    eff = spark.createDataFrame(
+        [("a", float((i * 37) % 101) + 10.0) for i in range(1000)]
+        + [("b", float((i * 37) % 101)) for i in range(1000)],
+        "arm string, x double",
+    )
+    r1 = msprt_always_valid_p(eff, "x", "arm", "a", "b", tau=5.0).collect()[0]
+    assert r1.reject == 1 and r1.p_always_valid < 0.001
+    # evidence grows with n: p is non-increasing when the same signal
+    # accumulates (the always-valid martingale property, spot-checked)
+    half = spark.createDataFrame(
+        [("a", float((i * 37) % 101) + 10.0) for i in range(100)]
+        + [("b", float((i * 37) % 101)) for i in range(100)],
+        "arm string, x double",
+    )
+    rh = msprt_always_valid_p(half, "x", "arm", "a", "b",
+                              tau=5.0).collect()[0]
+    assert r1.p_always_valid <= rh.p_always_valid + 1e-12
+    # degenerate: zero variance -> NULL p, never a rejection
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+        "arm string, x double",
+    )
+    rf = msprt_always_valid_p(flat, "x", "arm", "a", "b").collect()[0]
+    assert rf.p_always_valid is None and rf.reject is None
+    with pytest.raises(ValueError):
+        msprt_always_valid_p(df0, "x", "arm", "a", "b", tau=0.0)
