@@ -12304,58 +12304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "kmeans_assign_recall": q_kmeans_assign_recall,
-        "llm_pipeline_e2e": q_llm_pipeline_e2e,
-        "bootstrap_ci": q_bootstrap_ci,
-        "isotonic_calibration": q_isotonic_calibration,
-        "split_conformal": q_split_conformal,
-        "cramers_v": q_cramers_v,
-        "bh_fdr": q_bh_fdr,
-        "embedding_covariance": q_embedding_covariance,
-        "embedding_standardize": q_embedding_standardize,
-        "embedding_energy": q_embedding_energy,
-        "matryoshka_recall": q_matryoshka_recall,
-        "cuped": q_cuped,
-        "srm_check": q_srm_check,
-        "zipf_fit": q_zipf_fit,
-        "token_entropy": q_token_entropy,
-        "t_closeness": q_t_closeness,
-        "bucketed_join": q_bucketed_join,
-        "mde_estimate": q_mde_estimate,
-        "kfold_assign": q_kfold_assign,
-        "streaming_srm_daily": q_streaming_srm_daily,
-        "ndcg_per_query": q_ndcg_per_query,
-        "ranking_summary": q_ranking_summary,
-        "rbo_topk": q_rbo_topk,
-        "qq_drift": q_qq_drift,
-        "lorenz_curve": q_lorenz_curve,
-        "join_key_health": q_join_key_health,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "weighted_stratified": q_weighted_stratified,
-        "rouge_bigram": q_rouge_bigram,
-        "eval_pipeline_e2e": q_eval_pipeline_e2e,
-        "msprt": q_msprt,
-        "dedup_resolve_best": q_dedup_resolve_best,
-        "adc_topk": q_adc_topk,
-        "mg_frequent_items": q_mg_frequent_items,
-        "embedding_decontaminate": q_embedding_decontaminate,
-        "zorder_roundtrip_sampled": q_zorder_roundtrip_sampled,
-        "dsir_weights_sampled": q_dsir_weights_sampled,
-        "customer_order_distribution": q_customer_order_distribution,
-        "promo_revenue_share": q_promo_revenue_share,
-        "top_supplier": q_top_supplier,
-        "parts_supplier_count": q_parts_supplier_count,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "excess_supply_suppliers": q_excess_supply_suppliers,
-        "rebalance_mixture": q_rebalance_mixture,
-        "weighted_median": q_weighted_median,
-        "heavy_hitters": q_heavy_hitters,
-        "entropy_divergence": q_entropy_divergence,
-        "pareto_frontier": q_pareto_frontier,
-        "period_over_period": q_period_over_period,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "cooccurrence": q_cooccurrence,
         "touch_attribution": q_touch_attribution,
         "inverted_index": q_inverted_index,
@@ -12406,6 +12354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "union_all": q_union_all,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "pricing_summary": q_pricing_summary,
         "mincount_gated_agg": q_mincount_gated_agg,
         "distinct": q_distinct,
@@ -12589,6 +12539,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_part_value": q_important_part_value,
         "dsir_weights": q_dsir_weights,
         "script_profile": q_script_profile,
+        "kmeans_assign_recall": q_kmeans_assign_recall,
+        "llm_pipeline_e2e": q_llm_pipeline_e2e,
+        "bootstrap_ci": q_bootstrap_ci,
+        "isotonic_calibration": q_isotonic_calibration,
+        "split_conformal": q_split_conformal,
+        "cramers_v": q_cramers_v,
+        "bh_fdr": q_bh_fdr,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_standardize": q_embedding_standardize,
+        "embedding_energy": q_embedding_energy,
+        "matryoshka_recall": q_matryoshka_recall,
+        "cuped": q_cuped,
+        "srm_check": q_srm_check,
+        "zipf_fit": q_zipf_fit,
+        "token_entropy": q_token_entropy,
+        "t_closeness": q_t_closeness,
+        "bucketed_join": q_bucketed_join,
+        "mde_estimate": q_mde_estimate,
+        "kfold_assign": q_kfold_assign,
+        "streaming_srm_daily": q_streaming_srm_daily,
+        "ndcg_per_query": q_ndcg_per_query,
+        "ranking_summary": q_ranking_summary,
+        "rbo_topk": q_rbo_topk,
+        "qq_drift": q_qq_drift,
+        "lorenz_curve": q_lorenz_curve,
+        "join_key_health": q_join_key_health,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "weighted_stratified": q_weighted_stratified,
+        "rouge_bigram": q_rouge_bigram,
+        "eval_pipeline_e2e": q_eval_pipeline_e2e,
+        "msprt": q_msprt,
+        "dedup_resolve_best": q_dedup_resolve_best,
+        "adc_topk": q_adc_topk,
+        "mg_frequent_items": q_mg_frequent_items,
+        "embedding_decontaminate": q_embedding_decontaminate,
+        "zorder_roundtrip_sampled": q_zorder_roundtrip_sampled,
+        "dsir_weights_sampled": q_dsir_weights_sampled,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier": q_top_supplier,
+        "parts_supplier_count": q_parts_supplier_count,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "excess_supply_suppliers": q_excess_supply_suppliers,
+        "rebalance_mixture": q_rebalance_mixture,
+        "weighted_median": q_weighted_median,
+        "heavy_hitters": q_heavy_hitters,
+        "entropy_divergence": q_entropy_divergence,
+        "pareto_frontier": q_pareto_frontier,
+        "period_over_period": q_period_over_period,
     }
 
 

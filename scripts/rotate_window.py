@@ -125,16 +125,22 @@ def main(correctness_files: list[str], entry_path: str = ENTRY) -> None:
     for age, cnt in sorted(hist.items(), key=_k):
         print(f"  {age:28s} {cnt}")
         tbl.append(f"| {age} | {cnt} |")
+    # Telemetry goes to a dedicated file and is REPLACED in place (VERDICT
+    # r10 #4: appending to PLANS.md accumulated ~12 duplicate tables from
+    # test/tool runs). TELEMETRY.md always holds exactly one table: the
+    # latest rotation's histogram.
     try:
-        with open("/root/repo/PLANS.md", "a") as f:
+        with open("/root/repo/TELEMETRY.md", "w") as f:
             f.write(
-                f"\n### Window rotation telemetry ({n_files} CORRECTNESS "
-                f"files, window={WINDOW}, total={len(names)})\n\n"
+                "# Window rotation telemetry (latest rotation only;\n"
+                "# rewritten in place by scripts/rotate_window.py)\n\n"
+                f"### {n_files} CORRECTNESS files, window={WINDOW}, "
+                f"total={len(names)}\n\n"
                 + "\n".join(tbl) + "\n"
             )
-        print("appended histogram to PLANS.md")
+        print("wrote histogram to TELEMETRY.md")
     except OSError as e:  # telemetry must never block the rotation itself
-        print(f"PLANS.md append skipped: {e}")
+        print(f"TELEMETRY.md write skipped: {e}")
 
 
 if __name__ == "__main__":
