@@ -371,3 +371,81 @@ def pca_project(
         & (F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) == 0)
     )
     return df.withColumn("pc", F.when(gate, F.array(*pcs)))
+
+
+def centroid_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    n_dims: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between two corpora (model versions, time
+    windows, sources): the L2 distance and cosine similarity between
+    the two corpus CENTROIDS, plus each centroid's L2 norm — the
+    cheapest meaningful detector for "did the embedding distribution
+    move" before paying for a full covariance or recall probe.
+
+    Each side is one (dim)-keyed mean aggregate over the first
+    ``n_dims`` components (the posexplode is map-side combined to
+    ≤ n_dims partials per task); the comparison then runs on two d-row
+    tables. Invalid vectors (NULL / short / NULL element) are excluded
+    by the standard ingestion gate.
+
+    Returns ONE row: (n_a, n_b, l2_shift, cosine, norm_a, norm_b) —
+    NULL metrics when either side is empty or a centroid is zero
+    (cosine undefined).
+    """
+    def side(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        v = F.slice(F.col(vec_col), 1, n_dims)
+        base = _valid_vectors(df, vec_col).filter(
+            F.size(F.col(vec_col)) >= n_dims
+        )
+        dims = (
+            base.select(F.posexplode(v).alias("_i", "_x"))
+            .groupBy("_i")
+            .agg(F.avg(F.col("_x").cast("double")).alias(f"_m{tag}"))
+        )
+        cnt = base.agg(F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"))
+        return dims, cnt
+
+    da, ca = side(df_a, "a")
+    db, cb = side(df_b, "b")
+    joined = da.join(db, "_i", "full")
+    ma = F.coalesce(F.col("_ma"), F.lit(0.0))
+    mb = F.coalesce(F.col("_mb"), F.lit(0.0))
+    stats = joined.agg(
+        F.sum((ma - mb) * (ma - mb)).alias("_d2"),
+        F.sum(ma * mb).alias("_dot"),
+        F.sum(ma * ma).alias("_na2"),
+        F.sum(mb * mb).alias("_nb2"),
+    )
+    return (
+        ca.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_a",
+            "n_b",
+            qround(
+                F.when(
+                    (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                    F.sqrt(F.col("_d2")),
+                ),
+                digits,
+            ).alias("l2_shift"),
+            qround(
+                F.when(
+                    (F.col("_na2") > 0) & (F.col("_nb2") > 0),
+                    F.col("_dot")
+                    / (F.sqrt(F.col("_na2")) * F.sqrt(F.col("_nb2"))),
+                ),
+                digits,
+            ).alias("cosine"),
+            qround(
+                F.when(F.col("n_a") > 0, F.sqrt(F.col("_na2"))), digits
+            ).alias("norm_a"),
+            qround(
+                F.when(F.col("n_b") > 0, F.sqrt(F.col("_nb2"))), digits
+            ).alias("norm_b"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Table-profile snapshots and snapshot drift — the schema-level
+pre-flight companion to the value-level drift family (psi_drift /
+ks_2samp / qq_table): per-column null rates, cardinalities and means,
+and the release-over-release diff of those numbers.
+
+At 100 TB this is the table a pipeline reads BEFORE deciding whether
+to reprocess: a column whose null rate jumped 0.1 % → 40 % between two
+snapshot dates is an upstream break that every value-level monitor
+downstream would mis-attribute. One aggregate pass per snapshot,
+column-count-sized output.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import qround
+
+
+def column_profile(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Per-column profile in ONE aggregate pass: row count, null rate
+    (NaN counted as null for numerics), exact distinct count, and mean
+    (numeric columns only; NULL for categoricals).
+
+    Exact ``count_distinct`` keeps the oracle comparable; at 100 TB
+    swap for ``approx_count_distinct`` (one Expand stage fewer, same
+    output shape — the documented trade, as with the percentile
+    family). Returns one row per column:
+    (column, n_rows, null_rate, n_distinct, mean).
+    """
+    cols = [(c, True) for c in numeric_cols] + [
+        (c, False) for c in categorical_cols
+    ]
+    if not cols:
+        raise ValueError("profile needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, is_num in cols:
+        col = F.col(c)
+        missing = (
+            col.isNull() | F.isnan(col.cast("double"))
+            if is_num
+            else col.isNull()
+        )
+        valid = F.when(~missing, col)
+        aggs.append(
+            F.sum(missing.cast("bigint")).alias(f"_null_{c}")
+        )
+        aggs.append(F.count_distinct(valid).alias(f"_dist_{c}"))
+        aggs.append(
+            (
+                F.avg(valid.cast("double"))
+                if is_num
+                else F.lit(None).cast("double")
+            ).alias(f"_mean_{c}")
+        )
+    g = df.agg(*aggs)
+    rows = None
+    for c, _ in cols:
+        r = g.select(
+            F.lit(c).alias("column"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            qround(
+                F.when(
+                    F.col("_n") > 0,
+                    F.col(f"_null_{c}").cast("double")
+                    / F.col("_n").cast("double"),
+                ),
+                digits,
+            ).alias("null_rate"),
+            F.col(f"_dist_{c}").cast("bigint").alias("n_distinct"),
+            qround(F.col(f"_mean_{c}"), digits).alias("mean"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Column-profile diff between two snapshots of the same table
+    (baseline *a* vs candidate *b*): the null-rate delta, the distinct-
+    count ratio, and the mean delta per column — the numbers a
+    reprocess/rollback decision reads first.
+
+    Two single-pass profiles (one per snapshot) joined on column name
+    (column-count-sized). Returns one row per column:
+    (column, n_a, n_b, null_rate_a, null_rate_b, null_rate_delta,
+    distinct_a, distinct_b, distinct_ratio, mean_a, mean_b,
+    mean_delta); ratios are NULL when the baseline side is 0.
+    """
+    pa = column_profile(df_a, numeric_cols, categorical_cols, digits)
+    pb = column_profile(df_b, numeric_cols, categorical_cols, digits)
+    a = pa.select(
+        "column",
+        F.col("n_rows").alias("n_a"),
+        F.col("null_rate").alias("null_rate_a"),
+        F.col("n_distinct").alias("distinct_a"),
+        F.col("mean").alias("mean_a"),
+    )
+    b = pb.select(
+        "column",
+        F.col("n_rows").alias("n_b"),
+        F.col("null_rate").alias("null_rate_b"),
+        F.col("n_distinct").alias("distinct_b"),
+        F.col("mean").alias("mean_b"),
+    )
+    return a.join(b, "column", "full").select(
+        "column",
+        "n_a",
+        "n_b",
+        "null_rate_a",
+        "null_rate_b",
+        qround(
+            F.col("null_rate_b") - F.col("null_rate_a"), digits
+        ).alias("null_rate_delta"),
+        "distinct_a",
+        "distinct_b",
+        qround(
+            F.when(
+                F.col("distinct_a") > 0,
+                F.col("distinct_b").cast("double")
+                / F.col("distinct_a").cast("double"),
+            ),
+            digits,
+        ).alias("distinct_ratio"),
+        "mean_a",
+        "mean_b",
+        qround(F.col("mean_b") - F.col("mean_a"), digits).alias(
+            "mean_delta"
+        ),
+    )

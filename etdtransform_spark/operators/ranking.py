@@ -195,10 +195,18 @@ def rbo_overlap(
         raise ValueError(f"k must be >= 1, got {k}")
 
     def side(r: DataFrame, out: str) -> DataFrame:
-        return r.filter(F.col(rank_col) <= k).select(
-            F.col(query_col).alias("query"),
-            F.col(item_col).alias("_item"),
-            F.col(rank_col).cast("bigint").alias(out),
+        # Collapse to ONE row per (query, item) — a malformed input that
+        # lists the same item at two ranks would otherwise multiply the
+        # equijoin matches and silently inflate X_d (ADVICE r10 #2). An
+        # item's effective rank is its best (minimum) one; on well-formed
+        # rankings this aggregate is the identity.
+        return (
+            r.filter(F.col(rank_col) <= k)
+            .groupBy(
+                F.col(query_col).alias("query"),
+                F.col(item_col).alias("_item"),
+            )
+            .agg(F.min(F.col(rank_col).cast("bigint")).alias(out))
         )
 
     a = side(ranking_a, "_ra")

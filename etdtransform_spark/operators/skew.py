@@ -188,7 +188,9 @@ def join_key_health(
     Returns ONE row: (n_left, n_right, null_left, null_right,
     distinct_left, distinct_right, max_mult_left, max_mult_right,
     est_output_rows, top_key_share, amplification) — amplification =
-    output rows / max(input sides); NULL when the join output is empty.
+    output rows / max(input sides); 0 when the inputs are non-empty but
+    no keys match (an all-dropping join IS amplification 0), NULL only
+    when both inputs are empty (no denominator).
     """
     def side(df: DataFrame, key: str, tag: str):
         kc = F.col(key)

@@ -710,7 +710,11 @@ def cramers_v(
     kc = F.least(rc, cc) - 1
     vc = F.when((n > 1) & (kc > 0), F.sqrt(phi2c / kc))
     return raw.select(
-        "n",
+        # empty (fully-null) input: MAX over the empty grid is NULL —
+        # coalesce to 0 so degenerate corpora report n=0 with NULL
+        # statistics, the same fail-closed convention as srm_check /
+        # mde_estimate (ADVICE r10 #5).
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         "r_levels",
         "c_levels",
         qround(F.col("_chi2"), digits).alias("chi2"),
@@ -1076,8 +1080,13 @@ def msprt_always_valid_p(
 
         Λ = √(2σ²/(2σ² + ñτ²)) · exp( ñ²τ²Δ̄² / (4σ²(2σ² + ñτ²)) )
 
-    and the always-valid p is min(1, 1/Λ), monotone non-increasing as
-    evidence accumulates. τ is the analyst's prior scale for plausible
+    and the returned p is the INSTANTANEOUS upper bound min(1, 1/Λ) for
+    this snapshot of the data. It is a valid always-valid bound at every
+    look, but it is NOT monotone across looks (Λ can shrink between
+    ticks); a caller who wants the classical monotone non-increasing
+    always-valid p-value process must keep the running minimum of the
+    returned p across its monitoring ticks. τ is the analyst's prior
+    scale for plausible
     effects — too small wastes power on large effects, too large on
     small ones; σ-scaled values (≈ the MDE) are the standard choice.
 
@@ -2089,4 +2098,92 @@ def lorenz_curve(
         ).alias("pop_share"),
         qround(F.col("_cs") / F.col("_s"), digits).alias("value_share"),
         qround(F.col("_v"), digits).alias("value"),
+    )
+
+
+def delta_method_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    arm_col: str,
+    arm_a,
+    arm_b,
+    digits: int = 6,
+) -> DataFrame:
+    """Delta-method inference for a RATIO metric between two arms —
+    revenue per session, clicks per view, tokens per document: the
+    readout ordinary t-tests get wrong because both numerator and
+    denominator are random and correlated within a unit.
+
+    Per arm, with x the numerator and y the denominator over n units,
+    R = x̄ / ȳ and the first-order (delta-method) variance of R is
+
+        Var(R) ≈ (s_xx + R² s_yy − 2 R s_xy) / (n ȳ²)
+
+    (s_* the sample (co)variances). The two-arm difference d = R_a −
+    R_b gets se = sqrt(Var_a + Var_b), a z statistic, and a 95 % CI
+    (z* = 1.959963984540054, the driver-side Normal quantile).
+
+    ONE conditional-moment aggregate (n, Σx, Σy, Σx², Σy², Σxy per
+    arm, map-side combined) — the same sufficient-statistics shape as
+    welch_ttest, re-runnable at any data size. Fail-closed: an arm
+    with n < 2 or ȳ = 0 yields NULL ratio/variance; se/z/CI are NULL
+    unless both arms are valid and se > 0. Complete-case on
+    numerator, denominator and arm (NaN treated as NULL).
+
+    Returns ONE row: (n_a, n_b, ratio_a, ratio_b, diff, se, z,
+    ci_lo, ci_hi).
+    """
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    in_a = F.col(arm_col) == arm_a
+    in_b = F.col(arm_col) == arm_b
+    base = df.filter(
+        (in_a | in_b)
+        & x.isNotNull() & ~F.isnan(x)
+        & y.isNotNull() & ~F.isnan(y)
+    )
+    g = base.agg(
+        *[
+            e
+            for tag, cond in (("a", in_a), ("b", in_b))
+            for e in (
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"_n{tag}"),
+                F.sum(F.when(cond, x).otherwise(0.0)).alias(f"_sx{tag}"),
+                F.sum(F.when(cond, y).otherwise(0.0)).alias(f"_sy{tag}"),
+                F.sum(F.when(cond, x * x).otherwise(0.0)).alias(f"_xx{tag}"),
+                F.sum(F.when(cond, y * y).otherwise(0.0)).alias(f"_yy{tag}"),
+                F.sum(F.when(cond, x * y).otherwise(0.0)).alias(f"_xy{tag}"),
+            )
+        ]
+    )
+
+    def arm(tag: str):
+        n = F.col(f"_n{tag}").cast("double")
+        mx = F.col(f"_sx{tag}") / n
+        my = F.col(f"_sy{tag}") / n
+        sxx = (F.col(f"_xx{tag}") - F.col(f"_sx{tag}") * mx) / (n - 1)
+        syy = (F.col(f"_yy{tag}") - F.col(f"_sy{tag}") * my) / (n - 1)
+        sxy = (F.col(f"_xy{tag}") - F.col(f"_sx{tag}") * my) / (n - 1)
+        valid = (n > 1) & (my != 0)
+        r = mx / my
+        var = (sxx + r * r * syy - 2.0 * r * sxy) / (n * my * my)
+        return valid, F.when(valid, r), F.when(valid, var)
+
+    ok_a, r_a, v_a = arm("a")
+    ok_b, r_b, v_b = arm("b")
+    both = ok_a & ok_b
+    se = F.when(both, F.sqrt(F.greatest(v_a + v_b, F.lit(0.0))))
+    d = r_a - r_b
+    zq = F.lit(1.959963984540054)
+    return g.select(
+        F.col("_na").cast("bigint").alias("n_a"),
+        F.col("_nb").cast("bigint").alias("n_b"),
+        qround(r_a, digits).alias("ratio_a"),
+        qround(r_b, digits).alias("ratio_b"),
+        qround(F.when(both, d), digits).alias("diff"),
+        qround(se, digits).alias("se"),
+        qround(F.when(both & (se > 0), d / se), digits).alias("z"),
+        qround(F.when(both, d - zq * se), digits).alias("ci_lo"),
+        qround(F.when(both, d + zq * se), digits).alias("ci_hi"),
     )
