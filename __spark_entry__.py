@@ -9112,9 +9112,17 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bt_round_sql(prev: str, cur: str) -> str:
-    """One Bradley-Terry MM round as CTE fragments (DuckDB)."""
+    """One Bradley-Terry MM round as CTE fragments (DuckDB).
+
+    Every CTE is MATERIALIZED: each round references the previous
+    round's strengths 4× (two branches × two joins) and the pairs table
+    2×, so inlined evaluation re-runs the whole prefix multiplicatively
+    (~8^rounds) — measured >110 s for the 3-round preference composite
+    at sf0.001 vs <1 s materialized. The tables are item-domain-sized,
+    so materialization is free.
+    """
     return f"""
-d_{cur} AS (
+d_{cur} AS MATERIALIZED (
   SELECT item, sum(d) AS denom FROM (
     SELECT ia AS item, n_total::DOUBLE / (sa.strength + sb.strength) AS d
     FROM pairs JOIN {prev} sa ON sa.item = pairs.ia
@@ -9124,12 +9132,12 @@ d_{cur} AS (
     FROM pairs JOIN {prev} sa ON sa.item = pairs.ia
                JOIN {prev} sb ON sb.item = pairs.ib
   ) GROUP BY item
-), r_{cur} AS (
+), r_{cur} AS MATERIALIZED (
   SELECT i.item,
          CASE WHEN denom > 0 THEN i.wins::DOUBLE / denom ELSE 0.0 END AS raw
   FROM items i JOIN d_{cur} USING (item)
-), t_{cur} AS (SELECT sum(raw) AS t, count(*) AS k FROM r_{cur}),
-{cur} AS (
+), t_{cur} AS MATERIALIZED (SELECT sum(raw) AS t, count(*) AS k FROM r_{cur}),
+{cur} AS MATERIALIZED (
   SELECT item,
          CASE WHEN t > 0 THEN raw * k / t ELSE 0.0 END AS strength
   FROM r_{cur} CROSS JOIN t_{cur}
@@ -12810,7 +12818,12 @@ def q_preference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("label"),
     )
-    ab = annotator_bias(rated, "annotator_id", "item_id", "label")
+    # annotator-domain-sized (5 rows) but referenced by THREE consumers
+    # below (max-z, flag join, flagged-stats join) — checkpoint once so
+    # the data-sized item rollup inside runs once, not 3×
+    ab = annotator_bias(
+        rated, "annotator_id", "item_id", "label"
+    ).localCheckpoint(eager=True)
 
     cnt = j.agg(F.count(F.lit(1)).cast("bigint").alias("n_judgments"))
     top1 = strengths.agg(F.max("strength").alias("top_strength"))
@@ -12876,7 +12889,7 @@ def q_preference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_PREF_E2E = f"""
-WITH j AS (
+WITH j AS MATERIALIZED (
   SELECT user_id % 5 AS an, event_id % 7 AS f, (event_id // 9) % 7 AS s,
          CASE WHEN user_id % 5 = 0 THEN event_id % 7
               WHEN event_id % 3 < 2
@@ -12885,14 +12898,14 @@ WITH j AS (
   FROM {_EV}
   WHERE user_id IS NOT NULL AND event_id IS NOT NULL
     AND event_id % 7 <> (event_id // 9) % 7
-), comp AS (
+), comp AS MATERIALIZED (
   SELECT an, f, s, w, f + s - w AS l FROM j
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT least(w, l) AS ia, greatest(w, l) AS ib,
          count(*)::BIGINT AS n_total,
          count(CASE WHEN w = least(w, l) THEN 1 END)::BIGINT AS wins_a
   FROM comp GROUP BY 1, 2
-), items AS (
+), items AS MATERIALIZED (
   SELECT item, sum(n)::BIGINT AS n_comparisons, sum(wn)::BIGINT AS wins
   FROM (
     SELECT ia AS item, n_total AS n, wins_a AS wn FROM pairs
@@ -12903,7 +12916,7 @@ WITH j AS (
 {_bt_round_sql('s0', 's1')},
 {_bt_round_sql('s1', 's2')},
 {_bt_round_sql('s2', 's3')},
-fitted AS (
+fitted AS MATERIALIZED (
   SELECT item, {qround_sql('strength', 6)} AS strength FROM s3
 ), cnt AS (SELECT count(*)::BIGINT AS n_judgments FROM comp),
 top1 AS (SELECT max(strength) AS top_strength FROM fitted),
@@ -12938,9 +12951,9 @@ tri AS (
                       OR (d1 = 0 AND d2 = 0 AND d3 = 1)
                     THEN 1 END)::BIGINT AS n_cyclic
   FROM tri
-), rated0 AS (
+), rated0 AS MATERIALIZED (
   SELECT an, f * 7 + s AS it, (w = f)::INT::DOUBLE AS y FROM comp
-), istats AS (
+), istats AS MATERIALIZED (
   SELECT it, sum(y) AS sy, count(*) AS cy FROM rated0 GROUP BY 1
 ), rj AS (
   SELECT an, y, (sy - y) / (cy - 1)::DOUBLE AS p
@@ -12949,7 +12962,7 @@ tri AS (
   SELECT an, count(*)::BIGINT AS n, avg(y) AS own, avg(p) AS cons,
          sum(y - p) AS bsum, sum(p * (1.0 - p)) AS v
   FROM rj GROUP BY 1
-), afin AS (
+), afin AS MATERIALIZED (
   SELECT an, {qround_sql('own - cons', 6)} AS bias,
          {qround_sql('CASE WHEN v > 0 THEN bsum / sqrt(v) END', 6)} AS z
   FROM aper
