@@ -11266,11 +11266,14 @@ def _sql_srm_check() -> str:
     )
     return f"""
 WITH c AS (
-  SELECT sum(CASE WHEN event_type IN ({arm_list}) THEN 1 ELSE 0 END)::BIGINT
-           AS n,
-         sum(CASE WHEN event_type IS NULL
+  -- coalesce: SUM over the EMPTY corpus is NULL (pandas float64) while
+  -- Spark's srm_check reports n=0 BIGINT — the n=0-with-NULL-stats
+  -- fail-closed convention (caught by the r11 all-empty strict sweep)
+  SELECT coalesce(sum(CASE WHEN event_type IN ({arm_list})
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n,
+         coalesce(sum(CASE WHEN event_type IS NULL
                   OR event_type NOT IN ({arm_list})
-                  THEN 1 ELSE 0 END)::BIGINT AS n_unexpected,
+                  THEN 1 ELSE 0 END), 0)::BIGINT AS n_unexpected,
          {counts}
   FROM {_EV}
 ), s AS (
@@ -12317,19 +12320,23 @@ FROM l
 # ---------------------------------------------------------------------------
 
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict-order 3-step funnel view→click→purchase
-    (operators/journey.py:funnel_conversion): first-touch conversion
-    times via k−1 user-domain joins, never a per-user log window; output
-    is step-count-sized."""
-    from etdtransform_spark.operators.journey import funnel_conversion
+    """STRICT-order 3-step funnel rate summary view→click→purchase
+    (operators/funnel.py:funnel_step_rates over funnel_steps
+    strict=True): first-touch conversion times via k−1 user-domain
+    joins, never a per-user log window; output is step-count-sized.
+    Complements the existing `funnel` contract (per-cohort-day counts,
+    at-or-after semantics) with the strict global-rate rollup.
+    NULL users are excluded up front — funnel_steps would otherwise
+    count a NULL-user group at step 1 but never join it at step 2."""
+    from etdtransform_spark.operators.funnel import funnel_step_rates
 
-    ev = _t(spark, sf_dir, "events")
-    return funnel_conversion(
-        ev, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return funnel_step_rates(
+        ev, ["view", "click", "purchase"], strict=True
     )
 
 
-_SQL_FUNNEL = f"""
+_SQL_FUNNEL_CONV = f"""
 WITH base AS (
   SELECT user_id AS u, event_type AS ty, ts
   FROM {_EV}
@@ -12368,33 +12375,34 @@ FROM c
 
 
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention triangle
-    (operators/journey.py:retention_cohorts): first-activity rollup +
-    user-keyed join-back + one distinct — output weeks×offsets."""
-    from etdtransform_spark.operators.journey import retention_cohorts
+    """Weekly cohort retention triangle WITH cohort sizes and rates
+    (operators/funnel.py:retention_cohorts max_offset/with_rates — the
+    rate rollup the bare `retention` contract's counts feed): first-
+    activity rollup + user-keyed join-back + one distinct + a broadcast
+    of the offset-0 sizes — output weeks×offsets."""
+    from etdtransform_spark.operators.funnel import retention_cohorts
 
     ev = _t(spark, sf_dir, "events")
-    return retention_cohorts(ev, "user_id", "ts", max_offset=8)
+    return retention_cohorts(ev, "user_id", "ts", max_offset=8,
+                             with_rates=True)
 
 
-_SQL_RETENTION = f"""
-WITH base AS (
-  -- identical IEEE op sequence to Spark's cast(ts AS double)/604800:
-  -- micros→double, /1e6, /604800, floor (one fused division would round
-  -- differently at week boundaries)
-  SELECT user_id AS u,
-         floor(epoch_us(ts)::DOUBLE / 1000000.0 / 604800.0)::BIGINT AS wk
-  FROM {_EV} WHERE user_id IS NOT NULL
-), first AS (
-  SELECT u, min(wk) AS cw FROM base GROUP BY 1
-), active AS (
-  SELECT DISTINCT b.u, f.cw, b.wk - f.cw AS off
-  FROM base b JOIN first f ON f.u = b.u
-  WHERE b.wk - f.cw <= 8
+_SQL_RETENTION_COHORTS = f"""
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+  FROM {_EV} GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS w
+  FROM {_EV}
+), j AS (
+  SELECT a.user_id, f.cohort_week,
+         ((epoch_us(a.w) - epoch_us(f.cohort_week)) / 604800000000.0)::BIGINT
+           AS week_offset
+  FROM a JOIN f USING (user_id)
 ), counts AS (
-  SELECT cw AS cohort_week, off AS week_offset,
-         count(*)::BIGINT AS n_active
-  FROM active GROUP BY 1, 2
+  SELECT cohort_week, week_offset,
+         count(DISTINCT user_id)::BIGINT AS n_active
+  FROM j WHERE week_offset <= 8 GROUP BY 1, 2
 ), sizes AS (
   SELECT cohort_week, n_active AS cohort_size
   FROM counts WHERE week_offset = 0
@@ -12410,11 +12418,11 @@ FROM counts c JOIN sizes s USING (cohort_week)
 
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier product-limit survival curve
-    (operators/journey.py:kaplan_meier): duration = value, event =
+    (operators/funnel.py:kaplan_meier): duration = value, event =
     purchase (other types right-censored). ONE duration-keyed count
     aggregate + windows over the distinct-duration table; the product
     is exp(Σ ln factor) with an exact running-min 0-factor guard."""
-    from etdtransform_spark.operators.journey import kaplan_meier
+    from etdtransform_spark.operators.funnel import kaplan_meier
 
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
@@ -12458,47 +12466,11 @@ FROM cum WHERE d > 0
 """
 
 
-def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order event-type transition matrix
-    (operators/journey.py:markov_transitions): one user-partitioned lag
-    window + one (from,to) count aggregate + broadcast row-normalize;
-    output is state²-sized. Ordering tiebreak pinned on event_id."""
-    from etdtransform_spark.operators.journey import markov_transitions
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
-    return markov_transitions(
-        ev, "user_id", "event_type", "ts", order_col="event_id"
-    )
-
-
-_SQL_MARKOV = f"""
-WITH base AS (
-  SELECT user_id AS u, event_type AS ty, ts, event_id
-  FROM {_EV}
-  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-    AND event_id IS NOT NULL
-), seq AS (
-  SELECT u, ty,
-         lag(ty) OVER (PARTITION BY u ORDER BY ts, event_id) AS prev
-  FROM base
-), pairs AS (
-  SELECT prev AS from_state, ty AS to_state, count(*)::BIGINT AS n
-  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
-), tot AS (
-  SELECT from_state, sum(n) AS t FROM pairs GROUP BY 1
-)
-SELECT p.from_state, p.to_state, p.n,
-       {qround_sql(
-           'CASE WHEN t > 0 THEN p.n::DOUBLE / t::DOUBLE END', 6)} AS p
-FROM pairs p JOIN tot USING (from_state)
-"""
-
-
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 8-step user paths (operators/journey.py:top_paths):
+    """Top-10 8-step user paths (operators/funnel.py:top_paths):
     row_number-bounded per-user prefix, path-string aggregate,
     TakeOrdered top-k — no unbounded array crosses a shuffle."""
-    from etdtransform_spark.operators.journey import top_paths
+    from etdtransform_spark.operators.funnel import top_paths
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
     return top_paths(
@@ -13282,7 +13254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "kaplan_meier": q_kaplan_meier,
-        "markov_transitions": q_markov_transitions,
         "top_paths": q_top_paths,
         "delta_method_ratio": q_delta_method_ratio,
         "profile_drift": q_profile_drift,
@@ -13415,10 +13386,9 @@ def oracle_sql() -> dict[str, str]:
         "rouge_bigram": _SQL_ROUGE,
         "eval_pipeline_e2e": _SQL_EVAL_E2E,
         "preference_pipeline_e2e": _SQL_PREF_E2E,
-        "funnel_conversion": _SQL_FUNNEL,
-        "retention_cohorts": _SQL_RETENTION,
+        "funnel_conversion": _SQL_FUNNEL_CONV,
+        "retention_cohorts": _SQL_RETENTION_COHORTS,
         "kaplan_meier": _SQL_KAPLAN_MEIER,
-        "markov_transitions": _SQL_MARKOV,
         "top_paths": _SQL_TOP_PATHS,
         "delta_method_ratio": _SQL_DELTA_RATIO,
         "profile_drift": _SQL_PROFILE_DRIFT,

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import ts_micros
+from ..functions.scalars import qround, ts_micros
 
 
 def funnel_steps(
@@ -27,12 +27,14 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_seconds: float | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Per-user funnel timestamps: ``step1_ts`` = first occurrence of
     steps[0]; ``step{i}_ts`` = first occurrence of steps[i-1] at-or-after
-    ``step{i-1}_ts`` (and, with ``within_seconds``, within that window of
-    step1). Null from the first unreached step onward. One row per user who
-    reached step 1.
+    ``step{i-1}_ts`` (STRICTLY after with ``strict=True`` — the
+    convention when a same-timestamp batch must not satisfy two steps;
+    and, with ``within_seconds``, within that window of step1). Null from
+    the first unreached step onward. One row per user who reached step 1.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -45,7 +47,11 @@ def funnel_steps(
     for i, step in enumerate(steps[1:], start=2):
         prev = f"step{i - 1}_ts"
         evts = base.filter(F.col(type_col) == step)
-        cond = F.col(ts_col) >= F.col(prev)
+        cond = (
+            F.col(ts_col) > F.col(prev)
+            if strict
+            else F.col(ts_col) >= F.col(prev)
+        )
         if within_seconds is not None:
             cond = cond & (
                 ts_micros(F.col(ts_col)) - ts_micros(F.col("step1_ts"))
@@ -59,6 +65,66 @@ def funnel_steps(
         )
         cur = cur.join(nxt, user_col, "left")
     return cur
+
+
+def funnel_step_rates(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+    strict: bool = False,
+    digits: int = 6,
+) -> DataFrame:
+    """Global funnel summary on top of :func:`funnel_steps`: one row per
+    step with the user count and the step-over-step / from-first
+    conversion rates — the headline numbers
+    :func:`funnel_conversion`'s per-cohort-day counts roll up to.
+
+    ONE aggregate over the per-user step table (k counts in one pass);
+    the rate windows run on the k-row result. Rates are NULL when the
+    denominator is 0. Returns (step_idx, step_name, n_users,
+    conv_from_prev, conv_from_first).
+    """
+    per_user = funnel_steps(
+        df, steps, user_col, ts_col, type_col, within_seconds, strict
+    )
+    g = per_user.agg(
+        *[
+            F.count(F.col(f"step{i}_ts")).cast("bigint").alias(f"_n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = None
+    for i, step in enumerate(steps, start=1):
+        r = g.select(
+            F.lit(i).cast("bigint").alias("step_idx"),
+            F.lit(step).alias("step_name"),
+            F.col(f"_n{i}").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    w_first = F.first("n_users").over(
+        Window.orderBy("step_idx").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    w_prev = F.lag("n_users").over(Window.orderBy("step_idx"))
+    return rows.select(
+        "step_idx",
+        "step_name",
+        "n_users",
+        qround(
+            F.when(w_prev > 0, F.col("n_users").cast("double") / w_prev),
+            digits,
+        ).alias("conv_from_prev"),
+        qround(
+            F.when(
+                w_first > 0, F.col("n_users").cast("double") / w_first
+            ),
+            digits,
+        ).alias("conv_from_first"),
+    )
 
 
 def funnel_conversion(
@@ -176,12 +242,22 @@ def retention_cohorts(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    max_offset: int | None = None,
+    with_rates: bool = False,
+    digits: int = 6,
 ) -> DataFrame:
     """Weekly retention triangle: users bucketed by first-activity week
     (cohort); for each (cohort_week, week_offset) the distinct users active
     that many weeks later. Two aggregates: first-week per user, then a
     distinct count per (cohort, offset) — both shuffle on user-sized keys,
-    never on raw events."""
+    never on raw events.
+
+    ``max_offset`` drops offsets beyond the horizon (bounds the output
+    to cohorts × offsets). ``with_rates=True`` additionally joins each
+    cohort's size (its offset-0 count — a broadcast of the
+    dictionary-sized triangle) and reports ``retention_rate`` =
+    n_active / cohort_size: (cohort_week, week_offset, cohort_size,
+    n_active, retention_rate)."""
     firsts = df.groupBy(user_col).agg(
         F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
     )
@@ -194,10 +270,30 @@ def retention_cohorts(
         (ts_micros(F.col("w")) - ts_micros(F.col("cohort_week")))
         / F.lit(604_800_000_000)
     ).cast("bigint")
-    return (
-        active.withColumn("week_offset", offset)
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    active = active.withColumn("week_offset", offset)
+    if max_offset is not None:
+        active = active.filter(F.col("week_offset") <= max_offset)
+    counts = active.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct(F.col(user_col)).alias("n_active")
+    )
+    if not with_rates:
+        return counts
+    sizes = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        "n_active",
+        qround(
+            F.when(
+                F.col("cohort_size") > 0,
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+            ),
+            digits,
+        ).alias("retention_rate"),
     )
 
 
@@ -314,4 +410,125 @@ def touch_attribution(
                 F.when(F.col("_rn_l") == 1, F.col(event_col))
             ).alias("last_touch"),
         )
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator: at each distinct
+    event time t, S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with d_i the events
+    and n_i the at-risk count at t_i (subjects with duration ≥ t_i;
+    right-censored rows — ``event_col`` false/0 — leave the risk set
+    without contributing an event). The time-to-convert / time-to-churn
+    curve that a naive mean-of-durations gets wrong under censoring.
+
+    Returns one row per distinct EVENT time: (t, n_risk, n_events,
+    n_censored, survival). The product is computed as
+    exp(Σ ln(1 − d/n)) over the ordered prefix — a single cumulative
+    window — with the 0-factor case (d = n at some time) handled
+    exactly: survival is 0 from that time on (a running min of the
+    factor detects it, since ln(0) is undefined).
+
+    Shape: one (duration)-keyed count aggregate (data-sized,
+    map-side combined), then windows over the distinct-duration table.
+    NULL/NaN durations and negative durations are excluded.
+    """
+    d = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    base = df.filter(
+        d.isNotNull() & ~F.isnan(d) & (d >= 0) & e.isNotNull()
+    ).select(d.alias("_t"), e.alias("_e"))
+    per_t = base.groupBy("_t").agg(
+        F.sum("_e").cast("bigint").alias("_d"),
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+    )
+    w_desc = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risked = per_t.withColumn("_n", F.sum("_c").over(w_desc))
+    factor = (
+        F.lit(1.0)
+        - F.col("_d").cast("double") / F.col("_n").cast("double")
+    )
+    # ln receives NULL (not 0) for non-positive factors: a conditional
+    # branch does NOT guarantee the gated expression is never evaluated
+    # (the InferFilters hazard class), so the guard is INSIDE the
+    # argument; sum() skips the NULL and the running-min flag decides
+    curve = (
+        risked.withColumn("_f", factor)
+        .withColumn("_minf", F.min("_f").over(w_asc))
+        .withColumn(
+            "_s",
+            F.when(F.col("_minf") <= 0, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.log(F.when(F.col("_f") > 0, F.col("_f")))
+                    ).over(w_asc)
+                )
+            ),
+        )
+    )
+    return curve.filter(F.col("_d") > 0).select(
+        F.col("_t").alias("t"),
+        F.col("_n").alias("n_risk"),
+        F.col("_d").alias("n_events"),
+        (F.col("_c") - F.col("_d")).cast("bigint").alias("n_censored"),
+        qround(F.col("_s"), digits).alias("survival"),
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str | None = None,
+    max_steps: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most common user paths: each user's first ``max_steps``
+    events (time-ordered, ``order_col`` tiebreak) joined into a
+    '>'-separated path string, counted across users, top k by
+    (count desc, path asc — deterministic).
+
+    The per-user path is bounded BEFORE the path aggregate
+    (row_number ≤ max_steps), so no unbounded array crosses a shuffle;
+    the path table is then ≤ users rows of ≤ max_steps-term strings,
+    and the final top-k is a TakeOrdered, not a full sort.
+
+    Returns (path, n_users, path_len).
+    """
+    u, ty, t = F.col(user_col), F.col(type_col), F.col(ts_col)
+    order = [t] + ([F.col(order_col)] if order_col else [])
+    base = df.filter(u.isNotNull() & ty.isNotNull() & t.isNotNull())
+    w = Window.partitionBy(u).orderBy(*order)
+    stepped = base.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_steps
+    )
+    paths = stepped.groupBy(u.alias("_u")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_rn"), ty.alias("_ty")))
+                ),
+                lambda s: s["_ty"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max("_rn").cast("bigint").alias("path_len"),
+    )
+    counted = paths.groupBy("path", "path_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return (
+        counted.orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(k)
+        .select("path", "n_users", "path_len")
     )

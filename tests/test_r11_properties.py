@@ -61,7 +61,7 @@ def test_cramers_v_empty_input_reports_n_zero(spark):
 
 def test_funnel_conversion_strict_order(spark):
     """A click BEFORE the first view must not count as converted."""
-    from etdtransform_spark.operators.journey import funnel_conversion
+    from etdtransform_spark.operators.funnel import funnel_step_rates
 
     rows = [
         # u1: view@1 -> click@2 -> purchase@3  (full conversion)
@@ -79,9 +79,8 @@ def test_funnel_conversion_strict_order(spark):
     )
     out = {
         r.step_name: r
-        for r in funnel_conversion(
-            df, "user_id", "event_type", "ts",
-            ["view", "click", "purchase"],
+        for r in funnel_step_rates(
+            df, ["view", "click", "purchase"], strict=True
         ).collect()
     }
     assert out["view"].n_users == 4
@@ -92,31 +91,39 @@ def test_funnel_conversion_strict_order(spark):
 
 
 def test_retention_cohorts_triangle(spark):
-    from etdtransform_spark.operators.journey import retention_cohorts
+    from datetime import datetime, timedelta
 
-    week = 7 * 86400.0
+    from etdtransform_spark.operators.funnel import retention_cohorts
+
+    w0 = datetime(2024, 1, 1)  # a Monday (date_trunc week anchor)
+    wk = timedelta(weeks=1)
     rows = [
-        (1, 0.0), (1, week), (1, 2 * week),   # cohort 0, active w0,1,2
-        (2, 0.5 * week), (2, 1.5 * week),     # cohort 0, active w0,1
-        (3, week),                            # cohort 1, active w1 only
+        (1, w0), (1, w0 + wk), (1, w0 + 2 * wk),   # cohort w0: w0,w1,w2
+        (2, w0 + timedelta(days=3)), (2, w0 + wk + timedelta(days=2)),
+        (3, w0 + wk),                               # cohort w1 only
     ]
-    df = spark.createDataFrame(rows, "user_id long, ts double")
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     out = {
         (r.cohort_week, r.week_offset): r
-        for r in retention_cohorts(df, "user_id", "ts").collect()
+        for r in retention_cohorts(
+            df, "user_id", "ts", max_offset=8, with_rates=True
+        ).collect()
     }
-    assert out[(0, 0)].cohort_size == 2 and out[(0, 0)].n_active == 2
-    assert out[(0, 1)].n_active == 2
-    assert out[(0, 1)].retention_rate == pytest.approx(1.0)
-    assert out[(0, 2)].n_active == 1
-    assert out[(0, 2)].retention_rate == pytest.approx(0.5)
-    assert out[(1, 0)].cohort_size == 1
+    assert out[(w0, 0)].cohort_size == 2 and out[(w0, 0)].n_active == 2
+    assert out[(w0, 1)].n_active == 2
+    assert out[(w0, 1)].retention_rate == pytest.approx(1.0)
+    assert out[(w0, 2)].n_active == 1
+    assert out[(w0, 2)].retention_rate == pytest.approx(0.5)
+    assert out[(w0 + wk, 0)].cohort_size == 1
+    # default mode (back-compat): bare triangle, no rate columns
+    bare = retention_cohorts(df, "user_id", "ts")
+    assert bare.columns == ["cohort_week", "week_offset", "n_active"]
 
 
 def test_kaplan_meier_textbook(spark):
     """Classic small example: durations 1,2+,3 (events at 1 and 3,
     censored at 2): S(1)=2/3, S(3)=0 (d=n at t=3)."""
-    from etdtransform_spark.operators.journey import kaplan_meier
+    from etdtransform_spark.operators.funnel import kaplan_meier
 
     df = spark.createDataFrame(
         [(1.0, 1), (2.0, 0), (3.0, 1)], "duration double, event int"
@@ -129,32 +136,8 @@ def test_kaplan_meier_textbook(spark):
     assert out[3.0].survival == 0.0
 
 
-def test_markov_transitions_normalized(spark):
-    from etdtransform_spark.operators.journey import markov_transitions
-
-    rows = [
-        (1, "a", 1.0, 1), (1, "b", 2.0, 2), (1, "a", 3.0, 3),
-        (2, "a", 1.0, 4), (2, "a", 2.0, 5),
-    ]
-    df = spark.createDataFrame(
-        rows, "u long, ty string, ts double, eid long"
-    )
-    out = {
-        (r.from_state, r.to_state): r
-        for r in markov_transitions(
-            df, "u", "ty", "ts", order_col="eid"
-        ).collect()
-    }
-    # from a: a->b (u1), a->a (u2) ; from b: b->a (u1)
-    assert out[("a", "b")].n == 1 and out[("a", "a")].n == 1
-    assert out[("a", "b")].p == pytest.approx(0.5)
-    assert out[("b", "a")].p == pytest.approx(1.0)
-    # transitions never cross users
-    assert ("a", "a") in out and len(out) == 3
-
-
 def test_top_paths_bounded_and_ordered(spark):
-    from etdtransform_spark.operators.journey import top_paths
+    from etdtransform_spark.operators.funnel import top_paths
 
     rows = []
     for u in range(3):
