@@ -12985,6 +12985,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
+        "preference_pipeline_e2e": q_preference_pipeline_e2e,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "kaplan_meier": q_kaplan_meier,
+        "top_paths": q_top_paths,
+        "delta_method_ratio": q_delta_method_ratio,
+        "profile_drift": q_profile_drift,
+        "centroid_shift": q_centroid_shift,
         "cooccurrence": q_cooccurrence,
         "touch_attribution": q_touch_attribution,
         "inverted_index": q_inverted_index,
@@ -13027,6 +13035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi_daily": q_streaming_psi_daily,
         "k_anonymity_audit": q_k_anonymity_audit,
         "reid_risk_summary": q_reid_risk_summary,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "bloom_semi_join": q_bloom_semi_join,
         "url_dedup_canonical": q_url_dedup,
         "pmi_collocations": q_pmi_collocations,
@@ -13035,8 +13045,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "union_all": q_union_all,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "pricing_summary": q_pricing_summary,
         "mincount_gated_agg": q_mincount_gated_agg,
         "distinct": q_distinct,
@@ -13250,14 +13258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_stratified": q_weighted_stratified,
         "rouge_bigram": q_rouge_bigram,
         "eval_pipeline_e2e": q_eval_pipeline_e2e,
-        "preference_pipeline_e2e": q_preference_pipeline_e2e,
-        "funnel_conversion": q_funnel_conversion,
-        "retention_cohorts": q_retention_cohorts,
-        "kaplan_meier": q_kaplan_meier,
-        "top_paths": q_top_paths,
-        "delta_method_ratio": q_delta_method_ratio,
-        "profile_drift": q_profile_drift,
-        "centroid_shift": q_centroid_shift,
         "msprt": q_msprt,
         "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
