@@ -12536,13 +12536,15 @@ WITH base AS (
     AND event_type IN ('click', 'view')
 ), g AS (
   SELECT
-    sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+    coalesce(sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END),
+             0)::BIGINT AS na,
     sum(CASE WHEN arm = 'click' THEN x ELSE 0.0 END) AS sxa,
     sum(CASE WHEN arm = 'click' THEN y ELSE 0.0 END) AS sya,
     sum(CASE WHEN arm = 'click' THEN x * x ELSE 0.0 END) AS xxa,
     sum(CASE WHEN arm = 'click' THEN y * y ELSE 0.0 END) AS yya,
     sum(CASE WHEN arm = 'click' THEN x * y ELSE 0.0 END) AS xya,
-    sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS nb,
+    coalesce(sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END),
+             0)::BIGINT AS nb,
     sum(CASE WHEN arm = 'view' THEN x ELSE 0.0 END) AS sxb,
     sum(CASE WHEN arm = 'view' THEN y ELSE 0.0 END) AS syb,
     sum(CASE WHEN arm = 'view' THEN x * x ELSE 0.0 END) AS xxb,

@@ -62,24 +62,35 @@ def column_profile(
             ).alias(f"_mean_{c}")
         )
     g = df.agg(*aggs)
-    rows = None
-    for c, _ in cols:
-        r = g.select(
-            F.lit(c).alias("column"),
-            F.col("_n").cast("bigint").alias("n_rows"),
-            qround(
-                F.when(
-                    F.col("_n") > 0,
-                    F.col(f"_null_{c}").cast("double")
-                    / F.col("_n").cast("double"),
-                ),
-                digits,
-            ).alias("null_rate"),
-            F.col(f"_dist_{c}").cast("bigint").alias("n_distinct"),
-            qround(F.col(f"_mean_{c}"), digits).alias("mean"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    # unpivot the 1-row aggregate via ONE explode — a union of per-column
+    # selects would re-run the count_distinct-expanded aggregate (and its
+    # table scan) once per profiled column (measured: 12 FileScans for a
+    # 3-column profile)
+    return g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("_n").cast("bigint").alias("n_rows"),
+                        qround(
+                            F.when(
+                                F.col("_n") > 0,
+                                F.col(f"_null_{c}").cast("double")
+                                / F.col("_n").cast("double"),
+                            ),
+                            digits,
+                        ).alias("null_rate"),
+                        F.col(f"_dist_{c}")
+                        .cast("bigint")
+                        .alias("n_distinct"),
+                        qround(F.col(f"_mean_{c}"), digits).alias("mean"),
+                    )
+                    for c, _ in cols
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.*")
 
 
 def profile_drift(

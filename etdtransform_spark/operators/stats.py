@@ -2148,7 +2148,12 @@ def delta_method_ratio(
             e
             for tag, cond in (("a", in_a), ("b", in_b))
             for e in (
-                F.sum(F.when(cond, 1).otherwise(0)).alias(f"_n{tag}"),
+                # coalesce: SUM over the EMPTY corpus is NULL, but the
+                # repo convention is n=0 with NULL statistics
+                # (cramers_v / srm_check — ADVICE r10 #5 family)
+                F.coalesce(
+                    F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+                ).alias(f"_n{tag}"),
                 F.sum(F.when(cond, x).otherwise(0.0)).alias(f"_sx{tag}"),
                 F.sum(F.when(cond, y).otherwise(0.0)).alias(f"_sy{tag}"),
                 F.sum(F.when(cond, x * x).otherwise(0.0)).alias(f"_xx{tag}"),

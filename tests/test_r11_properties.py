@@ -169,6 +169,10 @@ def test_delta_method_ratio_basic(spark):
     )
     r1 = delta_method_ratio(one, "x", "y", "arm", "a", "b").collect()[0]
     assert r1.ratio_a is None and r1.diff is None
+    # empty corpus: n=0 with NULL statistics (repo fail-closed convention)
+    empty = spark.createDataFrame([], "arm string, x double, y double")
+    r0 = delta_method_ratio(empty, "x", "y", "arm", "a", "b").collect()[0]
+    assert r0.n_a == 0 and r0.n_b == 0 and r0.ratio_a is None
 
 
 def test_profile_drift_planted_null_jump(spark):
