@@ -12703,6 +12703,126 @@ FROM ca, cb, st
 
 
 # ---------------------------------------------------------------------------
+# round 11: lexical retrieval (BM25) + hybrid rank fusion (RRF)
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {hash, spark, vector}
+    (operators/text.py:bm25_topk): Lucene-style non-negative idf,
+    k1=1.2 b=0.75; the tf shuffle is filtered to the 3 query terms
+    BEFORE the exchange; df/avgdl/N broadcast."""
+    from etdtransform_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "spark", "vector"], k=10)
+
+
+_SQL_BM25 = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array({_FOLD_TEXT}, '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), dl AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS dlen FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dlen::DOUBLE) AS avgdl FROM dl
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM toks WHERE term IN ('hash', 'spark', 'vector') GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT term,
+         ln(1.0 + (n_docs::DOUBLE - df + 0.5) / (df + 0.5)) AS idf,
+         avgdl
+  FROM dfreq CROSS JOIN stats
+), scored AS (
+  SELECT tf.doc_id,
+         idf.idf * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75
+                             + 0.75 * dl.dlen::DOUBLE / idf.avgdl)) AS s
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_terms_matched, sum(s) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_terms_matched, {qround_sql('score', 6)} AS score
+FROM per_doc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the full-64-dim and truncated-16-dim
+    cosine top-5 rankings (operators/ranking.py:reciprocal_rank_fusion)
+    — the hybrid-retrieval merge, on the same pinned probe/candidate
+    pools as rbo_topk (constant cost at any sf). Fused top-3 per
+    query."""
+    from etdtransform_spark.operators.ranking import (
+        reciprocal_rank_fusion,
+    )
+    from etdtransform_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    qset = emb.filter(F.col("vec_id") < 200)
+    full = cosine_topk(qset, emb, k=5)
+    trunc = cosine_topk(
+        qset.withColumn("embedding", F.slice("embedding", 1, 16)),
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+        k=5,
+    )
+    return reciprocal_rank_fusion(full, trunc, k_const=60, topk=3)
+
+
+def _sql_rrf_fusion() -> str:
+    return f"""
+WITH full_k AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY floor(({_COS_SQL}) * 1000000.0 + 0.5) / 1000000.0
+                        DESC,
+                      b.vec_id) AS rank
+    FROM {_EMB} a JOIN {_EMB} b
+      ON a.vec_id < 200 AND a.vec_id <> b.vec_id AND b.vec_id < 1000
+  ) WHERE rank <= 5
+), trunc_k AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY floor(({_COS_SQL_TRUNC}) * 1000000.0 + 0.5)
+                        / 1000000.0 DESC,
+                      b.vec_id) AS rank
+    FROM {_EMB} a JOIN {_EMB} b
+      ON a.vec_id < 200 AND a.vec_id <> b.vec_id AND b.vec_id < 1000
+  ) WHERE rank <= 5
+), merged AS (
+  SELECT coalesce(f.query_id, t.query_id) AS query,
+         coalesce(f.neighbor_id, t.neighbor_id) AS item,
+         f.rank AS ra, t.rank AS rb
+  FROM full_k f FULL JOIN trunc_k t
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+), scored AS (
+  SELECT query, item,
+         (ra IS NOT NULL)::INT AS in_a, (rb IS NOT NULL)::INT AS in_b,
+         {qround_sql(
+             'CASE WHEN ra IS NOT NULL THEN 1.0 / (60.0 + ra::DOUBLE)'
+             ' ELSE 0.0 END'
+             ' + CASE WHEN rb IS NOT NULL THEN 1.0 / (60.0 + rb::DOUBLE)'
+             ' ELSE 0.0 END', 6)} AS rrf
+  FROM merged
+), ranked AS (
+  SELECT query, item, in_a, in_b, rrf,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY rrf DESC, item) AS fused_rank
+  FROM scored
+)
+SELECT query, item, in_a, in_b, rrf, fused_rank::BIGINT AS fused_rank
+FROM ranked WHERE fused_rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # round 11: composite preference-data QA pipeline (the third e2e chain:
 # data-side = llm_pipeline_e2e, eval-side = eval_pipeline_e2e, this is the
 # preference-side — VERDICT r10 #6)
@@ -12988,6 +13108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
         "preference_pipeline_e2e": q_preference_pipeline_e2e,
+        "bm25_topk": q_bm25_topk,
+        "rrf_fusion": q_rrf_fusion,
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "kaplan_meier": q_kaplan_meier,
@@ -13388,6 +13510,8 @@ def oracle_sql() -> dict[str, str]:
         "rouge_bigram": _SQL_ROUGE,
         "eval_pipeline_e2e": _SQL_EVAL_E2E,
         "preference_pipeline_e2e": _SQL_PREF_E2E,
+        "bm25_topk": _SQL_BM25,
+        "rrf_fusion": _sql_rrf_fusion(),
         "funnel_conversion": _SQL_FUNNEL_CONV,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "kaplan_meier": _SQL_KAPLAN_MEIER,

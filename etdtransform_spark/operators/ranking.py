@@ -246,3 +246,75 @@ def rbo_overlap(
         "rbo",
         qround(F.lit(float(p ** k)), digits).alias("p_residual"),
     )
+
+
+def reciprocal_rank_fusion(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    topk: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    rankings of the same queries — THE standard hybrid-retrieval merge
+    (BM25 list ⊕ embedding list): per (query, item),
+
+        rrf = Σ_lists 1 / (k_const + rank)
+
+    summed over the lists that contain the item, then top-``topk`` per
+    query by (rrf desc, item asc — deterministic). No score calibration
+    needed — only ranks, which is why it is the default fusion for
+    heterogeneous retrievers.
+
+    Each side is collapsed to min(rank) per (query, item) first (the
+    same malformed-input guard as :func:`rbo_overlap`); the outer merge
+    and the per-query window run on ≤ 2·listlen rows per query —
+    dictionary-sized work after the retrievers' own top-k.
+
+    Returns (query, item, in_a, in_b, rrf, fused_rank), fused_rank ≤
+    ``topk``. ``in_a``/``in_b`` are 0/1 INTs (nullable BOOLEAN stays
+    out of contract outputs).
+    """
+    if k_const < 1:
+        raise ValueError(f"k_const must be >= 1, got {k_const}")
+
+    def side(r: DataFrame, out: str) -> DataFrame:
+        return (
+            r.groupBy(
+                F.col(query_col).alias("query"),
+                F.col(item_col).alias("item"),
+            )
+            .agg(F.min(F.col(rank_col).cast("bigint")).alias(out))
+        )
+
+    a = side(ranking_a, "_ra")
+    b = side(ranking_b, "_rb")
+    merged = a.join(b, ["query", "item"], "full")
+    contrib = (
+        F.when(
+            F.col("_ra").isNotNull(),
+            1.0 / (F.lit(float(k_const)) + F.col("_ra").cast("double")),
+        ).otherwise(0.0)
+        + F.when(
+            F.col("_rb").isNotNull(),
+            1.0 / (F.lit(float(k_const)) + F.col("_rb").cast("double")),
+        ).otherwise(0.0)
+    )
+    scored = merged.select(
+        "query",
+        "item",
+        F.col("_ra").isNotNull().cast("int").alias("in_a"),
+        F.col("_rb").isNotNull().cast("int").alias("in_b"),
+        qround(contrib, digits).alias("rrf"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf").desc(), F.col("item")
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .withColumn("fused_rank", F.col("fused_rank").cast("bigint"))
+    )

@@ -559,3 +559,103 @@ def token_entropy(
         .alias("type_token_ratio"),
         qround(F.col("_cmax").cast("double") / n, digits).alias("max_share"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    digits: int = 6,
+) -> DataFrame:
+    """BM25 top-k retrieval for ONE query over the corpus — the lexical
+    ranking that pairs with the embedding side (cosine_topk / hybrid
+    RRF fusion) in a training-data search or decontamination stack:
+
+        score(D) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))   (Robertson-
+                   Sparck Jones, the Lucene non-negative formulation)
+
+    Tokenization matches :func:`tfidf_top_terms` (case-fold, split on
+    non-alphanumeric runs). Scale shape: doc length is ONE count
+    aggregate over the tokenize (narrow map, no text shuffle); the
+    term-frequency aggregate is FILTERED to the query terms before the
+    shuffle, so the (doc, term) exchange carries ≤ |query| entries per
+    doc; df/avgdl/N ride as broadcast one-row or |query|-row frames.
+    Top-k is a TakeOrdered by (score desc, id asc). Documents matching
+    no query term score 0 and are not returned.
+
+    Returns (id_col, n_terms_matched, score) — ≤ k rows.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qset = sorted({t.lower() for t in query_terms})
+    toks = widen(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(fold_case(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(qset))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs").cast("double") - F.col("_df") + 0.5)
+            / (F.col("_df") + 0.5)
+        ).alias("_idf"),
+        "_avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "_id")
+        .select(
+            "_id",
+            "term",
+            (
+                F.col("_idf")
+                * F.col("_tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b * F.col("_dl").cast("double") / F.col("_avgdl")
+                    )
+                )
+            ).alias("_s"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        F.sum("_s").alias("_score"),
+    )
+    return (
+        per_doc.orderBy(F.col("_score").desc(), F.col("_id"))
+        .limit(k)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_terms_matched",
+            qround(F.col("_score"), digits).alias("score"),
+        )
+    )

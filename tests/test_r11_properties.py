@@ -219,3 +219,57 @@ def test_centroid_shift_identical_and_shifted(spark):
     )
     deg = centroid_shift(a, empty, n_dims=2).collect()[0]
     assert deg.n_b == 0 and deg.l2_shift is None and deg.cosine is None
+
+
+def test_bm25_ranking_properties(spark):
+    from etdtransform_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),          # high tf on rare term
+            (2, "spark data data data data data"),  # one spark, long doc
+            (3, "data join merge filter"),          # no query term
+            (4, "spark"),                           # short doc, one hit
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    # doc 3 never matches
+    assert 3 not in out and len(out) == 3
+    # tf saturation + length normalization: doc1 (3x spark, len 4) beats
+    # doc4 (1x, len 1) beats doc2 (1x, len 6)
+    assert out[1].score > out[4].score > out[2].score
+    assert out[1].n_terms_matched == 1
+    # idf non-negative even for a term in every doc
+    every = bm25_topk(docs, ["data"], k=10).collect()
+    assert all(r.score > 0 for r in every)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+def test_rrf_fusion_consensus_wins(spark):
+    from etdtransform_spark.operators.ranking import (
+        reciprocal_rank_fusion,
+    )
+
+    a = spark.createDataFrame(
+        [("q", "x", 1), ("q", "y", 2), ("q", "z", 3)],
+        "query_id string, neighbor_id string, rank long",
+    )
+    b = spark.createDataFrame(
+        [("q", "y", 1), ("q", "x", 2), ("q", "w", 3)],
+        "query_id string, neighbor_id string, rank long",
+    )
+    out = {
+        r.item: r
+        for r in reciprocal_rank_fusion(a, b, k_const=60, topk=10).collect()
+    }
+    # consensus items (x, y) beat single-list items (z, w)
+    assert out["x"].rrf == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert out["y"].rrf == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    assert out["x"].fused_rank <= 2 and out["y"].fused_rank <= 2
+    assert out["z"].rrf == pytest.approx(1 / 63, abs=1e-6)
+    assert out["z"].in_a == 1 and out["z"].in_b == 0
+    assert out["w"].in_a == 0 and out["w"].in_b == 1
+    # x and y tie exactly; deterministic tiebreak by item asc
+    assert out["x"].fused_rank == 1 and out["y"].fused_rank == 2
