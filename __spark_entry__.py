@@ -13157,10 +13157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
-        "k_anonymity_audit": q_k_anonymity_audit,
-        "reid_risk_summary": q_reid_risk_summary,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "reid_risk_summary": q_reid_risk_summary,
         "bloom_semi_join": q_bloom_semi_join,
         "url_dedup_canonical": q_url_dedup,
         "pmi_collocations": q_pmi_collocations,
