@@ -12823,6 +12823,209 @@ FROM ranked WHERE fused_rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# round 11: composite retrieval-rollout pipeline (fourth e2e chain:
+# two approximate retrievers → RRF fusion → NDCG against exact truth)
+# ---------------------------------------------------------------------------
+
+_COS_SQL_TRUNC32 = (
+    "list_dot_product(list_slice(a.embedding, 1, 32)::DOUBLE[],"
+    " list_slice(b.embedding, 1, 32)::DOUBLE[])"
+    " / (sqrt(list_dot_product(list_slice(a.embedding, 1, 32)::DOUBLE[],"
+    " list_slice(a.embedding, 1, 32)::DOUBLE[]))"
+    " * sqrt(list_dot_product(list_slice(b.embedding, 1, 32)::DOUBLE[],"
+    " list_slice(b.embedding, 1, 32)::DOUBLE[])))"
+)
+
+
+def q_retrieval_rollout_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite ANN-rollout evaluation chain (fourth e2e: data-side =
+    llm_pipeline_e2e, eval-side = eval_pipeline_e2e, preference-side =
+    preference_pipeline_e2e, this is the retrieval-side): two
+    approximate retrievers (16- and 32-dim prefix truncations — the
+    Matryoshka deployment candidates) are each scored with NDCG@5 /
+    precision@5 against the exact 64-dim top-5 as graded truth, then
+    fused with reciprocal-rank fusion and the FUSED list scored the
+    same way — ONE summary row answering the rollout question "ship
+    16, ship 32, or fuse both?".
+
+    Chains cosine_topk ×3 → reciprocal_rank_fusion → ranking_summary
+    ×3 through real interface boundaries on the pinned constant-cost
+    probe pools (vec_id<200 queries / <1000 candidates). The truth
+    list is localCheckpointed once: it feeds FOUR consumers (three
+    relevance joins + its own construction). fusion_helps pins the
+    deterministic outcome ndcg_fused ≥ max(ndcg_16, ndcg_32) on this
+    corpus.
+    """
+    from etdtransform_spark.operators.ranking import (
+        ranking_summary,
+        reciprocal_rank_fusion,
+    )
+    from etdtransform_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    qset = emb.filter(F.col("vec_id") < 200)
+
+    def trunc(df: DataFrame, d: int) -> DataFrame:
+        return df.withColumn("embedding", F.slice("embedding", 1, d))
+
+    full = cosine_topk(qset, emb, k=5).localCheckpoint(eager=True)
+    r16 = cosine_topk(trunc(qset, 16), trunc(emb, 16), k=5)
+    r32 = cosine_topk(trunc(qset, 32), trunc(emb, 32), k=5)
+    fused = reciprocal_rank_fusion(r16, r32, k_const=60, topk=5).select(
+        F.col("query").alias("query_id"),
+        F.col("item").alias("neighbor_id"),
+        F.col("rrf").alias("score"),
+    )
+    rel = full.select("query_id", "neighbor_id", F.lit(1).alias("_rel"))
+
+    def evaluate(lst: DataFrame, tag: str) -> DataFrame:
+        labeled = lst.join(
+            F.broadcast(rel), ["query_id", "neighbor_id"], "left"
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.col("score"),
+            F.coalesce(F.col("_rel"), F.lit(0)).alias("rel"),
+        )
+        return ranking_summary(
+            labeled, "query_id", "neighbor_id", "score", "rel", k=5
+        ).select(
+            F.col("n_queries").alias(f"n_{tag}"),
+            F.col("mean_ndcg").alias(f"ndcg_{tag}"),
+            F.col("mean_precision_at_k").alias(f"prec_{tag}"),
+        )
+
+    e16 = evaluate(
+        r16.select(
+            "query_id", "neighbor_id",
+            (-F.col("rank").cast("double")).alias("score"),
+        ),
+        "16",
+    )
+    e32 = evaluate(
+        r32.select(
+            "query_id", "neighbor_id",
+            (-F.col("rank").cast("double")).alias("score"),
+        ),
+        "32",
+    )
+    ef = evaluate(fused, "fused")
+    return (
+        ef.crossJoin(F.broadcast(e16))
+        .crossJoin(F.broadcast(e32))
+        .select(
+            F.col("n_fused").alias("n_queries"),
+            "ndcg_16",
+            "prec_16",
+            "ndcg_32",
+            "prec_32",
+            "ndcg_fused",
+            "prec_fused",
+            F.when(
+                F.col("ndcg_fused").isNotNull()
+                & F.col("ndcg_16").isNotNull()
+                & F.col("ndcg_32").isNotNull(),
+                (
+                    F.col("ndcg_fused")
+                    >= F.greatest(F.col("ndcg_16"), F.col("ndcg_32"))
+                ).cast("int"),
+            ).alias("fusion_helps"),
+        )
+    )
+
+
+def _sql_retrieval_rollout() -> str:
+    def ranked_list(cos: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                      b.vec_id) AS rank
+    FROM {_EMB} a JOIN {_EMB} b
+      ON a.vec_id < 200 AND a.vec_id <> b.vec_id AND b.vec_id < 1000
+  ) WHERE rank <= 5
+)"""
+
+    def eval_list(src: str, tag: str) -> str:
+        # mirrors ranking_metrics: gain 2^rel-1 (=rel for 0/1), disc
+        # log2(pos+1), ideal = same items by (rel desc, item asc),
+        # ndcg NULL when idcg=0, precision = rel_at_k/5; means skip NULLs
+        return f"""lab_{tag} AS (
+  SELECT s.query_id, s.neighbor_id, s.score,
+         (f.neighbor_id IS NOT NULL)::INT AS rel
+  FROM {src} s LEFT JOIN full_k f
+    ON f.query_id = s.query_id AND f.neighbor_id = s.neighbor_id
+), pos_{tag} AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS pos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, neighbor_id) AS ipos
+  FROM lab_{tag}
+), perq_{tag} AS (
+  SELECT query_id,
+         coalesce(sum(CASE WHEN pos <= 5 AND rel = 1
+                           THEN 1.0 / log2(pos::DOUBLE + 1.0) END),
+                  0.0) AS dcg,
+         coalesce(sum(CASE WHEN ipos <= 5 AND rel = 1
+                           THEN 1.0 / log2(ipos::DOUBLE + 1.0) END),
+                  0.0) AS idcg,
+         sum(CASE WHEN pos <= 5 AND rel = 1 THEN 1 ELSE 0 END)::DOUBLE
+           / 5.0 AS prec
+  FROM pos_{tag} GROUP BY 1
+), ev_{tag} AS (
+  SELECT count(*)::BIGINT AS n_{tag},
+         {qround_sql('avg(CASE WHEN idcg > 0 THEN dcg / idcg END)', 6)}
+           AS ndcg_{tag},
+         {qround_sql('avg(prec)', 6)} AS prec_{tag}
+  FROM perq_{tag}
+)"""
+
+    return f"""
+WITH {ranked_list(_COS_SQL, 'full_k')},
+{ranked_list(_COS_SQL_TRUNC, 'r16')},
+{ranked_list(_COS_SQL_TRUNC32, 'r32')},
+merged AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         a.rank AS ra, b.rank AS rb
+  FROM r16 a FULL JOIN r32 b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+), fscored AS (
+  SELECT query_id, neighbor_id,
+         {qround_sql(
+             'CASE WHEN ra IS NOT NULL THEN 1.0 / (60.0 + ra::DOUBLE)'
+             ' ELSE 0.0 END'
+             ' + CASE WHEN rb IS NOT NULL THEN 1.0 / (60.0 + rb::DOUBLE)'
+             ' ELSE 0.0 END', 6)} AS score
+  FROM merged
+), fused AS MATERIALIZED (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS fr
+    FROM fscored
+  ) WHERE fr <= 5
+), s16 AS (
+  SELECT query_id, neighbor_id, -(rank::DOUBLE) AS score FROM r16
+), s32 AS (
+  SELECT query_id, neighbor_id, -(rank::DOUBLE) AS score FROM r32
+),
+{eval_list('s16', '16')},
+{eval_list('s32', '32')},
+{eval_list('fused', 'fused')}
+SELECT n_fused AS n_queries, ndcg_16, prec_16, ndcg_32, prec_32,
+       ndcg_fused, prec_fused,
+       CASE WHEN ndcg_fused IS NOT NULL AND ndcg_16 IS NOT NULL
+             AND ndcg_32 IS NOT NULL
+            THEN (ndcg_fused >= greatest(ndcg_16, ndcg_32))::INT END
+         AS fusion_helps
+FROM ev_fused, ev_16, ev_32
+"""
+
+
+# ---------------------------------------------------------------------------
 # round 11: composite preference-data QA pipeline (the third e2e chain:
 # data-side = llm_pipeline_e2e, eval-side = eval_pipeline_e2e, this is the
 # preference-side — VERDICT r10 #6)
@@ -13110,6 +13313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pipeline_e2e": q_preference_pipeline_e2e,
         "bm25_topk": q_bm25_topk,
         "rrf_fusion": q_rrf_fusion,
+        "retrieval_rollout_e2e": q_retrieval_rollout_e2e,
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "kaplan_meier": q_kaplan_meier,
@@ -13512,6 +13716,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pipeline_e2e": _SQL_PREF_E2E,
         "bm25_topk": _SQL_BM25,
         "rrf_fusion": _sql_rrf_fusion(),
+        "retrieval_rollout_e2e": _sql_retrieval_rollout(),
         "funnel_conversion": _SQL_FUNNEL_CONV,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "kaplan_meier": _SQL_KAPLAN_MEIER,
