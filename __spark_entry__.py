@@ -13360,9 +13360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_time_drift_daily": q_psi_time_drift_daily,
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
-        "streaming_psi_daily": q_streaming_psi_daily,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "streaming_psi_daily": q_streaming_psi_daily,
         "k_anonymity_audit": q_k_anonymity_audit,
         "reid_risk_summary": q_reid_risk_summary,
         "bloom_semi_join": q_bloom_semi_join,
