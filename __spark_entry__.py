@@ -12703,6 +12703,116 @@ FROM ca, cb, st
 
 
 # ---------------------------------------------------------------------------
+# round 11: survival hazard + post-stratification
+# ---------------------------------------------------------------------------
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard, duration = value, event =
+    purchase (operators/funnel.py:nelson_aalen): same risk-set plan
+    shape as kaplan_meier — one duration-keyed count aggregate +
+    ordered cumulative windows; variance Σ d/n² alongside."""
+    from etdtransform_spark.operators.funnel import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    km = ev.select(
+        F.col("value").alias("duration"),
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+    )
+    return nelson_aalen(km, "duration", "event")
+
+
+_SQL_NELSON_AALEN = f"""
+WITH base AS (
+  SELECT value::DOUBLE AS t, (event_type = 'purchase')::INT AS e
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0
+    AND event_type IS NOT NULL
+), per_t AS (
+  SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS c
+  FROM base GROUP BY 1
+), risked AS (
+  SELECT t, d, c,
+         (sum(c) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS n
+  FROM per_t
+), cum AS (
+  SELECT t, d, n,
+         sum(d::DOUBLE / n::DOUBLE) OVER w AS h,
+         sum(d::DOUBLE / (n::DOUBLE * n::DOUBLE)) OVER w AS v
+  FROM risked
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT t, n AS n_risk, d AS n_events,
+       {qround_sql('h', 6)} AS cum_hazard,
+       {qround_sql('v', 6)} AS cum_hazard_var
+FROM cum WHERE d > 0
+"""
+
+
+def q_post_stratified_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification readout of the value metric against a
+    DECLARED event-type mix (operators/stats.py:post_stratified_mean):
+    one stratum-keyed moment aggregate + a broadcast declared-share
+    join + one rollup; empty declared strata fail the estimate closed."""
+    from etdtransform_spark.operators.stats import post_stratified_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return post_stratified_mean(
+        ev, "value", "event_type",
+        {"click": 0.3, "view": 0.3, "purchase": 0.2, "signup": 0.1,
+         "error": 0.1},
+    )
+
+
+_SQL_POST_STRATIFIED = f"""
+WITH base AS (
+  SELECT event_type AS s, value::DOUBLE AS x
+  FROM {_EV}
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), per_s AS (
+  SELECT s, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM base GROUP BY 1
+), shares AS (
+  SELECT * FROM (VALUES
+    ('click', 0.3::DOUBLE), ('error', 0.1::DOUBLE),
+    ('purchase', 0.2::DOUBLE), ('signup', 0.1::DOUBLE),
+    ('view', 0.3::DOUBLE)) AS sh(s, w)
+), j AS (
+  SELECT n, sx, sxx, w
+  FROM per_s p FULL JOIN shares sh ON p.s = sh.s
+), agg AS (
+  SELECT coalesce(sum(n), 0)::BIGINT AS n,
+         count(CASE WHEN w IS NOT NULL AND n IS NOT NULL
+                    THEN 1 END)::BIGINT AS n_strata,
+         count(CASE WHEN w IS NOT NULL AND n IS NULL
+                    THEN 1 END)::BIGINT AS n_empty_strata,
+         count(CASE WHEN w IS NULL THEN 1 END)::BIGINT AS n_unknown_strata,
+         sum(CASE WHEN w IS NOT NULL THEN sx END) AS wsx,
+         sum(CASE WHEN w IS NOT NULL THEN n END) AS wn,
+         sum(w * (sx / n::DOUBLE)) AS ps,
+         sum(w * w * (CASE WHEN n > 1 THEN
+               (sxx - sx * (sx / n::DOUBLE)) / (n::DOUBLE - 1.0) END)
+             / n::DOUBLE) AS psv,
+         max((w IS NOT NULL AND n IS NULL)::INT) AS anyempty
+  FROM j
+)
+SELECT n, n_strata, n_empty_strata, n_unknown_strata,
+       {qround_sql('CASE WHEN wn > 0 THEN wsx / wn::DOUBLE END', 6)}
+         AS mean_raw,
+       {qround_sql(
+           'CASE WHEN coalesce(anyempty, 1) = 0 THEN ps END', 6)}
+         AS mean_post_stratified,
+       {qround_sql(
+           'CASE WHEN coalesce(anyempty, 1) = 0 AND psv >= 0 '
+           'THEN sqrt(psv) END', 6)} AS se_post_stratified
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # round 11: lexical retrieval (BM25) + hybrid rank fusion (RRF)
 # ---------------------------------------------------------------------------
 
@@ -13314,6 +13424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "rrf_fusion": q_rrf_fusion,
         "retrieval_rollout_e2e": q_retrieval_rollout_e2e,
+        "nelson_aalen": q_nelson_aalen,
+        "post_stratified_mean": q_post_stratified_mean,
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "kaplan_meier": q_kaplan_meier,
@@ -13717,6 +13829,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25,
         "rrf_fusion": _sql_rrf_fusion(),
         "retrieval_rollout_e2e": _sql_retrieval_rollout(),
+        "nelson_aalen": _SQL_NELSON_AALEN,
+        "post_stratified_mean": _SQL_POST_STRATIFIED,
         "funnel_conversion": _SQL_FUNNEL_CONV,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "kaplan_meier": _SQL_KAPLAN_MEIER,

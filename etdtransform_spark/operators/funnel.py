@@ -546,3 +546,57 @@ def top_paths(
         .limit(k)
         .select("path", "n_users", "path_len")
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the additive twin of
+    :func:`kaplan_meier`: at each distinct event time t,
+    H(t) = Σ_{t_i ≤ t} d_i / n_i with the same risk-set bookkeeping
+    (right-censored rows leave the risk set without an event). Preferred
+    over −ln(S_KM) when hazards are the modeling target (it is unbiased
+    for the cumulative hazard and defined even after S hits 0), and the
+    variance Σ d_i/n_i² (Klein's formulation) is reported alongside for
+    pointwise CIs.
+
+    Identical plan shape to kaplan_meier: ONE duration-keyed count
+    aggregate, a descending-cumulative risk window, an ascending
+    cumulative sum — no per-subject state. NULL/NaN/negative durations
+    excluded.
+
+    Returns one row per distinct event time:
+    (t, n_risk, n_events, cum_hazard, cum_hazard_var).
+    """
+    d = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    base = df.filter(
+        d.isNotNull() & ~F.isnan(d) & (d >= 0) & e.isNotNull()
+    ).select(d.alias("_t"), e.alias("_e"))
+    per_t = base.groupBy("_t").agg(
+        F.sum("_e").cast("bigint").alias("_d"),
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+    )
+    w_desc = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nn = F.col("_n").cast("double")
+    dd = F.col("_d").cast("double")
+    curve = (
+        per_t.withColumn("_n", F.sum("_c").over(w_desc))
+        .withColumn("_h", F.sum(dd / nn).over(w_asc))
+        .withColumn("_v", F.sum(dd / (nn * nn)).over(w_asc))
+    )
+    return curve.filter(F.col("_d") > 0).select(
+        F.col("_t").alias("t"),
+        F.col("_n").alias("n_risk"),
+        F.col("_d").alias("n_events"),
+        qround(F.col("_h"), digits).alias("cum_hazard"),
+        qround(F.col("_v"), digits).alias("cum_hazard_var"),
+    )

@@ -2192,3 +2192,91 @@ def delta_method_ratio(
         qround(F.when(both, d - zq * se), digits).alias("ci_lo"),
         qround(F.when(both, d + zq * se), digits).alias("ci_hi"),
     )
+
+
+def post_stratified_mean(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    population_shares: dict,
+    digits: int = 6,
+) -> DataFrame:
+    """Post-stratification estimator: the population mean of
+    ``value_col`` re-weighted to DECLARED stratum shares — the standard
+    correction when the observed sample's stratum mix drifts from the
+    population (a skewed logging pipeline, a non-proportional panel):
+
+        μ̂_ps = Σ_s W_s · x̄_s        (W_s the declared share)
+        Var(μ̂_ps) ≈ Σ_s W_s² · s_s² / n_s
+
+    Strata observed in the data but ABSENT from ``population_shares``
+    are dropped (they carry no declared weight — reported via
+    n_unknown_strata); declared strata absent from the data make the
+    estimate NULL (a share with no sample mean cannot be imputed —
+    fail closed, reported via n_empty_strata). Shares must sum to ~1.
+
+    ONE stratum-keyed moment aggregate (map-side combined) + a
+    broadcast join against the |strata|-row declared-share table + one
+    rollup. Returns ONE row: (n, n_strata, n_empty_strata,
+    n_unknown_strata, mean_raw, mean_post_stratified, se_post_stratified).
+    """
+    total = sum(population_shares.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"population shares must sum to 1, got {total}")
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(stratum_col).isNotNull() & x.isNotNull() & ~F.isnan(x)
+    )
+    per_s = base.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    shares = F.broadcast(
+        base.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in sorted(population_shares.items())],
+            f"_s {dict(df.dtypes).get(stratum_col, 'string')}, _w double",
+        )
+    )
+    j = per_s.join(shares, "_s", "full")
+    n = F.col("_n").cast("double")
+    mean_s = F.col("_sx") / n
+    var_s = F.when(
+        F.col("_n") > 1,
+        (F.col("_sxx") - F.col("_sx") * mean_s) / (n - 1.0),
+    )
+    agg = j.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("_w").isNotNull() & F.col("_n").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_strata"),
+        F.count(F.when(F.col("_w").isNotNull() & F.col("_n").isNull(), 1))
+        .cast("bigint")
+        .alias("n_empty_strata"),
+        F.count(F.when(F.col("_w").isNull(), 1))
+        .cast("bigint")
+        .alias("n_unknown_strata"),
+        F.sum(F.when(F.col("_w").isNotNull(), F.col("_sx"))).alias("_wsx"),
+        F.sum(F.when(F.col("_w").isNotNull(), F.col("_n"))).alias("_wn"),
+        F.sum(F.col("_w") * mean_s).alias("_ps"),
+        F.sum(F.col("_w") * F.col("_w") * var_s / n).alias("_psv"),
+        F.max(F.col("_w").isNotNull() & F.col("_n").isNull())
+        .alias("_any_empty"),
+    )
+    ok = ~F.coalesce(F.col("_any_empty"), F.lit(False))
+    return agg.select(
+        "n",
+        "n_strata",
+        "n_empty_strata",
+        "n_unknown_strata",
+        qround(
+            F.when(F.col("_wn") > 0, F.col("_wsx") / F.col("_wn")), digits
+        ).alias("mean_raw"),
+        qround(F.when(ok, F.col("_ps")), digits).alias(
+            "mean_post_stratified"
+        ),
+        qround(
+            F.when(ok & (F.col("_psv") >= 0), F.sqrt(F.col("_psv"))),
+            digits,
+        ).alias("se_post_stratified"),
+    )

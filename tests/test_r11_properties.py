@@ -273,3 +273,47 @@ def test_rrf_fusion_consensus_wins(spark):
     assert out["w"].in_a == 0 and out["w"].in_b == 1
     # x and y tie exactly; deterministic tiebreak by item asc
     assert out["x"].fused_rank == 1 and out["y"].fused_rank == 2
+
+
+def test_nelson_aalen_textbook(spark):
+    """Durations 1, 2+, 3 (events at 1 and 3, censored at 2):
+    H(1)=1/3, H(3)=1/3+1/1=4/3; var 1/9 then 1/9+1."""
+    from etdtransform_spark.operators.funnel import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1)], "duration double, event int"
+    )
+    out = {r.t: r for r in nelson_aalen(df, "duration", "event").collect()}
+    assert set(out) == {1.0, 3.0}
+    assert out[1.0].cum_hazard == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1.0].cum_hazard_var == pytest.approx(1 / 9, abs=1e-6)
+    assert out[3.0].cum_hazard == pytest.approx(4 / 3, abs=1e-6)
+    assert out[3.0].cum_hazard_var == pytest.approx(1 / 9 + 1, abs=1e-6)
+
+
+def test_post_stratified_mean_corrects_skew(spark):
+    from etdtransform_spark.operators.stats import post_stratified_mean
+
+    # stratum a (true mean 10) oversampled 4:1 vs b (true mean 0);
+    # population is actually 50/50 -> raw mean 8, post-stratified 5
+    rows = [("a", 10.0)] * 8 + [("b", 0.0)] * 2
+    df = spark.createDataFrame(rows, "s string, x double")
+    r = post_stratified_mean(df, "x", "s", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r.mean_raw == pytest.approx(8.0)
+    assert r.mean_post_stratified == pytest.approx(5.0)
+    assert r.se_post_stratified == 0.0  # zero within-stratum variance
+    assert r.n_strata == 2 and r.n_empty_strata == 0
+
+    # a declared stratum with no data fails the estimate closed
+    r2 = post_stratified_mean(
+        df, "x", "s", {"a": 0.5, "b": 0.3, "c": 0.2}
+    ).collect()[0]
+    assert r2.n_empty_strata == 1
+    assert r2.mean_post_stratified is None
+    # an observed stratum with no declared share is dropped + counted
+    r3 = post_stratified_mean(df, "x", "s", {"a": 1.0}).collect()[0]
+    assert r3.n_unknown_strata == 1
+    assert r3.mean_post_stratified == pytest.approx(10.0)
+    assert r3.mean_raw == pytest.approx(10.0)  # only weighted strata
+    with pytest.raises(ValueError):
+        post_stratified_mean(df, "x", "s", {"a": 0.5})
