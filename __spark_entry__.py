@@ -13470,10 +13470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_drift": q_mwu_drift,
         "psi_drift_lang": q_psi_drift_lang,
         "psi_time_drift_daily": q_psi_time_drift_daily,
-        "embedding_drift_labels": q_embedding_drift_labels,
-        "expectations_thresholds": q_expectations_thresholds,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "embedding_drift_labels": q_embedding_drift_labels,
+        "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
         "k_anonymity_audit": q_k_anonymity_audit,
         "reid_risk_summary": q_reid_risk_summary,
