@@ -12796,7 +12796,11 @@ WITH base AS (
          sum(w * w * (CASE WHEN n > 1 THEN
                (sxx - sx * (sx / n::DOUBLE)) / (n::DOUBLE - 1.0) END)
              / n::DOUBLE) AS psv,
-         max((w IS NOT NULL AND n IS NULL)::INT) AS anyempty
+         max((w IS NOT NULL AND n IS NULL)::INT) AS anyempty,
+         -- a declared stratum with n=1 has no sample variance: its
+         -- W^2*s^2/n term is silently skipped by sum() and the se would
+         -- UNDERESTIMATE — fail the se closed (mirrors stats.py)
+         max((w IS NOT NULL AND n = 1)::INT) AS anysingleton
   FROM j
 )
 SELECT n, n_strata, n_empty_strata, n_unknown_strata,
@@ -12806,7 +12810,8 @@ SELECT n, n_strata, n_empty_strata, n_unknown_strata,
            'CASE WHEN coalesce(anyempty, 1) = 0 THEN ps END', 6)}
          AS mean_post_stratified,
        {qround_sql(
-           'CASE WHEN coalesce(anyempty, 1) = 0 AND psv >= 0 '
+           'CASE WHEN coalesce(anyempty, 1) = 0 '
+           'AND coalesce(anysingleton, 1) = 0 AND psv >= 0 '
            'THEN sqrt(psv) END', 6)} AS se_post_stratified
 FROM agg
 """
@@ -13420,58 +13425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "preference_pipeline_e2e": q_preference_pipeline_e2e,
-        "bm25_topk": q_bm25_topk,
-        "rrf_fusion": q_rrf_fusion,
-        "retrieval_rollout_e2e": q_retrieval_rollout_e2e,
-        "nelson_aalen": q_nelson_aalen,
-        "post_stratified_mean": q_post_stratified_mean,
-        "funnel_conversion": q_funnel_conversion,
-        "retention_cohorts": q_retention_cohorts,
-        "kaplan_meier": q_kaplan_meier,
-        "top_paths": q_top_paths,
-        "delta_method_ratio": q_delta_method_ratio,
-        "profile_drift": q_profile_drift,
-        "centroid_shift": q_centroid_shift,
-        "cooccurrence": q_cooccurrence,
-        "touch_attribution": q_touch_attribution,
-        "inverted_index": q_inverted_index,
-        "incremental_agg": q_incremental_agg,
-        "pagerank": q_pagerank,
-        "welch_ttest": q_welch_ttest,
-        "chi_square": q_chi_square,
-        "hist_quantile": q_hist_quantile,
-        "triangle_count": q_triangle_count,
-        "longest_streak": q_longest_streak,
-        "streaming_hll_distinct": q_streaming_hll_distinct,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "dedup_resolve": q_dedup_resolve,
-        "winsorize": q_winsorize,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "session_paths": q_session_paths,
-        "autocorrelation": q_autocorrelation,
-        "cusum_changepoint": q_cusum_changepoint,
-        "pq_codes": q_pq_codes,
-        "pq_adc_topk": q_pq_adc_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "customer_hierarchy": q_customer_hierarchy,
-        "streaming_leaderboard": q_streaming_leaderboard,
-        "quantile_normalize": q_quantile_normalize,
-        "degree_days": q_degree_days,
-        "weather_normalize": q_weather_normalize,
-        "containment_pairs": q_containment_pairs,
-        "rolling_active_users": q_rolling_active_users,
-        "gini_sources": q_gini_sources,
-        "bigram_logprob": q_bigram_logprob,
-        "ngram_novelty": q_ngram_novelty,
-        "cross_source_dup": q_cross_source_dup,
-        "per_source_cap": q_per_source_cap,
-        "ks_drift_cohort": q_ks_drift_cohort,
-        "mwu_drift": q_mwu_drift,
-        "psi_drift_lang": q_psi_drift_lang,
-        "psi_time_drift_daily": q_psi_time_drift_daily,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
@@ -13522,6 +13475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "calibration_ece": q_calibration_ece,
         "annotator_kappa": q_annotator_kappa,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "auc_roc": q_auc_roc,
         "classification_report": q_classification_report,
         "streaming_quality_daily": q_streaming_quality_daily,
@@ -13718,6 +13673,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_divergence": q_entropy_divergence,
         "pareto_frontier": q_pareto_frontier,
         "period_over_period": q_period_over_period,
+        "preference_pipeline_e2e": q_preference_pipeline_e2e,
+        "bm25_topk": q_bm25_topk,
+        "rrf_fusion": q_rrf_fusion,
+        "retrieval_rollout_e2e": q_retrieval_rollout_e2e,
+        "nelson_aalen": q_nelson_aalen,
+        "post_stratified_mean": q_post_stratified_mean,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "kaplan_meier": q_kaplan_meier,
+        "top_paths": q_top_paths,
+        "delta_method_ratio": q_delta_method_ratio,
+        "profile_drift": q_profile_drift,
+        "centroid_shift": q_centroid_shift,
+        "cooccurrence": q_cooccurrence,
+        "touch_attribution": q_touch_attribution,
+        "inverted_index": q_inverted_index,
+        "incremental_agg": q_incremental_agg,
+        "pagerank": q_pagerank,
+        "welch_ttest": q_welch_ttest,
+        "chi_square": q_chi_square,
+        "hist_quantile": q_hist_quantile,
+        "triangle_count": q_triangle_count,
+        "longest_streak": q_longest_streak,
+        "streaming_hll_distinct": q_streaming_hll_distinct,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "dedup_resolve": q_dedup_resolve,
+        "winsorize": q_winsorize,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "session_paths": q_session_paths,
+        "autocorrelation": q_autocorrelation,
+        "cusum_changepoint": q_cusum_changepoint,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "customer_hierarchy": q_customer_hierarchy,
+        "streaming_leaderboard": q_streaming_leaderboard,
+        "quantile_normalize": q_quantile_normalize,
+        "degree_days": q_degree_days,
+        "weather_normalize": q_weather_normalize,
+        "containment_pairs": q_containment_pairs,
+        "rolling_active_users": q_rolling_active_users,
+        "gini_sources": q_gini_sources,
+        "bigram_logprob": q_bigram_logprob,
+        "ngram_novelty": q_ngram_novelty,
+        "cross_source_dup": q_cross_source_dup,
+        "per_source_cap": q_per_source_cap,
+        "ks_drift_cohort": q_ks_drift_cohort,
+        "mwu_drift": q_mwu_drift,
+        "psi_drift_lang": q_psi_drift_lang,
+        "psi_time_drift_daily": q_psi_time_drift_daily,
     }
 
 

@@ -28,6 +28,7 @@ def funnel_steps(
     type_col: str = "event_type",
     within_seconds: float | None = None,
     strict: bool = False,
+    checkpoint_steps: bool = True,
 ) -> DataFrame:
     """Per-user funnel timestamps: ``step1_ts`` = first occurrence of
     steps[0]; ``step{i}_ts`` = first occurrence of steps[i-1] at-or-after
@@ -35,6 +36,17 @@ def funnel_steps(
     convention when a same-timestamp batch must not satisfy two steps;
     and, with ``within_seconds``, within that window of step1). Null from
     the first unreached step onward. One row per user who reached step 1.
+
+    ``checkpoint_steps=True`` (default) cuts lineage after each step
+    join with a lazy ``localCheckpoint`` — without it, step i's plan
+    embeds step i-1 twice and the event scans grow 2^k. CAVEAT: a local
+    checkpoint pins the per-user step frames to executor storage with NO
+    recompute path — on a real cluster an executor loss makes the result
+    unrecoverable and the job must be rerun. For fault-tolerant
+    long-lived plans pass ``checkpoint_steps=False`` and cut lineage
+    yourself (e.g. ``df.persist()`` + a count per step, or a reliable
+    ``sparkContext.setCheckpointDir`` checkpoint), trading the 2^k scan
+    blow-up for recoverability.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -68,7 +80,10 @@ def funnel_steps(
         # per step (2^k growth — measured 14 scans for a 3-step funnel,
         # 3 after). eager=False: materialized once at first action, no
         # job if the funnel is never executed; user-domain-sized frames.
-        cur = cur.join(nxt, user_col, "left").localCheckpoint(eager=False)
+        # Executor-loss caveat + opt-out: see docstring.
+        cur = cur.join(nxt, user_col, "left")
+        if checkpoint_steps:
+            cur = cur.localCheckpoint(eager=False)
     return cur
 
 

@@ -44,8 +44,15 @@ def column_profile(
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c, is_num in cols:
         col = F.col(c)
+        # numeric missing = NULL, NaN, or NOT CASTABLE to double: a
+        # string value in a declared-numeric column try_casts to NULL
+        # (a bare ANSI cast would THROW), and Spark's isnan(NULL) is
+        # false — so without the explicit cast-is-null term the row
+        # would vanish from BOTH the null count and the valid set
+        # (null_rate understates and n_rows != null + valid).
+        casted = col.try_cast("double")
         missing = (
-            col.isNull() | F.isnan(col.cast("double"))
+            col.isNull() | casted.isNull() | F.isnan(casted)
             if is_num
             else col.isNull()
         )
@@ -56,7 +63,7 @@ def column_profile(
         aggs.append(F.count_distinct(valid).alias(f"_dist_{c}"))
         aggs.append(
             (
-                F.avg(valid.cast("double"))
+                F.avg(valid.try_cast("double"))
                 if is_num
                 else F.lit(None).cast("double")
             ).alias(f"_mean_{c}")

@@ -2262,8 +2262,16 @@ def post_stratified_mean(
         F.sum(F.col("_w") * F.col("_w") * var_s / n).alias("_psv"),
         F.max(F.col("_w").isNotNull() & F.col("_n").isNull())
         .alias("_any_empty"),
+        # a declared stratum observed with n_s == 1 has NO sample
+        # variance: F.sum would silently skip its NULL var_s term and
+        # report an se that UNDERESTIMATES (missing that stratum's
+        # W²s²/n). Fail closed on the se (the point estimate is still
+        # valid — a 1-obs mean exists; its variance doesn't).
+        F.max(F.col("_w").isNotNull() & (F.col("_n") == 1))
+        .alias("_any_singleton"),
     )
     ok = ~F.coalesce(F.col("_any_empty"), F.lit(False))
+    se_ok = ok & ~F.coalesce(F.col("_any_singleton"), F.lit(False))
     return agg.select(
         "n",
         "n_strata",
@@ -2276,7 +2284,7 @@ def post_stratified_mean(
             "mean_post_stratified"
         ),
         qround(
-            F.when(ok & (F.col("_psv") >= 0), F.sqrt(F.col("_psv"))),
+            F.when(se_ok & (F.col("_psv") >= 0), F.sqrt(F.col("_psv"))),
             digits,
         ).alias("se_post_stratified"),
     )

@@ -650,8 +650,16 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
         F.sum("_s").alias("_score"),
     )
+    # Rank on the ROUNDED score (the same qround emitted in the output
+    # projection) so the (score, id) tie-break key is identical to any
+    # engine that orders by the rounded output column: two docs whose raw
+    # sums differ only past `digits` decimals tie deterministically on id
+    # instead of on sub-rounding float noise. Same discipline as
+    # cosine_topk / rrf_fusion (round-before-rank).
     return (
-        per_doc.orderBy(F.col("_score").desc(), F.col("_id"))
+        per_doc.orderBy(
+            qround(F.col("_score"), digits).desc(), F.col("_id")
+        )
         .limit(k)
         .select(
             F.col("_id").alias(id_col),
