@@ -48,6 +48,23 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Known-benign DAGScheduler accumulator race: a completed task's
+    # metric update can arrive after its stage's SQL-metric accumulators
+    # were GC'd following a localCheckpoint release (rc stays 0, values
+    # green — observed r11). The printed ERROR stack lands in the
+    # driver-captured bench tail and masks real failures, so silence the
+    # loggers that emit it FOR THIS PROCESS ONLY. Real query failures
+    # still surface as n_failed via Python exceptions, not logs.
+    _jvm = spark.sparkContext._jvm
+    _fatal = _jvm.org.apache.logging.log4j.Level.FATAL
+    for _name in (
+        "org.apache.spark.scheduler.DAGScheduler",
+        "org.apache.spark.scheduler.DAGSchedulerEventProcessLoop",
+        "org.apache.spark.util.EventLoop",
+    ):
+        _jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            _name, _fatal
+        )
 
     def _steal_jiffies() -> int:
         try:

@@ -295,10 +295,20 @@ def mg_state_build(
             if not parts:
                 return
             s = pd.concat(parts)
-            s = s.groupby(level=levels, sort=False, dropna=False).sum()
+            # pandas deprecates length-1 list `level=` (FutureWarning,
+            # tuple indexes in a future major) — pass a scalar level when
+            # there is exactly one; the tuple-normalizing branch below
+            # already handles the scalar group keys that produces.
+            s = s.groupby(
+                level=(levels[0] if len(levels) == 1 else levels),
+                sort=False,
+                dropna=False,
+            ).sum()
             if n_keys:
                 grouped = s.groupby(
-                    level=list(range(n_keys)), sort=False, dropna=False
+                    level=(0 if n_keys == 1 else list(range(n_keys))),
+                    sort=False,
+                    dropna=False,
                 )
             else:
                 grouped = [((), s)]
