@@ -1489,16 +1489,17 @@ GROUP BY 1, 2
 # ETD-shaped frame synthesized from events, verified against a full SQL twin.
 # ---------------------------------------------------------------------------
 
-def q_impute_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All ImputeType rules in one query. events → ETD shape: 'error'/'signup'
-    rows are the gaps; signup rows selectively expose a cumulative value
-    (visible/negative/zero by event_id % 4) so gap groups split and every
-    gap-jump branch fires; houses with user_id % 7 == 0 have no project
-    averages (linear fill), % 3 == 0 contribute nothing inside gaps
-    (near-zero jumps). Threshold Max=300 exercises the clamp."""
-    from etdtransform_spark.operators.impute import _impute_one_column
-
-    ev = _t(spark, sf_dir, "events")
+def _etd_household_series(
+    ev: DataFrame, project_mod: int | None = None
+) -> DataFrame:
+    """events → the ETD household shape shared by q_impute_rule_chain and
+    q_etd_pipeline_e2e: 'error'/'signup' rows are the gaps; signup rows
+    selectively expose a cumulative value (visible/negative/zero by
+    event_id % 4) so gap groups split and every gap-jump branch fires;
+    houses with user_id % 7 == 0 have no project averages (linear fill),
+    % 3 == 0 contribute nothing inside gaps (near-zero jumps).
+    ``project_mod``: ProjectIdBSV = user_id % project_mod (constant 0 when
+    None — the single-project rule-chain setting)."""
     d = F.when(
         ~F.col("event_type").isin("error", "signup"), qround(F.abs(F.col("value")), 2)
     )
@@ -1506,10 +1507,15 @@ def q_impute_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~((F.col("event_type") == "view") | (F.col("user_id") % 7 == 0)),
         qround(F.abs(F.col("value")) / 7.0, 3),
     )
+    pid = (
+        F.lit(0).cast("long")
+        if project_mod is None
+        else (F.col("user_id") % project_mod).cast("long")
+    )
     base = ev.select(
         "event_id",
         F.col("user_id").alias("HuisIdBSV"),
-        F.lit(0).cast("long").alias("ProjectIdBSV"),
+        pid.alias("ProjectIdBSV"),
         F.col("ts").alias("ReadingDate"),
         "event_type",
         d.alias("VDiff"),
@@ -1540,7 +1546,15 @@ def q_impute_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # qround collapses engine-level accumulation-order jitter in the running
     # sum — otherwise a gap_jump of ±1e-13 flips NEAR_ZERO vs NEGATIVE
-    base = base.withColumn("V", qround(cum, 6))
+    return base.withColumn("V", qround(cum, 6))
+
+
+def q_impute_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ImputeType rules in one query (synthesis: _etd_household_series).
+    Threshold Max=300 exercises the clamp."""
+    from etdtransform_spark.operators.impute import _impute_one_column
+
+    base = _etd_household_series(_t(spark, sf_dir, "events"))
     out = _impute_one_column(
         base, "V", "ProjectIdBSV", {"VDiff": {"Min": 0.0, "Max": 300.0}}
     )
@@ -1554,9 +1568,12 @@ def q_impute_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_IMPUTE_RULES = f"""
-WITH base AS (
-  SELECT event_id, user_id, ts, event_type,
+# The full impute-rule CTE chain (base synthesis -> gap grouping -> gap
+# stats -> rules 1-7 -> threshold clamp), shared by _SQL_IMPUTE_RULES and
+# _SQL_ETD_E2E. `pid` (user_id % 4) is the multi-project key used only by
+# the e2e composite; the rule-chain contract ignores it.
+_IMPUTE_CHAIN_CTES = f"""base AS (
+  SELECT event_id, user_id, user_id % 4 AS pid, ts, event_type,
          CASE WHEN event_type NOT IN ('error','signup')
               THEN floor(abs(value) * 100.0 + 0.5) / 100.0 END AS d,
          CASE WHEN NOT (event_type = 'view' OR user_id % 7 = 0)
@@ -1643,7 +1660,10 @@ WITH base AS (
          (coalesce(imputed_value, d) IS NOT NULL
           AND (coalesce(imputed_value, d) < 0.0 OR coalesce(imputed_value, d) > 300.0)) AS oob
   FROM ruled
-)
+)"""
+
+_SQL_IMPUTE_RULES = f"""
+WITH {_IMPUTE_CHAIN_CTES}
 SELECT event_id, user_id,
        CASE WHEN oob THEN true ELSE imputed_value IS NOT NULL END AS is_imputed,
        (CASE WHEN oob THEN coalesce(rule_type, 0) | 128 ELSE rule_type END)::BIGINT AS impute_type,
@@ -13413,6 +13433,193 @@ FROM cnt, top1, top2, pagg, tagg, aflag, afl2
 
 
 # ---------------------------------------------------------------------------
+# round 12: the ETD pipeline spine as ONE driver contract — the engine's
+# namesake workload (reference README.md:157-297 "from 5-minute household
+# data to project aggregates", tests/test_total_imputation_workflow.py:24-152):
+# combine -> impute (all rule masks + clamp) -> calculated columns ->
+# resample 5min->60min (min-count gate) -> project agg (60% gate) -> rollup
+# ---------------------------------------------------------------------------
+
+def q_etd_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own end-to-end spine as the fifth composite
+    contract: household series (the q_impute_rule_chain synthesis, but
+    with 4 projects) → _impute_one_column (rules 1-7 + threshold clamp,
+    impute.py:137) → add_calculated_columns (the real coalesce-0
+    energy-balance operator, calculated.py:15, via registry renames:
+    VDiff→NetgebruikHoog, VOldDiff→TerugleveringHoog, VDiff_avg→Zonopwek)
+    → resample 60min with an explicit min-count gate (resample.py:27;
+    the synthetic cadence is ~1-2 events/house/hour, so min_count=2
+    exercises both gate branches) → 60%-gated project aggregation
+    (aggregate.py:55) → one hashable rollup row per project carrying
+    impute telemetry (n_imputed, bit_or of ImputeType) and the gated
+    aggregate fingerprints. Any drift in any stage moves a column.
+    Plan audit: PLANS.md "etd_pipeline_e2e"."""
+    from etdtransform_spark.operators.aggregate import min_count_aggregate
+    from etdtransform_spark.operators.calculated import add_calculated_columns
+    from etdtransform_spark.operators.impute import _impute_one_column
+    from etdtransform_spark.operators.resample import resample
+
+    base = _etd_household_series(_t(spark, sf_dir, "events"), project_mod=4)
+    imp = _impute_one_column(
+        base, "V", "ProjectIdBSV", {"VDiff": {"Min": 0.0, "Max": 300.0}}
+    )
+    # STAGE BOUNDARY: the imputed frame feeds TWO consumers (telemetry
+    # rollup + the calculated/resample/aggregate chain) — without a
+    # materialization each would re-run the full gap-stats window stack
+    # from the scan. Same discipline as llm_pipeline_e2e. qround pins the
+    # stage outputs bit-identical across engines before they re-aggregate.
+    imp = imp.select(
+        "ProjectIdBSV",
+        "HuisIdBSV",
+        "ReadingDate",
+        qround(F.col("VDiff"), 6).alias("VDiff"),
+        qround(F.col("VOldDiff"), 6).alias("VOldDiff"),
+        "VDiff_avg",
+        F.col("VDiff_is_imputed").alias("_imp"),
+        F.col("VDiff_impute_type").cast("bigint").alias("_itype"),
+    ).localCheckpoint(eager=False)
+    tel = imp.groupBy("ProjectIdBSV").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_imp").cast("bigint")).cast("bigint").alias("n_imputed"),
+        F.bit_or(F.coalesce(F.col("_itype"), F.lit(0)))
+        .cast("bigint")
+        .alias("impute_types"),
+    )
+    wide = imp.select(
+        "ProjectIdBSV",
+        "HuisIdBSV",
+        "ReadingDate",
+        F.col("VDiff").alias("ElektriciteitNetgebruikHoogDiff"),
+        F.col("VOldDiff").alias("ElektriciteitTerugleveringHoogDiff"),
+        F.col("VDiff_avg").alias("Zon-opwekTotaalDiff"),
+    )
+    calc = add_calculated_columns(wide).select(
+        "ProjectIdBSV",
+        "HuisIdBSV",
+        "ReadingDate",
+        F.col("ElektriciteitNetgebruikHoogDiff").alias("VDiff"),
+        "Netuitwisseling",
+        "ElektriciteitsgebruikTotaalBruto",
+    )
+    res = resample(
+        calc,
+        "60min",
+        group_cols=["ProjectIdBSV", "HuisIdBSV"],
+        variables={
+            "VDiff": "sum",
+            "Netuitwisseling": "sum",
+            "ElektriciteitsgebruikTotaalBruto": "sum",
+        },
+        min_count=2,
+    ).select(
+        "ProjectIdBSV",
+        "ReadingDate",
+        qround(F.col("VDiff"), 6).alias("VDiff"),
+        qround(F.col("Netuitwisseling"), 6).alias("Netuitwisseling"),
+        qround(F.col("ElektriciteitsgebruikTotaalBruto"), 6).alias(
+            "ElektriciteitsgebruikTotaalBruto"
+        ),
+    )
+    proj = min_count_aggregate(
+        res,
+        ["ProjectIdBSV", "ReadingDate"],
+        {
+            "VDiff": "avg",
+            "Netuitwisseling": "avg",
+            "ElektriciteitsgebruikTotaalBruto": "avg",
+        },
+    ).select(
+        "ProjectIdBSV",
+        qround(F.col("VDiff"), 6).alias("pv"),
+        qround(F.col("Netuitwisseling"), 6).alias("pn"),
+        qround(F.col("ElektriciteitsgebruikTotaalBruto"), 6).alias("pb"),
+        "n",
+    )
+    roll = proj.groupBy("ProjectIdBSV").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.count("pv").cast("bigint").alias("n_gated"),
+        F.sum("n").cast("bigint").alias("house_buckets"),
+        qround(F.sum("pv"), 4).alias("sum_avg_vdiff"),
+        qround(F.sum("pn"), 4).alias("sum_avg_netuit"),
+        qround(F.sum("pb"), 4).alias("sum_avg_bruto"),
+    )
+    return roll.join(tel, "ProjectIdBSV").select(
+        F.col("ProjectIdBSV").cast("bigint").alias("project_id"),
+        "n_rows",
+        "n_imputed",
+        "impute_types",
+        "n_buckets",
+        "n_gated",
+        "house_buckets",
+        "sum_avg_vdiff",
+        "sum_avg_netuit",
+        "sum_avg_bruto",
+    )
+
+
+_SQL_ETD_E2E = f"""
+WITH {_IMPUTE_CHAIN_CTES}, imputed AS MATERIALIZED (
+  SELECT pid, user_id, ts,
+         {qround_sql('CASE WHEN oob THEN a ELSE nd0 END', 6)} AS vdiff,
+         {qround_sql('d', 6)} AS olddiff,
+         a,
+         CASE WHEN oob THEN true ELSE imputed_value IS NOT NULL END AS is_imp,
+         CASE WHEN oob THEN coalesce(rule_type, 0) | 128
+              ELSE rule_type END AS itype
+  FROM clamped
+), tel AS (
+  SELECT pid, count(*)::BIGINT AS n_rows,
+         sum(is_imp::INT)::BIGINT AS n_imputed,
+         bit_or(coalesce(itype, 0))::BIGINT AS impute_types
+  FROM imputed GROUP BY 1
+), calcd AS (
+  -- add_calculated_columns with NetgebruikHoog=vdiff,
+  -- TerugleveringHoog=olddiff, ZonopwekBruto=a, all other sensors 0:
+  -- Netuitwisseling = c0(vdiff) - c0(olddiff);
+  -- TotaalBruto = c0(vdiff) + (c0(a) - c0(olddiff))
+  SELECT pid, user_id, ts, vdiff,
+         coalesce(vdiff, 0.0) - coalesce(olddiff, 0.0) AS netuit,
+         coalesce(vdiff, 0.0) + coalesce(a, 0.0) - coalesce(olddiff, 0.0)
+           AS bruto
+  FROM imputed
+), res AS (
+  SELECT pid, user_id, time_bucket(INTERVAL '60 minutes', ts) AS bstart,
+         {qround_sql('CASE WHEN count(vdiff) >= 2 THEN sum(vdiff) END', 6)}
+           AS rv,
+         {qround_sql('CASE WHEN count(netuit) >= 2 THEN sum(netuit) END', 6)}
+           AS rn,
+         {qround_sql('CASE WHEN count(bruto) >= 2 THEN sum(bruto) END', 6)}
+           AS rb
+  FROM calcd GROUP BY 1, 2, 3
+), proj AS (
+  SELECT pid, bstart,
+         {qround_sql(
+             'CASE WHEN count(rv) >= count(*) * 0.6 '
+             'THEN sum(rv) / count(rv) END', 6)} AS pv,
+         {qround_sql(
+             'CASE WHEN count(rn) >= count(*) * 0.6 '
+             'THEN sum(rn) / count(rn) END', 6)} AS pn,
+         {qround_sql(
+             'CASE WHEN count(rb) >= count(*) * 0.6 '
+             'THEN sum(rb) / count(rb) END', 6)} AS pb,
+         count(*)::BIGINT AS n
+  FROM res GROUP BY 1, 2
+), roll AS (
+  SELECT pid, count(*)::BIGINT AS n_buckets, count(pv)::BIGINT AS n_gated,
+         sum(n)::BIGINT AS house_buckets,
+         {qround_sql('sum(pv)', 4)} AS sum_avg_vdiff,
+         {qround_sql('sum(pn)', 4)} AS sum_avg_netuit,
+         {qround_sql('sum(pb)', 4)} AS sum_avg_bruto
+  FROM proj GROUP BY 1
+)
+SELECT r.pid::BIGINT AS project_id, t.n_rows, t.n_imputed, t.impute_types,
+       r.n_buckets, r.n_gated, r.house_buckets,
+       r.sum_avg_vdiff, r.sum_avg_netuit, r.sum_avg_bruto
+FROM roll r JOIN tel t ON r.pid = t.pid
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -13425,6 +13632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
+        "etd_pipeline_e2e": q_etd_pipeline_e2e,
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
@@ -13831,6 +14039,7 @@ def oracle_sql() -> dict[str, str]:
         "rouge_bigram": _SQL_ROUGE,
         "eval_pipeline_e2e": _SQL_EVAL_E2E,
         "preference_pipeline_e2e": _SQL_PREF_E2E,
+        "etd_pipeline_e2e": _SQL_ETD_E2E,
         "bm25_topk": _SQL_BM25,
         "rrf_fusion": _sql_rrf_fusion(),
         "retrieval_rollout_e2e": _sql_retrieval_rollout(),

@@ -182,6 +182,7 @@ def vocab_growth(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_digits: int = 6,
+    prefix_buckets: int | None = None,
 ) -> DataFrame:
     """Vocabulary-growth (Heaps'-law) curve over the corpus in ``id_col``
     order: per document, its token and new-term counts plus the running
@@ -194,6 +195,16 @@ def vocab_growth(
     token totals and two running sums produce the curve. The running
     window is over #docs rows, never the token stream. Ties cannot occur
     (min is unique per term), so the curve is deterministic.
+
+    CARDINALITY: the cumulative curve is intrinsically a global prefix —
+    by default it runs as ONE unpartitioned window over #docs rows,
+    fine to ~10⁷ docs. For larger corpora pass ``prefix_buckets`` (and a
+    NUMERIC ``id_col``): the prefix is then computed with the exact
+    two-pass range-bucketed offset pattern (stats._value_cumulatives) —
+    per-bucket windows in parallel plus a broadcast ≤``prefix_buckets``-
+    row offset table — identical values, no single-partition stage. The
+    bucketed path is EAGER (one boundary-collection job at build time)
+    and not streaming-safe, same trade as keyless ks_2samp.
 
     Returns (id, n_tokens, n_new_terms, cum_tokens, vocab_size,
     type_token_ratio).
@@ -208,15 +219,69 @@ def vocab_growth(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_new_terms"))
     )
-    w = Window.orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    base = per_doc.join(news, id_col, "left").withColumn(
+        "n_new_terms", F.coalesce(F.col("n_new_terms"), F.lit(0))
     )
-    out = (
-        per_doc.join(news, id_col, "left")
-        .withColumn("n_new_terms", F.coalesce(F.col("n_new_terms"), F.lit(0)))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .withColumn("vocab_size", F.sum("n_new_terms").over(w))
-    )
+    if prefix_buckets is None:
+        w = Window.orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = base.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w)
+        ).withColumn("vocab_size", F.sum("n_new_terms").over(w))
+    else:
+        if prefix_buckets < 2:
+            raise ValueError(
+                f"prefix_buckets must be >= 2, got {prefix_buckets}"
+            )
+        _id = F.col(id_col).cast("double")
+        qs = [i / prefix_buckets for i in range(1, prefix_buckets)]
+        # literal boundaries: the bucketed frame feeds TWO plan branches
+        # (in-bucket prefixes + per-bucket totals); exactness requires
+        # both to see the SAME bucketing (see stats._value_cumulatives)
+        bd = base.agg(
+            F.percentile_approx(
+                _id, F.array(*[F.lit(q) for q in qs]), 10000
+            ).alias("_bd")
+        ).collect()[0]["_bd"]
+        if bd:
+            bkt = F.size(
+                F.filter(
+                    F.array(*[F.lit(float(b)) for b in bd]),
+                    lambda e: _id > e,
+                )
+            )
+        else:  # empty input: single bucket, window over zero rows
+            bkt = F.lit(0)
+        b2 = base.withColumn("_bkt", bkt)
+        wb = (
+            Window.partitionBy("_bkt")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        b2 = b2.select(
+            "*",
+            F.sum("n_tokens").over(wb).alias("_pt"),
+            F.sum("n_new_terms").over(wb).alias("_pn"),
+        )
+        totals = b2.groupBy("_bkt").agg(
+            F.sum("n_tokens").alias("_tt"),
+            F.sum("n_new_terms").alias("_tn"),
+        )
+        woff = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )  # ≤ prefix_buckets rows — dictionary-sized by construction
+        offsets = totals.select(
+            "_bkt",
+            F.coalesce(F.sum("_tt").over(woff), F.lit(0)).alias("_ot"),
+            F.coalesce(F.sum("_tn").over(woff), F.lit(0)).alias("_on"),
+        )
+        out = (
+            b2.join(F.broadcast(offsets), "_bkt")
+            .withColumn("cum_tokens", F.col("_ot") + F.col("_pt"))
+            .withColumn("vocab_size", F.col("_on") + F.col("_pn"))
+            .drop("_bkt", "_pt", "_pn", "_ot", "_on")
+        )
     return out.withColumn(
         "type_token_ratio",
         # a leading run of empty documents has cum_tokens = 0: NULL ratio
@@ -798,40 +863,58 @@ def remove_duplicate_spans(
     )
 
 
+# BPE symbol-sequence framing: one string with EVERY symbol wrapped in
+# chr(31) separators ("\x1fh\x1f\x1fe\x1f..."), the same representation the
+# DuckDB oracle uses (__spark_entry__._sql_bpe). Applying one merge (l, r)
+# is then ONE left-to-right non-overlapping literal `replace` of
+# "\x1fl\x1f\x1fr\x1f" with "\x1flr\x1f" — exactly the greedy carry-fold
+# semantics (verified: [a,a,a] -> [aa,a]; [a,a,b,a,b] -> [a,ab,ab]), at
+# O(len) per merge. The previous array-struct fold rebuilt the accumulator
+# array per element (O(len²) Catalyst eval per word PER MERGE) and was the
+# single biggest CPU line in the registry (98.8 s executor CPU, 14 % of
+# BENCH_DETAIL r11).
+_BPE_SEP = "\x1f"
+
+
+def _bpe_wrap(sym_arr: Column) -> Column:
+    """symbol array → the chr(31)-framed string."""
+    return F.concat(
+        F.lit(_BPE_SEP),
+        F.array_join(sym_arr, _BPE_SEP * 2),
+        F.lit(_BPE_SEP),
+    )
+
+
+def _bpe_unwrap(s: Column) -> Column:
+    """framed string → symbol array."""
+    return F.split(F.btrim(s, F.lit(_BPE_SEP)), _BPE_SEP * 2)
+
+
+def _bpe_replace_str(s: Column, left: str, right: str) -> Column:
+    """ONE merge applied to a framed string: literal left-to-right
+    non-overlapping replace (JVM String.replace, no regex)."""
+    return F.replace(
+        s,
+        F.lit(f"{_BPE_SEP}{left}{_BPE_SEP}{_BPE_SEP}{right}{_BPE_SEP}"),
+        F.lit(f"{_BPE_SEP}{left}{right}{_BPE_SEP}"),
+    )
+
+
+def _bpe_n_syms(s: Column) -> Column:
+    """symbol count of a framed string: every wrapped symbol carries
+    exactly two separator chars."""
+    return (
+        (F.length(s) - F.length(F.replace(s, F.lit(_BPE_SEP), F.lit(""))))
+        / F.lit(2)
+    ).cast("bigint")
+
+
 def _bpe_apply_merge(sym_col: Column, left: str, right: str) -> Column:
     """Left-to-right non-overlapping application of ONE merge (left, right)
-    → left+right over a symbol array, as a JVM-side fold: state carries the
-    output array and a pending symbol; the finish lambda flushes the
-    carry."""
-    merged = left + right
-    state = F.aggregate(
-        sym_col,
-        F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("carry"),
-        ),
-        lambda acc, s: F.when(
-            acc["carry"].isNull(),
-            F.struct(acc["out"].alias("out"), s.alias("carry")),
-        )
-        .when(
-            (acc["carry"] == F.lit(left)) & (s == F.lit(right)),
-            F.struct(
-                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
-                F.lit(None).cast("string").alias("carry"),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
-                s.alias("carry"),
-            )
-        ),
-        lambda acc: F.when(
-            acc["carry"].isNull(), acc["out"]
-        ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
+    → left+right over a symbol array: frame → literal replace → unframe."""
+    return F.when(F.size(sym_col) == 0, sym_col).otherwise(
+        _bpe_unwrap(_bpe_replace_str(_bpe_wrap(sym_col), left, right))
     )
-    return state
 
 
 def bpe_train(
@@ -848,10 +931,10 @@ def bpe_train(
     The scale property that makes this distributed-friendly: after ONE
     corpus-sized aggregate (word → frequency), training runs entirely on
     the WORD DICTIONARY (Heaps-law-bounded), kept as a cached DataFrame of
-    symbol arrays. Each iteration is a pair-explode + weighted count +
-    1-row argmax collect (model sync = one merge rule), then a narrow
-    in-row fold applying the merge. Returns [(left, right, freq)] in merge
-    order — the tokenizer model."""
+    chr(31)-framed symbol strings (see _bpe_wrap). Each iteration is a
+    pair-explode + weighted count + 1-row argmax collect (model sync = one
+    merge rule), then ONE literal string replace applying the merge.
+    Returns [(left, right, freq)] in merge order — the tokenizer model."""
     words = (
         widen(df)
         .select(F.explode(_toks(text_col)).alias("w"))
@@ -860,19 +943,22 @@ def bpe_train(
     )
     syms = words.select(
         "cnt",
-        F.concat(
-            F.split(F.col("w"), ""), F.array(F.lit("</w>"))
-        ).alias("syms"),
+        _bpe_wrap(
+            F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+        ).alias("s"),
     ).persist()
     merges: list[tuple[str, str, int]] = []
     cur = syms
     for _ in range(n_merges):
-        pairs = cur.select(
+        # unframe ONCE per iteration for the pair explode (projection
+        # boundary so the split isn't re-evaluated per reference)
+        arr = cur.select("cnt", _bpe_unwrap(F.col("s")).alias("a"))
+        pairs = arr.select(
             "cnt",
             F.explode(
                 F.zip_with(
-                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    F.slice(F.col("a"), 1, F.size("a") - 1),
+                    F.slice(F.col("a"), 2, F.size("a") - 1),
                     lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                 )
             ).alias("p"),
@@ -889,7 +975,7 @@ def bpe_train(
         left, right, freq = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["freq"]
         merges.append((left, right, int(freq)))
         cur = cur.select(
-            "cnt", _bpe_apply_merge(F.col("syms"), left, right).alias("syms")
+            "cnt", _bpe_replace_str(F.col("s"), left, right).alias("s")
         ).localCheckpoint(eager=False)
     syms.unpersist()
     return merges
@@ -902,25 +988,27 @@ def bpe_encode(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenize with a trained BPE model: split to words, explode, apply
-    the merge list in order (each an in-row fold — the model is literals in
-    codegen, never joined), and count resulting subword tokens per doc.
-    Returns (id, n_words, n_bpe_tokens, tokens array). Expression depth
-    grows with the merge count — past a few hundred merges, chunk the
-    application behind localCheckpoint projections (same fold)."""
+    the merge list in order (each ONE literal string replace over the
+    chr(31)-framed symbol string — the model is literals in codegen,
+    never joined), and count resulting subword tokens per doc via
+    separator arithmetic (no array is ever materialized). Expression
+    depth grows with the merge count — past a few hundred merges, chunk
+    the application behind localCheckpoint projections (same replace)."""
     words = widen(df).select(
         F.col(id_col),
         F.explode(_toks(text_col)).alias("w"),
     )
-    syms = F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
-    col = syms
+    col = _bpe_wrap(
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+    )
     for left, right, _f in merges:
-        col = _bpe_apply_merge(col, left, right)
+        col = _bpe_replace_str(col, left, right)
     return (
-        words.withColumn("_syms", col)
+        words.withColumn("_s", col)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.size("_syms")).alias("n_bpe_tokens"),
+            F.sum(_bpe_n_syms(F.col("_s"))).alias("n_bpe_tokens"),
         )
     )
 

@@ -442,11 +442,36 @@ def touch_attribution(
     )
 
 
+def _bin_durations(base: DataFrame, time_bins: int) -> DataFrame:
+    """Right-edge duration binning for the survival estimators: map each
+    ``_t`` onto a ``time_bins``-cell grid over [0, max(_t)] (life-table
+    convention — events within an interval are evaluated at its right
+    edge). Bounds the distinct-duration table to ≤ time_bins + 1 rows so
+    the estimators' single-partition prefix windows stay constant-sized
+    on CONTINUOUS durations. Exact no-op on durations already on the
+    grid (e.g. integer durations with time_bins = max, where the bin
+    width is exactly 1.0). One 1-row max aggregate, broadcast."""
+    mx = base.agg(F.max("_t").alias("_mx"))
+    width = F.col("_mx") / F.lit(float(time_bins))
+    return (
+        base.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "_t",
+            F.when(
+                F.col("_mx") > 0,
+                F.ceil(F.col("_t") / width).cast("double") * width,
+            ).otherwise(F.col("_t")),
+        )
+        .drop("_mx")
+    )
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,
     event_col: str,
     digits: int = 6,
+    time_bins: int | None = None,
 ) -> DataFrame:
     """Kaplan-Meier product-limit survival estimator: at each distinct
     event time t, S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with d_i the events
@@ -465,12 +490,26 @@ def kaplan_meier(
     Shape: one (duration)-keyed count aggregate (data-sized,
     map-side combined), then windows over the distinct-duration table.
     NULL/NaN durations and negative durations are excluded.
+
+    CARDINALITY: the prefix windows run UNPARTITIONED over the
+    distinct-duration table — fine for discrete durations (days,
+    buckets), but CONTINUOUS durations make that table data-sized and
+    the single-partition window the bottleneck. Pass ``time_bins`` to
+    grid the durations first (right-edge life-table binning via
+    :func:`_bin_durations`, the lorenz_curve thinning pattern): the
+    window input is then ≤ time_bins + 1 rows at any data volume, and
+    the binned curve equals the unbinned one exactly whenever the
+    durations already sit on the grid.
     """
     d = F.col(duration_col).cast("double")
     e = F.col(event_col).cast("int")
     base = df.filter(
         d.isNotNull() & ~F.isnan(d) & (d >= 0) & e.isNotNull()
     ).select(d.alias("_t"), e.alias("_e"))
+    if time_bins is not None:
+        if time_bins < 1:
+            raise ValueError(f"time_bins must be >= 1, got {time_bins}")
+        base = _bin_durations(base, time_bins)
     per_t = base.groupBy("_t").agg(
         F.sum("_e").cast("bigint").alias("_d"),
         F.count(F.lit(1)).cast("bigint").alias("_c"),
@@ -568,6 +607,7 @@ def nelson_aalen(
     duration_col: str,
     event_col: str,
     digits: int = 6,
+    time_bins: int | None = None,
 ) -> DataFrame:
     """Nelson-Aalen cumulative-hazard estimator — the additive twin of
     :func:`kaplan_meier`: at each distinct event time t,
@@ -581,7 +621,9 @@ def nelson_aalen(
     Identical plan shape to kaplan_meier: ONE duration-keyed count
     aggregate, a descending-cumulative risk window, an ascending
     cumulative sum — no per-subject state. NULL/NaN/negative durations
-    excluded.
+    excluded. Same CARDINALITY caveat as kaplan_meier: pass
+    ``time_bins`` to bound the distinct-duration table (and so the
+    unpartitioned prefix windows) on continuous-valued durations.
 
     Returns one row per distinct event time:
     (t, n_risk, n_events, cum_hazard, cum_hazard_var).
@@ -591,6 +633,10 @@ def nelson_aalen(
     base = df.filter(
         d.isNotNull() & ~F.isnan(d) & (d >= 0) & e.isNotNull()
     ).select(d.alias("_t"), e.alias("_e"))
+    if time_bins is not None:
+        if time_bins < 1:
+            raise ValueError(f"time_bins must be >= 1, got {time_bins}")
+        base = _bin_durations(base, time_bins)
     per_t = base.groupBy("_t").agg(
         F.sum("_e").cast("bigint").alias("_d"),
         F.count(F.lit(1)).cast("bigint").alias("_c"),

@@ -88,3 +88,57 @@ def test_funnel_checkpoint_opt_out_same_result(spark):
     b = sorted(funnel_steps(df, steps, checkpoint_steps=False).collect())
     assert a == b
     assert a[0].step3_ts is not None and a[1].step2_ts is None
+
+
+def test_survival_time_bins_exact_on_grid(spark):
+    """VERDICT r11 #3: the time_bins knob bounds the distinct-duration
+    window input; on integer durations with time_bins = max the bin
+    width is exactly 1.0 so the binned curve equals the unbinned one."""
+    from etdtransform_spark.operators.funnel import (
+        kaplan_meier,
+        nelson_aalen,
+    )
+
+    rows = [(1.0, 1), (2.0, 0), (2.0, 1), (3.0, 1), (4.0, 0), (4.0, 1)]
+    df = spark.createDataFrame(rows, "duration double, event int")
+    for fn in (kaplan_meier, nelson_aalen):
+        plain = sorted(fn(df, "duration", "event").collect())
+        binned = sorted(fn(df, "duration", "event", time_bins=4).collect())
+        assert plain == binned, fn.__name__
+    # continuous durations: binning bounds the output cardinality
+    import random  # deterministic seed, no wall-clock dependency
+
+    rng = random.Random(7)
+    cont = spark.createDataFrame(
+        [(rng.random() * 100.0, 1) for _ in range(500)],
+        "duration double, event int",
+    )
+    assert kaplan_meier(cont, "duration", "event").count() == 500
+    assert kaplan_meier(cont, "duration", "event", time_bins=10).count() <= 10
+    with pytest.raises(ValueError):
+        kaplan_meier(cont, "duration", "event", time_bins=0)
+
+
+def test_vocab_growth_bucketed_prefix_identical(spark):
+    """VERDICT r11 minor #2: the prefix_buckets scale path (two-pass
+    range-bucketed offset prefix sum) must equal the single-window
+    default value-for-value."""
+    from etdtransform_spark.operators.corpus import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 13} w{i % 7} common x{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "n_tokens", "n_new_terms", "cum_tokens",
+            "vocab_size", "type_token_ratio"]
+    plain = sorted(vocab_growth(docs).select(cols).collect())
+    bucketed = sorted(
+        vocab_growth(docs, prefix_buckets=8).select(cols).collect()
+    )
+    assert plain == bucketed
+    # final point: vocabulary is every distinct term, tokens all tokens
+    # w{i%7} terms are a subset of w{i%13} terms: 13 distinct w-terms
+    assert plain[-1].vocab_size == 13 + 1 + 60
+    assert plain[-1].cum_tokens == 240
+    with pytest.raises(ValueError):
+        vocab_growth(docs, prefix_buckets=1)
