@@ -13620,6 +13620,290 @@ FROM roll r JOIN tel t ON r.pid = t.pid
 
 
 # ---------------------------------------------------------------------------
+# round 12: survival inference, data-quality audit, agreement, diversity,
+# and diversity-aware re-ranking
+# ---------------------------------------------------------------------------
+
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank survival test (operators/funnel.py:
+    log_rank_test): duration = value, event = purchase (others
+    right-censored, the kaplan_meier synthesis), groups = user_id
+    parity. ONE pooled duration-keyed aggregate + the distinct-duration
+    prefix windows; one row out."""
+    from etdtransform_spark.operators.funnel import log_rank_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    lr = ev.select(
+        F.col("value").alias("duration"),
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    return log_rank_test(lr, "duration", "event", "grp", 0, 1)
+
+
+_SQL_LOG_RANK = f"""
+WITH base AS (
+  SELECT value::DOUBLE AS t, (event_type = 'purchase')::INT AS e,
+         (user_id % 2 = 0)::INT AS a
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0
+    AND event_type IS NOT NULL AND user_id IS NOT NULL
+), per_t AS (
+  SELECT t, count(*)::BIGINT AS c, sum(e)::BIGINT AS d,
+         sum(a)::BIGINT AS ca, sum(a * e)::BIGINT AS da
+  FROM base GROUP BY 1
+), risked AS (
+  SELECT *, (sum(c) OVER wd)::BIGINT AS n, (sum(ca) OVER wd)::BIGINT AS na
+  FROM per_t
+  WINDOW wd AS (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+), agg AS (
+  SELECT sum(ca)::BIGINT AS n_a, (sum(c) - sum(ca))::BIGINT AS n_b,
+         sum(da)::BIGINT AS events_a, (sum(d) - sum(da))::BIGINT AS events_b,
+         sum(CASE WHEN d > 0 THEN
+               da::DOUBLE - d::DOUBLE * (na::DOUBLE / n::DOUBLE) END) AS ome,
+         sum(CASE WHEN d > 0 THEN
+               CASE WHEN n > 1 THEN
+                 d::DOUBLE * (na::DOUBLE / n::DOUBLE)
+                   * (1.0 - (na::DOUBLE / n::DOUBLE))
+                   * (n::DOUBLE - d::DOUBLE) / (n::DOUBLE - 1.0)
+               ELSE 0.0 END END) AS v
+  FROM risked
+)
+SELECT coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b,
+       coalesce(events_a, 0)::BIGINT AS events_a,
+       coalesce(events_b, 0)::BIGINT AS events_b,
+       {qround_sql('ome', 6)} AS observed_minus_expected,
+       {qround_sql('v', 6)} AS variance,
+       {qround_sql('CASE WHEN v > 0 THEN ome * ome / v END', 6)} AS chi2
+FROM agg
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice
+    (operators/profile.py:benford_deviation): 1-ulp-robust digit
+    extraction, 9-row scaffolded output with per-digit chi2 terms."""
+    from etdtransform_spark.operators.profile import benford_deviation
+
+    return benford_deviation(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_SQL_BENFORD = f"""
+WITH base AS (
+  SELECT abs(o_totalprice::DOUBLE) AS x FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice::DOUBLE)
+    AND abs(o_totalprice::DOUBLE) > 0
+), dig AS (
+  SELECT least(greatest(
+           floor(CASE WHEN m < 1.0 THEN m * 10.0
+                      WHEN m >= 10.0 THEN m / 10.0
+                      ELSE m END)::INT, 1), 9) AS digit
+  FROM (SELECT x, x / pow(10.0, floor(log10(x))) AS m FROM base)
+), counts AS (SELECT digit, count(*)::BIGINT AS n FROM dig GROUP BY 1),
+grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+tot AS (SELECT sum(n) AS nt FROM counts)
+SELECT g.digit::BIGINT AS digit, coalesce(c.n, 0)::BIGINT AS n,
+       {qround_sql(
+           'CASE WHEN nt > 0 THEN coalesce(c.n, 0)::DOUBLE / nt::DOUBLE '
+           'END', 6)} AS share,
+       {qround_sql('log10(1.0 + 1.0 / g.digit::DOUBLE)', 6)}
+         AS expected_share,
+       {qround_sql(
+           'CASE WHEN nt > 0 THEN nt::DOUBLE'
+           ' * (coalesce(c.n, 0)::DOUBLE / nt::DOUBLE'
+           '    - log10(1.0 + 1.0 / g.digit::DOUBLE))'
+           ' * (coalesce(c.n, 0)::DOUBLE / nt::DOUBLE'
+           '    - log10(1.0 + 1.0 / g.digit::DOUBLE))'
+           ' / log10(1.0 + 1.0 / g.digit::DOUBLE) END', 6)} AS chi2_term
+FROM grid g LEFT JOIN counts c USING (digit) CROSS JOIN tot
+"""
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinct-1/distinct-2 generation-diversity ratios
+    (operators/text.py:distinct_ngrams) — all in-row, zero shuffles."""
+    from etdtransform_spark.operators.text import distinct_ngrams
+
+    return distinct_ngrams(_t(spark, sf_dir, "documents"))
+
+
+_SQL_DISTINCT_NGRAMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS distinct_1,
+       greatest(len(t) - 1, 0)::BIGINT AS n_bigrams,
+       len(list_distinct([t[i] || chr(31) || t[i + 1]
+                          FOR i IN generate_series(1, len(t) - 1)]))::BIGINT
+         AS distinct_2,
+       floor((CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE
+                   / len(t)::DOUBLE END) * 1000000.0 + 0.5) / 1000000.0
+         AS distinct1_ratio,
+       floor((CASE WHEN len(t) - 1 > 0 THEN
+                len(list_distinct([t[i] || chr(31) || t[i + 1]
+                     FOR i IN generate_series(1, len(t) - 1)]))::DOUBLE
+                / (len(t) - 1)::DOUBLE END) * 1000000.0 + 0.5) / 1000000.0
+         AS distinct2_ratio
+FROM toks
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a synthetic fixed-3-rater panel
+    (operators/evaluation.py:fleiss_kappa): item = event_id % 200 for
+    event_id < 600 (dense ids → exactly 3 judgments/item on clean
+    corpora; NULL-degraded corpora exercise the ragged-item drop),
+    label = event_type."""
+    from etdtransform_spark.operators.evaluation import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    j = ev.select(
+        (F.col("event_id") % 200).alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    return fleiss_kappa(j, "item", "label", n_raters=3)
+
+
+_SQL_FLEISS = f"""
+WITH j AS (
+  SELECT event_id % 200 AS i, event_type AS c
+  FROM {_EV}
+  WHERE event_id IS NOT NULL AND event_id < 600 AND event_type IS NOT NULL
+), cells AS (
+  SELECT i, c, count(*)::BIGINT AS n FROM j GROUP BY 1, 2
+), per_item AS (
+  SELECT i, sum(n)::BIGINT AS ki, sum(n * n)::BIGINT AS sq
+  FROM cells GROUP BY 1
+), kept AS (SELECT * FROM per_item WHERE ki = 3),
+istats AS (
+  SELECT count(*)::BIGINT AS n_items,
+         avg((sq::DOUBLE - 3.0) / 6.0) AS pbar
+  FROM kept
+), dropped AS (
+  SELECT count(*)::BIGINT AS n_items_dropped FROM per_item WHERE ki <> 3
+), ct AS (
+  SELECT c, sum(n)::BIGINT AS nc FROM cells JOIN kept USING (i) GROUP BY 1
+), pe_t AS (
+  SELECT sum(pow(nc::DOUBLE / (n_items::DOUBLE * 3.0), 2)) AS pe
+  FROM ct CROSS JOIN istats
+)
+SELECT n_items, n_items_dropped, 3::BIGINT AS n_raters,
+       {qround_sql('CASE WHEN n_items > 0 THEN pbar END', 6)} AS p_bar,
+       {qround_sql('CASE WHEN n_items > 0 THEN pe END', 6)} AS p_e,
+       {qround_sql(
+           'CASE WHEN n_items > 0 AND pe < 1.0 '
+           'THEN (pbar - pe) / (1.0 - pe) END', 6)} AS kappa
+FROM istats CROSS JOIN dropped CROSS JOIN pe_t
+"""
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/ranking.py:mmr_rerank) of the
+    cosine top-8 pool for the first 10 query vectors (pinned pools —
+    constant cost at any sf), k=3, λ=0.7. Round-before-rank MMR scores,
+    id tiebreaks."""
+    from etdtransform_spark.operators.ranking import mmr_rerank
+    from etdtransform_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cands = cosine_topk(queries, emb, k=8)
+    return mmr_rerank(cands, emb, k=3, lambda_=0.7)
+
+
+_MMR_LAM = 0.7
+_MMR_OM = 1.0 - _MMR_LAM  # 0.30000000000000004 — repr round-trips the bits
+
+_SQL_MMR = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_r6(_COS_SQL)} AS rel
+  FROM {_EMB} a JOIN {_EMB} b
+    ON a.vec_id < 10 AND b.vec_id < 1000 AND a.vec_id <> b.vec_id
+), cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= 8
+), candv AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, e.embedding AS v
+  FROM cand c JOIN (SELECT * FROM {_EMB} WHERE vec_id < 1000) e
+    ON e.vec_id = c.neighbor_id
+), sim AS MATERIALIZED (
+  SELECT x.query_id, x.neighbor_id AS ca, y.neighbor_id AS cb,
+         {_r6(_cos_sql_of("x.v", "y.v"))} AS s
+  FROM candv x JOIN candv y
+    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+), sc1 AS (
+  SELECT query_id, neighbor_id, rel,
+         {qround_sql(f'{_MMR_LAM!r}::DOUBLE * rel'
+                     f' - {_MMR_OM!r}::DOUBLE * 0.0', 6)} AS mmr
+  FROM cand
+), sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, neighbor_id) AS rn
+    FROM sc1) WHERE rn = 1
+), rem2 AS (
+  SELECT c.* FROM cand c LEFT JOIN sel1 s
+    ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+  WHERE s.neighbor_id IS NULL
+), ms2 AS (
+  SELECT m.query_id, m.ca AS neighbor_id, max(m.s) AS ms
+  FROM sim m JOIN sel1 s
+    ON m.query_id = s.query_id AND m.cb = s.neighbor_id
+  GROUP BY 1, 2
+), sc2 AS (
+  SELECT r.query_id, r.neighbor_id, r.rel,
+         {qround_sql(f'{_MMR_LAM!r}::DOUBLE * r.rel'
+                     f' - {_MMR_OM!r}::DOUBLE * coalesce(m.ms, 0.0)', 6)}
+           AS mmr
+  FROM rem2 r LEFT JOIN ms2 m
+    ON r.query_id = m.query_id AND r.neighbor_id = m.neighbor_id
+), sel2 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, neighbor_id) AS rn
+    FROM sc2) WHERE rn = 1
+), sel12 AS MATERIALIZED (
+  SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+), rem3 AS (
+  SELECT c.* FROM cand c LEFT JOIN sel12 s
+    ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+  WHERE s.neighbor_id IS NULL
+), ms3 AS (
+  SELECT m.query_id, m.ca AS neighbor_id, max(m.s) AS ms
+  FROM sim m JOIN sel12 s
+    ON m.query_id = s.query_id AND m.cb = s.neighbor_id
+  GROUP BY 1, 2
+), sc3 AS (
+  SELECT r.query_id, r.neighbor_id, r.rel,
+         {qround_sql(f'{_MMR_LAM!r}::DOUBLE * r.rel'
+                     f' - {_MMR_OM!r}::DOUBLE * coalesce(m.ms, 0.0)', 6)}
+           AS mmr
+  FROM rem3 r LEFT JOIN ms3 m
+    ON r.query_id = m.query_id AND r.neighbor_id = m.neighbor_id
+), sel3 AS (
+  SELECT query_id, neighbor_id, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, neighbor_id) AS rn
+    FROM sc3) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, 1::BIGINT AS mmr_rank,
+       {qround_sql('rel', 6)} AS relevance, mmr AS mmr_score FROM sel1
+UNION ALL
+SELECT query_id, neighbor_id, 2::BIGINT, {qround_sql('rel', 6)}, mmr
+FROM sel2
+UNION ALL
+SELECT query_id, neighbor_id, 3::BIGINT, {qround_sql('rel', 6)}, mmr
+FROM sel3
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -13633,6 +13917,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
         "etd_pipeline_e2e": q_etd_pipeline_e2e,
+        "log_rank": q_log_rank,
+        "benford_deviation": q_benford,
+        "distinct_ngrams": q_distinct_ngrams,
+        "fleiss_kappa": q_fleiss_kappa,
+        "mmr_rerank": q_mmr_rerank,
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
@@ -14040,6 +14329,11 @@ def oracle_sql() -> dict[str, str]:
         "eval_pipeline_e2e": _SQL_EVAL_E2E,
         "preference_pipeline_e2e": _SQL_PREF_E2E,
         "etd_pipeline_e2e": _SQL_ETD_E2E,
+        "log_rank": _SQL_LOG_RANK,
+        "benford_deviation": _SQL_BENFORD,
+        "distinct_ngrams": _SQL_DISTINCT_NGRAMS,
+        "fleiss_kappa": _SQL_FLEISS,
+        "mmr_rerank": _SQL_MMR,
         "bm25_topk": _SQL_BM25,
         "rrf_fusion": _sql_rrf_fusion(),
         "retrieval_rollout_e2e": _sql_retrieval_rollout(),

@@ -1652,3 +1652,93 @@ def ngram_overlap_scores(
             digits,
         ).alias("f1"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    n_raters: int,
+    digits: int = 6,
+) -> DataFrame:
+    """One-row Fleiss' kappa — multi-rater chance-corrected agreement on
+    categorical labels, the companion of :func:`cohens_kappa` (two fixed
+    raters) and :func:`krippendorff_alpha` when the rater panel rotates
+    but every item receives exactly ``n_raters`` judgments (the fixed-k
+    labeling queue a preference/QA pipeline runs):
+
+        P_i  = (Σ_c n_ic² − k) / (k(k−1))      per-item agreement
+        P̄    = mean_i P_i
+        P_e  = Σ_c p_c²,  p_c = Σ_i n_ic / (N·k)
+        κ    = (P̄ − P_e) / (1 − P_e)
+
+    Items observed with a judgment count ≠ ``n_raters`` are EXCLUDED and
+    counted in ``n_items_dropped`` (classic Fleiss is undefined for
+    ragged panels — use krippendorff_alpha for those). NULL labels and
+    NULL items are excluded before counting. κ is NULL when P_e = 1
+    (every judgment the same label — chance correction is undefined) or
+    no item qualifies. ``n_raters`` must be ≥ 2.
+
+    Plan shape: ONE (item, label) count aggregate is the only data-sized
+    pass (map-side combined); per-item and per-class rollups run on the
+    cell table. Returns
+    (n_items, n_items_dropped, n_raters, p_bar, p_e, kappa).
+    """
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    k = float(n_raters)
+    cells = (
+        df.filter(F.col(item_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(item_col).alias("_i"), F.col(label_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_item = cells.groupBy("_i").agg(
+        F.sum("_n").alias("_ki"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_sq"),
+    )
+    kept = per_item.filter(F.col("_ki") == n_raters)
+    item_stats = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.avg(
+            (F.col("_sq").cast("double") - k) / (k * (k - 1.0))
+        ).alias("_pbar"),
+    )
+    dropped = per_item.filter(F.col("_ki") != n_raters).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items_dropped")
+    )
+    # class marginals over KEPT items only (the panel the test is about)
+    class_tot = (
+        cells.join(kept.select("_i"), "_i")
+        .groupBy("_c")
+        .agg(F.sum("_n").alias("_nc"))
+    )
+    pe_row = class_tot.crossJoin(
+        F.broadcast(item_stats.select("n_items"))
+    ).agg(
+        F.sum(
+            (
+                F.col("_nc").cast("double")
+                / (F.col("n_items").cast("double") * k)
+            )
+            ** 2
+        ).alias("_pe")
+    )
+    out = (
+        item_stats.crossJoin(F.broadcast(dropped))
+        .crossJoin(F.broadcast(pe_row))
+    )
+    ok = F.col("n_items") > 0
+    kappa = F.when(
+        ok & (F.col("_pe") < 1.0),
+        (F.col("_pbar") - F.col("_pe")) / (F.lit(1.0) - F.col("_pe")),
+    )
+    return out.select(
+        "n_items",
+        F.coalesce(F.col("n_items_dropped"), F.lit(0))
+        .cast("bigint")
+        .alias("n_items_dropped"),
+        F.lit(n_raters).cast("bigint").alias("n_raters"),
+        qround(F.when(ok, F.col("_pbar")), digits).alias("p_bar"),
+        qround(F.when(ok, F.col("_pe")), digits).alias("p_e"),
+        qround(kappa, digits).alias("kappa"),
+    )

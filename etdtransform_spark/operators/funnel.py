@@ -661,3 +661,102 @@ def nelson_aalen(
         qround(F.col("_h"), digits).alias("cum_hazard"),
         qround(F.col("_v"), digits).alias("cum_hazard_var"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    digits: int = 6,
+    time_bins: int | None = None,
+) -> DataFrame:
+    """Two-group log-rank test — the inferential companion of
+    :func:`kaplan_meier`: does group A's survival curve differ from
+    group B's, with right-censoring handled exactly (a censored subject
+    leaves the risk set without contributing an event)? At each distinct
+    pooled event time t, group A's observed events d_At are compared to
+    the hypergeometric expectation under H0 (identical hazards):
+
+        E_At = d_t · n_At / n_t
+        V_t  = d_t · (n_At/n_t) · (1 − n_At/n_t) · (n_t − d_t) / (n_t − 1)
+        χ²   = (Σ (d_At − E_At))² / Σ V_t       (1 dof)
+
+    Rows whose group is neither ``group_a`` nor ``group_b`` are excluded
+    (the test is pairwise); NULL/NaN/negative durations excluded as in
+    kaplan_meier. V_t is 0 when n_t = 1 (no variance in a 1-subject
+    risk set). χ² is NULL when ΣV ≤ 0 (no events, or all mass in one
+    group at every event time — the test is undefined, fail closed).
+
+    Shape: ONE pooled duration-keyed count aggregate carrying per-group
+    event/at-risk counts (map-side combined), then the same
+    distinct-duration prefix windows as kaplan_meier — including the
+    same CARDINALITY caveat and the same ``time_bins`` remedy for
+    continuous durations.
+
+    Returns ONE row: (n_a, n_b, events_a, events_b,
+    observed_minus_expected, variance, chi2).
+    """
+    d = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    g = F.col(group_col)
+    base = df.filter(
+        d.isNotNull()
+        & ~F.isnan(d)
+        & (d >= 0)
+        & e.isNotNull()
+        & g.isin([group_a, group_b])
+    ).select(
+        d.alias("_t"),
+        e.alias("_e"),
+        (g == F.lit(group_a)).cast("int").alias("_a"),
+    )
+    if time_bins is not None:
+        if time_bins < 1:
+            raise ValueError(f"time_bins must be >= 1, got {time_bins}")
+        base = _bin_durations(base, time_bins)
+    per_t = base.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+        F.sum("_e").cast("bigint").alias("_d"),
+        F.sum("_a").cast("bigint").alias("_ca"),
+        F.sum(F.col("_a") * F.col("_e")).cast("bigint").alias("_da"),
+    )
+    w_desc = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risked = per_t.withColumn("_n", F.sum("_c").over(w_desc)).withColumn(
+        "_na", F.sum("_ca").over(w_desc)
+    )
+    nn = F.col("_n").cast("double")
+    dd = F.col("_d").cast("double")
+    na = F.col("_na").cast("double")
+    share = na / nn
+    e_at = dd * share
+    v_t = F.when(
+        F.col("_n") > 1,
+        dd * share * (1.0 - share) * (nn - dd) / (nn - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = risked.agg(
+        F.sum("_ca").cast("bigint").alias("n_a"),
+        (F.sum("_c") - F.sum("_ca")).cast("bigint").alias("n_b"),
+        F.sum("_da").cast("bigint").alias("events_a"),
+        (F.sum("_d") - F.sum("_da")).cast("bigint").alias("events_b"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_da") - e_at)).alias("_ome"),
+        F.sum(F.when(F.col("_d") > 0, v_t)).alias("_v"),
+    )
+    return agg.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        F.coalesce(F.col("events_a"), F.lit(0)).alias("events_a"),
+        F.coalesce(F.col("events_b"), F.lit(0)).alias("events_b"),
+        qround(F.col("_ome"), digits).alias("observed_minus_expected"),
+        qround(F.col("_v"), digits).alias("variance"),
+        qround(
+            F.when(
+                F.col("_v") > 0, F.col("_ome") * F.col("_ome") / F.col("_v")
+            ),
+            digits,
+        ).alias("chi2"),
+    )

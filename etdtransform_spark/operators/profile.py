@@ -159,3 +159,72 @@ def profile_drift(
             "mean_delta"
         ),
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a numeric column — the
+    classic fabricated-/truncated-data detector for metric pipelines
+    (a synthetic or unit-capped column's leading-digit distribution
+    departs from log10(1 + 1/d) in ways value-level monitors miss).
+
+    The first significant digit is computed numerically with a
+    1-ulp-robust normalization: e = floor(log10(|x|)), m = |x|/10^e,
+    then m is re-normalized into [1, 10) with an explicit CASE — engine
+    log10 implementations may differ in the last ulp exactly at powers
+    of ten, and the correction makes the digit depend only on IEEE
+    division (identical across engines), not on libm. Zero, NULL and
+    NaN values carry no leading digit and are excluded.
+
+    ONE count aggregate over the 9-digit domain, scaffolded against a
+    broadcast 1-9 grid so absent digits report n = 0. Returns 9 rows:
+    (digit, n, share, expected_share, chi2_term) with
+    chi2_term = n_total · (share − expected)² / expected (summing the
+    column gives the 8-dof Pearson statistic).
+    """
+    x = F.abs(F.col(value_col).cast("double"))
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+        & (x > 0)
+    )
+    e = F.floor(F.log10(x))
+    m0 = x / F.pow(F.lit(10.0), e.cast("double"))
+    m1 = (
+        F.when(m0 < 1.0, m0 * 10.0)
+        .when(m0 >= 10.0, m0 / 10.0)
+        .otherwise(m0)
+    )
+    d = F.least(F.greatest(F.floor(m1).cast("int"), F.lit(1)), F.lit(9))
+    counts = base.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    spark = df.sparkSession
+    grid = F.broadcast(
+        spark.createDataFrame([(i,) for i in range(1, 10)], "digit int")
+    )
+    tot = counts.agg(F.sum("n").alias("_nt"))
+    joined = (
+        grid.join(counts, "digit", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    nt = F.col("_nt").cast("double")
+    share = F.col("n").cast("double") / nt
+    expected = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return joined.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        "n",
+        qround(F.when(F.col("_nt") > 0, share), digits).alias("share"),
+        qround(expected, digits).alias("expected_share"),
+        qround(
+            F.when(
+                F.col("_nt") > 0,
+                nt * (share - expected) * (share - expected) / expected,
+            ),
+            digits,
+        ).alias("chi2_term"),
+    )

@@ -318,3 +318,142 @@ def reciprocal_rank_fusion(
         .filter(F.col("fused_rank") <= topk)
         .withColumn("fused_rank", F.col("fused_rank").cast("bigint"))
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 3,
+    lambda_: float = 0.7,
+    rel_col: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    of a per-query candidate pool — the diversity pass between retrieval
+    and prompt assembly: greedily pick k items maximizing
+    λ·relevance − (1−λ)·max-cosine-to-already-selected, so near-duplicate
+    passages don't crowd a RAG context.
+
+    ``candidates`` is a (query_id, neighbor_id, ``rel_col``) pool (e.g.
+    cosine_topk output — pool-sized per query, NOT corpus-sized);
+    ``vectors`` supplies the candidate embeddings for the pairwise
+    diversity term. Selection runs as k unrolled rounds over the pool:
+    round 1 sees an empty selected set (max-sim 0, so it picks pure
+    relevance), each later round anti-joins the selected set, takes the
+    max similarity to it, and picks the arg-max of the ROUNDED MMR score
+    (round-before-rank, id tiebreak — the cross-engine determinism rule
+    every ranked operator here follows). Queries whose pool is exhausted
+    before k simply stop producing rows.
+
+    Scale shape: the pairwise sim table is pool²-per-query (bounded by
+    the retriever's k, never data-sized) and is localCheckpointed once
+    for its k−1 consumers; each round is a pool-sized anti-join + one
+    aggregate. Same executor-loss caveat as funnel_steps. Returns
+    (query_id, neighbor_id, mmr_rank, relevance, mmr_score).
+    """
+    from .similarity import dot_expr, norm_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    lam = float(lambda_)
+    om = 1.0 - lam
+    pool = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.col(rel_col).cast("double").alias("_rel"),
+    ).localCheckpoint(eager=False)
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        norm_expr(F.col(vec_col)).alias("_n"),
+    )
+    pv = pool.join(
+        v, pool["neighbor_id"] == v["_vid"]
+    ).select("query_id", "neighbor_id", "_v", "_n")
+    a = pv.select(
+        "query_id",
+        F.col("neighbor_id").alias("_ca"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = pv.select(
+        "query_id",
+        F.col("neighbor_id").alias("_cb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim = (
+        a.join(b, "query_id")
+        .filter(F.col("_ca") != F.col("_cb"))
+        .select(
+            "query_id",
+            "_ca",
+            "_cb",
+            qround(
+                dot_expr(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    selected: DataFrame | None = None
+    for r in range(1, k + 1):
+        if selected is None:
+            scored = pool.withColumn("_ms", F.lit(0.0))
+        else:
+            rem = pool.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            sel_b = selected.select(
+                "query_id", F.col("neighbor_id").alias("_cb")
+            )
+            ms_tbl = (
+                sim.join(sel_b, ["query_id", "_cb"])
+                .groupBy("query_id", "_ca")
+                .agg(F.max("_s").alias("_ms"))
+                .select(
+                    "query_id",
+                    F.col("_ca").alias("neighbor_id"),
+                    "_ms",
+                )
+            )
+            scored = rem.join(
+                ms_tbl, ["query_id", "neighbor_id"], "left"
+            ).withColumn("_ms", F.coalesce(F.col("_ms"), F.lit(0.0)))
+        scored = scored.withColumn(
+            "_mmr",
+            qround(
+                F.lit(lam) * F.col("_rel") - F.lit(om) * F.col("_ms"),
+                digits,
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_mmr").desc(), F.col("neighbor_id")
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(r).cast("bigint").alias("mmr_rank"),
+                "_rel",
+                "_mmr",
+            )
+        )
+        selected = pick if selected is None else selected.union(pick)
+        selected = selected.localCheckpoint(eager=False)
+    return selected.select(
+        "query_id",
+        "neighbor_id",
+        "mmr_rank",
+        qround(F.col("_rel"), digits).alias("relevance"),
+        F.col("_mmr").alias("mmr_score"),
+    )

@@ -667,3 +667,69 @@ def bm25_topk(
             qround(F.col("_score"), digits).alias("score"),
         )
     )
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document distinct-n-gram diversity (distinct-1 / distinct-2,
+    Li et al. 2016) — the standard degenerate-generation detector for
+    model-output corpora: template spam and decoding loops repeat
+    bigrams, so their distinct-2 ratio collapses long before perplexity
+    or quality gates notice.
+
+    Tokenization is the whitespace split shared with the LM-stats
+    family (corpus._toks / bigram_logprob). All work is IN-ROW (token
+    array, two bounded slices zipped into bigram keys, array_distinct)
+    — a narrow map, no shuffle, no text exchange. NULL-text documents
+    are excluded (no token stream to measure). Returns
+    (id, n_tokens, distinct_1, n_bigrams, distinct_2, distinct1_ratio,
+    distinct2_ratio); ratios are NULL when the denominator is 0.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    staged = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t")
+    )
+    n1 = F.size("_t")
+    # greatest(…, 0) keeps the slice length non-negative on 0/1-token
+    # docs — a guarding when() is not enough under derived-predicate
+    # pushdown (the InferFilters hazard class)
+    blen = F.greatest(n1 - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(F.col("_t"), 1, blen),
+        F.slice(F.col("_t"), 2, blen),
+        lambda a, b: F.concat(a, F.lit("\x1f"), b),
+    )
+    out = staged.select(
+        F.col(id_col),
+        n1.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("bigint").alias("distinct_1"),
+        blen.cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bi)).cast("bigint").alias("distinct_2"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "distinct_1",
+        "n_bigrams",
+        "distinct_2",
+        qround(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("distinct_1").cast("double") / F.col("n_tokens"),
+            ),
+            digits,
+        ).alias("distinct1_ratio"),
+        qround(
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("distinct_2").cast("double") / F.col("n_bigrams"),
+            ),
+            digits,
+        ).alias("distinct2_ratio"),
+    )

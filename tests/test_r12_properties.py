@@ -142,3 +142,136 @@ def test_vocab_growth_bucketed_prefix_identical(spark):
     assert plain[-1].cum_tokens == 240
     with pytest.raises(ValueError):
         vocab_growth(docs, prefix_buckets=1)
+
+
+def test_log_rank_identical_groups_is_zero(spark):
+    """Identical survival experience in both groups: O-E = 0, chi2 = 0;
+    a clearly separated pair gives a large chi2."""
+    from etdtransform_spark.operators.funnel import log_rank_test
+
+    same = spark.createDataFrame(
+        [(t, 1, g) for t in (1.0, 2.0, 3.0) for g in ("a", "b")],
+        "duration double, event int, grp string",
+    )
+    r = log_rank_test(same, "duration", "event", "grp", "a", "b").collect()[0]
+    assert r.n_a == 3 and r.n_b == 3
+    assert r.observed_minus_expected == 0.0 and r.chi2 == 0.0
+    # group a all fails at t=1, group b survives (censored at t=10)
+    sep = spark.createDataFrame(
+        [(1.0, 1, "a")] * 5 + [(10.0, 0, "b")] * 5,
+        "duration double, event int, grp string",
+    )
+    r2 = log_rank_test(sep, "duration", "event", "grp", "a", "b").collect()[0]
+    assert r2.events_a == 5 and r2.events_b == 0
+    # at t=1: n=10, n_a=5, d=5 -> E_a=2.5, O-E=2.5; V=5*.5*.5*5/9
+    assert r2.observed_minus_expected == pytest.approx(2.5)
+    assert r2.variance == pytest.approx(5 * 0.25 * 5 / 9, abs=1e-6)
+    assert r2.chi2 == pytest.approx(2.5**2 / (5 * 0.25 * 5 / 9), abs=1e-4)
+    # third-group rows are excluded
+    extra = sep.union(
+        spark.createDataFrame([(2.0, 1, "c")], sep.schema)
+    )
+    r3 = log_rank_test(extra, "duration", "event", "grp", "a", "b").collect()[0]
+    assert (r3.n_a, r3.n_b) == (5, 5)
+
+
+def test_benford_first_digits(spark):
+    """Digit extraction across magnitudes (0.02, 3, 47, 1000, negatives)
+    and the zero/NaN exclusion; a perfectly Benford-ish single digit
+    shows zero deviation for its own cell."""
+    from etdtransform_spark.operators.profile import benford_deviation
+
+    vals = [0.02, 3.0, 47.0, 1000.0, -250.0, 0.0, None, float("nan"), 19.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r.digit: r for r in benford_deviation(df, "x").collect()}
+    assert len(out) == 9
+    assert out[2].n == 2  # 0.02 and -250
+    # 3.0 -> 3; 47 -> 4; 1000 -> 1; 19 -> 1
+    assert out[1].n == 2 and out[3].n == 1 and out[4].n == 1
+    assert sum(r.n for r in out.values()) == 6  # 0/None/NaN excluded
+    assert out[9].n == 0 and out[9].share == 0.0
+    assert out[1].expected_share == pytest.approx(0.30103, abs=1e-5)
+
+
+def test_distinct_ngrams_diversity(spark):
+    from etdtransform_spark.operators.text import distinct_ngrams
+
+    rows = [
+        (1, "a b a b a b"),          # looped: d1=2/6, d2=2/5
+        (2, "all words here differ"),  # d1=4/4, d2=3/3
+        (3, "solo"),                  # 1 token: no bigrams
+        (4, None),                    # excluded
+        (5, "   "),                   # 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in distinct_ngrams(df).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1].n_tokens, out[1].distinct_1) == (6, 2)
+    assert (out[1].n_bigrams, out[1].distinct_2) == (5, 2)
+    assert out[1].distinct2_ratio == pytest.approx(0.4)
+    assert out[2].distinct1_ratio == 1.0 and out[2].distinct2_ratio == 1.0
+    assert out[3].n_bigrams == 0 and out[3].distinct2_ratio is None
+    assert out[5].n_tokens == 0 and out[5].distinct1_ratio is None
+
+
+def test_fleiss_kappa_textbook(spark):
+    """Perfect agreement -> kappa 1; independent-looking labels -> small;
+    ragged items dropped and counted."""
+    from etdtransform_spark.operators.evaluation import fleiss_kappa
+
+    perfect = spark.createDataFrame(
+        [(i, f"r{j}", "yes" if i % 2 else "no")
+         for i in range(10) for j in range(3)],
+        "item int, rater string, label string",
+    )
+    r = fleiss_kappa(perfect, "item", "label", n_raters=3).collect()[0]
+    assert r.n_items == 10 and r.n_items_dropped == 0
+    assert r.p_bar == 1.0 and r.kappa == 1.0
+
+    # one item with only 2 ratings is dropped
+    ragged = perfect.union(
+        spark.createDataFrame(
+            [(99, "r0", "yes"), (99, "r1", "no")], perfect.schema
+        )
+    )
+    r2 = fleiss_kappa(ragged, "item", "label", n_raters=3).collect()[0]
+    assert r2.n_items == 10 and r2.n_items_dropped == 1
+    # all raters constant on ONE label -> p_e = 1 -> kappa NULL
+    const = spark.createDataFrame(
+        [(i, f"r{j}", "same") for i in range(4) for j in range(2)],
+        "item int, rater string, label string",
+    )
+    r3 = fleiss_kappa(const, "item", "label", n_raters=2).collect()[0]
+    assert r3.p_e == 1.0 and r3.kappa is None
+    with pytest.raises(ValueError):
+        fleiss_kappa(perfect, "item", "label", n_raters=1)
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Two near-identical top candidates: plain relevance ranks them 1-2,
+    MMR with lambda=0.5 picks the distinct third vector at rank 2."""
+    from etdtransform_spark.operators.ranking import mmr_rerank
+
+    # query q picks from: c1=[1,0], c2=[0.999,0.04], c3=[0,1]
+    vecs = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (1, [1.0, 0.0]), (2, [0.999, 0.04]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [(100, 1, 0.99), (100, 2, 0.98), (100, 3, 0.05)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    out = sorted(
+        mmr_rerank(cands, vecs, k=3, lambda_=0.5).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.neighbor_id for r in out] == [1, 3, 2]
+    assert out[0].mmr_score == pytest.approx(0.5 * 0.99)
+    # k larger than the pool: output stops at pool size
+    out2 = mmr_rerank(cands, vecs, k=5, lambda_=0.5).collect()
+    assert len(out2) == 3
+    with pytest.raises(ValueError):
+        mmr_rerank(cands, vecs, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(cands, vecs, lambda_=1.5)
