@@ -13648,6 +13648,9 @@ WITH base AS (
   FROM {_EV}
   WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0
     AND event_type IS NOT NULL AND user_id IS NOT NULL
+    -- mirror the engine's isin([0, 1]) group membership: a NEGATIVE odd
+    -- user_id has user_id % 2 = -1 and is excluded, not classed as b
+    AND user_id % 2 IN (0, 1)
 ), per_t AS (
   SELECT t, count(*)::BIGINT AS c, sum(e)::BIGINT AS d,
          sum(a)::BIGINT AS ca, sum(a * e)::BIGINT AS da
@@ -13693,6 +13696,7 @@ WITH base AS (
   SELECT abs(o_totalprice::DOUBLE) AS x FROM orders
   WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice::DOUBLE)
     AND abs(o_totalprice::DOUBLE) > 0
+    AND abs(o_totalprice::DOUBLE) < 'infinity'::DOUBLE
 ), dig AS (
   SELECT least(greatest(
            floor(CASE WHEN m < 1.0 THEN m * 10.0

@@ -234,53 +234,23 @@ def vocab_growth(
             raise ValueError(
                 f"prefix_buckets must be >= 2, got {prefix_buckets}"
             )
-        _id = F.col(id_col).cast("double")
-        qs = [i / prefix_buckets for i in range(1, prefix_buckets)]
-        # literal boundaries: the bucketed frame feeds TWO plan branches
-        # (in-bucket prefixes + per-bucket totals); exactness requires
-        # both to see the SAME bucketing (see stats._value_cumulatives)
-        bd = base.agg(
-            F.percentile_approx(
-                _id, F.array(*[F.lit(q) for q in qs]), 10000
-            ).alias("_bd")
-        ).collect()[0]["_bd"]
-        if bd:
-            bkt = F.size(
-                F.filter(
-                    F.array(*[F.lit(float(b)) for b in bd]),
-                    lambda e: _id > e,
-                )
-            )
-        else:  # empty input: single bucket, window over zero rows
-            bkt = F.lit(0)
-        b2 = base.withColumn("_bkt", bkt)
-        wb = (
-            Window.partitionBy("_bkt")
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        b2 = b2.select(
+        # REUSE the exactness-critical two-pass prefix machinery (literal
+        # boundaries shared by both plan branches, empty-input fallback,
+        # offset windows) instead of copying it — stats._value_cumulatives
+        # is the single implementation ks_2samp/mann_whitney_u also ride.
+        from .stats import _value_cumulatives
+
+        staged = base.select(
             "*",
-            F.sum("n_tokens").over(wb).alias("_pt"),
-            F.sum("n_new_terms").over(wb).alias("_pn"),
+            F.col(id_col).cast("double").alias("_v"),
+            F.col("n_tokens").alias("_ca"),
+            F.col("n_new_terms").alias("_cb"),
         )
-        totals = b2.groupBy("_bkt").agg(
-            F.sum("n_tokens").alias("_tt"),
-            F.sum("n_new_terms").alias("_tn"),
-        )
-        woff = Window.orderBy("_bkt").rowsBetween(
-            Window.unboundedPreceding, -1
-        )  # ≤ prefix_buckets rows — dictionary-sized by construction
-        offsets = totals.select(
-            "_bkt",
-            F.coalesce(F.sum("_tt").over(woff), F.lit(0)).alias("_ot"),
-            F.coalesce(F.sum("_tn").over(woff), F.lit(0)).alias("_on"),
-        )
+        cum = _value_cumulatives(staged, [], prefix_buckets)
         out = (
-            b2.join(F.broadcast(offsets), "_bkt")
-            .withColumn("cum_tokens", F.col("_ot") + F.col("_pt"))
-            .withColumn("vocab_size", F.col("_on") + F.col("_pn"))
-            .drop("_bkt", "_pt", "_pn", "_ot", "_on")
+            cum.withColumn("cum_tokens", F.col("_cum_a"))
+            .withColumn("vocab_size", F.col("_cum_b"))
+            .drop("_v", "_ca", "_cb", "_cum_a", "_cum_b", "_na", "_nb")
         )
     return out.withColumn(
         "type_token_ratio",
@@ -873,6 +843,12 @@ def remove_duplicate_spans(
 # array per element (O(len²) Catalyst eval per word PER MERGE) and was the
 # single biggest CPU line in the registry (98.8 s executor CPU, 14 % of
 # BENCH_DETAIL r11).
+#
+# LIMITATION (shared with the oracle, so the two engines always agree): a
+# token CONTAINING chr(31) — possible, since \\x1f is not regex whitespace
+# and survives the \\s+ split — corrupts its own framing and that word's
+# merge/count behavior. Real corpora don't emit the C0 separator char in
+# running text; pipelines that might should strip it upstream.
 _BPE_SEP = "\x1f"
 
 

@@ -1696,19 +1696,23 @@ def fleiss_kappa(
         F.sum("_n").alias("_ki"),
         F.sum(F.col("_n") * F.col("_n")).alias("_sq"),
     )
-    kept = per_item.filter(F.col("_ki") == n_raters)
-    item_stats = kept.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    ok_item = F.col("_ki") == n_raters
+    # kept/dropped counts and P̄ in ONE conditional aggregate over the
+    # item table (no second scan, no extra crossJoin)
+    item_stats = per_item.agg(
+        F.count(F.when(ok_item, 1)).cast("bigint").alias("n_items"),
+        F.count(F.when(~ok_item, 1))
+        .cast("bigint")
+        .alias("n_items_dropped"),
         F.avg(
-            (F.col("_sq").cast("double") - k) / (k * (k - 1.0))
+            F.when(
+                ok_item, (F.col("_sq").cast("double") - k) / (k * (k - 1.0))
+            )
         ).alias("_pbar"),
-    )
-    dropped = per_item.filter(F.col("_ki") != n_raters).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_items_dropped")
     )
     # class marginals over KEPT items only (the panel the test is about)
     class_tot = (
-        cells.join(kept.select("_i"), "_i")
+        cells.join(per_item.filter(ok_item).select("_i"), "_i")
         .groupBy("_c")
         .agg(F.sum("_n").alias("_nc"))
     )
@@ -1723,10 +1727,7 @@ def fleiss_kappa(
             ** 2
         ).alias("_pe")
     )
-    out = (
-        item_stats.crossJoin(F.broadcast(dropped))
-        .crossJoin(F.broadcast(pe_row))
-    )
+    out = item_stats.crossJoin(F.broadcast(pe_row))
     ok = F.col("n_items") > 0
     kappa = F.when(
         ok & (F.col("_pe") < 1.0),

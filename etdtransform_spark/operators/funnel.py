@@ -450,16 +450,21 @@ def _bin_durations(base: DataFrame, time_bins: int) -> DataFrame:
     the estimators' single-partition prefix windows stay constant-sized
     on CONTINUOUS durations. Exact no-op on durations already on the
     grid (e.g. integer durations with time_bins = max, where the bin
-    width is exactly 1.0). One 1-row max aggregate, broadcast."""
+    width is exactly 1.0). One 1-row max aggregate, broadcast.
+
+    The bin index is clamped to ``time_bins``: when width = max/bins
+    rounds BELOW the true quotient, ceil(max/width) lands on bins+1 and
+    the max-duration subjects would otherwise occupy a phantom bin past
+    max(_t) (e.g. max 2.1, bins 7 → 2.1/(2.1/7) = 7.000000000000001)."""
     mx = base.agg(F.max("_t").alias("_mx"))
     width = F.col("_mx") / F.lit(float(time_bins))
+    idx = F.least(F.ceil(F.col("_t") / width), F.lit(time_bins))
     return (
         base.crossJoin(F.broadcast(mx))
         .withColumn(
             "_t",
             F.when(
-                F.col("_mx") > 0,
-                F.ceil(F.col("_t") / width).cast("double") * width,
+                F.col("_mx") > 0, idx.cast("double") * width
             ).otherwise(F.col("_t")),
         )
         .drop("_mx")

@@ -186,10 +186,13 @@ def benford_deviation(
     column gives the 8-dof Pearson statistic).
     """
     x = F.abs(F.col(value_col).cast("double"))
+    # ±Infinity has no leading digit either: inf/inf would be NaN and
+    # floor(NaN) engine-divergent, so exclude non-finite alongside 0/NaN
     base = df.filter(
         F.col(value_col).isNotNull()
         & ~F.isnan(F.col(value_col).cast("double"))
         & (x > 0)
+        & (x < F.lit(float("inf")))
     )
     e = F.floor(F.log10(x))
     m0 = x / F.pow(F.lit(10.0), e.cast("double"))

@@ -396,7 +396,7 @@ def mmr_rerank(
             qround(
                 dot_expr(F.col("_va"), F.col("_vb"))
                 / (F.col("_na") * F.col("_nb")),
-                6,
+                digits,
             ).alias("_s"),
         )
         .localCheckpoint(eager=False)

@@ -689,11 +689,10 @@ def distinct_ngrams(
     (id, n_tokens, distinct_1, n_bigrams, distinct_2, distinct1_ratio,
     distinct2_ratio); ratios are NULL when the denominator is 0.
     """
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
-    )
+    from .corpus import _toks  # the ONE shared whitespace tokenizer
+
     staged = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), toks.alias("_t")
+        F.col(id_col), _toks(text_col).alias("_t")
     )
     n1 = F.size("_t")
     # greatest(…, 0) keeps the slice length non-negative on 0/1-token

@@ -115,6 +115,15 @@ def test_survival_time_bins_exact_on_grid(spark):
     )
     assert kaplan_meier(cont, "duration", "event").count() == 500
     assert kaplan_meier(cont, "duration", "event", time_bins=10).count() <= 10
+    # ceil-overflow clamp: max 2.1 with 7 bins used to land subjects in a
+    # phantom bin 8 past max(_t); the index is clamped to time_bins
+    awk = spark.createDataFrame(
+        [(2.1 * i / 10, 1) for i in range(1, 11)],
+        "duration double, event int",
+    )
+    binned = kaplan_meier(awk, "duration", "event", time_bins=7).collect()
+    assert max(r.t for r in binned) <= 2.1 + 1e-9
+    assert len(binned) <= 7
     with pytest.raises(ValueError):
         kaplan_meier(cont, "duration", "event", time_bins=0)
 
@@ -181,14 +190,15 @@ def test_benford_first_digits(spark):
     shows zero deviation for its own cell."""
     from etdtransform_spark.operators.profile import benford_deviation
 
-    vals = [0.02, 3.0, 47.0, 1000.0, -250.0, 0.0, None, float("nan"), 19.0]
+    vals = [0.02, 3.0, 47.0, 1000.0, -250.0, 0.0, None, float("nan"), 19.0,
+            float("inf"), float("-inf")]
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     out = {r.digit: r for r in benford_deviation(df, "x").collect()}
     assert len(out) == 9
     assert out[2].n == 2  # 0.02 and -250
     # 3.0 -> 3; 47 -> 4; 1000 -> 1; 19 -> 1
     assert out[1].n == 2 and out[3].n == 1 and out[4].n == 1
-    assert sum(r.n for r in out.values()) == 6  # 0/None/NaN excluded
+    assert sum(r.n for r in out.values()) == 6  # 0/None/NaN/±inf excluded
     assert out[9].n == 0 and out[9].share == 0.0
     assert out[1].expected_share == pytest.approx(0.30103, abs=1e-5)
 
