@@ -13907,6 +13907,273 @@ FROM sel3
 """
 
 
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 difference-in-differences (operators/stats.py:diff_in_diff):
+    treated = user_id parity, post = day-of-month > 15. ONE cell
+    sufficient-statistics aggregate; singleton/absent cells fail the
+    se/estimate closed."""
+    from etdtransform_spark.operators.stats import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("y"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        (F.dayofmonth("ts") > 15).cast("int").alias("p"),
+    )
+    return diff_in_diff(d, "y", "t", "p")
+
+
+_SQL_DID = f"""
+WITH base AS (
+  SELECT (user_id % 2)::INT AS t, (day(ts) > 15)::INT AS p,
+         value::DOUBLE AS x
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL
+), cells AS (
+  SELECT t, p, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM base GROUP BY 1, 2
+), agg AS (
+  SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS n_cells,
+         max(CASE WHEN t = 1 AND p = 1 THEN sx / n::DOUBLE END) AS m11,
+         max(CASE WHEN t = 1 AND p = 0 THEN sx / n::DOUBLE END) AS m10,
+         max(CASE WHEN t = 0 AND p = 1 THEN sx / n::DOUBLE END) AS m01,
+         max(CASE WHEN t = 0 AND p = 0 THEN sx / n::DOUBLE END) AS m00,
+         max(CASE WHEN t = 1 AND p = 1 THEN (CASE WHEN n > 1 THEN
+           (sxx - sx * (sx / n::DOUBLE)) / (n::DOUBLE - 1.0) END)
+           / n::DOUBLE END) AS v11,
+         max(CASE WHEN t = 1 AND p = 0 THEN (CASE WHEN n > 1 THEN
+           (sxx - sx * (sx / n::DOUBLE)) / (n::DOUBLE - 1.0) END)
+           / n::DOUBLE END) AS v10,
+         max(CASE WHEN t = 0 AND p = 1 THEN (CASE WHEN n > 1 THEN
+           (sxx - sx * (sx / n::DOUBLE)) / (n::DOUBLE - 1.0) END)
+           / n::DOUBLE END) AS v01,
+         max(CASE WHEN t = 0 AND p = 0 THEN (CASE WHEN n > 1 THEN
+           (sxx - sx * (sx / n::DOUBLE)) / (n::DOUBLE - 1.0) END)
+           / n::DOUBLE END) AS v00
+  FROM cells
+)
+SELECT coalesce(n, 0)::BIGINT AS n, n_cells,
+       {qround_sql('m11', 6)} AS mean_t_post,
+       {qround_sql('m10', 6)} AS mean_t_pre,
+       {qround_sql('m01', 6)} AS mean_c_post,
+       {qround_sql('m00', 6)} AS mean_c_pre,
+       {qround_sql(
+           'CASE WHEN n_cells = 4 THEN (m11 - m10) - (m01 - m00) END',
+           6)} AS did,
+       {qround_sql(
+           'CASE WHEN n_cells = 4 AND v11 + v10 + v01 + v00 >= 0 '
+           'THEN sqrt(v11 + v10 + v01 + v00) END', 6)} AS se_did
+FROM agg
+"""
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page CUSUM per event_type series (operators/stats.py:cusum_drift,
+    target 50, slack 5, threshold 300): the recursion is computed with
+    the exact prefix identity C+ = S − min(0, running-min S) — two
+    cumulative windows per key, no iteration."""
+    from etdtransform_spark.operators.stats import cusum_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_drift(
+        ev.select("event_type", "ts", "event_id", "value"),
+        "value",
+        target=50.0,
+        slack=5.0,
+        threshold=300.0,
+        keys=("event_type",),
+        order_cols=("ts", "event_id"),
+    )
+
+
+_SQL_CUSUM_DRIFT = f"""
+WITH base AS (
+  SELECT event_type, ts, event_id, value::DOUBLE AS x
+  FROM {_EV} WHERE value IS NOT NULL AND NOT isnan(value)
+), pre AS (
+  SELECT event_type,
+         sum(x - 50.0 - 5.0) OVER wk AS sp,
+         sum(x - 50.0 + 5.0) OVER wk AS sn,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS idx
+  FROM base
+  WINDOW wk AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+), cs AS (
+  SELECT event_type, idx,
+         sp - least(min(sp) OVER wk, 0.0) AS cp,
+         greatest(max(sn) OVER wk, 0.0) - sn AS cn
+  FROM pre
+  WINDOW wk AS (PARTITION BY event_type ORDER BY idx
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       {qround_sql('max(cp)', 6)} AS max_cusum_pos,
+       {qround_sql('max(cn)', 6)} AS max_cusum_neg,
+       max((cp > 300.0 OR cn > 300.0)::INT) AS alarm,
+       min(CASE WHEN cp > 300.0 OR cn > 300.0 THEN idx END)::BIGINT
+         AS first_alarm_idx
+FROM cs GROUP BY 1
+"""
+
+
+def q_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-model hazard ratio between the user-parity groups
+    (operators/funnel.py:hazard_ratio) on the log_rank synthesis —
+    ONE sufficient-statistics aggregate, no per-time bookkeeping."""
+    from etdtransform_spark.operators.funnel import hazard_ratio
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    lr = ev.select(
+        F.col("value").alias("duration"),
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    return hazard_ratio(lr, "duration", "event", "grp", 0, 1)
+
+
+_SQL_HAZARD_RATIO = f"""
+WITH base AS (
+  SELECT value::DOUBLE AS t, (event_type = 'purchase')::INT AS e,
+         (user_id % 2 = 0)::INT AS a
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0
+    AND event_type IS NOT NULL AND user_id IS NOT NULL
+    AND user_id % 2 IN (0, 1)
+), agg AS (
+  SELECT sum(a)::BIGINT AS n_a, (count(*) - sum(a))::BIGINT AS n_b,
+         sum(a * e)::BIGINT AS events_a,
+         (sum(e) - sum(a * e))::BIGINT AS events_b,
+         sum(a * t) AS ta, (sum(t) - sum(a * t)) AS tb
+  FROM base
+)
+SELECT coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b,
+       coalesce(events_a, 0)::BIGINT AS events_a,
+       coalesce(events_b, 0)::BIGINT AS events_b,
+       {qround_sql('ta', 6)} AS time_a,
+       {qround_sql('tb', 6)} AS time_b,
+       {qround_sql(
+           'CASE WHEN events_a > 0 AND events_b > 0 AND ta > 0 '
+           'AND tb > 0 THEN (events_a::DOUBLE / ta)'
+           ' / (events_b::DOUBLE / tb) END', 6)} AS hazard_ratio,
+       {qround_sql(
+           'CASE WHEN events_a > 0 AND events_b > 0 AND ta > 0 '
+           'AND tb > 0 THEN sqrt(1.0 / events_a::DOUBLE'
+           ' + 1.0 / events_b::DOUBLE) END', 6)} AS ln_hr_se,
+       {qround_sql(
+           'CASE WHEN events_a > 0 AND events_b > 0 AND ta > 0 '
+           'AND tb > 0 THEN exp(ln((events_a::DOUBLE / ta)'
+           ' / (events_b::DOUBLE / tb)) - 1.96 * sqrt(1.0'
+           ' / events_a::DOUBLE + 1.0 / events_b::DOUBLE)) END', 6)}
+         AS hr_ci_low,
+       {qround_sql(
+           'CASE WHEN events_a > 0 AND events_b > 0 AND ta > 0 '
+           'AND tb > 0 THEN exp(ln((events_a::DOUBLE / ta)'
+           ' / (events_b::DOUBLE / tb)) + 1.96 * sqrt(1.0'
+           ' / events_a::DOUBLE + 1.0 / events_b::DOUBLE)) END', 6)}
+         AS hr_ci_high
+FROM agg
+"""
+
+
+def q_theil_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T + Atkinson(ε=1) inequality indices of o_totalprice
+    (operators/stats.py:theil_atkinson) — ONE sufficient-statistics
+    aggregate, no sort/window (cheaper than gini at scale)."""
+    from etdtransform_spark.operators.stats import theil_atkinson
+
+    return theil_atkinson(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_SQL_THEIL = f"""
+WITH base AS (
+  SELECT o_totalprice::DOUBLE AS x,
+         (o_totalprice::DOUBLE <= 0)::BIGINT AS np
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice::DOUBLE)
+), agg AS (
+  SELECT count(*)::BIGINT AS n, sum(np)::BIGINT AS n_nonpositive,
+         count(CASE WHEN np = 0 THEN 1 END)::BIGINT AS npn,
+         sum(CASE WHEN np = 0 THEN x END) AS sx,
+         sum(CASE WHEN np = 0 THEN x * ln(x) END) AS sxlx,
+         sum(CASE WHEN np = 0 THEN ln(x) END) AS slx
+  FROM base
+)
+SELECT coalesce(n, 0)::BIGINT AS n,
+       coalesce(n_nonpositive, 0)::BIGINT AS n_nonpositive,
+       {qround_sql('CASE WHEN npn > 0 THEN sx / npn::DOUBLE END', 6)}
+         AS mean,
+       {qround_sql(
+           'CASE WHEN npn > 0 THEN sxlx'
+           ' / (npn::DOUBLE * (sx / npn::DOUBLE))'
+           ' - ln(sx / npn::DOUBLE) END', 6)} AS theil_t,
+       {qround_sql(
+           'CASE WHEN npn > 0 THEN 1.0 - exp(slx / npn::DOUBLE'
+           ' - ln(sx / npn::DOUBLE)) END', 6)} AS atkinson
+FROM agg
+"""
+
+
+def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate logistic regression, 3 unrolled Newton-IRLS steps
+    (operators/stats.py:logistic_irls): P(purchase) ~ σ(b0 + b1·value/100).
+    Model state is a broadcast 1-row frame — a lazy chain of 3
+    aggregates, nothing collected (the kmeans/bradley_terry
+    discipline)."""
+    from etdtransform_spark.operators.stats import logistic_irls
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    d = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (F.col("value") / 100.0).alias("x"),
+    )
+    return logistic_irls(d, "y", "x", steps=3)
+
+
+def _sql_logistic_step(prev: str, out: str) -> str:
+    """One unrolled IRLS step: sufficient statistics at the previous β,
+    then the closed-form 2×2 Newton update (fail-closed on det ≤ 0)."""
+    return f"""a_{out} AS MATERIALIZED (
+  SELECT max(q.b0) AS ob0, max(q.b1) AS ob1,
+         sum(q.p * (1.0 - q.p)) AS s0,
+         sum(q.p * (1.0 - q.p) * q.x) AS s1,
+         sum(q.p * (1.0 - q.p) * q.x * q.x) AS s2,
+         sum(q.y::DOUBLE - q.p) AS g0,
+         sum((q.y::DOUBLE - q.p) * q.x) AS g1
+  FROM (SELECT d.x, d.y, b.b0, b.b1,
+               1.0 / (1.0 + exp(-(b.b0 + b.b1 * d.x))) AS p
+        FROM base d CROSS JOIN {prev} b) q
+), {out} AS MATERIALIZED (
+  SELECT CASE WHEN s0 * s2 - s1 * s1 > 0 THEN
+           ob0 + (s2 * g0 - s1 * g1) / (s0 * s2 - s1 * s1) END AS b0,
+         CASE WHEN s0 * s2 - s1 * s1 > 0 THEN
+           ob1 + (s0 * g1 - s1 * g0) / (s0 * s2 - s1 * s1) END AS b1
+  FROM a_{out}
+)"""
+
+
+_SQL_LOGISTIC = f"""
+WITH base AS MATERIALIZED (
+  SELECT (event_type = 'purchase')::INT AS y, value::DOUBLE / 100.0 AS x
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE / 100.0)
+    AND event_type IS NOT NULL
+), b0c AS (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1),
+{_sql_logistic_step('b0c', 'b1c')},
+{_sql_logistic_step('b1c', 'b2c')},
+{_sql_logistic_step('b2c', 'b3c')}
+SELECT count(q.x)::BIGINT AS n, coalesce(sum(q.y), 0)::BIGINT AS n_pos,
+       {qround_sql('max(q.b0)', 6)} AS b0,
+       {qround_sql('max(q.b1)', 6)} AS b1,
+       {qround_sql(
+           '-avg(q.y::DOUBLE * ln(q.p)'
+           ' + (1.0 - q.y::DOUBLE) * ln(1.0 - q.p))', 6)} AS log_loss
+FROM (SELECT d.x, d.y, b.b0, b.b1,
+             1.0 / (1.0 + exp(-(b.b0 + b.b1 * d.x))) AS p
+      FROM base d CROSS JOIN b3c b) q
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -13926,6 +14193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngrams": q_distinct_ngrams,
         "fleiss_kappa": q_fleiss_kappa,
         "mmr_rerank": q_mmr_rerank,
+        "diff_in_diff": q_diff_in_diff,
+        "cusum_drift": q_cusum_drift,
+        "hazard_ratio": q_hazard_ratio,
+        "theil_atkinson": q_theil_atkinson,
+        "logistic_irls": q_logistic_irls,
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
@@ -14338,6 +14610,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_ngrams": _SQL_DISTINCT_NGRAMS,
         "fleiss_kappa": _SQL_FLEISS,
         "mmr_rerank": _SQL_MMR,
+        "diff_in_diff": _SQL_DID,
+        "cusum_drift": _SQL_CUSUM_DRIFT,
+        "hazard_ratio": _SQL_HAZARD_RATIO,
+        "theil_atkinson": _SQL_THEIL,
+        "logistic_irls": _SQL_LOGISTIC,
         "bm25_topk": _SQL_BM25,
         "rrf_fusion": _sql_rrf_fusion(),
         "retrieval_rollout_e2e": _sql_retrieval_rollout(),

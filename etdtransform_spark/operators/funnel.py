@@ -765,3 +765,87 @@ def log_rank_test(
             digits,
         ).alias("chi2"),
     )
+
+
+def hazard_ratio(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    digits: int = 6,
+) -> DataFrame:
+    """Exponential-model hazard ratio between two groups — the effect
+    SIZE companion of :func:`log_rank_test` (which answers "different?",
+    not "by how much"). Under constant hazards, the MLE per group is
+    λ = d / T (events over total observed time, censoring included in T
+    but not in d), and
+
+        HR      = λ_a / λ_b
+        se(lnHR)= sqrt(1/d_a + 1/d_b)       (delta method)
+        CI95    = exp(ln HR ± 1.96·se)
+
+    ONE two-group sufficient-statistics aggregate (d, T per group) —
+    no per-time bookkeeping, so unlike the rank test it has no
+    distinct-duration window at all. NULL/NaN/negative durations and
+    non-member groups excluded. HR and the CI are NULL when either
+    group has d = 0 or T ≤ 0 (a ratio against a hazard of 0 is
+    undefined — fail closed). Returns ONE row: (n_a, n_b, events_a,
+    events_b, time_a, time_b, hazard_ratio, ln_hr_se, hr_ci_low,
+    hr_ci_high).
+    """
+    d = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    g = F.col(group_col)
+    base = df.filter(
+        d.isNotNull()
+        & ~F.isnan(d)
+        & (d >= 0)
+        & e.isNotNull()
+        & g.isin([group_a, group_b])
+    ).select(
+        d.alias("_t"),
+        e.alias("_e"),
+        (g == F.lit(group_a)).cast("int").alias("_a"),
+    )
+    agg = base.agg(
+        F.sum("_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("_a")).cast("bigint").alias("n_b"),
+        F.sum(F.col("_a") * F.col("_e")).cast("bigint").alias("events_a"),
+        (F.sum("_e") - F.sum(F.col("_a") * F.col("_e")))
+        .cast("bigint")
+        .alias("events_b"),
+        F.sum(F.col("_a") * F.col("_t")).alias("_ta"),
+        (F.sum("_t") - F.sum(F.col("_a") * F.col("_t"))).alias("_tb"),
+    )
+    da = F.col("events_a").cast("double")
+    db = F.col("events_b").cast("double")
+    ok = (
+        (F.col("events_a") > 0)
+        & (F.col("events_b") > 0)
+        & (F.col("_ta") > 0)
+        & (F.col("_tb") > 0)
+    )
+    hr = (da / F.col("_ta")) / (db / F.col("_tb"))
+    se = F.sqrt(1.0 / da + 1.0 / db)
+    return agg.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.col("events_a"), F.lit(0))
+        .cast("bigint")
+        .alias("events_a"),
+        F.coalesce(F.col("events_b"), F.lit(0))
+        .cast("bigint")
+        .alias("events_b"),
+        qround(F.col("_ta"), digits).alias("time_a"),
+        qround(F.col("_tb"), digits).alias("time_b"),
+        qround(F.when(ok, hr), digits).alias("hazard_ratio"),
+        qround(F.when(ok, se), digits).alias("ln_hr_se"),
+        qround(
+            F.when(ok, F.exp(F.log(hr) - 1.96 * se)), digits
+        ).alias("hr_ci_low"),
+        qround(
+            F.when(ok, F.exp(F.log(hr) + 1.96 * se)), digits
+        ).alias("hr_ci_high"),
+    )

@@ -2288,3 +2288,318 @@ def post_stratified_mean(
             digits,
         ).alias("se_post_stratified"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    treated_col: str,
+    post_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Two-by-two difference-in-differences estimator — the workhorse
+    quasi-experimental readout when a feature launches for one cohort
+    while another stays on the old path:
+
+        DID = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+        se  = sqrt(Σ_cell s²_cell / n_cell)     (unpooled, Welch-style)
+
+    ``treated_col`` / ``post_col`` are coerced to int (0/1); rows where
+    either indicator or the value is NULL/NaN are excluded. The estimate
+    is NULL unless all FOUR cells are observed; the se additionally
+    requires every cell to carry n ≥ 2 (a singleton cell has no sample
+    variance — fail closed, the post_stratified_mean convention).
+
+    ONE (treated, post) sufficient-statistics aggregate (map-side
+    combined) + a 4-row pivot in a second dictionary-sized aggregate.
+    Returns ONE row: (n, n_cells, mean_t_post, mean_t_pre, mean_c_post,
+    mean_c_pre, did, se_did).
+    """
+    x = F.col(value_col).cast("double")
+    t = F.col(treated_col).cast("int")
+    p = F.col(post_col).cast("int")
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x) & t.isNotNull() & p.isNotNull()
+    ).select(t.alias("_t"), p.alias("_p"), x.alias("_x"))
+    cells = base.groupBy("_t", "_p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    nn = F.col("_n").cast("double")
+    mean_c = F.col("_sx") / nn
+    var_c = F.when(
+        F.col("_n") > 1,
+        (F.col("_sxx") - F.col("_sx") * mean_c) / (nn - 1.0),
+    )
+
+    def _cell(tv: int, pv: int, expr):
+        return F.max(
+            F.when((F.col("_t") == tv) & (F.col("_p") == pv), expr)
+        )
+
+    agg = cells.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        _cell(1, 1, mean_c).alias("_m11"),
+        _cell(1, 0, mean_c).alias("_m10"),
+        _cell(0, 1, mean_c).alias("_m01"),
+        _cell(0, 0, mean_c).alias("_m00"),
+        _cell(1, 1, var_c / nn).alias("_v11"),
+        _cell(1, 0, var_c / nn).alias("_v10"),
+        _cell(0, 1, var_c / nn).alias("_v01"),
+        _cell(0, 0, var_c / nn).alias("_v00"),
+    )
+    did = (
+        (F.col("_m11") - F.col("_m10"))
+        - (F.col("_m01") - F.col("_m00"))
+    )
+    vsum = (
+        F.col("_v11") + F.col("_v10") + F.col("_v01") + F.col("_v00")
+    )
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        "n_cells",
+        qround(F.col("_m11"), digits).alias("mean_t_post"),
+        qround(F.col("_m10"), digits).alias("mean_t_pre"),
+        qround(F.col("_m01"), digits).alias("mean_c_post"),
+        qround(F.col("_m00"), digits).alias("mean_c_pre"),
+        qround(F.when(F.col("n_cells") == 4, did), digits).alias("did"),
+        qround(
+            F.when(
+                (F.col("n_cells") == 4) & (vsum >= 0), F.sqrt(vsum)
+            ),
+            digits,
+        ).alias("se_did"),
+    )
+
+
+def cusum_drift(
+    df: DataFrame,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    keys: Sequence[str] = (),
+    order_cols: Sequence[str] = ("ts",),
+    digits: int = 6,
+) -> DataFrame:
+    """Tabular (Page) CUSUM change detector per key segment — the
+    sequential mean-shift alarm for metric streams, where PSI/KS windows
+    are too slow to localize WHEN the shift started:
+
+        C⁺_t = max(0, C⁺_{t−1} + (x_t − target − slack))
+        C⁻_t = max(0, C⁻_{t−1} − (x_t − target + slack))
+
+    The recursion is NOT expressible as a window function directly, but
+    the classic prefix identity is: C⁺_t = S_t − min_{j≤t} S_j with
+    S the running sum of (x − target − slack) — two cumulative windows,
+    no iteration (and the mirrored form for C⁻). This keeps the operator
+    a pure two-window plan over each key's timeline, the same exchange
+    every ordered operator here shares.
+
+    NULL/NaN values are excluded (a missing reading is not evidence of
+    drift). Returns one row per key: (keys…, n, max_cusum_pos,
+    max_cusum_neg[, alarm, first_alarm_idx]) — the alarm columns appear
+    when ``threshold`` is given; first_alarm_idx is the 1-based position
+    IN THE ORDERED SERIES of the first crossing (NULL when none).
+    """
+    klist = list(keys)
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & ~F.isnan(x)).select(
+        *klist, *[c for c in order_cols if c not in klist], x.alias("_x")
+    )
+    w = (
+        Window.partitionBy(*klist)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s_pos = F.sum(F.col("_x") - F.lit(target) - F.lit(slack)).over(w)
+    s_neg = F.sum(F.col("_x") - F.lit(target) + F.lit(slack)).over(w)
+    cur = base.select(
+        *klist,
+        (s_pos - F.least(F.min(s_pos).over(w), F.lit(0.0))).alias("_cp"),
+        (F.greatest(F.max(s_neg).over(w), F.lit(0.0)) - s_neg).alias("_cn"),
+        F.row_number().over(
+            Window.partitionBy(*klist).orderBy(
+                *[F.col(c) for c in order_cols]
+            )
+        ).alias("_idx"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        qround(F.max("_cp"), digits).alias("max_cusum_pos"),
+        qround(F.max("_cn"), digits).alias("max_cusum_neg"),
+    ]
+    if threshold is not None:
+        crossed = (F.col("_cp") > threshold) | (F.col("_cn") > threshold)
+        aggs.append(
+            F.max(crossed).cast("int").alias("alarm")
+        )
+        aggs.append(
+            F.min(F.when(crossed, F.col("_idx")))
+            .cast("bigint")
+            .alias("first_alarm_idx")
+        )
+    if klist:
+        return cur.groupBy(*klist).agg(*aggs)
+    return cur.agg(*aggs)
+
+
+def theil_atkinson(
+    df: DataFrame,
+    value_col: str,
+    epsilon: float = 1.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Theil-T index and Atkinson index — the entropy-based inequality
+    companions of :func:`gini_coefficient` (Theil decomposes additively
+    across subgroups; Atkinson makes the inequality-aversion parameter
+    explicit), the concentration numbers a corpus-mixture or usage
+    audit reads next to the Lorenz curve:
+
+        Theil T  = (1/N) Σ (x/μ) · ln(x/μ)
+        Atkinson = 1 − exp((1/N) Σ ln(x/μ))          (ε = 1)
+                 = 1 − ((1/N) Σ (x/μ)^(1−ε))^(1/(1−ε))   (ε ≠ 1)
+
+    Support is STRICTLY positive values (both indices are undefined at
+    x ≤ 0 — ln/negative powers; rows outside the support are excluded
+    and counted). ONE sufficient-statistics aggregate — no sort, no
+    window, unlike gini's rank pass — so it is the cheapest of the
+    inequality family at 100 TB. Indices are NULL when no positive
+    values remain. Returns ONE row:
+    (n, n_nonpositive, mean, theil_t, atkinson).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    x = F.col(value_col).cast("double")
+    all_rows = df.filter(x.isNotNull() & ~F.isnan(x))
+    base = all_rows.select(
+        x.alias("_x"), (x <= 0).cast("bigint").alias("_np")
+    )
+    # two passes folded into one aggregate: μ must be known before the
+    # ratio terms, so compute sums first and derive the entropy terms
+    # from a second dictionary-sized pass? No — both engines fold it in
+    # ONE pass using sum(x·ln x) and N·μ algebra:
+    #   Σ (x/μ)ln(x/μ) / N = (Σ x·ln x)/(N·μ) − ln μ
+    #   (1/N) Σ ln(x/μ)    = (Σ ln x)/N − ln μ
+    #   (1/N) Σ (x/μ)^p    = (Σ x^p)/(N·μ^p)
+    pos = F.when(F.col("_np") == 0, F.col("_x"))
+    p = 1.0 - float(epsilon)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        # coalesce: sum over an EMPTY input is NULL, which lands float64
+        # in pandas and hash-mismatches the oracle's int64
+        F.coalesce(F.sum("_np"), F.lit(0)).cast("bigint").alias("n_nonpositive"),
+        F.count(pos).cast("bigint").alias("_np_n"),
+        F.sum(pos).alias("_sx"),
+        F.sum(pos * F.log(pos)).alias("_sxlx"),
+        F.sum(F.log(pos)).alias("_slx"),
+        F.sum(F.pow(pos, F.lit(p))).alias("_sxp"),
+    )
+    nn = F.col("_np_n").cast("double")
+    mu = F.col("_sx") / nn
+    theil = F.col("_sxlx") / (nn * mu) - F.log(mu)
+    if abs(p) < 1e-12:  # ε = 1: geometric-mean form
+        atk = 1.0 - F.exp(F.col("_slx") / nn - F.log(mu))
+    else:
+        atk = 1.0 - F.pow(
+            F.col("_sxp") / (nn * F.pow(mu, F.lit(p))), F.lit(1.0 / p)
+        )
+    ok = F.col("_np_n") > 0
+    return agg.select(
+        "n",
+        "n_nonpositive",
+        qround(F.when(ok, mu), digits).alias("mean"),
+        qround(F.when(ok, theil), digits).alias("theil_t"),
+        qround(F.when(ok, atk), digits).alias("atkinson"),
+    )
+
+
+def logistic_irls(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    steps: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Univariate logistic regression (intercept + one feature) fit with
+    ``steps`` unrolled Newton-IRLS iterations from β = (0, 0) — the
+    propensity/quality-score fit a sampling or calibration pipeline
+    needs without an ML library:
+
+        p = σ(b0 + b1·x);  each step solves the 2×2 normal equations
+        [Σw, Σwx; Σwx, Σwx²] Δβ = [Σ(y−p), Σ(y−p)x],  w = p(1−p)
+
+    Every iteration is ONE sufficient-statistics aggregate over the
+    data crossJoined with the broadcast 1-row β frame — the model state
+    never touches the driver (the kmeans/bradley_terry discipline), so
+    the whole fit is a lazy chain of ``steps`` aggregates. The update is
+    NULL (and propagates) when the design is degenerate (constant x →
+    det = 0 — no slope is identifiable; fail closed). Rows with NULL/NaN
+    x or NULL y are excluded; y is coerced to 0/1 by ``y != 0``.
+
+    A final pass reports the mean log-loss at the fitted β. Fixed small
+    ``steps`` is deliberate: β is data-dictionary-sized state and IRLS
+    gains a digit per step near the optimum; callers needing exact
+    convergence iterate externally. Returns ONE row:
+    (n, n_pos, b0, b1, log_loss).
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    x = F.col(x_col).cast("double")
+    yc = F.col(y_col)
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x) & yc.isNotNull()
+    ).select(
+        (yc.cast("double") != 0).cast("double").alias("_y"),
+        x.alias("_x"),
+    )
+    spark = df.sparkSession
+    beta = F.broadcast(
+        spark.createDataFrame([(0.0, 0.0)], "_b0 double, _b1 double")
+    )
+    for _ in range(steps):
+        z = F.col("_b0") + F.col("_b1") * F.col("_x")
+        p = 1.0 / (1.0 + F.exp(-z))
+        w = p * (1.0 - p)
+        r = F.col("_y") - p
+        g = base.crossJoin(beta).agg(
+            F.max("_b0").alias("_ob0"),
+            F.max("_b1").alias("_ob1"),
+            F.sum(w).alias("_s0"),
+            F.sum(w * F.col("_x")).alias("_s1"),
+            F.sum(w * F.col("_x") * F.col("_x")).alias("_s2"),
+            F.sum(r).alias("_g0"),
+            F.sum(r * F.col("_x")).alias("_g1"),
+        )
+        det = F.col("_s0") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+        beta = F.broadcast(
+            g.select(
+                F.when(
+                    det > 0,
+                    F.col("_ob0")
+                    + (F.col("_s2") * F.col("_g0") - F.col("_s1") * F.col("_g1"))
+                    / det,
+                ).alias("_b0"),
+                F.when(
+                    det > 0,
+                    F.col("_ob1")
+                    + (F.col("_s0") * F.col("_g1") - F.col("_s1") * F.col("_g0"))
+                    / det,
+                ).alias("_b1"),
+            )
+        )
+    z = F.col("_b0") + F.col("_b1") * F.col("_x")
+    p = 1.0 / (1.0 + F.exp(-z))
+    ll = F.col("_y") * F.log(p) + (1.0 - F.col("_y")) * F.log(1.0 - p)
+    return base.crossJoin(beta).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(F.col("_y")), F.lit(0.0))
+        .cast("bigint")
+        .alias("n_pos"),
+        qround(F.max("_b0"), digits).alias("b0"),
+        qround(F.max("_b1"), digits).alias("b1"),
+        qround(-F.avg(ll), digits).alias("log_loss"),
+    )

@@ -285,3 +285,165 @@ def test_mmr_rerank_prefers_diversity(spark):
         mmr_rerank(cands, vecs, k=0)
     with pytest.raises(ValueError):
         mmr_rerank(cands, vecs, lambda_=1.5)
+
+
+def test_diff_in_diff_planted_effect(spark):
+    """Planted parallel-trends data: control 10→12, treated 20→27
+    → DID = +5 exactly; missing cell fails the estimate closed."""
+    from etdtransform_spark.operators.stats import diff_in_diff
+
+    rows = (
+        [(0, 0, 10.0), (0, 0, 10.0), (0, 1, 12.0), (0, 1, 12.0),
+         (1, 0, 20.0), (1, 0, 20.0), (1, 1, 27.0), (1, 1, 27.0)]
+    )
+    df = spark.createDataFrame(rows, "t int, p int, y double")
+    r = diff_in_diff(df, "y", "t", "p").collect()[0]
+    assert r.n == 8 and r.n_cells == 4
+    assert r.did == pytest.approx(5.0)
+    assert r.se_did == 0.0  # zero within-cell variance
+    # drop the treated-pre cell: estimate NULL
+    df3 = df.filter(~((F.col("t") == 1) & (F.col("p") == 0)))
+    r2 = diff_in_diff(df3, "y", "t", "p").collect()[0]
+    assert r2.n_cells == 3 and r2.did is None and r2.se_did is None
+    # singleton cell: estimate present, se fails closed
+    df4 = df.filter(
+        ~((F.col("t") == 1) & (F.col("p") == 0))
+    ).union(spark.createDataFrame([(1, 0, 20.0)], df.schema))
+    r3 = diff_in_diff(df4, "y", "t", "p").collect()[0]
+    assert r3.did == pytest.approx(5.0) and r3.se_did is None
+
+
+def test_cusum_matches_recursion(spark):
+    """The two-window prefix identity must equal the textbook recursion
+    C+_t = max(0, C+_{t-1} + (x - target - k)) computed in Python."""
+    from etdtransform_spark.operators.stats import cusum_drift
+
+    xs = [0.1, -0.2, 0.3, 1.5, 2.0, 1.8, -0.5, 0.2, 2.5, 3.0]
+    target, k = 0.0, 0.25
+    cp = cn = 0.0
+    mcp = mcn = 0.0
+    first = None
+    for i, x in enumerate(xs, start=1):
+        cp = max(0.0, cp + (x - target - k))
+        cn = max(0.0, cn - (x - target + k))
+        mcp, mcn = max(mcp, cp), max(mcn, cn)
+        if first is None and (cp > 2.0 or cn > 2.0):
+            first = i
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "ts int, v double"
+    )
+    r = cusum_drift(
+        df, "v", target=target, slack=k, threshold=2.0,
+        order_cols=("ts",),
+    ).collect()[0]
+    assert r.n == 10
+    assert r.max_cusum_pos == pytest.approx(mcp, abs=1e-6)
+    assert r.max_cusum_neg == pytest.approx(mcn, abs=1e-6)
+    assert r.alarm == 1 and r.first_alarm_idx == first
+    # keyed variant: independent series per key
+    df2 = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)]
+        + [("b", i, 0.0) for i in range(5)],
+        "k string, ts int, v double",
+    )
+    out = {r.k: r for r in cusum_drift(
+        df2, "v", target=target, slack=k, threshold=2.0,
+        keys=("k",), order_cols=("ts",),
+    ).collect()}
+    assert out["a"].alarm == 1 and out["b"].alarm == 0
+    assert out["b"].first_alarm_idx is None
+
+
+def test_hazard_ratio_exponential_mle(spark):
+    """Hand-computed HR: a has 4 events over 10 time units, b has 2 over
+    20 -> HR = (4/10)/(2/20) = 4; zero-event group fails closed."""
+    from etdtransform_spark.operators.funnel import hazard_ratio
+
+    rows = (
+        [(2.5, 1, "a")] * 4
+        + [(5.0, 1, "b")] * 2 + [(10.0, 0, "b")]
+    )
+    df = spark.createDataFrame(rows, "duration double, event int, grp string")
+    r = hazard_ratio(df, "duration", "event", "grp", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.events_a, r.events_b) == (4, 3, 4, 2)
+    assert r.time_a == pytest.approx(10.0) and r.time_b == pytest.approx(20.0)
+    assert r.hazard_ratio == pytest.approx(4.0)
+    assert r.ln_hr_se == pytest.approx((1 / 4 + 1 / 2) ** 0.5, abs=1e-6)
+    assert r.hr_ci_low < 4.0 < r.hr_ci_high
+    # no events in b -> undefined ratio
+    nob = spark.createDataFrame(
+        [(1.0, 1, "a"), (5.0, 0, "b")], df.schema
+    )
+    r2 = hazard_ratio(nob, "duration", "event", "grp", "a", "b").collect()[0]
+    assert r2.hazard_ratio is None and r2.hr_ci_low is None
+
+
+def test_theil_atkinson_known_values(spark):
+    """Equal values → both indices 0; a hand-computed 2-point
+    distribution matches the closed forms; non-positive exclusion."""
+    import math
+
+    from etdtransform_spark.operators.stats import theil_atkinson
+
+    eq = spark.createDataFrame([(5.0,)] * 8, "x double")
+    r = theil_atkinson(eq, "x").collect()[0]
+    assert r.theil_t == pytest.approx(0.0, abs=1e-9)
+    assert r.atkinson == pytest.approx(0.0, abs=1e-9)
+
+    # x = [1, 3]: mu=2, T = ((1/2)ln(1/2) + (3/2)ln(3/2))/2
+    two = spark.createDataFrame(
+        [(1.0,), (3.0,), (0.0,), (-2.0,), (None,)], "x double"
+    )
+    r2 = theil_atkinson(two, "x").collect()[0]
+    assert r2.n == 4 and r2.n_nonpositive == 2  # NULL excluded entirely
+    t_exp = (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2
+    a_exp = 1 - math.exp((math.log(1) + math.log(3)) / 2 - math.log(2))
+    assert r2.theil_t == pytest.approx(t_exp, abs=1e-6)
+    assert r2.atkinson == pytest.approx(a_exp, abs=1e-6)
+    # epsilon = 2 power form
+    r3 = theil_atkinson(two, "x", epsilon=2.0).collect()[0]
+    a2 = 1 - ((1 / 0.5 + 1 / 1.5) / 2) ** -1
+    assert r3.atkinson == pytest.approx(a2, abs=1e-6)
+    with pytest.raises(ValueError):
+        theil_atkinson(two, "x", epsilon=0.0)
+
+
+def test_logistic_irls_matches_numpy_recursion(spark):
+    """The 3-step Spark IRLS chain must equal the same Newton recursion
+    replayed in Python; slope sign recovers the planted association."""
+    import math
+
+    from etdtransform_spark.operators.stats import logistic_irls
+
+    rows = [(1, 1.0)] * 30 + [(0, 1.0)] * 10 + [(1, -1.0)] * 10 + [
+        (0, -1.0)
+    ] * 30
+    b0 = b1 = 0.0
+    for _ in range(3):
+        s0 = s1 = s2 = g0 = g1 = 0.0
+        for y, x in rows:
+            p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+            w = p * (1.0 - p)
+            s0 += w
+            s1 += w * x
+            s2 += w * x * x
+            g0 += y - p
+            g1 += (y - p) * x
+        det = s0 * s2 - s1 * s1
+        b0, b1 = b0 + (s2 * g0 - s1 * g1) / det, b1 + (
+            s0 * g1 - s1 * g0
+        ) / det
+    df = spark.createDataFrame(rows, "y int, x double")
+    r = logistic_irls(df, "y", "x", steps=3).collect()[0]
+    assert r.n == 80 and r.n_pos == 40
+    assert r.b0 == pytest.approx(b0, abs=1e-5)
+    assert r.b1 == pytest.approx(b1, abs=1e-5)
+    assert r.b1 > 0 and r.log_loss > 0
+    # constant feature: slope unidentifiable -> fail closed
+    const = spark.createDataFrame(
+        [(1, 2.0), (0, 2.0), (1, 2.0)], "y int, x double"
+    )
+    rc = logistic_irls(const, "y", "x").collect()[0]
+    assert rc.b0 is None and rc.b1 is None
+    with pytest.raises(ValueError):
+        logistic_irls(df, "y", "x", steps=0)
