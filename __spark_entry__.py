@@ -14174,6 +14174,49 @@ FROM (SELECT d.x, d.y, b.b0, b.b1,
 """
 
 
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM alarm (streaming/cusum_stream.py): the Page
+    detector as a stateful stream — eight scalars of state per key,
+    vectorized numpy per micro-batch, update-mode summaries; the latest
+    row per key must equal the batch cusum_drift answer (streaming is a
+    deployment mode, not a different answer — same oracle)."""
+    import uuid
+
+    from etdtransform_spark.streaming.cusum_stream import streaming_cusum
+
+    stream = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+        .select("event_type", "ts", "event_id", "value")
+    )
+    out = streaming_cusum(
+        stream, "value", target=50.0, slack=5.0, threshold=300.0
+    )
+    name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            qround(F.col("max_cusum_pos"), 6).alias("max_cusum_pos"),
+            qround(F.col("max_cusum_neg"), 6).alias("max_cusum_neg"),
+            "alarm",
+            "first_alarm_idx",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -14198,6 +14241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hazard_ratio": q_hazard_ratio,
         "theil_atkinson": q_theil_atkinson,
         "logistic_irls": q_logistic_irls,
+        "streaming_cusum": q_streaming_cusum,
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
@@ -14615,6 +14659,7 @@ def oracle_sql() -> dict[str, str]:
         "hazard_ratio": _SQL_HAZARD_RATIO,
         "theil_atkinson": _SQL_THEIL,
         "logistic_irls": _SQL_LOGISTIC,
+        "streaming_cusum": _SQL_CUSUM_DRIFT,
         "bm25_topk": _SQL_BM25,
         "rrf_fusion": _sql_rrf_fusion(),
         "retrieval_rollout_e2e": _sql_retrieval_rollout(),

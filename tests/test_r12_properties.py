@@ -447,3 +447,48 @@ def test_logistic_irls_matches_numpy_recursion(spark):
     assert rc.b0 is None and rc.b1 is None
     with pytest.raises(ValueError):
         logistic_irls(df, "y", "x", steps=0)
+
+
+def test_streaming_cusum_matches_batch(spark):
+    """The stateful streaming CUSUM over a real (availableNow) stream
+    must reproduce the batch cusum_drift summary exactly — same series,
+    same params, latest emitted row per key."""
+    import tempfile
+    import uuid
+
+    from etdtransform_spark.operators.stats import cusum_drift
+    from etdtransform_spark.streaming.cusum_stream import streaming_cusum
+
+    xs = [0.1, -0.2, 0.3, 1.5, 2.0, 1.8, -0.5, 0.2, 2.5, 3.0]
+    params = dict(target=0.0, slack=0.25, threshold=2.0)
+    full = cusum_drift(
+        spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(xs)], "ts int, v double"
+        ),
+        "v", order_cols=("ts",), **params,
+    ).collect()[0]
+
+    orig = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)],
+        "event_type string, event_id int, value double",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    d = tempfile.mkdtemp()
+    orig.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(orig.schema).parquet(d).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    out = streaming_cusum(stream, "value", key_col="event_type", **params)
+    name = f"t_cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).orderBy(F.col("n").desc()).collect()
+    assert rows, "stream emitted nothing"
+    r = rows[0]
+    assert r.n == full.n
+    assert r.max_cusum_pos == pytest.approx(full.max_cusum_pos, abs=1e-6)
+    assert r.max_cusum_neg == pytest.approx(full.max_cusum_neg, abs=1e-6)
+    assert r.alarm == full.alarm
+    assert r.first_alarm_idx == full.first_alarm_idx
