@@ -14280,6 +14280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "token_counts": q_token_counts,
         "embedding_norms": q_embedding_norms,
         "cosine_topk": q_cosine_topk,
@@ -14292,8 +14294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "calibration_ece": q_calibration_ece,
         "annotator_kappa": q_annotator_kappa,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "auc_roc": q_auc_roc,
         "classification_report": q_classification_report,
         "streaming_quality_daily": q_streaming_quality_daily,

@@ -20,6 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # pyspark's applyInPandasWithState serializer emits a pandas
+    # FutureWarning per micro-batch from ITS OWN internal concat
+    # (serializers.py: "DataFrame concatenation with empty or all-NA
+    # entries") — ~140 lines of bench-tail noise that mask real stacks.
+    # Python workers inherit the driver env in local mode, so filter the
+    # one message there; everything else still surfaces.
+    os.environ["PYTHONWARNINGS"] = (
+        "ignore:The behavior of DataFrame concatenation with empty "
+        "or all-NA entries is deprecated"
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -122,7 +122,7 @@ def hashed_linear_score(
                     b,
                     F.lit(0.0),
                     lambda acc, x: acc
-                    + F.coalesce(wmap.getItem(x), F.lit(0.0)),
+                    + F.coalesce(wmap[x], F.lit(0.0)),
                 )
                 / F.size(b),
             ),

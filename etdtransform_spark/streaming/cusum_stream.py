@@ -88,6 +88,10 @@ def streaming_cusum(
             mcn = max(mcn, float(cn.max()))
             n += len(x)
         state.update((sp, spmin, sn, snmax, mcp, mcn, n, first))
+        # first_alarm_idx must be a TYPED nullable int column: a bare
+        # [None] makes an all-NA object column, and pyspark's Arrow
+        # serializer concat then emits a pandas FutureWarning per batch
+        # (bench-tail noise that masks real stacks)
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
@@ -95,7 +99,9 @@ def streaming_cusum(
                 "max_cusum_pos": [mcp],
                 "max_cusum_neg": [mcn],
                 "alarm": [1 if first >= 0 else 0],
-                "first_alarm_idx": [first if first >= 0 else None],
+                "first_alarm_idx": pd.array(
+                    [first if first >= 0 else None], dtype="Int64"
+                ),
             }
         )
 

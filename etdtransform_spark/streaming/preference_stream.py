@@ -202,7 +202,7 @@ def streaming_position_bias(
     for kk in sorted(strengths):
         pairs += [F.lit(kk), F.lit(float(strengths[kk]))]
     smap = F.create_map(*pairs)
-    sf_, ss = smap.getItem(f), smap.getItem(s)
+    sf_, ss = smap[f], smap[s]  # bracket form: Column-key getItem is deprecated
     tot = sf_ + ss
     p = F.when(tot > 0, sf_ / tot).otherwise(F.lit(0.5))
     base = (
