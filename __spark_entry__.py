@@ -14217,6 +14217,43 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 + Good-Turing unseen-vocabulary estimators over documents
+    (operators/corpus.py:vocabulary_richness): ONE term-count aggregate
+    then ONE histogram aggregate — the 'how much vocabulary is left'
+    companion of vocab_growth."""
+    from etdtransform_spark.operators.corpus import vocabulary_richness
+
+    return vocabulary_richness(_t(spark, sf_dir, "documents"))
+
+
+_SQL_VOCAB_RICHNESS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1
+), agg AS (
+  SELECT coalesce(sum(c), 0)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_types,
+         coalesce(sum((c = 1)::BIGINT), 0)::BIGINT AS f1,
+         coalesce(sum((c = 2)::BIGINT), 0)::BIGINT AS f2
+  FROM counts
+)
+SELECT n_tokens, n_types, f1, f2,
+       floor((CASE WHEN n_types > 0 THEN
+           CASE WHEN f2 > 0 THEN n_types::DOUBLE
+                  + f1::DOUBLE * f1::DOUBLE / (2.0 * f2::DOUBLE)
+                ELSE n_types::DOUBLE
+                  + f1::DOUBLE * (f1::DOUBLE - 1.0) / 2.0 END
+         END) * 1000000.0 + 0.5) / 1000000.0 AS chao1,
+       floor((CASE WHEN n_tokens > 0 THEN f1::DOUBLE / n_tokens::DOUBLE
+         END) * 1000000.0 + 0.5) / 1000000.0 AS good_turing_unseen
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -14242,6 +14279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_atkinson": q_theil_atkinson,
         "logistic_irls": q_logistic_irls,
         "streaming_cusum": q_streaming_cusum,
+        "vocabulary_richness": q_vocabulary_richness,
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
@@ -14279,9 +14317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "embedding_norms": q_embedding_norms,
         "cosine_topk": q_cosine_topk,
@@ -14660,6 +14698,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_atkinson": _SQL_THEIL,
         "logistic_irls": _SQL_LOGISTIC,
         "streaming_cusum": _SQL_CUSUM_DRIFT,
+        "vocabulary_richness": _SQL_VOCAB_RICHNESS,
         "bm25_topk": _SQL_BM25,
         "rrf_fusion": _sql_rrf_fusion(),
         "retrieval_rollout_e2e": _sql_retrieval_rollout(),

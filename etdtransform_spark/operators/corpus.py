@@ -1198,3 +1198,65 @@ def zipf_fit(
         qround(intercept, digits).alias("intercept"),
         qround(r2, digits).alias("r_squared"),
     )
+
+
+def vocabulary_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Unseen-vocabulary estimators from the term-frequency histogram —
+    the numbers a tokenizer-sizing or corpus-coverage decision needs
+    BEYOND the observed counts (:func:`vocab_growth` plots what was
+    seen; this estimates what wasn't):
+
+        Chao1        D̂ = D + f₁² / (2·f₂)      (bias-corrected form
+                     D + f₁(f₁−1)/(2(f₂+1)) when f₂ = 0)
+        Good-Turing  P₀ = f₁ / N                (probability mass of
+                                                 UNSEEN types)
+
+    with D the observed distinct terms, f₁/f₂ the singleton/doubleton
+    type counts, N total tokens. A corpus whose Chao1 far exceeds D is
+    still discovering vocabulary (keep crawling); a P₀ near 0 says the
+    type inventory is saturated.
+
+    Shape: tokenize-explode → ONE term-count aggregate (map-side
+    combined, dictionary-sized output) → ONE histogram aggregate over
+    the term dictionary. Estimators are NULL on an empty corpus.
+    Returns ONE row: (n_tokens, n_types, f1, f2, chao1,
+    good_turing_unseen).
+    """
+    from ..functions.scalars import qround
+
+    toks = widen(df).select(F.explode(_toks(text_col)).alias("_term"))
+    counts = toks.groupBy("_term").agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.coalesce(F.sum((F.col("_c") == 1).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.coalesce(F.sum((F.col("_c") == 2).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    d = F.col("n_types").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.when(
+        F.col("f2") > 0, d + f1 * f1 / (2.0 * f2)
+    ).otherwise(d + f1 * (f1 - 1.0) / 2.0)
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        qround(F.when(F.col("n_types") > 0, chao1), digits).alias("chao1"),
+        qround(
+            F.when(
+                F.col("n_tokens") > 0,
+                f1 / F.col("n_tokens").cast("double"),
+            ),
+            digits,
+        ).alias("good_turing_unseen"),
+    )

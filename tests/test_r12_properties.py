@@ -492,3 +492,27 @@ def test_streaming_cusum_matches_batch(spark):
     assert r.max_cusum_neg == pytest.approx(full.max_cusum_neg, abs=1e-6)
     assert r.alarm == full.alarm
     assert r.first_alarm_idx == full.first_alarm_idx
+
+
+def test_vocabulary_richness_estimators(spark):
+    """Chao1 and Good-Turing from a hand-built histogram: 'a a b b c'
+    → D=3, f1=1, f2=2 → chao1 = 3.25, P0 = 0.2; the f2=0 branch uses
+    the bias-corrected form; empty corpus fails closed."""
+    from etdtransform_spark.operators.corpus import vocabulary_richness
+
+    df = spark.createDataFrame([(1, "a a b b c")], "doc_id long, text string")
+    r = vocabulary_richness(df).collect()[0]
+    assert (r.n_tokens, r.n_types, r.f1, r.f2) == (5, 3, 1, 2)
+    assert r.chao1 == pytest.approx(3.25)
+    assert r.good_turing_unseen == pytest.approx(0.2)
+
+    allsingle = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    r2 = vocabulary_richness(allsingle).collect()[0]
+    assert r2.f2 == 0 and r2.chao1 == pytest.approx(3 + 3 * 2 / 2)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r3 = vocabulary_richness(empty).collect()[0]
+    assert r3.n_tokens == 0 and r3.n_types == 0
+    assert r3.chao1 is None and r3.good_turing_unseen is None
