@@ -14254,6 +14254,73 @@ FROM agg
 """
 
 
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE (operators/stats.py:ipw_ate):
+    outcome = value, treatment = purchase/signup events, covariate =
+    user_id decile. Propensity fit = the 3-step unrolled Newton-IRLS
+    (shared _logistic_beta), Hajek self-normalized effect, [0.01, 0.99]
+    overlap clipping; naive difference reported alongside."""
+    from etdtransform_spark.operators.stats import ipw_ate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    d = ev.select(
+        F.col("value").alias("y"),
+        F.col("event_type").isin("purchase", "signup").cast("int").alias("t"),
+        ((F.col("user_id") % 10).cast("double") / 10.0).alias("x"),
+    )
+    return ipw_ate(d, "y", "t", "x", steps=3)
+
+
+_SQL_IPW_ATE = f"""
+WITH raw AS MATERIALIZED (
+  SELECT value::DOUBLE AS yv,
+         (event_type IN ('purchase', 'signup'))::INT AS t,
+         (user_id % 10)::DOUBLE / 10.0 AS x
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+    AND event_type IS NOT NULL
+    AND user_id IS NOT NULL
+    AND NOT isnan((user_id % 10)::DOUBLE / 10.0)
+), base AS MATERIALIZED (
+  SELECT t AS y, x FROM raw
+), b0c AS (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1),
+{_sql_logistic_step('b0c', 'b1c')},
+{_sql_logistic_step('b1c', 'b2c')},
+{_sql_logistic_step('b2c', 'b3c')},
+scored AS (
+  SELECT q.yv, q.t::DOUBLE AS tt, q.b0, q.b1,
+         CASE WHEN q.eraw IS NOT NULL
+              THEN least(greatest(q.eraw, 0.01), 0.99) END AS e
+  FROM (SELECT r.yv, r.t, b.b0, b.b1,
+               1.0 / (1.0 + exp(-(b.b0 + b.b1 * r.x))) AS eraw
+        FROM raw r CROSS JOIN b3c b) q
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         coalesce(sum(tt), 0.0)::BIGINT AS n_treated,
+         max(b0) AS fb0, max(b1) AS fb1,
+         sum(tt / e) AS w1, sum(tt * yv / e) AS wy1,
+         sum((1.0 - tt) / (1.0 - e)) AS w0,
+         sum((1.0 - tt) * yv / (1.0 - e)) AS wy0,
+         sum(tt * yv) AS ty, sum((1.0 - tt) * yv) AS cy,
+         sum(1.0 - tt) AS nc
+  FROM scored
+)
+SELECT n, n_treated,
+       {qround_sql('fb0', 6)} AS b0, {qround_sql('fb1', 6)} AS b1,
+       {qround_sql('CASE WHEN w1 > 0 THEN wy1 / w1 END', 6)}
+         AS mean_treated_ipw,
+       {qround_sql('CASE WHEN w0 > 0 THEN wy0 / w0 END', 6)}
+         AS mean_control_ipw,
+       {qround_sql(
+           '(CASE WHEN w1 > 0 THEN wy1 / w1 END)'
+           ' - (CASE WHEN w0 > 0 THEN wy0 / w0 END)', 6)} AS ate_ipw,
+       {qround_sql(
+           'CASE WHEN n_treated > 0 AND nc > 0 THEN'
+           ' ty / n_treated::DOUBLE - cy / nc END', 6)} AS ate_naive
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -14280,6 +14347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logistic_irls": q_logistic_irls,
         "streaming_cusum": q_streaming_cusum,
         "vocabulary_richness": q_vocabulary_richness,
+        "ipw_ate": q_ipw_ate,
         "embedding_drift_labels": q_embedding_drift_labels,
         "expectations_thresholds": q_expectations_thresholds,
         "streaming_psi_daily": q_streaming_psi_daily,
@@ -14316,9 +14384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
-        "lang_id": q_lang_id,
         # --- beyond the window: previously green or queued;
         # all guarded by tests/oracle_harness.py --strict ---
+        "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "embedding_norms": q_embedding_norms,
@@ -14699,6 +14767,7 @@ def oracle_sql() -> dict[str, str]:
         "logistic_irls": _SQL_LOGISTIC,
         "streaming_cusum": _SQL_CUSUM_DRIFT,
         "vocabulary_richness": _SQL_VOCAB_RICHNESS,
+        "ipw_ate": _SQL_IPW_ATE,
         "bm25_topk": _SQL_BM25,
         "rrf_fusion": _sql_rrf_fusion(),
         "retrieval_rollout_e2e": _sql_retrieval_rollout(),

@@ -2517,6 +2517,50 @@ def theil_atkinson(
     )
 
 
+def _logistic_beta(base: DataFrame, steps: int) -> DataFrame:
+    """``steps`` Newton-IRLS iterations over a (_y, _x) frame from
+    β = (0, 0); returns the broadcast 1-row (_b0, _b1) model frame.
+    Shared by :func:`logistic_irls` (the reporting wrapper) and
+    :func:`ipw_ate` (which scores propensities with the fitted β).
+    NULL β propagates from a degenerate design (det ≤ 0)."""
+    spark = base.sparkSession
+    beta = F.broadcast(
+        spark.createDataFrame([(0.0, 0.0)], "_b0 double, _b1 double")
+    )
+    for _ in range(steps):
+        z = F.col("_b0") + F.col("_b1") * F.col("_x")
+        p = 1.0 / (1.0 + F.exp(-z))
+        w = p * (1.0 - p)
+        r = F.col("_y") - p
+        g = base.crossJoin(beta).agg(
+            F.max("_b0").alias("_ob0"),
+            F.max("_b1").alias("_ob1"),
+            F.sum(w).alias("_s0"),
+            F.sum(w * F.col("_x")).alias("_s1"),
+            F.sum(w * F.col("_x") * F.col("_x")).alias("_s2"),
+            F.sum(r).alias("_g0"),
+            F.sum(r * F.col("_x")).alias("_g1"),
+        )
+        det = F.col("_s0") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+        beta = F.broadcast(
+            g.select(
+                F.when(
+                    det > 0,
+                    F.col("_ob0")
+                    + (F.col("_s2") * F.col("_g0") - F.col("_s1") * F.col("_g1"))
+                    / det,
+                ).alias("_b0"),
+                F.when(
+                    det > 0,
+                    F.col("_ob1")
+                    + (F.col("_s0") * F.col("_g1") - F.col("_s1") * F.col("_g0"))
+                    / det,
+                ).alias("_b1"),
+            )
+        )
+    return beta
+
+
 def logistic_irls(
     df: DataFrame,
     y_col: str,
@@ -2556,41 +2600,7 @@ def logistic_irls(
         (yc.cast("double") != 0).cast("double").alias("_y"),
         x.alias("_x"),
     )
-    spark = df.sparkSession
-    beta = F.broadcast(
-        spark.createDataFrame([(0.0, 0.0)], "_b0 double, _b1 double")
-    )
-    for _ in range(steps):
-        z = F.col("_b0") + F.col("_b1") * F.col("_x")
-        p = 1.0 / (1.0 + F.exp(-z))
-        w = p * (1.0 - p)
-        r = F.col("_y") - p
-        g = base.crossJoin(beta).agg(
-            F.max("_b0").alias("_ob0"),
-            F.max("_b1").alias("_ob1"),
-            F.sum(w).alias("_s0"),
-            F.sum(w * F.col("_x")).alias("_s1"),
-            F.sum(w * F.col("_x") * F.col("_x")).alias("_s2"),
-            F.sum(r).alias("_g0"),
-            F.sum(r * F.col("_x")).alias("_g1"),
-        )
-        det = F.col("_s0") * F.col("_s2") - F.col("_s1") * F.col("_s1")
-        beta = F.broadcast(
-            g.select(
-                F.when(
-                    det > 0,
-                    F.col("_ob0")
-                    + (F.col("_s2") * F.col("_g0") - F.col("_s1") * F.col("_g1"))
-                    / det,
-                ).alias("_b0"),
-                F.when(
-                    det > 0,
-                    F.col("_ob1")
-                    + (F.col("_s0") * F.col("_g1") - F.col("_s1") * F.col("_g0"))
-                    / det,
-                ).alias("_b1"),
-            )
-        )
+    beta = _logistic_beta(base, steps)
     z = F.col("_b0") + F.col("_b1") * F.col("_x")
     p = 1.0 / (1.0 + F.exp(-z))
     ll = F.col("_y") * F.log(p) + (1.0 - F.col("_y")) * F.log(1.0 - p)
@@ -2602,4 +2612,94 @@ def logistic_irls(
         qround(F.max("_b0"), digits).alias("b0"),
         qround(F.max("_b1"), digits).alias("b1"),
         qround(-F.avg(ll), digits).alias("log_loss"),
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    y_col: str,
+    treat_col: str,
+    x_col: str,
+    steps: int = 3,
+    clip: float = 0.01,
+    digits: int = 6,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect — the
+    observational-data companion of :func:`diff_in_diff` when there is
+    no pre-period, and the first consumer of :func:`_logistic_beta`:
+
+        e(x)   = σ(b0 + b1·x)          (propensity fit, Newton-IRLS,
+                                        clipped to [clip, 1−clip])
+        ATE    = Σ(t·y/e)/Σ(t/e) − Σ((1−t)·y/(1−e))/Σ((1−t)/(1−e))
+
+    The self-normalizing (Hajek) form — stable under weight scale,
+    unlike the Horvitz-Thompson mean. Clipping enforces overlap the
+    standard way; the naive (unadjusted) difference of means is
+    reported alongside so the adjustment itself is visible. Rows with
+    NULL/NaN in any of the three columns are excluded; a degenerate
+    propensity design (constant x) propagates NULL β → NULL ATE (fail
+    closed); an arm with zero weight yields NULL for that arm's mean.
+
+    Shape: ``steps`` sufficient-statistics aggregates for the fit (the
+    broadcast 1-row model-state chain) + ONE weighted aggregate for the
+    effect. Returns ONE row: (n, n_treated, b0, b1, mean_treated_ipw,
+    mean_control_ipw, ate_ipw, ate_naive).
+    """
+    if not 0.0 < clip < 0.5:
+        raise ValueError(f"clip must be in (0, 0.5), got {clip}")
+    y = F.col(y_col).cast("double")
+    t = F.col(treat_col).cast("double")
+    x = F.col(x_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & ~F.isnan(y)
+        & t.isNotNull()
+        & x.isNotNull() & ~F.isnan(x)
+    ).select(
+        y.alias("_yv"),
+        (t != 0).cast("double").alias("_t"),
+        x.alias("_x"),
+    )
+    beta = _logistic_beta(
+        base.select(F.col("_t").alias("_y"), "_x"), steps
+    )
+    z = F.col("_b0") + F.col("_b1") * F.col("_x")
+    e_raw = 1.0 / (1.0 + F.exp(-z))
+    # greatest/least SKIP NULLs, so a NULL propensity (degenerate fit)
+    # would silently clip to the floor instead of failing closed —
+    # guard the clip on the raw value's presence
+    e = F.when(
+        e_raw.isNotNull(),
+        F.least(F.greatest(e_raw, F.lit(clip)), F.lit(1.0 - clip)),
+    )
+    tt = F.col("_t")
+    yy = F.col("_yv")
+    agg = base.crossJoin(beta).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(tt), F.lit(0.0)).cast("bigint").alias("n_treated"),
+        F.max("_b0").alias("_fb0"),
+        F.max("_b1").alias("_fb1"),
+        F.sum(tt / e).alias("_w1"),
+        F.sum(tt * yy / e).alias("_wy1"),
+        F.sum((1.0 - tt) / (1.0 - e)).alias("_w0"),
+        F.sum((1.0 - tt) * yy / (1.0 - e)).alias("_wy0"),
+        F.sum(tt * yy).alias("_ty"),
+        F.sum((1.0 - tt) * yy).alias("_cy"),
+        F.sum(1.0 - tt).alias("_nc"),
+    )
+    m1 = F.when(F.col("_w1") > 0, F.col("_wy1") / F.col("_w1"))
+    m0 = F.when(F.col("_w0") > 0, F.col("_wy0") / F.col("_w0"))
+    naive = F.when(
+        (F.col("n_treated") > 0) & (F.col("_nc") > 0),
+        F.col("_ty") / F.col("n_treated").cast("double")
+        - F.col("_cy") / F.col("_nc"),
+    )
+    return agg.select(
+        "n",
+        "n_treated",
+        qround(F.col("_fb0"), digits).alias("b0"),
+        qround(F.col("_fb1"), digits).alias("b1"),
+        qround(m1, digits).alias("mean_treated_ipw"),
+        qround(m0, digits).alias("mean_control_ipw"),
+        qround(m1 - m0, digits).alias("ate_ipw"),
+        qround(naive, digits).alias("ate_naive"),
     )

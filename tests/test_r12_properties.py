@@ -516,3 +516,39 @@ def test_vocabulary_richness_estimators(spark):
     r3 = vocabulary_richness(empty).collect()[0]
     assert r3.n_tokens == 0 and r3.n_types == 0
     assert r3.chao1 is None and r3.good_turing_unseen is None
+
+
+def test_ipw_ate_corrects_confounding(spark):
+    """Planted confounding: x drives BOTH treatment probability and the
+    outcome, true effect = +2. The naive difference is inflated by the
+    confounder; IPW pulls the estimate back toward +2."""
+    import math
+    import random
+
+    from etdtransform_spark.operators.stats import ipw_ate
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(4000):
+        x = rng.random()  # confounder in [0, 1)
+        pt = 1.0 / (1.0 + math.exp(-(4.0 * x - 2.0)))
+        t = 1 if rng.random() < pt else 0
+        y = 10.0 * x + 2.0 * t  # noise-free: isolates the estimators
+        rows.append((y, t, x))
+    df = spark.createDataFrame(rows, "y double, t int, x double")
+    r = ipw_ate(df, "y", "t", "x", steps=3).collect()[0]
+    assert r.n == 4000 and 0 < r.n_treated < 4000
+    assert r.b1 > 0  # fitted propensity recovers the positive x-effect
+    assert r.ate_naive > 3.5  # confounded well above the true +2
+    # IPW moves at least 60% of the way from naive to truth
+    assert abs(r.ate_ipw - 2.0) < 0.4 * abs(r.ate_naive - 2.0)
+    # degenerate propensity design: constant x -> NULL beta -> NULL ATE
+    const = spark.createDataFrame(
+        [(1.0, 1, 5.0), (2.0, 0, 5.0), (3.0, 1, 5.0)],
+        "y double, t int, x double",
+    )
+    rc = ipw_ate(const, "y", "t", "x").collect()[0]
+    assert rc.b0 is None and rc.ate_ipw is None
+    assert rc.ate_naive is not None  # the unadjusted diff still exists
+    with pytest.raises(ValueError):
+        ipw_ate(df, "y", "t", "x", clip=0.6)
