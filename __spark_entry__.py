@@ -14322,6 +14322,272 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# round 13: the weather entry point as ONE driver contract — the last
+# reference entry point not yet hash-checked as a chain (load_data.py:103-317
+# get_weather_data_table + join_weather_data): KNMI-style hourly ingest →
+# Gevoelstemperatuur (knmi.py:77-98) → per-station trailing rolling average
+# with a min_periods gate → coldest-trailing-window marking
+# (calculated_columns.py:429-482 via load_data.py:129-141) → ISO-week
+# aggregates (load_data.py:176-199) → rank/top-2 coldest ISO weeks
+# (load_data.py:204-243) → 3-key (STN, YYYYMMDD, HH) fact join
+# (load_data.py:281-317) → per-week rollup.
+# ---------------------------------------------------------------------------
+
+def q_weather_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's weather entry point end-to-end as the sixth composite
+    contract. Events stand in for the KNMI hourly file: STN = user_id % 3,
+    hourly Temperatuur = avg(value)/10 per (STN, YYYYMMDD, HH) — KNMI raw
+    temperature is in 0.1 °C and hourly, load_data.py:34-96 — with wind and
+    humidity derived deterministically from the keys (same synthesis as the
+    green q_gevoelstemperatuur contract). The rolling window is the scaled
+    analogue of the reference's 14*24-row / 7*24-min_periods trailing mean
+    (load_data.py:122-128): 48 rows, min_periods 24, so the 30-day corpus
+    exercises both the gated-NULL head and the marked coldest period.
+    Deviations from the reference, by design: floor() instead of a
+    float→int cast for days_in_week (Spark truncates, DuckDB rounds — floor
+    is the cross-engine-deterministic choice) and the (iso-week, chronology)
+    tiebreak in the rank windows (the repo-wide total-order discipline; the
+    reference's stable pandas sort has the same chronology-decides behavior).
+    The reference's commented-out 7-day-week filter (load_data.py:201) is
+    likewise omitted. Every stage pins its floats with qround before
+    re-aggregation. Plan audit: PLANS.md "weather_pipeline_e2e"."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    keyed = ev.select(
+        (F.col("user_id") % 3).cast("bigint").alias("stn"),
+        yyyymmdd_key(F.col("ts")).cast("bigint").alias("yyyymmdd"),
+        hh_key(F.col("ts")).cast("bigint").alias("hh"),
+        "value",
+    )
+    hourly = keyed.groupBy("stn", "yyyymmdd", "hh").agg(
+        qround(F.avg("value"), 1).alias("t_raw")
+    )
+    t = F.col("t_raw") / F.lit(10.0)
+    wind = (F.col("hh") % 10).cast("double") / F.lit(2.0)
+    hum = ((F.col("yyyymmdd") % 50) + 30).cast("double")
+    derived = hourly.withColumns(
+        {
+            "temperatuur": qround(t, 6),
+            "gevoel": qround(gevoelstemperatuur(t, wind, hum), 6),
+        }
+    )
+    # trailing rolling mean with min_periods gate (windows.py:52 semantics,
+    # inlined with qround so the avg is pinned before the argmin equality)
+    w = Window.partitionBy("stn").orderBy("yyyymmdd", "hh")
+    wr = w.rowsBetween(-47, Window.currentRow)
+    ra = derived.withColumns(
+        {
+            "t_ra": qround(
+                F.when(
+                    F.count("temperatuur").over(wr) >= 24,
+                    F.avg("temperatuur").over(wr),
+                ),
+                6,
+            ),
+            "g_ra": qround(
+                F.when(
+                    F.count("gevoel").over(wr) >= 24, F.avg("gevoel").over(wr)
+                ),
+                6,
+            ),
+        }
+    )
+    # coldest trailing window per station (mark_extreme_period, periods.py:84:
+    # a row is in the period iff a rolling-average argmin anchor exists
+    # within the 48 rows starting at it) — on the qrounded RA, so the
+    # equality is exact on both engines
+    wstn = Window.partitionBy("stn")
+    reach = w.rowsBetween(Window.currentRow, 47)
+    d_col = F.to_date(F.col("yyyymmdd").cast("string"), "yyyyMMdd")
+    marked = (
+        ra.withColumns(
+            {
+                "_min_t": F.min("t_ra").over(wstn),
+                "_min_g": F.min("g_ra").over(wstn),
+            }
+        )
+        .withColumns(
+            {
+                "_is_min_t": (F.col("t_ra") == F.col("_min_t")).cast("int"),
+                "_is_min_g": (F.col("g_ra") == F.col("_min_g")).cast("int"),
+            }
+        )
+        .withColumns(
+            {
+                "cold2wk_t": F.coalesce(
+                    F.max("_is_min_t").over(reach) == 1, F.lit(False)
+                ).cast("int"),
+                "cold2wk_g": F.coalesce(
+                    F.max("_is_min_g").over(reach) == 1, F.lit(False)
+                ).cast("int"),
+                # the reference keys weekly summaries by CALENDAR year +
+                # ISO week (load_data.py:170-178) — kept verbatim
+                "year": F.year(d_col).cast("bigint"),
+                "week_of_year": F.weekofyear(d_col).cast("bigint"),
+            }
+        )
+        .drop("_min_t", "_min_g", "_is_min_t", "_is_min_g")
+    )
+    # STAGE BOUNDARY: the marked hourly weather table feeds TWO consumers
+    # (the weekly summary/rank chain and the fact join) — without a
+    # materialization each re-runs the full window stack from the scan.
+    marked = marked.localCheckpoint(eager=False)
+    weekly = marked.groupBy("stn", "year", "week_of_year").agg(
+        qround(F.avg("temperatuur"), 6).alias("weekly_avg_temp"),
+        qround(F.avg("gevoel"), 6).alias("weekly_avg_gevoel"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.floor(F.count(F.lit(1)) / 24.0).cast("bigint").alias("days_in_week"),
+        F.count("t_ra").cast("bigint").alias("n_ra_hours"),
+        F.sum("cold2wk_t").cast("bigint").alias("n_cold2wk_hours"),
+    )
+    wt = Window.partitionBy("stn", "year").orderBy(
+        F.col("weekly_avg_temp").asc_nulls_last(), "week_of_year"
+    )
+    wg = Window.partitionBy("stn", "year").orderBy(
+        F.col("weekly_avg_gevoel").asc_nulls_last(), "week_of_year"
+    )
+    flags = weekly.withColumns(
+        {
+            "is_coldest_temp": (
+                (F.row_number().over(wt) <= 2)
+                & F.col("weekly_avg_temp").isNotNull()
+            ).cast("int"),
+            "is_coldest_gevoel": (
+                (F.row_number().over(wg) <= 2)
+                & F.col("weekly_avg_gevoel").isNotNull()
+            ).cast("int"),
+        }
+    )
+    # 3-key fact join (load_data.py:300-317): the weather table is small by
+    # construction (stations × hours), so the fact side never shuffles
+    fact = keyed.join(
+        F.broadcast(
+            marked.select(
+                "stn", "yyyymmdd", "hh", "gevoel", "cold2wk_t", "year",
+                "week_of_year",
+            )
+        ),
+        ["stn", "yyyymmdd", "hh"],
+        "left",
+    )
+    fact_wk = fact.groupBy("stn", "year", "week_of_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        qround(F.avg("value"), 6).alias("avg_event_value"),
+        qround(F.avg("gevoel"), 6).alias("avg_gevoel_at_event"),
+        F.sum("cold2wk_t").cast("bigint").alias("n_cold_events"),
+    )
+    # week-grain ⟕ week-grain: both sides are bounded by stations × weeks —
+    # broadcast the fact rollup so the tail of the plan stays shuffle-free
+    return flags.join(
+        F.broadcast(fact_wk), ["stn", "year", "week_of_year"], "left"
+    ).select(
+        "stn",
+        "year",
+        "week_of_year",
+        "weekly_avg_temp",
+        "weekly_avg_gevoel",
+        "n_hours",
+        "days_in_week",
+        "n_ra_hours",
+        "n_cold2wk_hours",
+        "is_coldest_temp",
+        "is_coldest_gevoel",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "avg_event_value",
+        "avg_gevoel_at_event",
+        F.coalesce("n_cold_events", F.lit(0))
+        .cast("bigint")
+        .alias("n_cold_events"),
+    )
+
+
+_GEVOEL_EXPR = (
+    "t_raw/10.0 + 0.33 * ((((yyyymmdd % 50) + 30)::DOUBLE) * 6.105"
+    " * exp(17.27 * (t_raw/10.0) / ((t_raw/10.0) + 237.7)) / 100)"
+    " - 0.7 * (((hh % 10)::DOUBLE) / 2.0) - 4.0"
+)
+
+_SQL_WEATHER_E2E = f"""
+WITH ev AS MATERIALIZED (
+  SELECT (user_id % 3)::BIGINT AS stn,
+         strftime(ts, '%Y%m%d')::BIGINT AS yyyymmdd,
+         (hour(ts) + 1)::BIGINT AS hh, value
+  FROM {_EV}
+), hourly AS (
+  SELECT stn, yyyymmdd, hh, {qround_sql('avg(value)', 1)} AS t_raw
+  FROM ev GROUP BY 1, 2, 3
+), derived AS (
+  SELECT stn, yyyymmdd, hh,
+         {qround_sql('t_raw/10.0', 6)} AS temperatuur,
+         {qround_sql(_GEVOEL_EXPR, 6)} AS gevoel
+  FROM hourly
+), ra AS (
+  SELECT *,
+    {qround_sql(
+        'CASE WHEN count(temperatuur) OVER wr >= 24'
+        ' THEN avg(temperatuur) OVER wr END', 6)} AS t_ra,
+    {qround_sql(
+        'CASE WHEN count(gevoel) OVER wr >= 24'
+        ' THEN avg(gevoel) OVER wr END', 6)} AS g_ra
+  FROM derived
+  WINDOW wr AS (PARTITION BY stn ORDER BY yyyymmdd, hh
+                ROWS BETWEEN 47 PRECEDING AND CURRENT ROW)
+), marked AS MATERIALIZED (
+  SELECT stn, yyyymmdd, hh, temperatuur, gevoel, t_ra, g_ra,
+    coalesce((max(CASE WHEN t_ra = min_t THEN 1 END) OVER reach) = 1,
+             false)::INT AS cold2wk_t,
+    coalesce((max(CASE WHEN g_ra = min_g THEN 1 END) OVER reach) = 1,
+             false)::INT AS cold2wk_g,
+    year(d)::BIGINT AS year, weekofyear(d)::BIGINT AS week_of_year
+  FROM (SELECT *, min(t_ra) OVER (PARTITION BY stn) AS min_t,
+               min(g_ra) OVER (PARTITION BY stn) AS min_g,
+               strptime(yyyymmdd::VARCHAR, '%Y%m%d')::DATE AS d
+        FROM ra)
+  WINDOW reach AS (PARTITION BY stn ORDER BY yyyymmdd, hh
+                   ROWS BETWEEN CURRENT ROW AND 47 FOLLOWING)
+), weekly AS (
+  SELECT stn, year, week_of_year,
+         {qround_sql('avg(temperatuur)', 6)} AS weekly_avg_temp,
+         {qround_sql('avg(gevoel)', 6)} AS weekly_avg_gevoel,
+         count(*)::BIGINT AS n_hours,
+         floor(count(*) / 24.0)::BIGINT AS days_in_week,
+         count(t_ra)::BIGINT AS n_ra_hours,
+         sum(cold2wk_t)::BIGINT AS n_cold2wk_hours
+  FROM marked GROUP BY 1, 2, 3
+), flags AS (
+  SELECT *,
+    (row_number() OVER wt <= 2 AND weekly_avg_temp IS NOT NULL)::INT
+      AS is_coldest_temp,
+    (row_number() OVER wg <= 2 AND weekly_avg_gevoel IS NOT NULL)::INT
+      AS is_coldest_gevoel
+  FROM weekly
+  WINDOW wt AS (PARTITION BY stn, year
+                ORDER BY weekly_avg_temp ASC NULLS LAST, week_of_year),
+         wg AS (PARTITION BY stn, year
+                ORDER BY weekly_avg_gevoel ASC NULLS LAST, week_of_year)
+), factj AS (
+  SELECT e.stn, m.year, m.week_of_year, e.value, m.gevoel, m.cold2wk_t
+  FROM ev e LEFT JOIN marked m
+    ON e.stn = m.stn AND e.yyyymmdd = m.yyyymmdd AND e.hh = m.hh
+), fact_wk AS (
+  SELECT stn, year, week_of_year,
+         count(*)::BIGINT AS n_events,
+         {qround_sql('avg(value)', 6)} AS avg_event_value,
+         {qround_sql('avg(gevoel)', 6)} AS avg_gevoel_at_event,
+         sum(cold2wk_t)::BIGINT AS n_cold_events
+  FROM factj GROUP BY 1, 2, 3
+)
+SELECT f.stn, f.year, f.week_of_year, weekly_avg_temp, weekly_avg_gevoel,
+       n_hours, days_in_week, n_ra_hours, n_cold2wk_hours,
+       is_coldest_temp, is_coldest_gevoel,
+       coalesce(n_events, 0)::BIGINT AS n_events,
+       avg_event_value, avg_gevoel_at_event,
+       coalesce(n_cold_events, 0)::BIGINT AS n_cold_events
+FROM flags f LEFT JOIN fact_wk w
+  ON f.stn = w.stn AND f.year = w.year AND f.week_of_year = w.week_of_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -14334,58 +14600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "etd_pipeline_e2e": q_etd_pipeline_e2e,
-        "log_rank": q_log_rank,
-        "benford_deviation": q_benford,
-        "distinct_ngrams": q_distinct_ngrams,
-        "fleiss_kappa": q_fleiss_kappa,
-        "mmr_rerank": q_mmr_rerank,
-        "diff_in_diff": q_diff_in_diff,
-        "cusum_drift": q_cusum_drift,
-        "hazard_ratio": q_hazard_ratio,
-        "theil_atkinson": q_theil_atkinson,
-        "logistic_irls": q_logistic_irls,
-        "streaming_cusum": q_streaming_cusum,
-        "vocabulary_richness": q_vocabulary_richness,
-        "ipw_ate": q_ipw_ate,
-        "embedding_drift_labels": q_embedding_drift_labels,
-        "expectations_thresholds": q_expectations_thresholds,
-        "streaming_psi_daily": q_streaming_psi_daily,
-        "k_anonymity_audit": q_k_anonymity_audit,
-        "reid_risk_summary": q_reid_risk_summary,
-        "bloom_semi_join": q_bloom_semi_join,
-        "url_dedup_canonical": q_url_dedup,
-        "pmi_collocations": q_pmi_collocations,
-        "scan_filter_project": q_scan_filter_project,
-        "multi_join_revenue": q_multi_join_revenue,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "union_all": q_union_all,
-        "pricing_summary": q_pricing_summary,
-        "mincount_gated_agg": q_mincount_gated_agg,
-        "distinct": q_distinct,
-        "percentile_bounds": q_percentile_bounds,
-        "window_lag_diff": q_window_lag_diff,
-        "window_cumsum": q_window_cumsum,
-        "window_ffill": q_window_ffill,
-        "rolling_avg_gated": q_rolling_avg_gated,
-        "iso_week_stats": q_iso_week_stats,
-        "rank_topk_weeks": q_rank_topk_weeks,
-        "resample_15min": q_resample_15min,
-        "resample_hourly_multi": q_resample_hourly_multi,
-        "gap_groups": q_gap_groups,
-        "calculated_columns": q_calculated_columns,
-        "weather_keys": q_weather_keys,
-        "gevoelstemperatuur": q_gevoelstemperatuur,
-        "json_extract": q_json_extract,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
+        "weather_pipeline_e2e": q_weather_pipeline_e2e,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -14436,6 +14651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "frame_sample": q_frame_sample,
         "quantize_embeddings": q_quantize_embeddings,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "streaming_sliding": q_streaming_sliding,
         "window_rank_family": q_window_rank_family,
         "funnel": q_funnel,
@@ -14646,6 +14863,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_drift": q_mwu_drift,
         "psi_drift_lang": q_psi_drift_lang,
         "psi_time_drift_daily": q_psi_time_drift_daily,
+        "etd_pipeline_e2e": q_etd_pipeline_e2e,
+        "log_rank": q_log_rank,
+        "benford_deviation": q_benford,
+        "distinct_ngrams": q_distinct_ngrams,
+        "fleiss_kappa": q_fleiss_kappa,
+        "mmr_rerank": q_mmr_rerank,
+        "diff_in_diff": q_diff_in_diff,
+        "cusum_drift": q_cusum_drift,
+        "hazard_ratio": q_hazard_ratio,
+        "theil_atkinson": q_theil_atkinson,
+        "logistic_irls": q_logistic_irls,
+        "streaming_cusum": q_streaming_cusum,
+        "vocabulary_richness": q_vocabulary_richness,
+        "ipw_ate": q_ipw_ate,
+        "embedding_drift_labels": q_embedding_drift_labels,
+        "expectations_thresholds": q_expectations_thresholds,
+        "streaming_psi_daily": q_streaming_psi_daily,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "reid_risk_summary": q_reid_risk_summary,
+        "bloom_semi_join": q_bloom_semi_join,
+        "url_dedup_canonical": q_url_dedup,
+        "pmi_collocations": q_pmi_collocations,
+        "scan_filter_project": q_scan_filter_project,
+        "multi_join_revenue": q_multi_join_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_all": q_union_all,
+        "pricing_summary": q_pricing_summary,
+        "mincount_gated_agg": q_mincount_gated_agg,
+        "distinct": q_distinct,
+        "percentile_bounds": q_percentile_bounds,
+        "window_lag_diff": q_window_lag_diff,
+        "window_cumsum": q_window_cumsum,
+        "window_ffill": q_window_ffill,
+        "rolling_avg_gated": q_rolling_avg_gated,
+        "iso_week_stats": q_iso_week_stats,
+        "rank_topk_weeks": q_rank_topk_weeks,
+        "resample_15min": q_resample_15min,
+        "resample_hourly_multi": q_resample_hourly_multi,
+        "gap_groups": q_gap_groups,
+        "calculated_columns": q_calculated_columns,
+        "weather_keys": q_weather_keys,
+        "gevoelstemperatuur": q_gevoelstemperatuur,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
     }
 
 
@@ -14755,6 +15022,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_pipeline_e2e": _SQL_EVAL_E2E,
         "preference_pipeline_e2e": _SQL_PREF_E2E,
         "etd_pipeline_e2e": _SQL_ETD_E2E,
+        "weather_pipeline_e2e": _SQL_WEATHER_E2E,
         "log_rank": _SQL_LOG_RANK,
         "benford_deviation": _SQL_BENFORD,
         "distinct_ngrams": _SQL_DISTINCT_NGRAMS,

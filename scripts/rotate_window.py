@@ -17,6 +17,7 @@ the driver smoke before committing.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
@@ -24,7 +25,18 @@ ENTRY = "/root/repo/__spark_entry__.py"
 WINDOW = 50
 
 
-def main(correctness_files: list[str], entry_path: str = ENTRY) -> None:
+def main(
+    correctness_files: list[str],
+    entry_path: str = ENTRY,
+    telemetry_path: str | None = None,
+) -> None:
+    # Telemetry follows the entry file's directory unless overridden, so a
+    # test invocation with a tmp entry_path never stomps the real
+    # /root/repo/TELEMETRY.md (VERDICT r12 "what's wrong" #1).
+    if telemetry_path is None:
+        telemetry_path = os.path.join(
+            os.path.dirname(os.path.abspath(entry_path)), "TELEMETRY.md"
+        )
     src = open(entry_path).read()
     m = re.search(
         r"def queries\(\) -> dict\[str, Callable\[\[SparkSession, str\], "
@@ -130,7 +142,7 @@ def main(correctness_files: list[str], entry_path: str = ENTRY) -> None:
     # test/tool runs). TELEMETRY.md always holds exactly one table: the
     # latest rotation's histogram.
     try:
-        with open("/root/repo/TELEMETRY.md", "w") as f:
+        with open(telemetry_path, "w") as f:
             f.write(
                 "# Window rotation telemetry (latest rotation only;\n"
                 "# rewritten in place by scripts/rotate_window.py)\n\n"

@@ -86,3 +86,21 @@ def test_missing_match_keys_not_green(tmp_path):
     # (ahead of the confirmed green), not in the green tail
     assert order.index("old_green") < order.index("new_green")
     assert order[-1] == "new_green"
+
+
+def test_telemetry_follows_entry_path(tmp_path):
+    """Telemetry must land next to entry_path (or at an explicit override),
+    never at the hardcoded repo path — a pytest run used to stomp the real
+    /root/repo/TELEMETRY.md with the fixture's 5-contract histogram."""
+    entry = tmp_path / "entry.py"
+    entry.write_text(ENTRY_TEMPLATE)
+    (tmp_path / "r1.json").write_text(json.dumps({"new_green": _row(True)}))
+    mod = _load()
+    mod.main([str(tmp_path / "r1.json")], entry_path=str(entry))
+    assert (tmp_path / "TELEMETRY.md").exists()
+    assert "total=5" in (tmp_path / "TELEMETRY.md").read_text()
+
+    override = tmp_path / "elsewhere.md"
+    mod.main([str(tmp_path / "r1.json")], entry_path=str(entry),
+             telemetry_path=str(override))
+    assert override.exists()
