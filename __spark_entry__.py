@@ -13967,6 +13967,64 @@ FROM agg
 """
 
 
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study DID (operators/stats.py:event_study): treated =
+    user_id parity, period = day-of-month, adoption at day 16, base
+    period day 15 (rel −1). One β per relative day; pre-period βs are
+    the pre-trend check. ONE (rel, treated) sufficient-statistics
+    aggregate + a broadcast base-cell row."""
+    from etdtransform_spark.operators.stats import event_study
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("y"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.dayofmonth("ts").alias("p"),
+    )
+    return event_study(d, "y", "t", "p", event_period=16)
+
+
+_SQL_EVENT_STUDY = f"""
+WITH base AS (
+  SELECT (day(ts) - 16)::BIGINT AS rel, (user_id % 2)::INT AS t,
+         value::DOUBLE AS x
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL
+), cells AS (
+  SELECT rel, t, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM base GROUP BY 1, 2
+), pr AS (
+  SELECT rel,
+         max(CASE WHEN t = 1 THEN n END)::BIGINT AS n1,
+         max(CASE WHEN t = 0 THEN n END)::BIGINT AS n0,
+         max(CASE WHEN t = 1 THEN sx / n::DOUBLE END) AS m1,
+         max(CASE WHEN t = 0 THEN sx / n::DOUBLE END) AS m0,
+         max(CASE WHEN t = 1 THEN (CASE WHEN n > 1 THEN
+           (sxx - sx * (sx / n::DOUBLE)) / (n::DOUBLE - 1.0) END)
+           / n::DOUBLE END) AS v1,
+         max(CASE WHEN t = 0 THEN (CASE WHEN n > 1 THEN
+           (sxx - sx * (sx / n::DOUBLE)) / (n::DOUBLE - 1.0) END)
+           / n::DOUBLE END) AS v0
+  FROM cells GROUP BY 1
+), br AS (
+  SELECT max(m1) AS mb1, max(m0) AS mb0, max(v1) AS vb1, max(v0) AS vb0
+  FROM pr WHERE rel = -1
+)
+SELECT rel AS rel_period, (rel < 0)::INT AS is_pre,
+       coalesce(n1, 0)::BIGINT AS n_treated,
+       coalesce(n0, 0)::BIGINT AS n_control,
+       {qround_sql('m1', 6)} AS mean_treated,
+       {qround_sql('m0', 6)} AS mean_control,
+       {qround_sql(
+           'CASE WHEN rel = -1 THEN 0.0::DOUBLE '
+           'ELSE (m1 - m0) - (mb1 - mb0) END', 6)} AS beta,
+       {qround_sql(
+           'CASE WHEN rel <> -1 AND v1 + v0 + vb1 + vb0 >= 0 '
+           'THEN sqrt(v1 + v0 + vb1 + vb0) END', 6)} AS se_beta
+FROM pr, br
+"""
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page CUSUM per event_type series (operators/stats.py:cusum_drift,
     target 50, slack 5, threshold 300): the recursion is computed with
@@ -14601,6 +14659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
         "weather_pipeline_e2e": q_weather_pipeline_e2e,
+        "event_study": q_event_study,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -15023,6 +15082,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pipeline_e2e": _SQL_PREF_E2E,
         "etd_pipeline_e2e": _SQL_ETD_E2E,
         "weather_pipeline_e2e": _SQL_WEATHER_E2E,
+        "event_study": _SQL_EVENT_STUDY,
         "log_rank": _SQL_LOG_RANK,
         "benford_deviation": _SQL_BENFORD,
         "distinct_ngrams": _SQL_DISTINCT_NGRAMS,

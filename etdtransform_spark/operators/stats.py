@@ -2375,6 +2375,105 @@ def diff_in_diff(
     )
 
 
+def event_study(
+    df: DataFrame,
+    value_col: str,
+    treated_col: str,
+    period_col: str,
+    event_period: int,
+    base_offset: int = -1,
+    digits: int = 6,
+) -> DataFrame:
+    """Event-study generalization of :func:`diff_in_diff` — one DID
+    coefficient per period relative to a single adoption time, the standard
+    pre-trend/dynamic-effect readout (Angrist & Pischke 2009 §5.2; the
+    2×T two-group event-study estimator):
+
+        β_k = (ȳ_treated,k − ȳ_control,k)
+            − (ȳ_treated,base − ȳ_control,base)        base: k = -1
+        se_k = sqrt(Σ over the 4 cells of s²/n)         (unpooled Welch)
+
+    With a single adoption time and two groups this closed form IS the
+    two-way-fixed-effects event-study coefficient, so no design matrix is
+    needed. Pre-period β_k (k < 0, k ≠ base) are the pre-trend check: they
+    should be ≈ 0 under parallel trends. The base period is pinned to
+    β = 0 with NULL se (the normalization, as event-study plots draw it).
+
+    Conventions shared with :func:`diff_in_diff`: indicators coerced to
+    0/1 int, NULL/NaN rows excluded, β fail-closed (NULL) unless all four
+    cells of the contrast are observed, se additionally fail-closed unless
+    every cell has n ≥ 2. ONE (relative-period, treated) sufficient-
+    statistics aggregate + a broadcast 1-row base-cell frame — nothing
+    data-sized leaves the executors. Returns one row per observed relative
+    period: (rel_period, is_pre, n_treated, n_control, mean_treated,
+    mean_control, beta, se_beta).
+    """
+    x = F.col(value_col).cast("double")
+    t = F.col(treated_col).cast("int")
+    p = F.col(period_col).cast("bigint")
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x) & t.isNotNull() & p.isNotNull()
+    ).select(
+        (p - F.lit(int(event_period))).alias("_rel"),
+        t.alias("_t"),
+        x.alias("_x"),
+    )
+    cells = base.groupBy("_rel", "_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    nn = F.col("_n").cast("double")
+    mean_c = F.col("_sx") / nn
+    var_over_n = (
+        F.when(
+            F.col("_n") > 1,
+            (F.col("_sxx") - F.col("_sx") * mean_c) / (nn - 1.0),
+        )
+        / nn
+    )
+
+    def _side(tv: int, expr):
+        return F.max(F.when(F.col("_t") == tv, expr))
+
+    per_rel = cells.groupBy("_rel").agg(
+        _side(1, F.col("_n")).cast("bigint").alias("_n1"),
+        _side(0, F.col("_n")).cast("bigint").alias("_n0"),
+        _side(1, mean_c).alias("_m1"),
+        _side(0, mean_c).alias("_m0"),
+        _side(1, var_over_n).alias("_v1"),
+        _side(0, var_over_n).alias("_v0"),
+    )
+    b = F.lit(int(base_offset))
+    base_row = per_rel.filter(F.col("_rel") == b).select(
+        F.max("_m1").alias("_mb1"),
+        F.max("_m0").alias("_mb0"),
+        F.max("_v1").alias("_vb1"),
+        F.max("_v0").alias("_vb0"),
+    )
+    # agg over the filtered frame still yields ONE row (of NULLs) when the
+    # base period is unobserved, so the crossJoin keeps every relative
+    # period with a fail-closed NULL beta instead of emptying the output
+    joined = per_rel.crossJoin(F.broadcast(base_row))
+    beta = (F.col("_m1") - F.col("_m0")) - (F.col("_mb1") - F.col("_mb0"))
+    vsum = F.col("_v1") + F.col("_v0") + F.col("_vb1") + F.col("_vb0")
+    is_base = F.col("_rel") == b
+    return joined.select(
+        F.col("_rel").alias("rel_period"),
+        (F.col("_rel") < 0).cast("int").alias("is_pre"),
+        F.coalesce("_n1", F.lit(0)).cast("bigint").alias("n_treated"),
+        F.coalesce("_n0", F.lit(0)).cast("bigint").alias("n_control"),
+        qround(F.col("_m1"), digits).alias("mean_treated"),
+        qround(F.col("_m0"), digits).alias("mean_control"),
+        qround(
+            F.when(is_base, F.lit(0.0)).otherwise(beta), digits
+        ).alias("beta"),
+        qround(F.when(~is_base & (vsum >= 0), F.sqrt(vsum)), digits).alias(
+            "se_beta"
+        ),
+    )
+
+
 def cusum_drift(
     df: DataFrame,
     value_col: str,
