@@ -13682,6 +13682,94 @@ FROM agg
 """
 
 
+def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate Cox proportional-hazards fit (operators/funnel.py:
+    cox_ph): duration = value, event = purchase (the kaplan_meier
+    synthesis), covariate x = ((user_id % 10) − 4.5)/3. Three unrolled
+    Breslow-partial-likelihood Newton steps; model state a broadcast
+    1-row β frame; one row out."""
+    from etdtransform_spark.operators.funnel import cox_ph
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    d = ev.select(
+        F.col("value").alias("duration"),
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+        (((F.col("user_id") % 10) - 4.5) / 3.0).alias("x"),
+    )
+    return cox_ph(d, "duration", "event", "x", steps=3)
+
+
+def _sql_cox_step(i: int, prev: str) -> str:
+    """One Newton step of the Breslow partial likelihood as DuckDB CTEs:
+    per-duration sufficient statistics at the previous step's β, suffix
+    risk-set sums, and the updated β (fail-closed when I ≤ 0)."""
+    return f"""
+, pt{i} AS (
+  SELECT t, max(b) AS ob, sum(e)::BIGINT AS d, sum(e * x) AS sxe,
+         sum(exp(b * x)) AS w0, sum(exp(b * x) * x) AS w1,
+         sum(exp(b * x) * x * x) AS w2
+  FROM cbase, {prev} GROUP BY t
+), rk{i} AS (
+  SELECT *, sum(w0) OVER wd AS s0, sum(w1) OVER wd AS s1,
+         sum(w2) OVER wd AS s2
+  FROM pt{i}
+  WINDOW wd AS (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+), b{i} AS MATERIALIZED (
+  SELECT CASE WHEN i_ > 0 THEN ob + u_ / i_ END AS b FROM (
+    SELECT max(ob) AS ob,
+           sum(CASE WHEN d > 0 THEN sxe - d * (s1 / s0) END) AS u_,
+           sum(CASE WHEN d > 0
+                    THEN d * (s2 / s0 - (s1 / s0) * (s1 / s0)) END) AS i_
+    FROM rk{i})
+)"""
+
+
+def _sql_cox_ph(steps: int = 3) -> str:
+    head = f"""
+WITH cbase AS MATERIALIZED (
+  SELECT value::DOUBLE AS t, (event_type = 'purchase')::INT AS e,
+         ((user_id % 10) - 4.5) / 3.0 AS x
+  FROM {_EV}
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0
+    AND event_type IS NOT NULL AND user_id IS NOT NULL
+), b0 AS (SELECT 0.0::DOUBLE AS b)"""
+    body = "".join(
+        _sql_cox_step(i, f"b{i - 1}") for i in range(1, steps + 1)
+    )
+    tail = f"""
+, ptf AS (
+  SELECT t, max(b) AS ob, sum(e)::BIGINT AS d,
+         sum(exp(b * x)) AS w0, sum(exp(b * x) * x) AS w1,
+         sum(exp(b * x) * x * x) AS w2
+  FROM cbase, b{steps} GROUP BY t
+), rkf AS (
+  SELECT *, sum(w0) OVER wd AS s0, sum(w1) OVER wd AS s1,
+         sum(w2) OVER wd AS s2
+  FROM ptf
+  WINDOW wd AS (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+), fin AS (
+  SELECT max(ob) AS b,
+         sum(CASE WHEN d > 0
+                  THEN d * (s2 / s0 - (s1 / s0) * (s1 / s0)) END) AS i_
+  FROM rkf
+), cnt AS (
+  SELECT count(*)::BIGINT AS n, coalesce(sum(e), 0)::BIGINT AS n_events
+  FROM cbase
+)
+SELECT n, n_events,
+       {qround_sql('b', 6)} AS beta,
+       {qround_sql('exp(b)', 6)} AS hazard_ratio,
+       {qround_sql('CASE WHEN i_ > 0 THEN 1.0 / sqrt(i_) END', 6)}
+         AS se_beta,
+       {qround_sql('b * sqrt(CASE WHEN i_ > 0 THEN i_ END)', 6)} AS z
+FROM cnt, fin
+"""
+    return head + body + tail
+
+
+_SQL_COX_PH = _sql_cox_ph(3)
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of o_totalprice
     (operators/profile.py:benford_deviation): 1-ulp-robust digit
@@ -14660,6 +14748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/rotate_window.py — reds first, then never-checked ---
         "weather_pipeline_e2e": q_weather_pipeline_e2e,
         "event_study": q_event_study,
+        "cox_ph": q_cox_ph,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -15083,6 +15172,7 @@ def oracle_sql() -> dict[str, str]:
         "etd_pipeline_e2e": _SQL_ETD_E2E,
         "weather_pipeline_e2e": _SQL_WEATHER_E2E,
         "event_study": _SQL_EVENT_STUDY,
+        "cox_ph": _SQL_COX_PH,
         "log_rank": _SQL_LOG_RANK,
         "benford_deviation": _SQL_BENFORD,
         "distinct_ngrams": _SQL_DISTINCT_NGRAMS,

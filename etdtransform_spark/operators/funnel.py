@@ -767,6 +767,127 @@ def log_rank_test(
     )
 
 
+def cox_ph(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_col: str,
+    steps: int = 3,
+    digits: int = 6,
+    time_bins: int | None = None,
+) -> DataFrame:
+    """Univariate Cox proportional-hazards fit (Cox 1972) via ``steps``
+    unrolled Newton iterations on the Breslow partial likelihood from
+    β = 0 — the continuous-covariate generalization of
+    :func:`hazard_ratio` / :func:`log_rank_test` (a single Newton step
+    from 0 on a binary covariate IS the log-rank score test):
+
+        U(β) = Σ_t [ Σ_{deaths at t} x_i − d_t · S1(t)/S0(t) ]
+        I(β) = Σ_t d_t · ( S2(t)/S0(t) − (S1(t)/S0(t))² )
+        β ← β + U/I,  Sk(t) = Σ_{j: T_j ≥ t} x_j^k · exp(β x_j)
+
+    Right-censoring exact (censored rows enter the risk sets S_k but
+    never the event sums); ties handled by Breslow (tied deaths share
+    the tied risk set). Fail-closed: a step with I ≤ 0 (no events, or a
+    constant covariate) nulls β and every downstream readout; NULL/NaN/
+    negative durations and NULL/NaN covariates are excluded.
+
+    Shape: the model state is a broadcast 1-row β frame (the
+    :func:`~.stats.logistic_irls` discipline — lazy chain, nothing
+    collected); each step is ONE duration-keyed sufficient-statistics
+    aggregate (map-side combined) + the same distinct-duration suffix
+    windows as :func:`kaplan_meier`, sharing its CARDINALITY caveat and
+    the ``time_bins`` life-table remedy for continuous durations. A
+    final pass at the fitted β produces the observed information for
+    the se.
+
+    Returns ONE row: (n, n_events, beta, hazard_ratio, se_beta, z).
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    d = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    x = F.col(x_col).cast("double")
+    base = df.filter(
+        d.isNotNull()
+        & ~F.isnan(d)
+        & (d >= 0)
+        & e.isNotNull()
+        & x.isNotNull()
+        & ~F.isnan(x)
+    ).select(d.alias("_t"), e.alias("_e"), x.alias("_x"))
+    if time_bins is not None:
+        if time_bins < 1:
+            raise ValueError(f"time_bins must be >= 1, got {time_bins}")
+        base = _bin_durations(base, time_bins)
+    spark = df.sparkSession
+    beta = F.broadcast(spark.createDataFrame([(0.0,)], "_b double"))
+    w_desc = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def _risked(b):
+        """Per-duration sufficient statistics at the broadcast β, with
+        the suffix risk-set sums S0/S1/S2."""
+        ww = F.exp(F.col("_b") * F.col("_x"))
+        per_t = (
+            base.crossJoin(b)
+            .groupBy("_t")
+            .agg(
+                F.max("_b").alias("_ob"),
+                F.sum("_e").cast("bigint").alias("_d"),
+                F.sum(F.col("_e") * F.col("_x")).alias("_sxe"),
+                F.sum(ww).alias("_w0"),
+                F.sum(ww * F.col("_x")).alias("_w1"),
+                F.sum(ww * F.col("_x") * F.col("_x")).alias("_w2"),
+            )
+        )
+        return (
+            per_t.withColumn("_s0", F.sum("_w0").over(w_desc))
+            .withColumn("_s1", F.sum("_w1").over(w_desc))
+            .withColumn("_s2", F.sum("_w2").over(w_desc))
+        )
+
+    dd = F.col("_d").cast("double")
+    share = F.col("_s1") / F.col("_s0")
+    u_term = F.when(F.col("_d") > 0, F.col("_sxe") - dd * share)
+    i_term = F.when(
+        F.col("_d") > 0, dd * (F.col("_s2") / F.col("_s0") - share * share)
+    )
+    for _ in range(steps):
+        g = _risked(beta).agg(
+            F.max("_ob").alias("_ob"),
+            F.sum(u_term).alias("_u"),
+            F.sum(i_term).alias("_i"),
+        )
+        beta = F.broadcast(
+            g.select(
+                F.when(
+                    F.col("_i") > 0, F.col("_ob") + F.col("_u") / F.col("_i")
+                ).alias("_b")
+            )
+        )
+    counts = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_e").cast("bigint").alias("n_events"),
+    )
+    final = _risked(beta).agg(
+        F.max("_ob").alias("_b"),
+        F.sum(i_term).alias("_i"),
+    )
+    se = F.when(F.col("_i") > 0, 1.0 / F.sqrt(F.col("_i")))
+    return counts.crossJoin(F.broadcast(final)).select(
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        qround(F.col("_b"), digits).alias("beta"),
+        qround(F.exp(F.col("_b")), digits).alias("hazard_ratio"),
+        qround(se, digits).alias("se_beta"),
+        qround(F.col("_b") * F.sqrt(F.when(F.col("_i") > 0, F.col("_i"))), digits).alias(
+            "z"
+        ),
+    )
+
+
 def hazard_ratio(
     df: DataFrame,
     duration_col: str,
