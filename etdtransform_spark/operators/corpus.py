@@ -303,17 +303,24 @@ def duplicate_spans(
     # the >= n filter keeps the helper's short-row guard unreachable, so
     # results are unchanged while tokenization runs once per row
     grams = positional_word_grams(toks, n)
+    # The n-gram text matters only as an equality key (it never reaches the
+    # output), so the shuffle carries its xxhash64 instead of the string —
+    # 8-byte keys, same grouping (collision odds ~distinct-shingles²/2⁶⁴,
+    # the ngram_jaccard_pairs adjudication). Ownership is a MIN window over
+    # that key, not a groupBy + join-back: the join formulation re-ran the
+    # tokenize + posexplode from the scan for the owner side (2 FileScans)
+    # and shuffled the exploded spans twice; one window = one shuffle, one
+    # explode, identical marking.
     spans = (
         widen(df)
         .filter(F.size(toks) >= n)
         .select(F.col(id_col), F.posexplode(grams).alias("_pos", "_sh"))
+        .select(F.col(id_col), "_pos", F.xxhash64("_sh").alias("_sh"))
     )
-    owner = spans.groupBy("_sh").agg(
-        F.min(F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))).alias(
-            "_own"
-        )
-    )
-    marked = spans.join(owner, "_sh").withColumn(
+    _own = F.min(
+        F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))
+    ).over(Window.partitionBy("_sh"))
+    marked = spans.withColumn("_own", _own).withColumn(
         "_dup",
         (
             (F.col("_own._d") != F.col(id_col))
@@ -583,29 +590,51 @@ def dsir_importance_weights(
         .select(F.col(id_col), target.alias("_is_t"), F.explode(feats).alias("term"))
         .select(F.col(id_col), F.col("_is_t"), bucket.alias("b"))
     )
-    dists = toks.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cq"),
-        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("cp"),
+    # Collapse the token stream to the per-document bucket HISTOGRAM once
+    # and checkpoint it: the bucket distributions, the totals, and the
+    # per-document scoring all derive from (doc, is_target, bucket, count)
+    # — without the cut, each consumer re-ran the explode + portable-md5
+    # pass from the scan (measured 3 FileScans / ~3x the md5 cost of one
+    # pass at sf0.1; Catalyst's ReuseExchange does not unify the
+    # subtrees). The histogram is bounded by docs x n_buckets x 2 rows —
+    # the same metadata-not-payload checkpoint scale as
+    # dedup.connected_components; storage is released by the
+    # ContextCleaner when the caller drops the result.
+    g = (
+        toks.groupBy(id_col, "_is_t", "b")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .localCheckpoint(eager=False)
     )
-    totals = dists.agg(
-        F.sum("cq").alias("tq"), F.sum("cp").alias("tp")
+    dists = g.groupBy("b").agg(
+        F.sum("_k").alias("cq"),
+        F.sum(F.when(F.col("_is_t"), F.col("_k")).otherwise(0)).alias("cp"),
     )
-    ratio = (
-        dists.crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log((F.col("cp") + 1).cast("double") / (F.col("tp") + n_buckets).cast("double"))
-                - F.log((F.col("cq") + 1).cast("double") / (F.col("tq") + n_buckets).cast("double"))
-            ).alias("lr"),
-        )
+    # totals as an unpartitioned window over the n_buckets-row dists frame
+    # (NOT a second aggregate + broadcast cross join): the single-partition
+    # window is over <= n_buckets rows, and it removes one stage wave and
+    # one broadcast from the critical path.
+    from pyspark.sql import Window as _W
+
+    _wall = _W.partitionBy()
+    ratio = dists.select(
+        "b",
+        (
+            F.log(
+                (F.col("cp") + 1).cast("double")
+                / (F.sum("cp").over(_wall) + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("cq") + 1).cast("double")
+                / (F.sum("cq").over(_wall) + n_buckets).cast("double")
+            )
+        ).alias("lr"),
     )
     scored = (
-        toks.join(F.broadcast(ratio), "b")
+        g.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            qround(F.sum("lr"), digits).alias("logw"),
+            F.sum("_k").alias("n_tokens"),
+            qround(F.sum(F.col("_k") * F.col("lr")), digits).alias("logw"),
         )
     )
     if top_n is None:
@@ -807,16 +836,22 @@ def remove_duplicate_spans(
     spans = (
         base.filter(F.size(toks) >= n)
         .select(F.col(id_col), F.posexplode(grams).alias("_pos0", "_sh"))
-        # 1-based span start so "span p covers tokens p..p+n-1"
-        .select(F.col(id_col), (F.col("_pos0") + 1).alias("_pos"), "_sh")
+        # 1-based span start so "span p covers tokens p..p+n-1"; the gram
+        # text is only an equality key (never output) — shuffle its
+        # xxhash64, and take ownership as a MIN window instead of the
+        # groupBy + join-back that re-ran the explode from the scan
+        # (duplicate_spans rationale, same collision adjudication)
+        .select(
+            F.col(id_col),
+            (F.col("_pos0") + 1).alias("_pos"),
+            F.xxhash64("_sh").alias("_sh"),
+        )
     )
-    owner = spans.groupBy("_sh").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))
-        ).alias("_own")
-    )
+    _own = F.min(
+        F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))
+    ).over(Window.partitionBy("_sh"))
     dups = (
-        spans.join(owner, "_sh")
+        spans.withColumn("_own", _own)
         .filter(
             (F.col("_own._d") != F.col(id_col))
             | (F.col("_own._p") != F.col("_pos"))

@@ -284,10 +284,15 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a COUNT window over the tf frame itself — the
+    # groupBy(term) + join-back formulation re-ran the tokenize + explode +
+    # tf aggregate from the scan for the dfreq side (2 FileScans, ~2x the
+    # explode cost; ReuseExchange does not unify the subtrees). One window
+    # by term = one shuffle of the (doc, term, tf) frame, no second scan,
+    # identical df values.
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
     weighted = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("weight", qround(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6))
     )
@@ -457,9 +462,18 @@ def pmi_collocations(
         F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
     )
     base = widen(df).select(toks_arr.alias("_ts"))
+    # Both dictionaries are consumed multiple times (unigrams: totals + u1 +
+    # u2; pairs: totals + the scored output) — without a cut each consumer
+    # re-ran tokenize + explode + aggregate from the scan (5 FileScans
+    # total). localCheckpoint the two VOCAB-SIZED aggregates (Heaps-bounded
+    # unigrams; distinct-adjacent-bigram pairs — both orders of magnitude
+    # below corpus size), so the corpus is exploded exactly once per
+    # dictionary; as a bonus AQE sees exact sizes and picks broadcast for
+    # the u1/u2 joins. Storage released by the ContextCleaner when the
+    # caller drops the result.
     unigrams = base.select(F.explode("_ts").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("n_w")
-    )
+    ).localCheckpoint(eager=False)
     pairs = (
         base.select(
             F.explode(
@@ -476,6 +490,7 @@ def pmi_collocations(
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .localCheckpoint(eager=False)
     )
     totals = F.broadcast(
         unigrams.agg(F.sum("n_w").cast("double").alias("_ut")).crossJoin(
