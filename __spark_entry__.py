@@ -4141,6 +4141,10 @@ def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.select("doc_id", "source", _e2e_staged_text().alias("text"))
     # 1. PII scrub (URL -> email -> IP -> phone; the scrubbed lines
     #    become identical template lines, feeding stage 2)
+    #    NOT checkpointed: an A/B measurement (r13) showed cutting here
+    #    costs 3x the CPU (11.2 wall / 30.8 CPU vs 6.3 / 9.5) — the
+    #    materialized full-text payload is more expensive than re-running
+    #    the scrub regex per consumer.
     s1 = scrub_pii(staged).select(
         "doc_id", F.col("text_scrubbed").alias("text")
     )

