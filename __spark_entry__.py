@@ -4670,11 +4670,23 @@ def q_exclusive_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
-    stats = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_bad"),
+    # the two distinct counts as CASCADED plain aggregates — the
+    # count_distinct pair planned as Expand x2 over the lineitem scan
+    # (doubling every pre-shuffle row); per-(order, supplier) first, then
+    # per-order, is the same pair of integers with both aggregates
+    # map-side combinable and no row multiplication
+    stats = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_returnflag") == "R").cast("int")
+            ).alias("_bad")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("_bad").alias("n_bad"),
+        )
     )
     return (
         li.filter(F.col("l_returnflag") == "R")

@@ -180,6 +180,10 @@ def ngram_jaccard_pairs(
     prefixes = (
         ranked.withColumn("_pos", pos).filter(F.col("_pos") <= prefix_len)
         .select("id", "shingle")
+        # NOT checkpointed: the self-join sides are identical subtrees over
+        # the cached shingle frame and exchange reuse already unifies them
+        # at runtime — a checkpoint here measured 8.2 s wall / 7.1 CPU vs
+        # 2.3 / 6.6 without (r13 A/B).
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     candidates = (

@@ -820,6 +820,10 @@ def cox_ph(
         if time_bins < 1:
             raise ValueError(f"time_bins must be >= 1, got {time_bins}")
         base = _bin_durations(base, time_bins)
+    # base feeds steps+2 consumers (each Newton pass + the final
+    # information pass + counts) — uncut, every pass re-ran the scan +
+    # filter; the checkpointed frame is 3 doubles per surviving row
+    base = base.localCheckpoint(eager=False)
     spark = df.sparkSession
     beta = F.broadcast(spark.createDataFrame([(0.0,)], "_b double"))
     w_desc = Window.orderBy(F.col("_t").desc()).rowsBetween(

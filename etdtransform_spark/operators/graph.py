@@ -52,6 +52,10 @@ def pagerank(
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
+    if checkpoint:
+        # referenced by every round's left join (plus the init and N) —
+        # uncut, each round re-ran the two edge scans + union + distinct
+        nodes = nodes.localCheckpoint(eager=False)
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_wtot"))
     norm = e.join(outw, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_wtot")).alias("_p")
@@ -143,11 +147,23 @@ def transitive_closure(
         F.col(parent_col).alias("ancestor"),
         F.lit(1).alias("depth"),
     ).distinct()
-    acc = e.localCheckpoint(eager=True)
-    frontier = acc
-    up = edges.select(
-        F.col(child_col).alias("_c"), F.col(parent_col).alias("_p")
-    ).distinct()
+    # the accumulator is never joined against — only RETURNED — so the
+    # rounds are collected and unioned ONCE at the end instead of
+    # re-materializing the whole accumulated set every round (the per-round
+    # acc checkpoint copied O(total x depth) rows across the loop; the
+    # union of per-round checkpointed deltas is O(total) and lazy)
+    first = e.localCheckpoint(eager=True)
+    rounds = [first]
+    frontier = first
+    up = (
+        edges.select(
+            F.col(child_col).alias("_c"), F.col(parent_col).alias("_p")
+        )
+        .distinct()
+        # joined by EVERY round — uncut, each round's job re-ran the
+        # scan + distinct for the edge side
+        .localCheckpoint(eager=False)
+    )
     for _ in range(1, max_depth):
         nxt = (
             frontier.join(up, frontier["ancestor"] == up["_c"])
@@ -160,6 +176,9 @@ def transitive_closure(
         )
         if nxt.isEmpty():
             break
-        acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+        rounds.append(nxt)
         frontier = nxt
+    acc = rounds[0]
+    for r in rounds[1:]:
+        acc = acc.unionByName(r)
     return acc
