@@ -812,11 +812,18 @@ def _kmeans_fit(
 
     for _ in range(iters):
         d2s = F.transform(F.col("_cents"), _fold_d2)
+        # _cents is CARRIED THROUGH the aggregation (identical on every
+        # row of the broadcast cross join, so first() is deterministic):
+        # each round then references the model frame exactly ONCE and the
+        # whole fit is a single linear plan — no per-round checkpoint, no
+        # per-round Catalyst pass (the checkpointed formulation paid ~0.5 s
+        # planning + 3 jobs per round in the r13 timeline probe)
         assigned = base.crossJoin(F.broadcast(cent_df)).select(
             (F.array_position(d2s, F.array_min(d2s)) - 1)
             .cast("int")
             .alias("cluster_id"),
             "_v",
+            "_cents",
         )
         # per-cluster means as one avg per dimension in a SINGLE groupBy
         # (d is fixed and known from the seed) — the posexplode +
@@ -828,30 +835,28 @@ def _kmeans_fit(
         percl = assigned.groupBy("cluster_id").agg(
             F.array(
                 *[F.avg(F.col("_v")[i]) for i in range(dim)]
-            ).alias("_c")
+            ).alias("_c"),
+            F.first("_cents").alias("_oc"),
         )
         # empty clusters keep their previous centroid (map lookup falls
-        # through to the prior round's model row)
+        # through to the prior round's model row). base is never empty
+        # here (an empty corpus early-returns above), so the aggregate
+        # always sees >= 1 cluster row and _oc is always populated.
         newmap = percl.agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("cluster_id"), F.col("_c")))
-            ).alias("_m")
+            ).alias("_m"),
+            F.first("_oc").alias("_oc"),
         )
-        cent_df = newmap.crossJoin(F.broadcast(cent_df)).select(
+        cent_df = newmap.select(
             F.transform(
                 F.sequence(F.lit(0), F.lit(k_eff - 1)),
                 lambda i: F.coalesce(
                     F.element_at(F.col("_m"), i.cast("int")),
-                    F.element_at(F.col("_cents"), i.cast("int") + 1),
+                    F.element_at(F.col("_oc"), i.cast("int") + 1),
                 ),
             ).alias("_cents")
-            # each round references the model frame TWICE (the assign
-            # join and this carryover) — without a cut the round
-            # subtrees double per reference (2^iters copies of round 1;
-            # measured 3x CPU on the full-corpus fit). The lazy
-            # checkpoint is a 1-row RDD evaluated inside the same final
-            # job, so the fit stays a single action.
-        ).localCheckpoint(eager=False)
+        )
     fitted = cent_df.collect()[0]["_cents"]
     return [
         (cid, [float(x) for x in vec]) for cid, vec in enumerate(fitted)
