@@ -1129,33 +1129,37 @@ def pq_train(
     return out
 
 
-def _pq_codebook_literal(codebook: DataFrame):
-    """Collect a trained codebook to a nested literal array CB[s][code] =
-    centroid (model-sized: m·k·d/m doubles) so encode/search run as pure
-    whole-stage-codegen projections — the same literal-model trick as
-    kmeans assignment."""
+def _pq_codebook_frame(codebook: DataFrame):
+    """Collect a trained codebook to a BROADCAST 1-row frame whose single
+    column ``_pq_cb`` is the nested array CB[s][code] = centroid
+    (model-sized: m·k·d/m doubles). Callers crossJoin(broadcast(frame))
+    and index with ``F.col("_pq_cb")[s]`` — arithmetic identical to the
+    former literal delivery (same doubles, same fold order), but the model
+    is ONE constant in the generated code instead of an m·k·sub-literal
+    expression tree inlined at every use site. The literal form made
+    Catalyst re-analyze ~512-literal subtrees at 8+ sites per query
+    (plans/r13/pq_adc_topk_before.txt: 114 KB of plan text; ~2.8 s of
+    driver planning gaps in the r13 timeline probe) — the same
+    pathology `_kmeans_assign` size-dispatches around, hit here at a
+    smaller model size because the tree is replicated per subspace per
+    consumer. Returns (frame, m, sub); (None, 0, 0) on an empty codebook
+    (callers early-return empty result frames)."""
     rows = codebook.select("subspace", "code", "centroid").collect()
     by_s: dict[int, dict[int, list[float]]] = {}
     for r in rows:
         by_s.setdefault(r.subspace, {})[r.code] = list(r.centroid)
     m = len(by_s)
     if m == 0:
-        # empty codebook (trained on an empty corpus): callers early-return
-        # empty result frames instead of building a VOID-typed literal
         return None, 0, 0
-    lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in by_s[s][c]])
-                    for c in sorted(by_s[s])
-                ]
-            )
-            for s in range(m)
-        ]
+    cb = [
+        [[float(x) for x in by_s[s][c]] for c in sorted(by_s[s])]
+        for s in range(m)
+    ]
+    frame = codebook.sparkSession.createDataFrame(
+        [(cb,)], "_pq_cb array<array<array<double>>>"
     )
-    sub = len(next(iter(by_s[0].values())))
-    return lit, m, sub
+    sub = len(cb[0][0])
+    return frame, m, sub
 
 
 def pq_encode(
@@ -1166,13 +1170,14 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors against a trained PQ codebook: per subspace, the
     nearest-centroid code (L2, lowest-code tie-break). A pure projection —
-    the codebook rides as a literal; no join, no shuffle. Returns
+    the codebook rides a broadcast 1-row frame; no shuffle. Returns
     (id, codes array<int>)."""
-    cb, m, sub = _pq_codebook_literal(codebook)
+    cb_df, m, sub = _pq_codebook_frame(codebook)
     if m == 0:
         return corpus.sparkSession.createDataFrame(
             [], f"{id_col} bigint, codes array<int>"
         )
+    cb = F.col("_pq_cb")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def code_for(s: int):
@@ -1187,7 +1192,7 @@ def pq_encode(
         )
         return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
-    return corpus.select(
+    return corpus.crossJoin(F.broadcast(cb_df)).select(
         F.col(id_col),
         F.array(*[code_for(s) for s in range(m)]).alias("codes"),
     )
@@ -1242,19 +1247,24 @@ def pq_adc_topk(
     same operator over the per-list code subset."""
     from pyspark.sql import Window
 
-    cb, m, sub = _pq_codebook_literal(codebook)
+    cb_df, m, sub = _pq_codebook_frame(codebook)
     if m == 0:
         return queries.sparkSession.createDataFrame(
             [],
             f"{query_id} bigint, neighbor_id bigint, "
             "approx_dot double, rank int",
         )
+    cb = F.col("_pq_cb")
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.transform(F.col(query_vec), lambda x: x.cast("double")).alias("_q"),
     )
     c = codes.select(F.col(codes_id).alias("did"), "codes")
-    joined = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("did"))
+    joined = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("did"))
+        .crossJoin(F.broadcast(cb_df))
+    )
     score = None
     for s in range(m):
         qs = F.slice(F.col("_q"), s * sub + 1, sub)
@@ -1359,14 +1369,19 @@ def ivfpq_topk(
         .select("qid", "_q", F.col("centroid_id").alias("list_id"))
     )
 
-    cb, m, sub = _pq_codebook_literal(codebook)
+    cb_df, m, sub = _pq_codebook_frame(codebook)
     if m == 0:
         return queries.sparkSession.createDataFrame(
             [],
             "query_id bigint, neighbor_id bigint, "
             "approx_dot double, rank bigint",
         )
-    joined = probes.join(cand, "list_id").filter(F.col("qid") != F.col("did"))
+    cb = F.col("_pq_cb")
+    joined = (
+        probes.join(cand, "list_id")
+        .filter(F.col("qid") != F.col("did"))
+        .crossJoin(F.broadcast(cb_df))
+    )
     score = None
     for s in range(m):
         qs = F.slice(F.col("_q"), s * sub + 1, sub)
