@@ -633,7 +633,14 @@ def kmeans(
         *[F.array(*[F.lit(float(x)) for x in c]) for _cid, c in cent]
     )
     return (
-        _kmeans_assign(base, cent)
+        # model_via="broadcast": this assignment feeds exactly ONE
+        # consumer (the groupBy), so the broadcast frame costs one extra
+        # join node while the k·d-literal tree costs Catalyst analysis at
+        # every reference — A/B at k=8,d=64 (r13 batch 7): wall 10.9/10.7
+        # → 7.1/7.8 s with broadcast, CPU flat. semantic_dedup keeps the
+        # size dispatch: its assignment is referenced 3× (pair sides +
+        # keep join) and the same flip measured +2–4 s there.
+        _kmeans_assign(base, cent, model_via="broadcast")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),

@@ -51,6 +51,12 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 32)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
+        # match get_spark()'s shuffle-writer pin (e94c79f): without it the
+        # bypass-merge writer costs ~3 s executor CPU PER small 32x32
+        # exchange (1,024 file+LZ4-stream inits) and the decomposition
+        # over-attributes every stage with a shuffle (first faithful run
+        # read 44.8 s total against the composite's 9-12 s in-bench CPU)
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .appName("llm-e2e-stage-cpu")
         .getOrCreate()
     )
