@@ -11777,15 +11777,16 @@ def q_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled probe at any sf (VERDICT r10 #5)."""
     from etdtransform_spark.operators.embeddings import _valid_vectors
     from etdtransform_spark.operators.ranking import rbo_overlap
-    from etdtransform_spark.operators.similarity import (
-        cosine_topk_prefix_pair,
-    )
+    from etdtransform_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     qset = emb.filter(F.col("vec_id") < 200)
-    # one fused pair explosion for both rankings (bit-equal to the
-    # former two cosine_topk calls; see cosine_topk_prefix_pair)
-    full, trunc = cosine_topk_prefix_pair(qset, emb, prefix_dims=16, k=5)
+    full = cosine_topk(qset, emb, k=5)
+    trunc = cosine_topk(
+        qset.withColumn("embedding", F.slice("embedding", 1, 16)),
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+        k=5,
+    )
     _ = _valid_vectors  # gate applied inside _t already
     return rbo_overlap(full, trunc, p=0.9, k=5)
 
@@ -12911,15 +12912,16 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etdtransform_spark.operators.ranking import (
         reciprocal_rank_fusion,
     )
-    from etdtransform_spark.operators.similarity import (
-        cosine_topk_prefix_pair,
-    )
+    from etdtransform_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     qset = emb.filter(F.col("vec_id") < 200)
-    # one fused pair explosion for both rankings (bit-equal to the
-    # former two cosine_topk calls; see cosine_topk_prefix_pair)
-    full, trunc = cosine_topk_prefix_pair(qset, emb, prefix_dims=16, k=5)
+    full = cosine_topk(qset, emb, k=5)
+    trunc = cosine_topk(
+        qset.withColumn("embedding", F.slice("embedding", 1, 16)),
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+        k=5,
+    )
     return reciprocal_rank_fusion(full, trunc, k_const=60, topk=3)
 
 

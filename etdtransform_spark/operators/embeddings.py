@@ -239,17 +239,19 @@ def matryoshka_recall(
     Returns ONE row: (m_dims, k, n_queries, recall) where recall
     averages |top_full ∩ top_trunc| / k over queries.
     """
-    from .similarity import cosine_topk_prefix_pair
+    from .similarity import cosine_topk
 
     if m_dims < 1:
         raise ValueError(f"m_dims must be >= 1, got {m_dims}")
     corpus = _valid_vectors(df, vec_col)
     qset = _valid_vectors(queries, vec_col) if queries is not None else corpus
-    # one fused pair explosion for both rankings (bit-equal to the
-    # former two cosine_topk calls; see cosine_topk_prefix_pair)
-    full, trunc = cosine_topk_prefix_pair(
-        qset, corpus, m_dims, k=k, id_col=id_col, vec_col=vec_col
+    full = cosine_topk(qset, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    trunc_corpus = corpus.withColumn(
+        vec_col, F.slice(F.col(vec_col), 1, m_dims)
     )
+    trunc_q = qset.withColumn(vec_col, F.slice(F.col(vec_col), 1, m_dims))
+    trunc = cosine_topk(trunc_q, trunc_corpus, k=k, id_col=id_col,
+                        vec_col=vec_col)
     hits = full.select("query_id", "neighbor_id").join(
         trunc.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],

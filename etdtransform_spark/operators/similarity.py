@@ -84,96 +84,6 @@ def cosine_topk(
     )
 
 
-def cosine_topk_prefix_pair(
-    queries: DataFrame,
-    corpus: DataFrame,
-    prefix_dims: int,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Full-vector AND prefix-truncated cosine top-k from ONE pair
-    explosion — the shape every truncation-fidelity probe needs
-    (matryoshka recall, RBO, RRF fusion all rank the same query set by
-    the 64-dim and the first-``prefix_dims``-dim cosine).
-
-    Run as two separate :func:`cosine_topk` calls the broadcast build,
-    the query×corpus crossJoin and the interpreted zip_with/aggregate
-    dot folds all execute TWICE (plus 4 source scans — the two
-    subtrees differ by the slice, so nothing canonicalizes equal and
-    ReuseExchange cannot unify them). Here both cosines ride one pair
-    frame and the two rankings are windows over the SAME
-    hash-partitioning of that frame, so the explosion + folds run once
-    per consumer subtree and the exchanges canonicalize equal
-    (ReusedExchange) when a downstream op joins the two sides.
-
-    The per-side arithmetic — slice before cast, sequential fold order,
-    qround before ranking, (cosine desc, neighbor asc) tie-break — is
-    expression-identical to ``cosine_topk`` on pre-sliced inputs, so
-    results are bit-equal to the two-call form. Returns (full, trunc),
-    each (query_id, neighbor_id, cosine, rank) like cosine_topk.
-    """
-    pre = F.slice(F.col(vec_col), 1, prefix_dims)
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            norm_expr(F.col(vec_col)).alias("_qn"),
-            norm_expr(pre).alias("_qnp"),
-        )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm_expr(F.col(vec_col)).alias("_cn"),
-        norm_expr(pre).alias("_cnp"),
-    )
-    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        qround(
-            dot_expr(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
-            6,
-        ).alias("_cos_full"),
-        qround(
-            dot_expr(
-                F.slice(F.col("qv"), 1, prefix_dims),
-                F.slice(F.col("cv"), 1, prefix_dims),
-            )
-            / (F.col("_qnp") * F.col("_cnp")),
-            6,
-        ).alias("_cos_trunc"),
-    )
-    # NOT localCheckpoint'd: an A/B (r13 batch 6) measured the lazy
-    # checkpoint at +3 s family wall (the materialization barrier) with
-    # flat CPU — AQE runtime exchange reuse already unifies the
-    # duplicated pair subtrees, same adjudication as ngram_jaccard's
-    # prefix index.
-    wf = Window.partitionBy("query_id").orderBy(
-        F.col("_cos_full").desc(), F.col("neighbor_id").asc()
-    )
-    wt = Window.partitionBy("query_id").orderBy(
-        F.col("_cos_trunc").desc(), F.col("neighbor_id").asc()
-    )
-    both = scored.withColumn(
-        "_rank_full", F.row_number().over(wf)
-    ).withColumn("_rank_trunc", F.row_number().over(wt))
-    full = both.filter(F.col("_rank_full") <= k).select(
-        "query_id",
-        "neighbor_id",
-        F.col("_cos_full").alias("cosine"),
-        F.col("_rank_full").alias("rank"),
-    )
-    trunc = both.filter(F.col("_rank_trunc") <= k).select(
-        "query_id",
-        "neighbor_id",
-        F.col("_cos_trunc").alias("cosine"),
-        F.col("_rank_trunc").alias("rank"),
-    )
-    return full, trunc
-
-
 def embedding_decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
