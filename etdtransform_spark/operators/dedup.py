@@ -179,17 +179,40 @@ def ngram_jaccard_pairs(
     )
     prefixes = (
         ranked.withColumn("_pos", pos).filter(F.col("_pos") <= prefix_len)
-        .select("id", "shingle")
+        .select("id", "shingle", "_pos", "n_shingles")
         # NOT checkpointed: the self-join sides are identical subtrees over
         # the cached shingle frame and exchange reuse already unifies them
         # at runtime — a checkpoint here measured 8.2 s wall / 7.1 CPU vs
         # 2.3 / 6.6 without (r13 A/B).
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # Length + positional candidate pruning (PPJoin, Xiao et al. WWW'08):
+    # both are NECESSARY conditions for passing the exact verification
+    # below, so dropping failing matches cannot change the result set.
+    #   length: inter <= min(na, nb), and J >= t  =>  min >= t * max.
+    #   positional: both prefix lists are ranked by the SAME global
+    #     (frequency, value) order, so for a match at positions (pa, pb)
+    #     the distinct intersection is <= min(pa, pb) [elements ranked at
+    #     or below the match] + min(na-pa, nb-pb) [elements ranked above],
+    #     while J >= t requires inter >= t*(na+nb)/(1+t).
+    # t is relaxed by 1e-6: verification keeps qround(ratio, 6) >= t, i.e.
+    # ratio >= t - 5e-7, so the filter threshold must sit strictly below
+    # that — the filters stay a superset of every verified-passing pair.
+    t_eff = float(threshold) - 1e-6
+    na, nb = F.col("a.n_shingles"), F.col("b.n_shingles")
+    pa, pb = F.col("a._pos"), F.col("b._pos")
+    overlap_ub = F.least(pa, pb) + F.least(na - pa, nb - pb)
+    alpha = F.lit(t_eff) / F.lit(1.0 + t_eff) * (na + nb).cast("double")
     candidates = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(na, nb).cast("double")
+                >= F.lit(t_eff) * F.greatest(na, nb).cast("double")
+            )
+            & (overlap_ub.cast("double") >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -1158,6 +1158,18 @@ def _pq_codebook_frame(codebook: DataFrame):
     m = len(by_s)
     if m == 0:
         return None, 0, 0
+    # element_at(cb[s], code+1) decodes by POSITION: a codebook whose code
+    # values have gaps (e.g. an empty kmeans cluster dropped upstream) would
+    # silently score the wrong centroid for any externally-produced codes
+    # table — fail loudly instead (ADVICE r13).
+    for s in range(m):
+        cs = sorted(by_s.get(s, {}))
+        if not cs or cs != list(range(len(cs))):
+            raise ValueError(
+                f"codebook subspace {s} has non-contiguous codes {cs[:8]}; "
+                "element_at position decode requires codes 0..k-1 in every "
+                "subspace 0..m-1"
+            )
     cb = [
         [[float(x) for x in by_s[s][c]] for c in sorted(by_s[s])]
         for s in range(m)
@@ -1184,6 +1196,21 @@ def pq_encode(
         return corpus.sparkSession.createDataFrame(
             [], f"{id_col} bigint, codes array<int>"
         )
+    return _pq_encode_with_frame(corpus, cb_df, m, sub, id_col, vec_col)
+
+
+def _pq_encode_with_frame(
+    corpus: DataFrame,
+    cb_df: DataFrame,
+    m: int,
+    sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_encode against an already-built codebook frame — callers that
+    also score against the codebook (ivfpq_topk) build the frame ONCE and
+    thread it here, instead of collecting + broadcasting the codebook
+    twice per query (ADVICE r13)."""
     cb = F.col("_pq_cb")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
@@ -1355,7 +1382,17 @@ def ivfpq_topk(
         )
         .select("did", F.col("_m._c").alias("list_id"))
     )
-    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
+    # build the codebook frame ONCE: both the encode step and the ADC
+    # scorer below ride the same collected + broadcast model (ADVICE r13 —
+    # the pq_encode call re-collected and re-broadcast it)
+    cb_df, m, sub = _pq_codebook_frame(codebook)
+    if m == 0:
+        return queries.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, "
+            "approx_dot double, rank bigint",
+        )
+    codes = _pq_encode_with_frame(corpus, cb_df, m, sub, id_col, vec_col)
     cand = codes.withColumnRenamed(id_col, "did").join(lists, "did")
 
     q = queries.select(
@@ -1376,13 +1413,6 @@ def ivfpq_topk(
         .select("qid", "_q", F.col("centroid_id").alias("list_id"))
     )
 
-    cb_df, m, sub = _pq_codebook_frame(codebook)
-    if m == 0:
-        return queries.sparkSession.createDataFrame(
-            [],
-            "query_id bigint, neighbor_id bigint, "
-            "approx_dot double, rank bigint",
-        )
     cb = F.col("_pq_cb")
     joined = (
         probes.join(cand, "list_id")

@@ -18,7 +18,6 @@ import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,19 +45,22 @@ def executor_cpu_ns(spark) -> int:
 
 
 def main() -> None:
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", str(max(CPUS, 32)))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "16g")
-        # match get_spark()'s shuffle-writer pin (e94c79f): without it the
-        # bypass-merge writer costs ~3 s executor CPU PER small 32x32
-        # exchange (1,024 file+LZ4-stream inits) and the decomposition
-        # over-attributes every stage with a shuffle (first faithful run
-        # read 44.8 s total against the composite's 9-12 s in-bench CPU)
-        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-        .appName("llm-e2e-stage-cpu")
-        .getOrCreate()
+    # the engine's OWN session factory, so every engine-critical conf
+    # (notably the shuffle-writer pin, e94c79f) stays in lockstep with
+    # get_spark() instead of being a hand-copied literal that can silently
+    # desynchronize the measurement tool (ADVICE r13). The UI must be on to
+    # read the executor-CPU endpoint.
+    from etdtransform_spark.session import get_spark
+
+    spark = get_spark(
+        "llm-e2e-stage-cpu",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "200000",
+            "spark.appStateStore.asyncTracking.enable": "false",
+        },
     )
     import __spark_entry__ as e
     from etdtransform_spark.operators.corpus import (

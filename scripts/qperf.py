@@ -3,10 +3,10 @@
 For each named query: run through the noop sink (guide §1.4) best-of-N,
 reading drained executor-CPU before/after each attempt (stage-completion
 posts are async — scripts/llm_e2e_stage_cpu.py finding), and optionally
-dump `.explain("formatted")` to plans/r13/<query>_<tag>.txt.
+dump `.explain("formatted")` to plans/<dir>/<query>_<tag>.txt.
 
 Usage:
-    python scripts/qperf.py q1 [q2 ...] [--n 3] [--plan before|after]
+    python scripts/qperf.py q1 [q2 ...] [--n 3] [--plan before|after] [--plandir r14]
     python scripts/qperf.py --top 20            # 20 highest-CPU from BENCH_DETAIL.json
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS (32).
@@ -32,6 +32,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     n_attempts = 3
     plan_tag = None
+    plan_dir = "r14"
     names: list[str] = []
     top = 0
     i = 0
@@ -41,6 +42,8 @@ def main() -> None:
             n_attempts = int(args[i + 1]); i += 2
         elif a == "--plan":
             plan_tag = args[i + 1]; i += 2
+        elif a == "--plandir":
+            plan_dir = args[i + 1]; i += 2
         elif a == "--top":
             top = int(args[i + 1]); i += 2
         else:
@@ -81,7 +84,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     spark.range(1000).selectExpr("sum(id)").collect()  # codegen warmup
-    os.makedirs(os.path.join(REPO, "plans", "r13"), exist_ok=True)
+    os.makedirs(os.path.join(REPO, "plans", plan_dir), exist_ok=True)
 
     for name in names:
         fn = qs[name]
@@ -102,7 +105,7 @@ def main() -> None:
         if plan_tag:
             df = fn(spark, SF_DIR)
             with open(
-                os.path.join(REPO, "plans", "r13", f"{name}_{plan_tag}.txt"), "w"
+                os.path.join(REPO, "plans", plan_dir, f"{name}_{plan_tag}.txt"), "w"
             ) as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
