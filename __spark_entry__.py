@@ -4160,14 +4160,21 @@ def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_clean")
         .localCheckpoint(eager=False)
     )
-    # 3. exact dedup on the CLEANED text: keep one doc per normalized key
+    # 3. exact dedup on the CLEANED text: keep one doc per normalized key.
+    # localCheckpoint: canon is referenced by s3 (below) and, without it,
+    # the gate's s3 input would re-run the whole normalize+hash aggregate
+    # from s2 a second time (measured +2.1 s executor CPU at sf0.1); the
+    # materialized side is doc_ids only.
     canon = exact_duplicates(s2, text_col="text_clean").select(
         F.col("canonical_id").alias("doc_id")
-    )
+    ).localCheckpoint(eager=False)
     s3 = s2.join(canon, "doc_id")
-    # 4. Gopher quality gate on the cleaned text
+    # 4. Gopher quality gate on the cleaned text. The gate is a pure
+    # per-row projection, so gating s2 (pre-dedup) and intersecting with
+    # s3 below yields EXACTLY the rows of gating s3 itself (same text per
+    # doc_id), while keeping the dedup aggregate out of the gate's subtree.
     gate = gopher_gate(
-        s3.select("doc_id", F.col("text_clean").alias("text")), min_words=30
+        s2.select("doc_id", F.col("text_clean").alias("text")), min_words=30
     )
     # gate survivors feed both contamination sides AND the packing join
     s4 = s3.join(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     portable_hash64,
     positional_word_grams,
+    word_shingle_hashes,
     word_shingles,
 )
 from ..sources.parquet import widen
@@ -167,9 +168,11 @@ def contamination(
     ~distinct-shingles²/2⁶⁴ (engine-internal; the oracle compares doc
     ids, never shingles).
     """
-    hashed = lambda c: F.transform(  # noqa: E731
-        word_shingles(c, n), lambda s: F.xxhash64(s)
-    )
+    # string-free shingle hashing (see word_shingle_hashes): the shingle
+    # strings never materialize; each token hashes once and shingle keys
+    # are xxhash64 over the n token hashes — same join/count semantics,
+    # ~6x less per-shingle work than transform(word_shingles, xxhash64)
+    hashed = lambda c: word_shingle_hashes(c, n)  # noqa: E731
     bench_sh = (
         widen(benchmark)
         .select(F.explode(hashed(text_col)).alias("sh"))
@@ -1126,10 +1129,6 @@ def remove_boilerplate_lines(
     # instead of the string — 8-byte keys, same grouping (collision odds
     # ~distinct-lines²/2⁶⁴, the ngram_jaccard_pairs adjudication)
     base = df.filter(F.col(text_col).isNotNull())
-    lines = base.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
-    ).withColumn("_line", F.trim(F.col("_raw")))
     # per-document DISTINCT line hashes built IN-ROW (array_distinct over
     # the trimmed nonblank lines): the previous explode → DISTINCT(_id,_lh)
     # shuffled every line occurrence before deduplicating; this ships one
@@ -1173,42 +1172,41 @@ def remove_boilerplate_lines(
     # freq is BROADCAST-SIZED BY CONSTRUCTION: a surviving line occurs in
     # >= min_doc_frac of documents, so |freq| <= avg distinct lines per
     # doc / min_doc_frac — a per-document bound independent of corpus
-    # size; the broadcast keeps the exploded raw lines from shuffling.
-    marked = lines.join(
-        F.broadcast(freq), F.xxhash64("_line") == F.col("_bh"), "left"
-    ).select(
-        "_id", "_pos", "_raw",
-        (F.col("_bh").isNotNull()).alias("_drop"),
-    )
-    out = marked.groupBy("_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.count(F.when(F.col("_drop"), 1)).cast("bigint").alias("n_removed"),
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            ~F.col("_drop"),
-                            F.struct(F.col("_pos"), F.col("_raw").alias("_l")),
-                        )
-                    )
-                ),
-                lambda s: s["_l"],
-            ),
-        ).alias("text_clean"),
+    # size. The rewrite itself is therefore IN-ROW: the boilerplate hash
+    # set rides a broadcast 1-row array and each document filters its own
+    # line array against it — no line explode, no per-line join, and no
+    # data-sized collect_list + sort reassembly shuffle (the r13 form
+    # exploded every line, broadcast-joined, and re-grouped per doc:
+    # two data-sized passes the per-doc filter makes unnecessary; line
+    # order is preserved for free). Same doubles, counts, and text:
+    # array_contains(xxhash64(trim(line))) is the identical membership
+    # test the join key computed.
+    bset = freq.agg(F.collect_list("_bh").alias("_bs"))
+    split_lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        split_lines,
+        lambda l: ~F.array_contains(F.col("_bs"), F.xxhash64(F.trim(l))),
     )
     from ..functions.scalars import qround
 
-    return out.select(
-        F.col("_id").alias(id_col),
-        "text_clean",
-        "n_lines",
-        "n_removed",
-        qround(
-            F.col("n_removed").cast("double") / F.col("n_lines").cast("double"),
-            digits,
-        ).alias("removed_ratio"),
+    return (
+        base.crossJoin(F.broadcast(bset))
+        .select(
+            F.col(id_col),
+            F.concat_ws("\n", kept).alias("text_clean"),
+            F.size(split_lines).cast("bigint").alias("n_lines"),
+            (F.size(split_lines) - F.size(kept))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .withColumn(
+            "removed_ratio",
+            qround(
+                F.col("n_removed").cast("double")
+                / F.col("n_lines").cast("double"),
+                digits,
+            ),
+        )
     )
 
 

@@ -106,6 +106,61 @@ def test_contamination_exact_shared_ngrams(spark):
     assert got == {1: 1}
 
 
+def test_word_shingle_hashes_matches_string_shingles(spark):
+    """word_shingle_hashes must induce the SAME per-doc distinct counts and
+    the same cross-doc intersection counts as hashing word_shingles'
+    strings — the equality structure contamination's join consumes.
+    Covers: normal docs, repeated shingles (array_distinct), short docs
+    (< n tokens → one shingle of all tokens), single-token, NULL and
+    empty/whitespace-only text (NULL array → row absent at explode)."""
+    from pyspark.sql import functions as F
+
+    from etdtransform_spark.functions.hashing import (
+        word_shingle_hashes,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c a b c a b c"),          # repeated shingles collapse
+        (3, "x y"),                         # short doc: one 2-token shingle
+        (4, "solo"),                        # single token
+        (5, None),                          # NULL text
+        (6, "   "),                         # whitespace-only -> 0 tokens
+        (7, "b c d e f g"),                 # overlaps doc 1
+        (8, "x y"),                         # exact short-doc match with 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+    via_str = df.select(
+        "doc_id",
+        F.transform(
+            word_shingles("text", n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).collect()
+    via_hash = df.select(
+        "doc_id", word_shingle_hashes("text", n).alias("sh")
+    ).collect()
+    s = {r.doc_id: r.sh for r in via_str}
+    h = {r.doc_id: r.sh for r in via_hash}
+    assert set(s) == set(h)
+    for d in s:
+        # NULL-ness and distinct count agree per doc
+        assert (s[d] is None) == (h[d] is None), d
+        if s[d] is not None:
+            assert len(set(s[d])) == len(s[d])  # word_shingles is distinct
+            assert len(set(h[d])) == len(h[d])
+            assert len(s[d]) == len(h[d]), d
+    # pairwise intersection counts agree (the join semantics)
+    ids = [d for d in s if s[d] is not None]
+    for i in ids:
+        for j in ids:
+            if i < j:
+                assert len(set(s[i]) & set(s[j])) == len(
+                    set(h[i]) & set(h[j])
+                ), (i, j)
+
+
 def _mix_corpus(spark, sizes):
     rows = []
     i = 0
