@@ -201,6 +201,38 @@ def positional_word_grams(toks: Column, n: int) -> Column:
     return F.transform(F.array(toks), build)[0]
 
 
+def positional_word_gram_hashes(toks: Column, n: int) -> Column:
+    """xxhash64 keys of all POSITIONAL word n-grams (duplicates kept,
+    order preserved) — the string-free counterpart of
+    ``transform(positional_word_grams(toks, n), xxhash64)``, built the
+    :func:`word_shingle_hashes` way: each token hashed once per row, a
+    gram's key = xxhash64 over its n token hashes. Same equality classes
+    modulo 64-bit collisions, same short-row (< n tokens: one gram of all
+    tokens, via F.get OOB→NULL + xxhash64 null-skip) and NULL/empty
+    semantics as positional_word_grams. Engine-internal keys only."""
+
+    def inner(th: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(th) - F.lit(n - 1), F.lit(1))
+        )
+        return F.when(
+            F.size(th) > 0,
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.get(th, i + F.lit(j - 1)) for j in range(n)]
+                ),
+            ),
+        )
+
+    def build(t: Column) -> Column:
+        return F.transform(
+            F.array(F.transform(t, lambda w: F.xxhash64(w))), inner
+        )[0]
+
+    return F.transform(F.array(toks), build)[0]
+
+
 def word_shingles_sql(expr: str, n: int = 3) -> str:
     """DuckDB equivalent of :func:`word_shingles`."""
     toks = f"list_filter(regexp_split_to_array({expr}, '\\s+'), x -> x <> '')"

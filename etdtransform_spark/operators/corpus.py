@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     portable_hash64,
+    positional_word_gram_hashes,
     positional_word_grams,
     word_shingle_hashes,
     word_shingles,
@@ -305,20 +306,21 @@ def duplicate_spans(
     # let-bound gram build (functions/hashing.py:positional_word_grams) —
     # the >= n filter keeps the helper's short-row guard unreachable, so
     # results are unchanged while tokenization runs once per row
-    grams = positional_word_grams(toks, n)
     # The n-gram text matters only as an equality key (it never reaches the
-    # output), so the shuffle carries its xxhash64 instead of the string —
-    # 8-byte keys, same grouping (collision odds ~distinct-shingles²/2⁶⁴,
-    # the ngram_jaccard_pairs adjudication). Ownership is a MIN window over
-    # that key, not a groupBy + join-back: the join formulation re-ran the
-    # tokenize + posexplode from the scan for the owner side (2 FileScans)
-    # and shuffled the exploded spans twice; one window = one shuffle, one
-    # explode, identical marking.
+    # output), so the shuffle carries a 64-bit hash instead of the string —
+    # same grouping (collision odds ~distinct-shingles²/2⁶⁴, the
+    # ngram_jaccard_pairs adjudication) — and the gram STRINGS never
+    # materialize at all: positional_word_gram_hashes combines the per-token
+    # xxhash64s in long arithmetic (r14; see word_shingle_hashes). Ownership
+    # is a MIN window over that key, not a groupBy + join-back: the join
+    # formulation re-ran the tokenize + posexplode from the scan for the
+    # owner side (2 FileScans) and shuffled the exploded spans twice; one
+    # window = one shuffle, one explode, identical marking.
+    grams = positional_word_gram_hashes(toks, n)
     spans = (
         widen(df)
         .filter(F.size(toks) >= n)
         .select(F.col(id_col), F.posexplode(grams).alias("_pos", "_sh"))
-        .select(F.col(id_col), "_pos", F.xxhash64("_sh").alias("_sh"))
     )
     _own = F.min(
         F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))
@@ -835,19 +837,20 @@ def remove_duplicate_spans(
     """
     toks = _toks(text_col)
     base = widen(df).select(F.col(id_col), F.col(text_col))
-    grams = positional_word_grams(toks, n)
+    grams = positional_word_gram_hashes(toks, n)
     spans = (
         base.filter(F.size(toks) >= n)
         .select(F.col(id_col), F.posexplode(grams).alias("_pos0", "_sh"))
         # 1-based span start so "span p covers tokens p..p+n-1"; the gram
-        # text is only an equality key (never output) — shuffle its
-        # xxhash64, and take ownership as a MIN window instead of the
-        # groupBy + join-back that re-ran the explode from the scan
-        # (duplicate_spans rationale, same collision adjudication)
+        # text is only an equality key (never output) — it is a string-free
+        # 64-bit hash (positional_word_gram_hashes, r14), and ownership is
+        # a MIN window instead of the groupBy + join-back that re-ran the
+        # explode from the scan (duplicate_spans rationale, same collision
+        # adjudication)
         .select(
             F.col(id_col),
             (F.col("_pos0") + 1).alias("_pos"),
-            F.xxhash64("_sh").alias("_sh"),
+            F.col("_sh"),
         )
     )
     _own = F.min(

@@ -118,7 +118,11 @@ def ngram_jaccard_pairs(
     # equality + tighter shuffles, ~50x faster verification. The hash is
     # engine-internal (never compared to the oracle); a 64-bit collision
     # among the corpus' distinct shingles is ~n^2/2^64 and would only
-    # perturb one intersection count.
+    # perturb one intersection count. (The r14 word_shingle_hashes swap —
+    # string-free keys — measured CPU-neutral over 6 alternating A/B
+    # rounds HERE because the shingle frame is built once and persisted;
+    # reverted to keep the candidate-order bit-stable. contamination,
+    # which rebuilds shingles per side, keeps the string-free form.)
     shingled = widen(df).select(
         F.col(id_col).alias("id"),
         F.array_sort(
