@@ -14769,61 +14769,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver check window (first 50 keys): rotated by
         # scripts/rotate_window.py — reds first, then never-checked ---
-        "weather_pipeline_e2e": q_weather_pipeline_e2e,
-        "event_study": q_event_study,
-        "cox_ph": q_cox_ph,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "embedding_norms": q_embedding_norms,
-        "cosine_topk": q_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "extreme_avg_period": q_extreme_avg_period,
-        "mark_coldest_period": q_mark_coldest_period,
-        "gelijktijdigheid": q_gelijktijdigheid,
-        "normalized_datetime": q_normalized_datetime,
-        "fasttext_quality_score": q_fasttext_quality_score,
-        "calibration_bins": q_calibration_bins,
-        "calibration_ece": q_calibration_ece,
-        "annotator_kappa": q_annotator_kappa,
-        "auc_roc": q_auc_roc,
-        "classification_report": q_classification_report,
-        "streaming_quality_daily": q_streaming_quality_daily,
-        "bradley_terry": q_bradley_terry,
-        "krippendorff_alpha": q_krippendorff_alpha,
-        "multimodal_features": q_multimodal_features,
-        "streaming_resample_15min": q_streaming_resample_15min,
-        "ivf_topk": q_ivf_topk,
-        "mark_peak_period": q_mark_peak_period,
-        "coldest_weeks_join": q_coldest_weeks_join,
-        "streaming_gap_detect": q_streaming_gap_detect,
-        "impute_rule_chain": q_impute_rule_chain,
-        "brand_supplier_revenue": q_brand_supplier_revenue,
-        "hash_sample": q_hash_sample,
-        "impute_summary": q_impute_summary,
-        "bpe_token_counts": q_bpe_token_counts,
-        "kmeans_centroids": q_kmeans_centroids,
-        "semantic_dedup": q_semantic_dedup,
-        "stratified_sample": q_stratified_sample,
-        "streaming_dedup": q_streaming_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "asof_join": q_asof_join,
-        "simhash_near_dup": q_simhash_near_dup,
-        "topk_revenue": q_topk_revenue,
-        "rollup_orders": q_rollup_orders,
-        "pivot_events": q_pivot_events,
-        "count_distinct": q_count_distinct,
-        "sliding_window": q_sliding_window,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "streaming_sessionize": q_streaming_sessionize,
-        "chunk_documents": q_chunk_documents,
-        "pack_documents": q_pack_documents,
-        "scrub_pii": q_scrub_pii,
+        "dsir_weights": q_dsir_weights,
+        "dsir_weights_sampled": q_dsir_weights_sampled,
+        "pmi_collocations": q_pmi_collocations,
+        "duplicate_spans": q_duplicate_spans,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_resolve": q_dedup_resolve,
+        "dedup_resolve_best": q_dedup_resolve_best,
+        "boilerplate_lines": q_boilerplate_lines,
+        "exclusive_problem_supplier": q_exclusive_problem_supplier,
+        "customer_hierarchy": q_customer_hierarchy,
+        "pagerank": q_pagerank,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "position_bias": q_position_bias,
+        "preference_pipeline_e2e": q_preference_pipeline_e2e,
+        "llm_pipeline_e2e": q_llm_pipeline_e2e,
+        "semantic_dedup_sampled": q_semantic_dedup_sampled,
+        "semantic_dedup_pruned": q_semantic_dedup_pruned,
+        "dedup_exact": q_dedup_exact,
         "contamination": q_contamination,
+        "ngram_jaccard": q_ngram_jaccard,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans_centroids": q_kmeans_centroids,
+        "kmeans_assign_recall": q_kmeans_assign_recall,
+        "containment_pairs": q_containment_pairs,
         "frame_sample": q_frame_sample,
         "quantize_embeddings": q_quantize_embeddings,
-        # --- beyond the window: previously green or queued;
-        # all guarded by tests/oracle_harness.py --strict ---
         "streaming_sliding": q_streaming_sliding,
         "window_rank_family": q_window_rank_family,
         "funnel": q_funnel,
@@ -14839,14 +14813,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_elo": q_streaming_elo,
         "streaming_position_bias_daily": q_streaming_position_bias_daily,
         "streaming_cls_monitor_daily": q_streaming_cls_monitor_daily,
-        "position_bias": q_position_bias,
         "transitivity_violations": q_transitivity_violations,
         "annotator_bias": q_annotator_bias,
         "fairness_audit": q_fairness_audit,
         "fairness_gaps": q_fairness_gaps,
         "label_noise": q_label_noise,
         "top_label_calibration": q_top_label_calibration,
-        "semantic_dedup_sampled": q_semantic_dedup_sampled,
+        # --- beyond the window: previously green or queued;
+        # all guarded by tests/oracle_harness.py --strict ---
         "time_grid": q_time_grid,
         "interpolate_gaps": q_interpolate_gaps,
         "ewma": q_ewma,
@@ -14890,7 +14864,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fairness_auc_gap": q_fairness_auc_gap,
         "regression_report": q_regression_report,
         "regression_deciles": q_regression_deciles,
-        "semantic_dedup_pruned": q_semantic_dedup_pruned,
         "transitivity_sampled": q_transitivity_sampled,
         "best_threshold": q_best_threshold,
         "spearman_corr": q_spearman_corr,
@@ -14900,7 +14873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_by_cohort": q_regression_by_cohort,
         "seasonal_decompose": q_seasonal_decompose,
         "roc_curve_thinned": q_roc_curve_thinned,
-        "boilerplate_lines": q_boilerplate_lines,
         "time_weighted_avg": q_time_weighted_avg,
         "skew_profile": q_skew_profile,
         "average_precision": q_average_precision,
@@ -14910,9 +14882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_report": q_expectations_report,
         "time_to_conversion": q_time_to_conversion,
         "vocab_growth": q_vocab_growth,
-        "duplicate_spans": q_duplicate_spans,
         "streaming_stateful_agg": q_streaming_stateful_agg,
-        "exclusive_problem_supplier": q_exclusive_problem_supplier,
         "gopher_gate": q_gopher_gate,
         "incremental_dedup": q_incremental_dedup,
         "rolling_median": q_rolling_median,
@@ -14932,10 +14902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "product_type_profit": q_product_type_profit,
         "important_part_value": q_important_part_value,
-        "dsir_weights": q_dsir_weights,
         "script_profile": q_script_profile,
-        "kmeans_assign_recall": q_kmeans_assign_recall,
-        "llm_pipeline_e2e": q_llm_pipeline_e2e,
         "bootstrap_ci": q_bootstrap_ci,
         "isotonic_calibration": q_isotonic_calibration,
         "split_conformal": q_split_conformal,
@@ -14965,12 +14932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_bigram": q_rouge_bigram,
         "eval_pipeline_e2e": q_eval_pipeline_e2e,
         "msprt": q_msprt,
-        "dedup_resolve_best": q_dedup_resolve_best,
         "adc_topk": q_adc_topk,
         "mg_frequent_items": q_mg_frequent_items,
         "embedding_decontaminate": q_embedding_decontaminate,
         "zorder_roundtrip_sampled": q_zorder_roundtrip_sampled,
-        "dsir_weights_sampled": q_dsir_weights_sampled,
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue_share": q_promo_revenue_share,
         "top_supplier": q_top_supplier,
@@ -14984,7 +14949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_divergence": q_entropy_divergence,
         "pareto_frontier": q_pareto_frontier,
         "period_over_period": q_period_over_period,
-        "preference_pipeline_e2e": q_preference_pipeline_e2e,
         "bm25_topk": q_bm25_topk,
         "rrf_fusion": q_rrf_fusion,
         "retrieval_rollout_e2e": q_retrieval_rollout_e2e,
@@ -15001,29 +14965,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,
         "inverted_index": q_inverted_index,
         "incremental_agg": q_incremental_agg,
-        "pagerank": q_pagerank,
         "welch_ttest": q_welch_ttest,
         "chi_square": q_chi_square,
         "hist_quantile": q_hist_quantile,
         "triangle_count": q_triangle_count,
         "longest_streak": q_longest_streak,
         "streaming_hll_distinct": q_streaming_hll_distinct,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "dedup_resolve": q_dedup_resolve,
         "winsorize": q_winsorize,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "session_paths": q_session_paths,
         "autocorrelation": q_autocorrelation,
         "cusum_changepoint": q_cusum_changepoint,
-        "pq_codes": q_pq_codes,
-        "pq_adc_topk": q_pq_adc_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "customer_hierarchy": q_customer_hierarchy,
         "streaming_leaderboard": q_streaming_leaderboard,
         "quantile_normalize": q_quantile_normalize,
         "degree_days": q_degree_days,
         "weather_normalize": q_weather_normalize,
-        "containment_pairs": q_containment_pairs,
         "rolling_active_users": q_rolling_active_users,
         "gini_sources": q_gini_sources,
         "bigram_logprob": q_bigram_logprob,
@@ -15055,7 +15011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reid_risk_summary": q_reid_risk_summary,
         "bloom_semi_join": q_bloom_semi_join,
         "url_dedup_canonical": q_url_dedup,
-        "pmi_collocations": q_pmi_collocations,
         "scan_filter_project": q_scan_filter_project,
         "multi_join_revenue": q_multi_join_revenue,
         "semi_join": q_semi_join,
@@ -15078,12 +15033,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weather_keys": q_weather_keys,
         "gevoelstemperatuur": q_gevoelstemperatuur,
         "json_extract": q_json_extract,
-        "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "weather_pipeline_e2e": q_weather_pipeline_e2e,
+        "event_study": q_event_study,
+        "cox_ph": q_cox_ph,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "embedding_norms": q_embedding_norms,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "extreme_avg_period": q_extreme_avg_period,
+        "mark_coldest_period": q_mark_coldest_period,
+        "gelijktijdigheid": q_gelijktijdigheid,
+        "normalized_datetime": q_normalized_datetime,
+        "fasttext_quality_score": q_fasttext_quality_score,
+        "calibration_bins": q_calibration_bins,
+        "calibration_ece": q_calibration_ece,
+        "annotator_kappa": q_annotator_kappa,
+        "auc_roc": q_auc_roc,
+        "classification_report": q_classification_report,
+        "streaming_quality_daily": q_streaming_quality_daily,
+        "bradley_terry": q_bradley_terry,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "multimodal_features": q_multimodal_features,
+        "streaming_resample_15min": q_streaming_resample_15min,
+        "ivf_topk": q_ivf_topk,
+        "mark_peak_period": q_mark_peak_period,
+        "coldest_weeks_join": q_coldest_weeks_join,
+        "streaming_gap_detect": q_streaming_gap_detect,
+        "impute_rule_chain": q_impute_rule_chain,
+        "brand_supplier_revenue": q_brand_supplier_revenue,
+        "hash_sample": q_hash_sample,
+        "impute_summary": q_impute_summary,
+        "bpe_token_counts": q_bpe_token_counts,
+        "stratified_sample": q_stratified_sample,
+        "streaming_dedup": q_streaming_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_join": q_asof_join,
+        "simhash_near_dup": q_simhash_near_dup,
+        "topk_revenue": q_topk_revenue,
+        "rollup_orders": q_rollup_orders,
+        "pivot_events": q_pivot_events,
+        "count_distinct": q_count_distinct,
+        "sliding_window": q_sliding_window,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_sessionize": q_streaming_sessionize,
+        "chunk_documents": q_chunk_documents,
+        "pack_documents": q_pack_documents,
+        "scrub_pii": q_scrub_pii,
     }
 
 

@@ -8,6 +8,9 @@ followed by never-driver-checked queries, then everything already green.
 
 Usage:  python scripts/rotate_window.py CORRECTNESS_r02.json [CORRECTNESS_r01.json ...]
         (pass every CORRECTNESS_r*.json so far; order newest-first)
+        [--prioritize name1,name2,...]  queries to lead the window right
+        after red re-checks — VERDICT r13 #2: the rotation must point at
+        the paths the round TOUCHED, not only at never-checked ones.
 
 Idempotent and purely mechanical — run it at the start of each round, then
 re-run `python tests/oracle_harness.py /root/testdata/sf0.01 --strict` and
@@ -29,6 +32,7 @@ def main(
     correctness_files: list[str],
     entry_path: str = ENTRY,
     telemetry_path: str | None = None,
+    prioritize: list[str] | None = None,
 ) -> None:
     # Telemetry follows the entry file's directory unless overridden, so a
     # test invocation with a tmp entry_path never stomps the real
@@ -74,17 +78,26 @@ def main(
     # a red in the NEWEST round is an active regression and must lead the
     # window even if the query was green in some earlier round
     red = [n for n in red if n in fn]
+    # touched-path priority (VERDICT r13 #2): queries whose operators this
+    # round changed lead the window right after reds, regardless of green
+    # staleness — the hard-signal channel must cover the rewrites first
+    prio = [
+        n for n in (prioritize or [])
+        if n in fn and n not in red
+    ]
+    prio_set = set(prio)
     unchecked = [
-        n for n in names if n not in green and n not in red
+        n for n in names
+        if n not in green and n not in red and n not in prio_set
     ]
     # staleness rotation: among greens, the LONGEST-unconfirmed lead, so
     # every query keeps getting re-driver-checked on a bounded cadence
     # instead of r1-era greens never re-entering the window
     checked = sorted(
-        (n for n in names if n in green and n not in red),
+        (n for n in names if n in green and n not in red and n not in prio_set),
         key=lambda n: -green_age.get(n, 0),
     )
-    order = red + unchecked + checked
+    order = red + prio + unchecked + checked
     assert sorted(order) == sorted(names)
 
     lines = [
@@ -104,6 +117,7 @@ def main(
     open(entry_path, "w").write(new_src)
     in_window = order[:WINDOW]
     print(f"window: {len([n for n in in_window if n in red])} red re-checks, "
+          f"{len([n for n in in_window if n in prio_set])} touched-priority, "
           f"{len([n for n in in_window if n in unchecked])} first-checks")
     print("head:", ", ".join(order[:8]))
     print(f"remaining never-checked after this round: "
@@ -156,6 +170,12 @@ def main(
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 2:
+    argv = sys.argv[1:]
+    prio: list[str] | None = None
+    if "--prioritize" in argv:
+        i = argv.index("--prioritize")
+        prio = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2:]
+    if not argv:
         raise SystemExit(__doc__)
-    main(sys.argv[1:])
+    main(argv, prioritize=prio)
