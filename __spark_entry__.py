@@ -13026,6 +13026,14 @@ def q_retrieval_rollout_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     def trunc(df: DataFrame, d: int) -> DataFrame:
         return df.withColumn("embedding", F.slice("embedding", 1, d))
 
+    # r14 negative results, measured and rejected (alternating worktree
+    # A/B, 6 rounds each): (a) lazy-checkpoint + dot_expr_fixed unroll on
+    # r16/r32 — CPU -45% but wall +1 s (two extra barrier jobs); (b)
+    # dot_expr_fixed on full alone (no new barriers) — CPU -15% but wall
+    # worse in 5/6 rounds (the guarded unroll keeps the HOF fallback in
+    # the same projection, so the stage stays interpreted AND pays the
+    # bigger tree). The two-call HOF form stands: runtime exchange reuse
+    # already computes each retriever once.
     full = cosine_topk(qset, emb, k=5).localCheckpoint(eager=True)
     r16 = cosine_topk(trunc(qset, 16), trunc(emb, 16), k=5)
     r32 = cosine_topk(trunc(qset, 32), trunc(emb, 32), k=5)
